@@ -1,38 +1,125 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (currently-valid triples) on
+sf0.001. ``queries()`` exposes every oracle-checked operator;
+``oracle_sql()`` returns the DuckDB equivalents (see
+graphiti_spark/oracles.py — the full KG pipeline is one CTE chain there).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphiti_spark.oracles import kg_oracles
+from graphiti_spark.plans.pipeline import GraphTables, build_graph, current_triples
+from graphiti_spark.sources import synth_source_files
+
+_GRAPH_CACHE: dict[tuple[int, str], GraphTables] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> GraphTables:
+    """Build (and memoize per session+dir) the full pipeline DAG."""
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(synth_source_files(spark, sf_dir))
+    return _GRAPH_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return current_triples(_graph(spark, "/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def _q_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_source_files(spark, sf_dir).select(
+        "repo", "path", "commit", "lang", "content_sha256", "file_seq"
+    )
+
+
+def _q_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph(spark, sf_dir).episodes.select(
+        "uuid", "name", "group_id", "source", "valid_at", "content_sha256"
+    )
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphiti_spark.operators.extraction import extract_mentions
+
+    return extract_mentions(_graph(spark, sf_dir).episodes).select(
+        "mention_uuid", "episode_uuid", "group_id", "name", "label"
+    )
+
+
+def _q_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphiti_spark.operators.extraction import extract_triples
+
+    return extract_triples(_graph(spark, sf_dir).episodes).select(
+        "episode_uuid", "group_id", "subj_name", "predicate", "obj_name",
+        "fact", "valid_at",
+    )
+
+
+def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph(spark, sf_dir).canonical_map.select(
+        "alias_uuid", "canonical_uuid", "group_id"
+    )
+
+
+def _q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph(spark, sf_dir).nodes.select(
+        "uuid", "name", "group_id",
+        F.array_join("labels", ",").alias("labels_csv"),
+    )
+
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _graph(spark, sf_dir).edges
+    return e.select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "fact", "valid_at", "invalid_at", "expired_at",
+        F.array_join("episodes", ",").alias("episodes_csv"),
+        F.size("episodes").cast("long").alias("n_episodes"),
+    )
+
+
+def _q_current_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return current_triples(_graph(spark, sf_dir))
+
+
+def _q_invalidated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _graph(spark, sf_dir).edges
+    return e.where(F.col("invalid_at").isNotNull()).select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "valid_at", "invalid_at", "expired_at",
+    )
+
+
+def _q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph(spark, sf_dir).mentions.select(
+        "episode_uuid", "node_uuid", "group_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_source_files": _q_source_files,
+        "kg_episodes": _q_episodes,
+        "kg_mentions": _q_mentions,
+        "kg_triples_raw": _q_triples_raw,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_nodes": _q_nodes,
+        "kg_edges": _q_edges,
+        "kg_current_triples": _q_current_triples,
+        "kg_invalidated_edges": _q_invalidated_edges,
+        "kg_mention_edges": _q_mention_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return kg_oracles("documents")

@@ -1,0 +1,101 @@
+"""Benchmark harness: headline KG-construction queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+The headline metric is end-to-end pipeline wall time; ``queries`` breaks
+out per-stage materialization. Each query materializes via the noop data
+source (computes every column, ships nothing to the driver).
+
+``--scaling`` mode runs the identical pipeline at two parallelism levels
+(local[8] vs local[32]) and reports triples/sec at both plus the
+efficiency ratio — the sandbox evidence for the north rule's N→4N
+criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    from graphiti_spark.plans.pipeline import build_graph, current_triples
+    from graphiti_spark.sources import synth_source_files
+
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    t0 = time.perf_counter()
+    g = build_graph(synth_source_files(spark, sf_dir))
+    edges = g.edges.persist()
+    n_edges = edges.count()
+    times["pipeline_full"] = time.perf_counter() - t0
+    counts["edges"] = n_edges
+
+    for name, df in [
+        ("nodes", g.nodes),
+        ("current_triples", current_triples(g)),
+        ("mentions", g.mentions),
+    ]:
+        t = time.perf_counter()
+        _materialize(df)
+        times[name] = time.perf_counter() - t
+    counts["nodes"] = g.nodes.count()
+    edges.unpersist()
+    return times, counts
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from graphiti_spark.session import get_spark
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            spark = get_spark(f"bench{n}", master=f"local[{n}]",
+                              shuffle_partitions=max(n, 8))
+            times, counts = run_suite(spark, sf_dir)
+            spark.stop()
+            results[n] = (times["pipeline_full"], counts["edges"])
+        tp8 = results[8][1] / results[8][0]
+        tp32 = results[32][1] / results[32][0]
+        eff = tp32 / (4 * tp8)
+        print(json.dumps({
+            "metric": "scaling_efficiency_local8_to_local32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {
+                "triples_per_sec_n8": round(tp8, 1),
+                "triples_per_sec_n32": round(tp32, 1),
+            },
+            "sf": float(sf),
+        }))
+        return
+
+    spark = get_spark("bench")
+    times, counts = run_suite(spark, sf_dir)
+    spark.stop()
+    total = sum(times.values())
+    print(json.dumps({
+        "metric": "kg_construction_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": float(sf),
+        "triples": counts["edges"],
+        "triples_per_sec": round(counts["edges"] / times["pipeline_full"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

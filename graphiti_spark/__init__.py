@@ -1,0 +1,20 @@
+"""graphiti_spark — a PySpark-native episodic knowledge-graph construction engine.
+
+A from-scratch, Spark-idiomatic reimplementation of the capabilities of
+getzep/graphiti (reference: /root/reference, snapshot 2026-08-07): episode
+ingestion, mention detection, (subj, pred, obj) triple extraction, entity
+resolution/linking, canonicalization via connected components, bi-temporal
+edge invalidation, and graph materialization — expressed as DataFrame
+transformations so Catalyst/Tungsten/AQE pick the physical plan.
+
+Layout
+------
+- ``sources``    : input connectors + deterministic synthetic source tables
+- ``functions``  : column-level helpers (text, hashing, embeddings)
+- ``operators``  : the pipeline stages (extraction, resolution, temporal, ...)
+- ``plans``      : end-to-end stage DAGs (the add_episode_bulk equivalent)
+- ``storage``    : idempotent MERGE-style writers + checkpoint/lineage
+- ``streaming``  : Structured Streaming micro-batch ingestion
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""Embedding boundary: deterministic hash embedder + cosine column algebra.
+
+The reference treats embedding as a pluggable client
+(``EmbedderClient.create/create_batch``, embedder/client.py:30-38) and its
+tests use a fixed dictionary embedder (tests/helpers_test.py:131-181:
+same text ⇒ same vector). We mirror that: :func:`hash_embed` is a
+vectorized pandas UDF deriving a unit-norm EMBEDDING_DIM vector from
+sha256-seeded bytes of the text — deterministic on both sides of any
+comparison, and trivially replaced by a real model client with the same
+signature.
+
+Cosine math stays JVM-side where possible: vectors stored L2-normalized so
+cosine = dot product, computed with ``F.zip_with`` + ``F.aggregate``
+(codegen) — the pandas-UDF matrix path is only for wide top-k scans where
+numpy BLAS wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F, types as T
+
+from graphiti_spark import config
+
+
+def make_hash_embedder(dim: int = config.EMBEDDING_DIM):
+    """Return a pandas UDF: string column → array<float> unit vector."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def hash_embed(texts):  # type: ignore[no-untyped-def]
+        import hashlib
+
+        import numpy as np
+
+        def one(t):
+            if t is None:
+                return None
+            seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim).astype(np.float32)
+            v /= np.linalg.norm(v) or 1.0
+            return v.tolist()
+
+        return texts.apply(one)
+
+    return hash_embed
+
+
+hash_embed = make_hash_embedder()
+
+
+def dot(a: Column, b: Column) -> Column:
+    """dot product of two array<float/double> columns (JVM, codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity (reference search_utils.py:71-82 normalizes then
+    dots; helpers.py:116-119 L2-normalizes)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

@@ -1,0 +1,142 @@
+"""MinHash / LSH / SimHash / fingerprint primitives.
+
+Two MinHash families:
+
+- :func:`minhash_signature` — JVM-side xxhash64 variant (pure column
+  expressions, whole-stage codegen). This is the production path: at
+  10^12 rows a Python hash round-trip per shingle is the bottleneck, and
+  MinHash only needs *a* uniform hash family, not a particular one.
+- :func:`minhash_signature_blake2b` — pandas-UDF blake2b variant with the
+  reference's exact hash construction (``blake2b(f"{seed}:{shingle}")``
+  lowest-8-bytes, min per seed — dedup_helpers.py:97-114) for bit-parity
+  unit tests against the reference's fixtures.
+
+Both use MINHASH_PERMUTATIONS=32 seeds and band size 4 → 8 LSH bands
+(dedup_helpers.py:35-36, 117-128).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F, types as T
+
+from graphiti_spark import config
+
+
+def minhash_signature(shingle_arr: Column, perms: int = config.MINHASH_PERMUTATIONS) -> Column:
+    """array<string> shingles → array<bigint> signature via xxhash64(seed, shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(perms - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingle_arr, lambda sh: F.xxhash64(seed, sh))
+        ),
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature_blake2b(shingle_arr):  # type: ignore[no-untyped-def]
+    """Reference-parity MinHash (dedup_helpers.py:97-114): for each of 32
+    seeds, min over shingles of the low 8 bytes of blake2b(f"{seed}:{sh}")."""
+    import hashlib
+
+    import pandas as pd
+
+    def sig(shingles):
+        if shingles is None or len(shingles) == 0:
+            return [0] * config.MINHASH_PERMUTATIONS
+        out = []
+        for seed in range(config.MINHASH_PERMUTATIONS):
+            m = min(
+                int.from_bytes(
+                    hashlib.blake2b(f"{seed}:{sh}".encode(), digest_size=8).digest(),
+                    "big",
+                )
+                for sh in shingles
+            )
+            # store as signed 64-bit for Spark LongType
+            out.append(m - (1 << 64) if m >= (1 << 63) else m)
+        return out
+
+    return shingle_arr.apply(sig)
+
+
+def lsh_bands(signature: Column, band_size: int = config.MINHASH_BAND_SIZE) -> Column:
+    """signature → array<struct<band:int, key:bigint>> (dedup_helpers.py:117-128).
+
+    Band key = xxhash64 over the band's stringified elements; explode the
+    result and self-join on (band, key) for the classic LSH candidate join.
+    """
+    n_bands = config.MINHASH_PERMUTATIONS // band_size
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                b, F.concat_ws(",", F.transform(
+                    F.slice(signature, b * band_size + 1, band_size),
+                    lambda x: x.cast("string"),
+                ))
+            ).alias("key"),
+        ),
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array, as pure column algebra.
+
+    For each bit b: sum over tokens of (+1 if bit b of xxhash64(token) else
+    -1); simhash bit b = (sum > 0). Returned as bigint. Near-duplicate test
+    = small Hamming distance (see :func:`hamming64`).
+    """
+    bit_votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """popcount(a XOR b) via bit_count (Spark 3.3+)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over each stride
+    of ``window`` word 2-grams, collected as a sorted distinct array —
+    a compact content signature for shift-robust near-dup detection."""
+    toks = F.split(F.lower(text), r"\s+")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1), lambda a, b: F.xxhash64(a, b)
+    )
+    n_strides = F.greatest(F.ceil(F.size(grams) / F.lit(window)).cast("int"), F.lit(1))
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), n_strides - 1),
+                    lambda s: F.array_min(F.slice(grams, s * window + 1, window)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )

@@ -1,0 +1,82 @@
+"""Column-level text helpers (all JVM-side expressions, no Python).
+
+Ports the deterministic text predicates of
+/root/reference/graphiti_core/utils/maintenance/dedup_helpers.py:39-94 as
+Catalyst expressions so they run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from graphiti_spark import config
+
+
+def normalize_exact(name: Column) -> Column:
+    """lowercase + collapse whitespace (dedup_helpers.py:39-43) — the exact
+    blocking key."""
+    return F.lower(F.regexp_replace(F.trim(name), r"\s+", " "))
+
+
+def normalize_fuzzy(name: Column) -> Column:
+    """keep only ``[a-z0-9' ]`` of the exact-normalized form
+    (dedup_helpers.py:45-49)."""
+    return F.regexp_replace(normalize_exact(name), r"[^a-z0-9' ]", "")
+
+
+def char_entropy(s: Column) -> Column:
+    """Shannon entropy over characters (dedup_helpers.py:52-76), as pure
+    column algebra: for each distinct char c, p_c = count(c)/len, entropy =
+    -sum p_c log2 p_c. O(distinct_chars * len) per name — names are short,
+    and it stays inside codegen (no UDF)."""
+    chars = F.split(s, "")
+    n = F.greatest(F.size(chars), F.lit(1)).cast("double")
+    distinct = F.array_distinct(chars)
+    return F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (
+            (F.size(F.filter(chars, lambda x: x == c)) / n)
+            * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n)
+        ),
+    )
+
+
+def has_high_entropy(name_fuzzy: Column) -> Column:
+    """Fuzzy-matching gate (dedup_helpers.py:64-86): short single-token
+    names skip fuzzy matching entirely; otherwise require entropy >= 1.5."""
+    n_tokens = F.size(F.split(F.trim(name_fuzzy), r"\s+"))
+    long_enough = (F.length(name_fuzzy) >= config.MIN_NAME_LENGTH) | (
+        n_tokens >= config.MIN_TOKEN_COUNT
+    )
+    return long_enough & (char_entropy(name_fuzzy) >= F.lit(config.ENTROPY_THRESHOLD))
+
+
+def shingles(name_fuzzy: Column, k: int = config.SHINGLE_SIZE) -> Column:
+    """char k-grams of the de-spaced name (dedup_helpers.py:88-94);
+    names shorter than k yield the name itself (matching the reference's
+    fallback of returning {text} when no shingle fits)."""
+    s = F.regexp_replace(name_fuzzy, " ", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+        lambda i: F.substring(s, i, k),  # type: ignore[arg-type]
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """set Jaccard over two string arrays (dedup_helpers.py:131-140)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def tokenize(text: Column) -> Column:
+    """whitespace word tokenizer with lowercase + punctuation strip —
+    the BM25/fulltext tokenization (reference delegates to Lucene;
+    search_utils.py:85-113 sanitizes similarly)."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(text, r"[^\w\s]", " ")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )

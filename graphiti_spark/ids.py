@@ -1,0 +1,60 @@
+"""Deterministic, content-derived identifiers.
+
+The reference assigns ``uuid4()`` at object creation (nodes.py:93-100),
+which is hostile to distributed re-execution: a retried task would mint
+different ids. We derive every id from content so the whole pipeline is
+idempotent — re-running a partition produces byte-identical rows, which is
+what makes MERGE INTO upserts and checkpoint resume safe.
+
+All helpers return *Column* expressions (JVM-side sha2, no Python), and the
+same derivations are expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 32 hex chars (128 bits) is collision-safe far past 10^12 rows and keeps
+# uuid columns compact.
+_UUID_LEN = 32
+SEP = "|"
+
+
+def _hash_id(*parts: Column | str) -> Column:
+    cols = [F.col(p) if isinstance(p, str) else p for p in parts]
+    return F.substring(F.sha2(F.concat_ws(SEP, *cols), 256), 1, _UUID_LEN)
+
+
+def episode_uuid(group_id: Column | str = "group_id", name: Column | str = "name") -> Column:
+    """Episode identity = (graph partition, episode name)."""
+    return _hash_id(F.lit("episode"), group_id, name)
+
+
+def mention_uuid(episode_uuid_col: Column | str, name: Column | str) -> Column:
+    """Per-extraction provisional node uuid (pre-dedup), like the
+    reference's fresh uuid4 per extracted entity (node_operations.py:283-333)."""
+    return _hash_id(F.lit("mention"), episode_uuid_col, name)
+
+
+def entity_uuid(group_id: Column | str, norm_name: Column | str) -> Column:
+    """Canonical entity identity — deterministic so MERGE INTO is idempotent."""
+    return _hash_id(F.lit("entity"), group_id, norm_name)
+
+
+def edge_uuid(
+    group_id: Column | str,
+    src: Column | str,
+    dst: Column | str,
+    predicate: Column | str,
+    fact_norm: Column | str,
+) -> Column:
+    """Edge identity = endpoints + predicate + normalized fact (the
+    reference's exact-dedup key, edge_operations.py:344-358)."""
+    return _hash_id(F.lit("edge"), group_id, src, dst, predicate, fact_norm)
+
+
+def oracle_sql_hash(prefix: str, *exprs: str) -> str:
+    """DuckDB SQL fragment computing the same id as ``_hash_id``."""
+    parts = ", ".join(["'" + prefix + "'", *exprs])
+    return f"substring(sha256(concat_ws('{SEP}', {parts})), 1, {_UUID_LEN})"

@@ -1,0 +1,141 @@
+"""Canonicalization: duplicate pairs → alias→canonical map.
+
+Reference semantics being reproduced:
+
+- ``_build_directed_uuid_map`` (bulk_utils.py:69-98): union-find with path
+  compression over (alias → canonical) pairs.
+- ``UnionFind`` / ``compress_uuid_map`` (bulk_utils.py:584-621): canonical
+  id = **lexicographically smallest uuid in the component**.
+
+Spark-first design: duplicate pairs are sparse relative to the corpus
+(pairs exist only among LSH/exact-block candidates), so below
+UNION_FIND_DRIVER_MAX_PAIRS we collect the *pairs* (never the corpus) and
+run driver-side union-find — O(pairs α(pairs)) and exact. Above that, the
+distributed path runs alternating min-id propagation joins (the
+large-star/small-star contraction of Kiveris et al., "Connected Components
+in MapReduce and Beyond") until fixpoint, checkpointing each iteration to
+cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark import config
+
+
+def union_find_driver(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Classic union-find with path compression; canonical = lexicographic
+    min of the component (bulk_utils.py:598-603)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+
+    for a, b in pairs:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def build_directed_uuid_map(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Direction-preserving union-find (bulk_utils.py:69-98): every alias
+    resolves to its ultimate canonical target even when the alias sorts
+    lexicographically smaller. Used for per-batch alias chains where the
+    resolution *target* (not the min uuid) is the root."""
+    parent: dict[str, str] = {}
+
+    def find(uuid: str) -> str:
+        parent.setdefault(uuid, uuid)
+        root = uuid
+        while parent[root] != root:
+            root = parent[root]
+        while parent[uuid] != root:
+            parent[uuid], uuid = root, parent[uuid]
+        return root
+
+    for source_uuid, target_uuid in pairs:
+        parent.setdefault(source_uuid, source_uuid)
+        parent.setdefault(target_uuid, target_uuid)
+        parent[find(source_uuid)] = find(target_uuid)
+    return {uuid: find(uuid) for uuid in parent}
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """pairs(a, b) → map(uuid, canonical_uuid) with canonical = min(uuid)
+    over the component. Distributed min-id propagation:
+
+    repeat: for every node, new label = min(own label, min label of
+    neighbors); stop when no label changed. Each round is one shuffle on
+    the edge list; convergence in O(log component_diameter) rounds for the
+    short chains dedup produces (alias chains are depth ≤ 3 in practice).
+    """
+    edges = (
+        pairs.selectExpr("a", "b")
+        .union(pairs.selectExpr("b as a", "a as b"))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node = min over neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "b_id"),
+                       edges.b == F.col("b_id"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut lineage per iteration
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("uuid"), F.col("label").alias("canonical_uuid"))
+
+
+def canonical_map_from_pairs(pairs: DataFrame) -> DataFrame:
+    """pairs(a, b[, group_id]) → (alias_uuid, canonical_uuid) covering every
+    uuid that appears in any pair. Auto-selects driver union-find vs
+    distributed CC by pair count."""
+    n = pairs.count()
+    if n <= config.UNION_FIND_DRIVER_MAX_PAIRS:
+        local = [(r["a"], r["b"]) for r in pairs.select("a", "b").collect()]
+        mapping = union_find_driver(local)
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(k, v) for k, v in mapping.items()],
+            "alias_uuid string, canonical_uuid string",
+        )
+    return connected_components(pairs).selectExpr(
+        "uuid as alias_uuid", "canonical_uuid"
+    )

@@ -1,0 +1,110 @@
+"""Edge resolution: pointer rewrite through the canonical map + exact dedup
+with episode-provenance merge.
+
+Reference semantics:
+- ``resolve_edge_pointers`` (bulk_utils.py:627-634): rewrite src/dst uuids
+  through the alias→canonical map. Here: two joins against the (small)
+  canonical map — broadcast when it fits, hash otherwise; both keyed by
+  (group_id, alias) so the shuffle stays group-partitioned.
+- within-batch exact dedup on (src, dst, normalized fact)
+  (edge_operations.py:344-358) and the exact-match short circuit that
+  reuses the existing edge and appends episode provenance
+  (edge_operations.py:684-695): one groupBy with collect_set(episodes),
+  keeping the earliest valid_at (the reference keeps the pre-existing
+  edge's temporal fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark.ids import edge_uuid, mention_uuid
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+
+def resolve_edge_pointers(triples_raw: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """raw triples (by name) → triples with canonical endpoint uuids.
+
+    Endpoint mention uuids are *derived* (deterministic id scheme), so no
+    join against the mention table is needed — only two map lookups.
+    """
+    cmap = canonical_map.select("alias_uuid", "canonical_uuid")
+    t = (
+        triples_raw.withColumn(
+            "_src_alias", mention_uuid(F.col("episode_uuid"), F.col("subj_name"))
+        ).withColumn(
+            "_dst_alias", mention_uuid(F.col("episode_uuid"), F.col("obj_name"))
+        )
+    )
+    src_map = cmap.withColumnRenamed("alias_uuid", "_src_alias").withColumnRenamed(
+        "canonical_uuid", "source_node_uuid"
+    )
+    dst_map = cmap.withColumnRenamed("alias_uuid", "_dst_alias").withColumnRenamed(
+        "canonical_uuid", "target_node_uuid"
+    )
+    return (
+        t.join(src_map, "_src_alias")
+        .join(dst_map, "_dst_alias")
+        .drop("_src_alias", "_dst_alias")
+    )
+
+
+def dedupe_edges_exact(resolved: DataFrame) -> DataFrame:
+    """Exact-dedup merged edges (EDGES schema minus embeddings/attrs).
+
+    Key = (group_id, src, dst, predicate, fact_norm); provenance episodes
+    are unioned (sorted for determinism), valid_at keeps the earliest
+    (the short-circuit keeps the existing edge's temporal fields).
+    """
+    fact_norm = F.lower(F.trim(F.col("fact")))
+    grouped = (
+        resolved.withColumn("_fact_norm", fact_norm)
+        .groupBy(
+            "group_id",
+            "source_node_uuid",
+            "target_node_uuid",
+            F.col("predicate").alias("name"),
+            "_fact_norm",
+        )
+        .agg(
+            F.min("fact").alias("fact"),  # min not first: deterministic under retries
+            F.array_sort(F.collect_set("episode_uuid")).alias("episodes"),
+            F.min("valid_at").alias("valid_at"),
+        )
+    )
+    return grouped.select(
+        edge_uuid(
+            "group_id", "source_node_uuid", "target_node_uuid", "name", "_fact_norm"
+        ).alias("uuid"),
+        "group_id",
+        "source_node_uuid",
+        "target_node_uuid",
+        "name",
+        "fact",
+        F.lit(None).cast("array<float>").alias("fact_embedding"),
+        "episodes",
+        F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+        "valid_at",
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        F.lit(None).cast("timestamp").alias("expired_at"),
+        F.col("valid_at").alias("reference_time"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+
+
+def build_episodic_edges(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """MENTIONS provenance edges (edge_operations.py:52-96): one row per
+    (episode, canonical entity)."""
+    return (
+        mentions.join(
+            canonical_map.select("alias_uuid", "canonical_uuid"),
+            mentions.mention_uuid == F.col("alias_uuid"),
+        )
+        .select(
+            "episode_uuid",
+            F.col("canonical_uuid").alias("node_uuid"),
+            "group_id",
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+        )
+        .dropDuplicates(["episode_uuid", "node_uuid"])
+    )

@@ -1,0 +1,227 @@
+"""Mention detection + (subj, pred, obj) triple extraction.
+
+Reference behavior being reproduced (not ported):
+
+- ``extract_nodes`` (node_operations.py:70-149): content → entity mentions,
+  empty names dropped, same-episode exact duplicates collapsed
+  (node_operations.py:336-384).
+- ``extract_edges`` (edge_operations.py:117-322): content + mention list →
+  triples; endpoints must be extracted mentions (217-230), self-edges
+  dropped (233-240), ``valid_at`` falls back to the episode reference time
+  when the text carries no explicit timestamp (prompts/extract_edges.py
+  timestamp rules; edge_operations.py:576-620 second-chance parse).
+
+The reference delegates the actual recognition to a pluggable client (LLM
+or the local GLiNER2 model, llm_client/gliner2_client.py:53-113). We keep
+that boundary: :func:`extract_with_client` runs any batch extractor through
+``mapInPandas`` (Arrow-vectorized). The default client is a deterministic
+rule extractor, and — because its rules are regular — we ALSO provide the
+same rules as pure column expressions (:func:`extract_mentions`,
+:func:`extract_triples`), which is the production fast path: whole-stage
+codegen, zero Python, zero serde.
+
+Rule set (deterministic, same on the DuckDB oracle side):
+- token qualifies as an entity mention iff ``len(token) >= 4``;
+- label by vocabulary class (Operation / Object / Concept);
+- a triple joins each *consecutive pair of qualifying tokens*;
+- predicate from the label pair (Operation→Object = OPERATES_ON, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graphiti_spark.ids import mention_uuid
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MIN_MENTION_LEN = 4
+
+OPERATION_VOCAB = (
+    "merge", "join", "sort", "scan", "filter", "window", "group", "batch",
+    "stream", "hash",
+)
+OBJECT_VOCAB = (
+    "table", "column", "line", "value", "data", "part", "vector", "customer",
+    "order", "query",
+)
+
+PREDICATES = {
+    ("Operation", "Object"): "OPERATES_ON",
+    ("Operation", "Operation"): "PRECEDES",
+    ("Object", "Operation"): "FEEDS",
+    ("Object", "Object"): "RELATES_TO",
+}
+DEFAULT_PREDICATE = "MENTIONED_WITH"
+
+
+def _label_col(name: Column) -> Column:
+    return (
+        F.when(name.isin(*OPERATION_VOCAB), F.lit("Operation"))
+        .when(name.isin(*OBJECT_VOCAB), F.lit("Object"))
+        .otherwise(F.lit("Concept"))
+    )
+
+
+def _qualifying_tokens(content: Column) -> Column:
+    """Ordered qualifying tokens; empty-name drop per node_operations.py:135."""
+    return F.filter(
+        F.split(content, " "), lambda t: F.length(t) >= F.lit(MIN_MENTION_LEN)
+    )
+
+
+def extract_mentions(episodes: DataFrame) -> DataFrame:
+    """episodes → per-episode entity mentions (MENTIONS_RAW schema).
+
+    Distinct names per episode = the reference's same-batch exact-duplicate
+    collapse (node_operations.py:336-384). No shuffle: explode + project.
+    """
+    name = F.col("name")
+    return (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "valid_at",
+            F.explode(F.array_distinct(_qualifying_tokens(F.col("content")))).alias("name"),
+        )
+        .select(
+            mention_uuid(F.col("episode_uuid"), name).alias("mention_uuid"),
+            "episode_uuid",
+            "group_id",
+            "name",
+            _label_col(name).alias("label"),
+            "valid_at",
+        )
+    )
+
+
+def _predicate_col(subj_label: Column, obj_label: Column) -> Column:
+    expr = F.lit(DEFAULT_PREDICATE)
+    for (sl, ol), pred in reversed(list(PREDICATES.items())):
+        expr = F.when((subj_label == sl) & (obj_label == ol), F.lit(pred)).otherwise(expr)
+    return expr
+
+
+def extract_triples(episodes: DataFrame) -> DataFrame:
+    """episodes → raw triples (pre-resolution), one row per distinct
+    (episode, subj, pred, obj).
+
+    Self-edges are dropped (edge_operations.py:233-240); endpoints are by
+    construction members of the episode's mention set (the reference
+    validates this by name, edge_operations.py:217-230). valid_at = the
+    episode's reference time (fallback semantics). Zero-shuffle until the
+    final per-episode distinct.
+    """
+    toks = _qualifying_tokens(F.col("content"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda s, o: F.struct(s.alias("subj"), o.alias("obj")),
+    )
+    subj, obj = F.col("pair.subj"), F.col("pair.obj")
+    sl, ol = _label_col(subj), _label_col(obj)
+    pred = _predicate_col(sl, ol)
+    return (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "valid_at",
+            F.explode(pairs).alias("pair"),
+        )
+        .where(subj != obj)  # self-edge drop
+        .select(
+            "episode_uuid",
+            "group_id",
+            subj.alias("subj_name"),
+            obj.alias("obj_name"),
+            pred.alias("predicate"),
+            F.concat_ws(" ", subj, pred, obj).alias("fact"),
+            "valid_at",
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+        )
+        .dropDuplicates(["episode_uuid", "subj_name", "predicate", "obj_name"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# pluggable extractor-client boundary (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+EXTRACTION_SCHEMA = (
+    "episode_uuid string, group_id string, valid_at timestamp, "
+    "kind string, name string, label string, "
+    "subj_name string, obj_name string, predicate string, fact string"
+)
+
+ExtractorClient = Callable[["pd.DataFrame"], "pd.DataFrame"]
+
+
+def default_rule_client(batch: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic extractor client: identical rules to the column-expr
+    path, in pandas — the stand-in for an LLM / local-model client."""
+    import pandas as pd
+
+    op, ob = set(OPERATION_VOCAB), set(OBJECT_VOCAB)
+
+    def label(t: str) -> str:
+        return "Operation" if t in op else ("Object" if t in ob else "Concept")
+
+    rows: list[dict] = []
+    for ep, gid, va, content in zip(
+        batch["uuid"], batch["group_id"], batch["valid_at"], batch["content"]
+    ):
+        toks = [t for t in content.split(" ") if len(t) >= MIN_MENTION_LEN]
+        seen: set[str] = set()
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                rows.append(
+                    dict(episode_uuid=ep, group_id=gid, valid_at=va, kind="mention",
+                         name=t, label=label(t), subj_name=None, obj_name=None,
+                         predicate=None, fact=None)
+                )
+        seen_e: set[tuple] = set()
+        for s, o in zip(toks, toks[1:]):
+            if s == o:
+                continue
+            p = PREDICATES.get((label(s), label(o)), DEFAULT_PREDICATE)
+            if (s, p, o) in seen_e:
+                continue
+            seen_e.add((s, p, o))
+            rows.append(
+                dict(episode_uuid=ep, group_id=gid, valid_at=va, kind="edge",
+                     name=None, label=None, subj_name=s, obj_name=o,
+                     predicate=p, fact=f"{s} {p} {o}")
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["episode_uuid", "group_id", "valid_at", "kind", "name", "label",
+                 "subj_name", "obj_name", "predicate", "fact"],
+    )
+
+
+def extract_with_client(
+    episodes: DataFrame, client: ExtractorClient = default_rule_client
+) -> DataFrame:
+    """Run a batch extractor client over episode partitions via mapInPandas.
+
+    This is the reference's combined-extraction path
+    (utils/maintenance/combined_extraction.py:41-313 + bulk fan-out
+    bulk_utils.py:263-371): one call emits mentions and edges together;
+    Spark partition parallelism replaces the asyncio ``semaphore_gather``.
+    Returns a union table with a ``kind`` discriminator; split with
+    ``.where(kind == 'mention'/'edge')``.
+    """
+    cols = ["uuid", "group_id", "valid_at", "content"]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield client(b)
+
+    return episodes.select(*cols).mapInPandas(run, schema=EXTRACTION_SCHEMA)

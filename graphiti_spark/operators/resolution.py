@@ -1,0 +1,220 @@
+"""Entity resolution / linking: the staged dedup escalator.
+
+Reproduces ``resolve_extracted_nodes`` → ``dedupe_nodes_bulk``
+(node_operations.py:627-708, bulk_utils.py:374-486) as set-at-a-time
+DataFrame algebra instead of the reference's per-episode loop + O(n²)
+canonical pool (bulk_utils.py:416-420 acknowledges the quadratic scan):
+
+  stage 1  exact:   block on normalized name (dedup_helpers.py:39-43);
+                    every mention in a block maps to one canonical node.
+  stage 2  fuzzy:   entropy gate (dedup_helpers.py:52-86) → MinHash/LSH
+                    band self-join (97-128) → Jaccard >= 0.9 verify
+                    (131-140) → duplicate pairs.
+  stage 3  semantic (optional): embedding-cosine blocking, top
+                    SEMANTIC_CANDIDATE_LIMIT at >= SEMANTIC_MIN_SCORE
+                    (node_operations.py:418-450) → duplicate pairs.
+  canonicalize:     pairs → connected components; canonical uuid =
+                    lexicographically smallest in component
+                    (bulk_utils.py:598-603).
+
+Scale notes (the 100 TB story):
+- Every join is blocked *within* ``group_id`` — the graph partition key the
+  reference threads through all queries — so shuffles hash on
+  (group_id, key) and skew stays bounded by repo size.
+- The LSH self-join caps bucket width at LSH_BUCKET_CAP before pairing
+  (mega-buckets from ubiquitous identifiers would otherwise go quadratic);
+  AQE skew-join splitting handles residual imbalance.
+- Label promotion keeps the most specific label set
+  (dedup_helpers.py:170-189): labels of the component are unioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.functions.hashing import lsh_bands, minhash_signature
+from graphiti_spark.functions.text import (
+    has_high_entropy,
+    jaccard,
+    normalize_exact,
+    normalize_fuzzy,
+    shingles,
+)
+from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+
+def exact_canonical_map(mentions: DataFrame) -> DataFrame:
+    """Stage 1: (mention_uuid → exact-block canonical uuid, per group).
+
+    Canonical = min(mention_uuid) within (group_id, normalized name) —
+    a single partial-aggregated window, no self-join. Equivalent to the
+    reference's exact-match dict hit (dedup_helpers.py:236-247) with the
+    union-find min-uuid convention applied batch-wide.
+    """
+    w = Window.partitionBy("group_id", "_norm")
+    return (
+        mentions.withColumn("_norm", normalize_exact(F.col("name")))
+        .withColumn("canonical_uuid", F.min("mention_uuid").over(w))
+        .select(
+            F.col("mention_uuid").alias("alias_uuid"),
+            "canonical_uuid",
+            "group_id",
+            F.col("_norm").alias("norm_name"),
+        )
+    )
+
+
+def fuzzy_duplicate_pairs(candidates: DataFrame) -> DataFrame:
+    """Stage 2 over exact-block representatives.
+
+    candidates: (uuid, group_id, norm_name) — ONE row per exact block (the
+    exact stage already collapsed same-name mentions, so LSH runs on the
+    far smaller distinct-name set).
+    Returns pairs(a, b, group_id) with Jaccard >= 0.9.
+    """
+    gated = (
+        candidates.withColumn("_fuzzy", normalize_fuzzy(F.col("norm_name")))
+        .where(has_high_entropy(F.col("_fuzzy")))
+        .withColumn("_sh", shingles(F.col("_fuzzy")))
+        .withColumn("_sig", minhash_signature(F.col("_sh")))
+        .withColumn("band", F.explode(lsh_bands(F.col("_sig"))))
+        .select(
+            "uuid", "group_id", "_sh",
+            F.col("band.band").alias("band_idx"),
+            F.col("band.key").alias("band_key"),
+        )
+    )
+    # mega-bucket cap: drop buckets wider than LSH_BUCKET_CAP (skew guard)
+    bucket_w = Window.partitionBy("group_id", "band_idx", "band_key")
+    gated = gated.withColumn("_bw", F.count("*").over(bucket_w)).where(
+        F.col("_bw") <= config.LSH_BUCKET_CAP
+    )
+    a, b = gated.alias("a"), gated.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .select(
+            F.col("a.uuid").alias("a"),
+            F.col("b.uuid").alias("b"),
+            F.col("a.group_id").alias("group_id"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= config.FUZZY_JACCARD_THRESHOLD)
+        .select("a", "b", "group_id")
+    )
+    return pairs
+
+
+def semantic_duplicate_pairs(
+    candidates: DataFrame,
+    min_score: float = config.SEMANTIC_MIN_SCORE,
+    limit: int = config.SEMANTIC_CANDIDATE_LIMIT,
+) -> DataFrame:
+    """Stage 3 (optional): embedding-cosine candidate pairs within group
+    blocks (node_operations.py:418-450: limit 15, min score 0.6).
+
+    candidates must carry (uuid, group_id, name_embedding). Blocking is the
+    group partition; at 100 TB add label blocking before enabling this.
+    NOTE: returns *candidate* pairs; the caller decides resolution (the
+    reference escalates these to an LLM — deterministic mode treats
+    cosine >= threshold as duplicate only when names also share a token).
+    """
+    from graphiti_spark.functions.embeddings import dot
+
+    a, b = candidates.alias("a"), candidates.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .withColumn("score", dot(F.col("a.name_embedding"), F.col("b.name_embedding")))
+        .where(F.col("score") >= min_score)
+    )
+    w = Window.partitionBy("a.uuid").orderBy(F.desc("score"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= limit)
+        .select(
+            F.col("a.uuid").alias("a"),
+            F.col("b.uuid").alias("b"),
+            F.col("a.group_id").alias("group_id"),
+            "score",
+        )
+    )
+
+
+def resolve_nodes(
+    mentions: DataFrame, fuzzy: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Full node resolution. Returns (nodes, canonical_map).
+
+    canonical_map covers EVERY mention_uuid (identity rows included), like
+    the reference's uuid_map + identity fill (node_operations.py:690-705).
+    nodes carries one row per canonical entity with unioned labels and the
+    representative (min-uuid mention's) surface name.
+    """
+    exact = exact_canonical_map(mentions).persist()
+
+    if fuzzy:
+        reps = (
+            exact.groupBy("group_id", "norm_name")
+            .agg(F.min("canonical_uuid").alias("uuid"))
+            .select("uuid", "group_id", "norm_name")
+        )
+        pairs = fuzzy_duplicate_pairs(reps)
+        if pairs.limit(1).count() > 0:
+            cc = canonical_map_from_pairs(pairs)  # rep uuid -> final canonical
+            exact = (
+                exact.join(
+                    cc.withColumnRenamed("alias_uuid", "canonical_uuid_old"),
+                    exact.canonical_uuid == F.col("canonical_uuid_old"),
+                    "left",
+                )
+                .select(
+                    "alias_uuid",
+                    F.coalesce(cc.canonical_uuid, exact.canonical_uuid).alias(
+                        "canonical_uuid"
+                    ),
+                    "group_id",
+                    "norm_name",
+                )
+            )
+
+    canonical_map = exact.select("alias_uuid", "canonical_uuid", "group_id")
+
+    # node rows: representative = the mention whose uuid IS the canonical id
+    reps = mentions.withColumnRenamed("mention_uuid", "canonical_uuid")
+    member_labels = (
+        mentions.join(
+            canonical_map, mentions.mention_uuid == canonical_map.alias_uuid
+        )
+        .groupBy("canonical_uuid")
+        .agg(
+            F.array_sort(F.collect_set(mentions.label)).alias("labels"),
+            F.min(mentions.valid_at).alias("first_seen_at"),
+        )
+    )
+    nodes = (
+        reps.join(member_labels, "canonical_uuid")
+        .select(
+            F.col("canonical_uuid").alias("uuid"),
+            "name",
+            reps.group_id.alias("group_id"),
+            F.array_union(F.array(F.lit("Entity")), F.col("labels")).alias("labels"),
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+            F.concat(F.lit("Entity "), F.col("name")).alias("summary"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+            F.lit(None).cast("array<float>").alias("name_embedding"),
+        )
+    )
+    return nodes, canonical_map

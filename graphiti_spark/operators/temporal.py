@@ -1,0 +1,74 @@
+"""Bi-temporal edge invalidation.
+
+Reproduces the reference's pure contradiction rules
+(``resolve_edge_contradictions``, edge_operations.py:538-573, plus the
+new-edge self-expiry scan, edge_operations.py:825-839) as an
+order-insensitive window computation:
+
+For edges whose predicate admits a single currently-valid object per
+(group, subject) — the "exclusive" predicates; the reference obtains the
+contradiction set from an LLM, the temporal arithmetic itself is pure —
+
+  * an edge is invalidated by the EARLIEST strictly-later contradicting
+    fact: ``invalid_at = min(valid_at') where valid_at' > valid_at`` within
+    (group_id, source_node_uuid, predicate);
+  * ``expired_at`` (system time of invalidation) is stamped whenever
+    ``invalid_at`` gets set (edge_operations.py:822-823);
+  * disjoint windows stay untouched; equal valid_at never invalidates
+    either side (the reference skips non-overlapping windows, :548-556).
+
+This covers both directions of the reference's logic at once: an
+*arriving* edge that is older than existing facts self-expires against the
+earliest newer candidate (825-839), and existing edges expire against
+newer arrivals (538-573) — min-over-greater is exactly "candidates scanned
+in ascending valid_at order".
+
+Implementation: distinct valid_at per key + lead() + join back — two
+shuffles on (group_id, src, predicate), no self-join, no pairwise blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graphiti_spark import config
+
+SYSTEM_TIME = "2025-01-02 00:00:00"  # deterministic stand-in for utc_now()
+
+
+def invalidate_contradictions(
+    edges: DataFrame,
+    exclusive_predicates: tuple[str, ...] = config.EXCLUSIVE_PREDICATES,
+    system_time: str = SYSTEM_TIME,
+) -> DataFrame:
+    """edges (EDGES schema) → same schema with invalid_at/expired_at set."""
+    key = ["group_id", "source_node_uuid", "name"]
+
+    excl = edges.where(F.col("name").isin(*exclusive_predicates))
+    rest = edges.where(~F.col("name").isin(*exclusive_predicates))
+
+    w = Window.partitionBy(*key).orderBy("valid_at")
+    nxt = (
+        excl.select(*key, "valid_at")
+        .distinct()
+        .withColumn("_nxt", F.lead("valid_at").over(w))
+    )
+    out = (
+        excl.drop("invalid_at", "expired_at")
+        .join(nxt, [*key, "valid_at"], "left")
+        .withColumn("invalid_at", F.col("_nxt"))
+        .withColumn(
+            "expired_at",
+            F.when(
+                F.col("_nxt").isNotNull(), F.lit(system_time).cast("timestamp")
+            ),
+        )
+        .drop("_nxt")
+    )
+    return out.unionByName(rest).select(edges.columns)
+
+
+def currently_valid(edges: DataFrame) -> DataFrame:
+    """The "as of now" slice: not expired and no closed validity window —
+    the filter behind the flagship 'all currently-valid triples' query."""
+    return edges.where(F.col("expired_at").isNull() & F.col("invalid_at").isNull())

@@ -1,0 +1,211 @@
+"""DuckDB oracle SQL for the KG-construction pipeline.
+
+The driver registers the testdata parquet files as views (``documents``
+etc.) and runs these statements next to the Spark queries in
+``__spark_entry__.queries()``; row counts, schemas and value hashes must
+match. The CTE chain below is the *entire* pipeline — synthesis,
+episode mapping, extraction, resolution, canonicalization, edge dedup,
+bi-temporal invalidation — expressed in ANSI SQL, which is what makes the
+whole engine oracle-checkable rather than just its leaves.
+
+Column names are aligned 1:1 with the Spark side (driver hashes sort
+columns by name).
+"""
+
+from __future__ import annotations
+
+from graphiti_spark.operators.extraction import (
+    DEFAULT_PREDICATE,
+    MIN_MENTION_LEN,
+    OBJECT_VOCAB,
+    OPERATION_VOCAB,
+    PREDICATES,
+)
+from graphiti_spark.sources.episodes import episodes_sql
+from graphiti_spark.sources.source_files import source_files_oracle_sql
+from graphiti_spark.operators.temporal import SYSTEM_TIME
+from graphiti_spark import config
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def _label_case(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IN ({_in_list(OPERATION_VOCAB)}) THEN 'Operation' "
+        f"WHEN {col} IN ({_in_list(OBJECT_VOCAB)}) THEN 'Object' "
+        f"ELSE 'Concept' END"
+    )
+
+
+def _predicate_case(sl: str, ol: str) -> str:
+    whens = " ".join(
+        f"WHEN {sl} = '{s}' AND {ol} = '{o}' THEN '{p}'"
+        for (s, o), p in PREDICATES.items()
+    )
+    return f"CASE {whens} ELSE '{DEFAULT_PREDICATE}' END"
+
+
+def _uuid(prefix: str, *exprs: str) -> str:
+    parts = ", ".join([f"'{prefix}'", *exprs])
+    return f"substring(sha256(concat_ws('|', {parts})), 1, 32)"
+
+
+def kg_cte_prefix(documents: str = "documents") -> str:
+    """The shared WITH-chain mirroring plans/pipeline.build_graph."""
+    excl = _in_list(config.EXCLUSIVE_PREDICATES)
+    return f"""
+WITH source_files AS (
+  {source_files_oracle_sql(documents)}
+),
+episodes AS (
+  {episodes_sql('duckdb', 'source_files')}
+),
+mentions AS (
+  SELECT
+    {_uuid('mention', 'episode_uuid', 'name')} AS mention_uuid,
+    episode_uuid, group_id, name,
+    {_label_case('name')} AS label,
+    valid_at
+  FROM (
+    SELECT DISTINCT e.uuid AS episode_uuid, e.group_id, e.valid_at,
+           unnest(list_filter(string_split(e.content, ' '),
+                              x -> length(x) >= {MIN_MENTION_LEN})) AS name
+    FROM episodes e
+  )
+),
+tok_pos AS (
+  SELECT uuid AS episode_uuid, group_id, valid_at,
+         generate_subscripts(q, 1) AS pos, unnest(q) AS tok
+  FROM (
+    SELECT uuid, group_id, valid_at,
+           list_filter(string_split(content, ' '),
+                       x -> length(x) >= {MIN_MENTION_LEN}) AS q
+    FROM episodes
+  )
+),
+triples_raw AS (
+  SELECT DISTINCT episode_uuid, group_id, subj_name, predicate, obj_name,
+         concat_ws(' ', subj_name, predicate, obj_name) AS fact, valid_at
+  FROM (
+    SELECT a.episode_uuid, a.group_id, a.valid_at,
+           a.tok AS subj_name, b.tok AS obj_name,
+           {_predicate_case(_label_case('a.tok'), _label_case('b.tok'))} AS predicate
+    FROM tok_pos a
+    JOIN tok_pos b
+      ON a.episode_uuid = b.episode_uuid AND b.pos = a.pos + 1
+    WHERE a.tok <> b.tok
+  )
+),
+canonical_map AS (
+  SELECT mention_uuid AS alias_uuid,
+         min(mention_uuid) OVER (
+           PARTITION BY group_id,
+                        lower(regexp_replace(trim(name), '\\s+', ' ', 'g'))
+         ) AS canonical_uuid,
+         group_id, name, label, valid_at
+  FROM mentions
+),
+nodes AS (
+  SELECT c.canonical_uuid AS uuid,
+         min(m.name) AS name,
+         c.group_id AS group_id,
+         concat_ws(',', 'Entity',
+                   string_agg(DISTINCT m.label, ',' ORDER BY m.label)) AS labels_csv
+  FROM canonical_map c
+  JOIN mentions m ON m.mention_uuid = c.alias_uuid
+  GROUP BY c.canonical_uuid, c.group_id
+),
+edges_resolved AS (
+  SELECT t.episode_uuid, t.group_id,
+         cs.canonical_uuid AS source_node_uuid,
+         cd.canonical_uuid AS target_node_uuid,
+         t.predicate, t.fact, t.valid_at
+  FROM triples_raw t
+  JOIN canonical_map cs
+    ON cs.alias_uuid = {_uuid('mention', 't.episode_uuid', 't.subj_name')}
+  JOIN canonical_map cd
+    ON cd.alias_uuid = {_uuid('mention', 't.episode_uuid', 't.obj_name')}
+),
+edges_dedup AS (
+  SELECT group_id, source_node_uuid, target_node_uuid,
+         predicate AS name,
+         lower(trim(fact)) AS fact_norm,
+         min(fact) AS fact,
+         min(valid_at) AS valid_at,
+         string_agg(DISTINCT episode_uuid, ',' ORDER BY episode_uuid) AS episodes_csv,
+         count(DISTINCT episode_uuid) AS n_episodes
+  FROM edges_resolved
+  GROUP BY group_id, source_node_uuid, target_node_uuid, predicate,
+           lower(trim(fact))
+),
+edges AS (
+  SELECT {_uuid('edge', 'd.group_id', 'd.source_node_uuid', 'd.target_node_uuid', 'd.name', 'd.fact_norm')} AS uuid,
+         d.group_id, d.source_node_uuid, d.target_node_uuid, d.name, d.fact,
+         d.valid_at,
+         CASE WHEN d.name IN ({excl}) THEN n.nxt END AS invalid_at,
+         CASE WHEN d.name IN ({excl}) AND n.nxt IS NOT NULL
+              THEN TIMESTAMP '{SYSTEM_TIME}' END AS expired_at,
+         d.episodes_csv, d.n_episodes
+  FROM edges_dedup d
+  LEFT JOIN (
+    SELECT group_id, source_node_uuid, name, valid_at,
+           lead(valid_at) OVER (
+             PARTITION BY group_id, source_node_uuid, name ORDER BY valid_at
+           ) AS nxt
+    FROM (SELECT DISTINCT group_id, source_node_uuid, name, valid_at
+          FROM edges_dedup WHERE name IN ({excl}))
+  ) n
+    ON n.group_id = d.group_id AND n.source_node_uuid = d.source_node_uuid
+   AND n.name = d.name AND n.valid_at = d.valid_at
+)
+"""
+
+
+def kg_oracles(documents: str = "documents") -> dict[str, str]:
+    p = kg_cte_prefix(documents)
+    return {
+        "kg_source_files": p
+        + """
+SELECT repo, path, commit, lang, content_sha256, file_seq FROM source_files""",
+        "kg_episodes": p
+        + """
+SELECT uuid, name, group_id, source, valid_at, content_sha256 FROM episodes""",
+        "kg_mentions": p
+        + """
+SELECT mention_uuid, episode_uuid, group_id, name, label FROM mentions""",
+        "kg_triples_raw": p
+        + """
+SELECT episode_uuid, group_id, subj_name, predicate, obj_name, fact, valid_at
+FROM triples_raw""",
+        "kg_canonical_map": p
+        + """
+SELECT alias_uuid, canonical_uuid, group_id FROM canonical_map""",
+        "kg_nodes": p
+        + """
+SELECT uuid, name, group_id, labels_csv FROM nodes""",
+        "kg_edges": p
+        + """
+SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact,
+       valid_at, invalid_at, expired_at, episodes_csv, n_episodes
+FROM edges""",
+        "kg_current_triples": p
+        + """
+SELECT e.group_id AS group_id, ns.name AS subject, e.name AS predicate,
+       nt.name AS object, e.valid_at AS valid_at
+FROM edges e
+JOIN nodes ns ON ns.uuid = e.source_node_uuid
+JOIN nodes nt ON nt.uuid = e.target_node_uuid
+WHERE e.invalid_at IS NULL AND e.expired_at IS NULL""",
+        "kg_invalidated_edges": p
+        + """
+SELECT uuid, group_id, source_node_uuid, target_node_uuid, name,
+       valid_at, invalid_at, expired_at
+FROM edges WHERE invalid_at IS NOT NULL""",
+        "kg_mention_edges": p
+        + """
+SELECT DISTINCT m.episode_uuid AS episode_uuid,
+       c.canonical_uuid AS node_uuid, m.group_id AS group_id
+FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid""",
+    }

@@ -1,0 +1,107 @@
+"""The end-to-end KG-construction DAG — the ``add_episode_bulk`` equivalent.
+
+Stage order mirrors graphiti.py:1230-1487 (see SURVEY.md §3.2), re-expressed
+as one declarative DataFrame plan per output table:
+
+  source_files → episodes (chunked)
+              → mentions (extract_nodes)            ─┐
+              → raw triples (extract_edges)          │ one pass over content
+  mentions    → resolve_nodes (exact → LSH → CC)  → nodes, canonical_map
+  triples ⋈ canonical_map → resolve_edge_pointers → dedupe_edges_exact
+              → invalidate_contradictions         → edges
+  mentions ⋈ canonical_map                        → mentions (provenance)
+
+Skew handling: inputs are repartitioned on (group_id, salt) before the
+extraction explode so one mega-repo cannot pin a single task; the salt
+disappears at the first keyed shuffle. AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.operators.edges import (
+    build_episodic_edges,
+    dedupe_edges_exact,
+    resolve_edge_pointers,
+)
+from graphiti_spark.operators.extraction import extract_mentions, extract_triples
+from graphiti_spark.operators.resolution import resolve_nodes
+from graphiti_spark.operators.temporal import invalidate_contradictions
+from graphiti_spark.sources.episodes import episodes_from_source_files
+
+
+@dataclass
+class GraphTables:
+    episodes: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+    canonical_map: DataFrame
+
+
+def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition on (group_id, salt) — mega-repo skew guard. The salt is
+    pmod(xxhash64(path, commit), SKEW_SALT_BUCKETS) so rows of one repo
+    spread over SKEW_SALT_BUCKETS tasks deterministically."""
+    salt = F.pmod(F.xxhash64("path", "commit"), F.lit(config.SKEW_SALT_BUCKETS))
+    args = [n] if n else []
+    return df.repartition(*args, F.col("repo"), salt)
+
+
+def build_graph(
+    source_files: DataFrame,
+    fuzzy: bool = True,
+    invalidate: bool = True,
+    chunk: bool = True,
+) -> GraphTables:
+    """Run the full construction pipeline (lazily — nothing executes until
+    the returned DataFrames are acted on, so Catalyst sees whole plans)."""
+    episodes = episodes_from_source_files(salted_repartition(source_files), chunk=chunk)
+
+    mentions_raw = extract_mentions(episodes)
+    triples_raw = extract_triples(episodes)
+
+    nodes, canonical_map = resolve_nodes(mentions_raw, fuzzy=fuzzy)
+
+    resolved = resolve_edge_pointers(triples_raw, canonical_map)
+    edges = dedupe_edges_exact(resolved)
+    if invalidate:
+        edges = invalidate_contradictions(edges)
+
+    mentions = build_episodic_edges(mentions_raw, canonical_map)
+    return GraphTables(
+        episodes=episodes,
+        nodes=nodes,
+        edges=edges,
+        mentions=mentions,
+        canonical_map=canonical_map,
+    )
+
+
+def current_triples(g: GraphTables) -> DataFrame:
+    """Flagship query: all currently-valid (subject, predicate, object)
+    triples with surface names — the minimum end-to-end slice of
+    SURVEY.md §7 (edges ⋈ nodes ⋈ nodes, temporal filter)."""
+    from graphiti_spark.operators.temporal import currently_valid
+
+    nodes = g.nodes.select(
+        F.col("uuid").alias("_nid"), F.col("name").alias("_nname")
+    )
+    e = currently_valid(g.edges)
+    return (
+        e.join(nodes.withColumnRenamed("_nid", "source_node_uuid")
+                    .withColumnRenamed("_nname", "subject"), "source_node_uuid")
+        .join(nodes.withColumnRenamed("_nid", "target_node_uuid")
+                   .withColumnRenamed("_nname", "object"), "target_node_uuid")
+        .select(
+            "group_id",
+            "subject",
+            F.col("name").alias("predicate"),
+            "object",
+            "valid_at",
+        )
+    )

@@ -1,0 +1,125 @@
+"""Fixed StructType schemas for every table in the engine.
+
+The reference models rows as Pydantic objects with per-row validation
+(nodes.py:93-100, 318-332, 499-504; edges.py:49-54, 263-285). Here the
+DataFrame schema *is* the validation — enforced once at the boundary, not
+per row.
+
+Dynamic ``attributes`` bags (dict[str, Any] in the reference,
+nodes.py:502-504) become ``MapType(string, string)``: at 100 TB a schemaless
+JSON blob defeats column pruning, while a string map keeps Parquet/Iceberg
+able to push down ``attributes['key']`` reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---- input (BASELINE.json input_hint) -------------------------------------
+SOURCE_FILES = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        # ordinal used only for deterministic timestamp derivation in tests
+        T.StructField("file_seq", T.LongType(), True),
+    ]
+)
+
+# ---- EpisodicNode (reference nodes.py:318-332) -----------------------------
+EPISODES = T.StructType(
+    [
+        T.StructField("uuid", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),  # text|message|json
+        T.StructField("source_description", T.StringType(), True),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("valid_at", T.TimestampType(), False),  # event time
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+    ]
+)
+
+# ---- extracted (pre-resolution) entity mentions ----------------------------
+# the reference's ExtractedEntities + fresh-uuid EntityNode stage
+# (node_operations.py:70-149, 283-333)
+MENTIONS_RAW = T.StructType(
+    [
+        T.StructField("mention_uuid", T.StringType(), False),
+        T.StructField("episode_uuid", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("valid_at", T.TimestampType(), False),
+    ]
+)
+
+# ---- EntityNode (reference nodes.py:499-504) --------------------------------
+NODES = T.StructType(
+    [
+        T.StructField("uuid", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("labels", T.ArrayType(T.StringType()), False),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("summary", T.StringType(), True),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("name_embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+# ---- EntityEdge / the triple (reference edges.py:263-285) -------------------
+EDGES = T.StructType(
+    [
+        T.StructField("uuid", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("source_node_uuid", T.StringType(), False),
+        T.StructField("target_node_uuid", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),  # predicate
+        T.StructField("fact", T.StringType(), False),
+        T.StructField("fact_embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("episodes", T.ArrayType(T.StringType()), False),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("valid_at", T.TimestampType(), True),
+        T.StructField("invalid_at", T.TimestampType(), True),
+        T.StructField("expired_at", T.TimestampType(), True),
+        T.StructField("reference_time", T.TimestampType(), True),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# ---- EpisodicEdge / MENTIONS provenance (reference edges.py:143-162) --------
+MENTIONS = T.StructType(
+    [
+        T.StructField("episode_uuid", T.StringType(), False),
+        T.StructField("node_uuid", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+# ---- alias -> canonical map (reference bulk_utils.py:69-98) -----------------
+CANONICAL_MAP = T.StructType(
+    [
+        T.StructField("alias_uuid", T.StringType(), False),
+        T.StructField("canonical_uuid", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+    ]
+)
+
+# ---- checkpoint / lineage (north_rule: per-partition lineage + counters) ----
+CHECKPOINT = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("partition_key", T.StringType(), False),  # e.g. repo bucket
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), False),
+        T.StructField("rows_out", T.LongType(), False),
+        T.StructField("content_sha_xor", T.StringType(), True),  # lineage digest
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)

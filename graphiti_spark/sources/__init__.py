@@ -1,0 +1,6 @@
+from graphiti_spark.sources.source_files import (  # noqa: F401
+    generate_source_files,
+    source_files_oracle_sql,
+    synth_source_files,
+)
+from graphiti_spark.sources.episodes import episodes_from_source_files  # noqa: F401

@@ -1,0 +1,145 @@
+"""source_files → episodes (EpisodicNode construction + content chunking).
+
+Mirrors the reference's RawEpisode → EpisodicNode mapping
+(graphiti.py:1319-1343; nodes.py:318-332): ``name = path@commit``,
+``group_id = repo`` (the graph partition key, nodes.py:96), event-time
+``valid_at`` derived deterministically, fixed ``created_at`` so re-runs are
+byte-identical.
+
+Chunking ports utils/content_chunking.py:39-143: ``estimate_tokens =
+len(content)/4``, chunk only when tokens >= CHUNK_MIN_TOKENS AND the
+density heuristic fires; chunks of CHUNK_TOKEN_SIZE tokens with
+CHUNK_OVERLAP_TOKENS overlap. Implemented as pure column expressions
+(sequence → transform → posexplode), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.ids import oracle_sql_hash
+
+FIXED_CREATED_AT = "2025-01-01 00:00:00"
+EPOCH_VALID_AT = "2024-01-01 00:00:00"
+
+_DIALECT = {
+    "spark": {"day": "INTERVAL '1' DAY", "sha_open": "sha2(", "sha_close": ", 256)"},
+    "duckdb": {"day": "INTERVAL 1 DAY", "sha_open": "sha256(", "sha_close": ")"},
+}
+
+_EP_TEMPLATE = """
+SELECT
+  substring({sha_open}concat_ws('|', 'episode', repo,
+        concat(path, '@', substring(commit, 1, 8))){sha_close}, 1, 32) AS uuid,
+  concat(path, '@', substring(commit, 1, 8))                  AS name,
+  repo                                                        AS group_id,
+  CASE WHEN lang = 'en' THEN 'text'
+       WHEN lang = 'zh' THEN 'json'
+       ELSE 'message' END                                     AS source,
+  concat('source file ', path)                                AS source_description,
+  content                                                     AS content,
+  TIMESTAMP '{epoch}' + (file_seq % 365) * {day}              AS valid_at,
+  TIMESTAMP '{created}'                                       AS created_at,
+  content_sha256                                              AS content_sha256
+FROM {source_files}
+"""
+
+
+def episodes_sql(dialect: str, source_files: str) -> str:
+    d = _DIALECT[dialect]
+    return _EP_TEMPLATE.format(
+        sha_open=d["sha_open"], sha_close=d["sha_close"], day=d["day"],
+        epoch=EPOCH_VALID_AT, created=FIXED_CREATED_AT, source_files=source_files,
+    )
+
+
+def episodes_from_source_files(source_files: DataFrame, chunk: bool = True) -> DataFrame:
+    """Map source_files rows to episode rows, chunking oversized content."""
+    spark = source_files.sparkSession
+    source_files.createOrReplaceTempView("gs_source_files")
+    eps = spark.sql(episodes_sql("spark", "gs_source_files"))
+    return chunk_episodes(eps) if chunk else eps
+
+
+# --------------------------------------------------------------------------
+# chunking (content_chunking.py:39-143)
+# --------------------------------------------------------------------------
+
+def estimate_tokens(content: Column) -> Column:
+    """tokens ~ len/4 (content_chunking.py:39-51)."""
+    return (F.length(content) / F.lit(4)).cast("int")
+
+
+def should_chunk(content: Column) -> Column:
+    """Gate: token floor AND entity-density heuristic (content_chunking.py:59-143).
+
+    Density proxy: capitalized-word (or JSON-key) share of tokens exceeding
+    CHUNK_DENSITY_THRESHOLD. Pure column algebra.
+    """
+    toks = F.split(F.trim(content), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+    dense = F.size(F.filter(toks, lambda t: t.rlike(r'^["{\[]|^[A-Z]')))
+    return (estimate_tokens(content) >= F.lit(config.CHUNK_MIN_TOKENS)) & (
+        (dense / n) > F.lit(config.CHUNK_DENSITY_THRESHOLD)
+    )
+
+
+def chunk_episodes(episodes: DataFrame) -> DataFrame:
+    """Split qualifying episodes into overlapping chunks; pass others through.
+
+    Chunk stride = (CHUNK_TOKEN_SIZE - CHUNK_OVERLAP_TOKENS) * 4 chars.
+    Chunk uuid/name get a ``#k`` suffix so provenance stays per-chunk.
+    """
+    size_chars = config.CHUNK_TOKEN_SIZE * 4
+    stride = (config.CHUNK_TOKEN_SIZE - config.CHUNK_OVERLAP_TOKENS) * 4
+
+    gate = should_chunk(F.col("content"))
+    n_chunks = F.when(
+        gate, F.ceil((F.greatest(F.length("content") - size_chars, F.lit(0)))
+                     / F.lit(stride)).cast("int") + 1
+    ).otherwise(F.lit(1))
+
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(F.col("content"), (i * stride + 1).cast("int"), size_chars),
+    )
+    out = (
+        episodes.withColumn("_pieces", pieces)
+        .select("*", F.posexplode("_pieces").alias("_ck", "_piece"))
+        .withColumn(
+            "uuid",
+            F.when(F.col("_ck") == 0, F.col("uuid")).otherwise(
+                F.concat("uuid", F.lit("#"), F.col("_ck").cast("string"))
+            ),
+        )
+        .withColumn(
+            "name",
+            F.when(F.col("_ck") == 0, F.col("name")).otherwise(
+                F.concat("name", F.lit("#chunk"), F.col("_ck").cast("string"))
+            ),
+        )
+        .withColumn("content", F.col("_piece"))
+        .drop("_pieces", "_piece", "_ck")
+    )
+    return out
+
+
+def episodes_oracle_sql(source_files_cte: str) -> str:
+    """DuckDB equivalent of the (non-chunking) episode mapping, given a CTE
+    name holding source_files. Test-scale content never trips the chunk
+    gate (len < 4000 chars), so the oracle covers the identity path."""
+    return episodes_sql("duckdb", source_files_cte)
+
+
+__all__ = [
+    "episodes_from_source_files",
+    "episodes_sql",
+    "episodes_oracle_sql",
+    "chunk_episodes",
+    "should_chunk",
+    "estimate_tokens",
+    "FIXED_CREATED_AT",
+    "EPOCH_VALID_AT",
+    "oracle_sql_hash",
+]

@@ -1,0 +1,123 @@
+"""The pipeline input: an Iceberg/parquet table of source-code repositories
+with columns ``(repo, path, commit, lang, content)`` per BASELINE.json.
+
+Two producers:
+
+- :func:`synth_source_files` — deterministic derivation from the driver's
+  ``documents`` test table. The mapping is one SQL template rendered for
+  both Spark SQL and DuckDB, so the oracle gate covers it end to end.
+- :func:`generate_source_files` — pure ``spark.range`` generator for
+  arbitrary-scale benchmarking (no input files at all); same schema, seeded
+  and deterministic, with a mega-repo skew knob that mirrors real-world
+  repository skew (one repo owning ~20%% of all files).
+
+In production the reader is ``spark.read.table('catalog.db.source_files')``
+(Iceberg), which gives partition pruning on ``repo`` buckets for free; in
+this sandbox it is parquet. Either way every downstream stage sees the
+same schema (schemas.SOURCE_FILES).
+
+Reference parity: rows here play the role of RawEpisode inputs
+(/root/reference/graphiti_core/utils/bulk_utils.py:101-107); the
+``content_sha256`` column is the per-row invariant demanded by the north
+rule (sha256 equality vs reference input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# One logical definition, two dialects. Placeholders:
+#   {sha256}  — sha2(x, 256) on Spark, sha256(x) on DuckDB
+#   {str}     — cast-to-string type name
+_DIALECT = {
+    "spark": {"sha_open": "sha2(", "sha_close": ", 256)", "str": "STRING"},
+    "duckdb": {"sha_open": "sha256(", "sha_close": ")", "str": "VARCHAR"},
+}
+
+# documents(doc_id, text, lang, source, n_chars) -> source_files
+# Skew knob: every 5th document lands in one mega-repo (~20% of rows), the
+# scale hazard the north rule calls out (salted repartition + AQE handle it).
+_SRC_TEMPLATE = """
+SELECT
+  CASE WHEN doc_id % 5 = 0 THEN 'megacorp/monorepo'
+       ELSE concat('org', CAST(doc_id % 7 AS {str}), '/repo', CAST(doc_id % 13 AS {str}))
+  END                                                        AS repo,
+  concat('src/pkg', CAST(doc_id % 17 AS {str}), '/mod_',
+         CAST(doc_id AS {str}), '.py')                        AS path,
+  md5(concat(text, '@', CAST(doc_id AS {str})))               AS commit,
+  lang                                                        AS lang,
+  text                                                        AS content,
+  {sha_open}text{sha_close}                                   AS content_sha256,
+  doc_id                                                      AS file_seq
+FROM {documents}
+"""
+
+
+def _render(dialect: str, documents: str) -> str:
+    d = _DIALECT[dialect]
+    return _SRC_TEMPLATE.format(
+        str=d["str"], sha_open=d["sha_open"], sha_close=d["sha_close"], documents=documents
+    )
+
+
+def synth_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the source_files table from ``{sf_dir}/documents.parquet``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("gs_documents")
+    return spark.sql(_render("spark", "gs_documents"))
+
+
+def source_files_oracle_sql(documents: str = "documents") -> str:
+    """DuckDB SQL producing the identical table (for oracle CTEs)."""
+    return _render("duckdb", documents)
+
+
+def generate_source_files(
+    spark: SparkSession,
+    n_files: int,
+    n_repos: int = 100,
+    mega_repo_share: int = 5,
+    vocab: tuple[str, ...] = (
+        "spark", "query", "table", "merge", "join", "sort", "scan", "filter",
+        "window", "hash", "group", "batch", "stream", "vector", "column",
+        "order", "value", "customer", "data", "line", "part", "key", "row",
+        "small", "fast", "slow", "big", "agg", "dup", "the", "a",
+    ),
+    words_per_doc: int = 40,
+) -> DataFrame:
+    """Deterministic code-like corpus at arbitrary scale from ``spark.range``.
+
+    Content is a seeded word sequence over the same vocabulary as the
+    driver's ``documents`` table, so the extractor behaves identically.
+    Fully distributed (range → expressions, no driver data), which is what
+    lets bench runs scale the input without generating files.
+    """
+    from pyspark.sql import functions as F
+
+    n_vocab = len(vocab)
+    base = spark.range(n_files).withColumnRenamed("id", "doc_id")
+    # word_i = vocab[(doc_id * 31 + i * 17 + (doc_id % 7) * i) % n_vocab]
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.element_at(
+            F.array(*[F.lit(w) for w in vocab]),
+            ((F.col("doc_id") * 31 + i * 17 + (F.col("doc_id") % 7) * i) % n_vocab + 1).cast("int"),
+        ),
+    )
+    df = base.select(
+        "doc_id",
+        F.concat_ws(" ", words).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    df.createOrReplaceTempView("gs_documents_gen")
+    sql = _SRC_TEMPLATE.format(
+        str="STRING", sha_open="sha2(", sha_close=", 256)", documents="gs_documents_gen"
+    )
+    # widen repo space beyond the test mapping when asked
+    if n_repos != 100 or mega_repo_share != 5:
+        sql = sql.replace("doc_id % 5 = 0", f"doc_id % {mega_repo_share} = 0")
+        sql = sql.replace("doc_id % 7", f"doc_id % {max(2, n_repos // 13)}")
+    return spark.sql(sql)

@@ -1,0 +1,55 @@
+"""Union-find / connected-components semantics, mirroring the reference's
+tests/utils/maintenance/test_bulk_utils.py:190-235."""
+
+from __future__ import annotations
+
+from graphiti_spark.operators.canonicalize import (
+    build_directed_uuid_map,
+    canonical_map_from_pairs,
+    connected_components,
+    union_find_driver,
+)
+
+
+def test_build_directed_uuid_map_empty():
+    assert build_directed_uuid_map([]) == {}
+
+
+def test_build_directed_uuid_map_chain():
+    mapping = build_directed_uuid_map([("a", "b"), ("b", "c")])
+    assert mapping["a"] == "c"
+    assert mapping["b"] == "c"
+    assert mapping["c"] == "c"
+
+
+def test_build_directed_uuid_map_preserves_direction():
+    mapping = build_directed_uuid_map([("alias", "canonical")])
+    assert mapping["alias"] == "canonical"
+    assert mapping["canonical"] == "canonical"
+
+
+def test_union_find_lexicographic_min():
+    # UnionFind/compress_uuid_map semantics (bulk_utils.py:584-621):
+    # canonical = lexicographically smallest uuid in the component.
+    mapping = union_find_driver([("c", "b"), ("b", "a"), ("x", "y")])
+    assert mapping["a"] == "a" and mapping["b"] == "a" and mapping["c"] == "a"
+    assert mapping["x"] == "x" and mapping["y"] == "x"
+
+
+def test_connected_components_matches_union_find(spark):
+    pairs = [("c", "b"), ("b", "a"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        r["uuid"]: r["canonical_uuid"] for r in connected_components(df).collect()
+    }
+    want = union_find_driver(pairs)
+    assert got == want
+
+
+def test_canonical_map_from_pairs_driver_path(spark):
+    df = spark.createDataFrame([("b", "a"), ("c", "b")], "a string, b string")
+    got = {
+        r["alias_uuid"]: r["canonical_uuid"]
+        for r in canonical_map_from_pairs(df).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}

@@ -1,0 +1,58 @@
+"""Content chunking gate + split semantics (reference
+utils/content_chunking.py:39-143; FIXTURES.md §6.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark import config
+from graphiti_spark.sources.episodes import chunk_episodes, estimate_tokens, should_chunk
+
+EP_COLS = (
+    "uuid string, name string, group_id string, source string, "
+    "source_description string, content string, valid_at timestamp, "
+    "created_at timestamp, content_sha256 string"
+)
+
+
+def _eps(spark, content):
+    return (
+        spark.createDataFrame([("u1", "n", "g", "text", "d", content, "x")],
+                              "uuid string, name string, group_id string, "
+                              "source string, source_description string, "
+                              "content string, content_sha256 string")
+        .withColumn("valid_at", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("created_at", F.lit("2025-01-01").cast("timestamp"))
+    )
+
+
+def test_small_content_never_chunks(spark):
+    df = _eps(spark, "Short Dense Text " * 10)  # well under 1000 tokens
+    assert df.select(should_chunk(F.col("content")).alias("c")).collect()[0]["c"] is False
+    assert chunk_episodes(df).count() == 1
+
+
+def test_long_low_density_content_does_not_chunk(spark):
+    df = _eps(spark, "lower case words only " + "plain word salad here " * 300)
+    assert df.select(should_chunk(F.col("content")).alias("c")).collect()[0]["c"] is False
+
+
+def test_long_dense_content_chunks_with_overlap(spark):
+    # > CHUNK_MIN_TOKENS and > 15% capitalized tokens -> chunk
+    content = "Alice Bob Charlie delta echo " * 1000  # 3/5 capitalized, ~7250 tok
+    df = _eps(spark, content)
+    assert df.select(should_chunk(F.col("content")).alias("c")).collect()[0]["c"] is True
+    out = chunk_episodes(df).orderBy("uuid").collect()
+    assert len(out) > 1
+    # chunk uuids get suffixes; first keeps the original uuid
+    assert out[0]["uuid"] == "u1" and out[1]["uuid"] == "u1#1"
+    size_chars = config.CHUNK_TOKEN_SIZE * 4
+    stride = (config.CHUNK_TOKEN_SIZE - config.CHUNK_OVERLAP_TOKENS) * 4
+    assert all(len(r["content"]) <= size_chars for r in out)
+    # consecutive chunks overlap by size - stride chars
+    assert out[0]["content"][stride:] == out[1]["content"][: size_chars - stride]
+
+
+def test_estimate_tokens(spark):
+    df = _eps(spark, "x" * 400)
+    assert df.select(estimate_tokens(F.col("content")).alias("t")).collect()[0]["t"] == 100

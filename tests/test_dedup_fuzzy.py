@@ -1,0 +1,131 @@
+"""Fuzzy-dedup escalator semantics, mirroring the reference's
+tests/utils/maintenance/test_node_operations.py:330-479 fixtures
+(entropy gate, MinHash/LSH, Jaccard verify, label union)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from graphiti_spark import config
+from graphiti_spark.functions.hashing import minhash_signature_blake2b
+from graphiti_spark.functions.text import (
+    char_entropy,
+    has_high_entropy,
+    jaccard,
+    normalize_exact,
+    normalize_fuzzy,
+    shingles,
+)
+from graphiti_spark.operators.resolution import fuzzy_duplicate_pairs, resolve_nodes
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_normalize(spark):
+    assert _one(spark, normalize_exact(F.col("s")), s="  The  Grand   Budapest ") == (
+        "the grand budapest"
+    )
+    assert _one(spark, normalize_fuzzy(F.col("s")), s="O'Brien & Co.") == "o'brien  co"
+
+
+def test_entropy_gate(spark):
+    # low-entropy / short names must NOT fuzzy-match (reference
+    # test_node_operations.py:120-151: 'Bob' is gated out)
+    assert _one(spark, has_high_entropy(F.col("s")), s="bob") is False
+    assert _one(spark, has_high_entropy(F.col("s")), s="aaaaaaaa") is False
+    assert _one(spark, has_high_entropy(F.col("s")), s="grand budapest hotel") is True
+    # entropy formula sanity: 4 equiprobable chars -> 2 bits
+    v = _one(spark, char_entropy(F.col("s")), s="abcd")
+    assert abs(v - 2.0) < 1e-9
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [("the grand budapest hotel", "grand budapest hotel")], "a string, b string"
+    )
+    row = df.select(
+        jaccard(shingles(F.col("a")), shingles(F.col("b"))).alias("j")
+    ).collect()[0]
+    # 'the' prefix only perturbs a few leading shingles -> high Jaccard
+    assert row["j"] > 0.7
+    row2 = (
+        spark.createDataFrame([("alice", "bob")], "a string, b string")
+        .select(jaccard(shingles(F.col("a")), shingles(F.col("b"))).alias("j"))
+        .collect()[0]
+    )
+    assert row2["j"] == 0.0
+
+
+def test_minhash_blake2b_parity(spark):
+    """Bit-parity with the reference's construction
+    (dedup_helpers.py:97-114): min over shingles of low-8-bytes
+    blake2b(f'{seed}:{shingle}')."""
+    sh = ["gra", "ran", "and"]
+    df = spark.createDataFrame([(sh,)], "sh array<string>")
+    sig = df.select(minhash_signature_blake2b(F.col("sh")).alias("s")).collect()[0]["s"]
+
+    def ref_sig(shingles_):
+        out = []
+        for seed in range(config.MINHASH_PERMUTATIONS):
+            m = min(
+                int.from_bytes(
+                    hashlib.blake2b(f"{seed}:{s}".encode(), digest_size=8).digest(),
+                    "big",
+                )
+                for s in shingles_
+            )
+            out.append(m - (1 << 64) if m >= (1 << 63) else m)
+        return out
+
+    assert sig == ref_sig(sh)
+
+
+def test_fuzzy_pairs_near_duplicate(spark):
+    # punctuation variants must pair (reference
+    # test_node_operations.py:176-195: 'Joe-Michaels' vs 'Joe Michaels'
+    # resolves without the LLM); low-entropy 'bob'/'rob' must not; and a
+    # leading-article variant ('the grand budapest hotel') sits BELOW the
+    # 0.9 Jaccard bar (16/19 shared shingles) — the reference escalates
+    # that to the LLM rather than fuzzy-resolving it.
+    cands = spark.createDataFrame(
+        [
+            ("u1", "g", "joe-michaels"),
+            ("u2", "g", "joe michaels"),
+            ("u3", "g", "bob"),
+            ("u4", "g", "rob"),
+            ("u5", "g", "the grand budapest hotel"),
+            ("u6", "g", "grand budapest hotel"),
+        ],
+        "uuid string, group_id string, norm_name string",
+    )
+    pairs = {(r["a"], r["b"]) for r in fuzzy_duplicate_pairs(cands).collect()}
+    assert ("u1", "u2") in pairs
+    assert all("u3" not in p and "u4" not in p for p in pairs)
+    assert ("u5", "u6") not in pairs
+
+
+def test_resolve_nodes_merges_fuzzy_and_unions_labels(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "e1", "g", "Joe-Michaels", "Place", "2024-01-01"),
+            ("m2", "e2", "g", "Joe Michaels", "Entity", "2024-01-02"),
+            ("m3", "e3", "g", "Bob", "Person", "2024-01-03"),
+        ],
+        "mention_uuid string, episode_uuid string, group_id string, "
+        "name string, label string, valid_at string",
+    ).withColumn("valid_at", F.col("valid_at").cast("timestamp"))
+    nodes, cmap = resolve_nodes(mentions, fuzzy=True)
+    got = {r["alias_uuid"]: r["canonical_uuid"] for r in cmap.collect()}
+    assert got["m1"] == got["m2"] == "m1"  # min uuid of the component
+    assert got["m3"] == "m3"
+    nrows = {r["name"]: r for r in nodes.collect()}
+    assert set(nrows) == {"Joe-Michaels", "Bob"}
+    # label promotion: union keeps the typed labels of both members
+    assert set(nrows["Joe-Michaels"]["labels"]) == {"Entity", "Place"}

@@ -1,0 +1,104 @@
+"""End-to-end pipeline invariants at sf0.001 (the mocked-E2E layer of the
+reference's test strategy, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.extraction import (
+    default_rule_client,
+    extract_mentions,
+    extract_triples,
+    extract_with_client,
+)
+from graphiti_spark.plans.pipeline import build_graph, current_triples
+from graphiti_spark.sources import synth_source_files
+
+
+@pytest.fixture(scope="module")
+def graph(spark, sf_dir):
+    g = build_graph(synth_source_files(spark, sf_dir))
+    g.edges = g.edges.persist()
+    g.nodes = g.nodes.persist()
+    return g
+
+
+def test_content_sha256_invariant(spark, sf_dir):
+    # per-row invariant vs reference input: sha256(content) equality
+    rows = synth_source_files(spark, sf_dir).select("content", "content_sha256").take(20)
+    for r in rows:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["content_sha256"]
+
+
+def test_canonical_map_covers_every_mention(graph):
+    n_mentions = graph.canonical_map.count()
+    n_aliases = graph.canonical_map.select("alias_uuid").distinct().count()
+    assert n_mentions == n_aliases  # one canonical per mention
+
+
+def test_every_edge_endpoint_is_a_node(graph):
+    nodes = graph.nodes.select(F.col("uuid").alias("nid"))
+    dangling_src = graph.edges.join(
+        nodes, graph.edges.source_node_uuid == nodes.nid, "left_anti"
+    ).count()
+    dangling_dst = graph.edges.join(
+        nodes, graph.edges.target_node_uuid == nodes.nid, "left_anti"
+    ).count()
+    assert dangling_src == 0 and dangling_dst == 0
+
+
+def test_invalidation_leaves_exactly_one_open_fact_per_exclusive_key(graph):
+    excl = graph.edges.where(F.col("name") == "OPERATES_ON")
+    per_key = (
+        excl.groupBy("group_id", "source_node_uuid")
+        .agg(
+            F.count(F.when(F.col("invalid_at").isNull(), 1)).alias("open"),
+            F.countDistinct(F.when(F.col("invalid_at").isNull(), F.col("valid_at"))).alias(
+                "open_ts"
+            ),
+        )
+        .collect()
+    )
+    # all open facts in a key share the single max valid_at
+    assert all(r["open"] >= 1 and r["open_ts"] == 1 for r in per_key)
+
+
+def test_current_triples_excludes_invalidated(graph):
+    cur = current_triples(graph).count()
+    total = graph.edges.count()
+    inval = graph.edges.where(F.col("invalid_at").isNotNull()).count()
+    assert cur == total - inval
+
+
+def test_udf_client_matches_column_expressions(spark, sf_dir):
+    """The pandas-UDF extractor contract and the codegen fast path must
+    emit identical mentions and triples."""
+    eps = (
+        synth_source_files(spark, sf_dir)
+        .limit(50)
+        .transform(lambda df: __import__(
+            "graphiti_spark.sources.episodes", fromlist=["episodes_from_source_files"]
+        ).episodes_from_source_files(df))
+    )
+    both = extract_with_client(eps, default_rule_client).persist()
+    m_udf = {
+        (r["episode_uuid"], r["name"], r["label"])
+        for r in both.where("kind = 'mention'").collect()
+    }
+    m_col = {
+        (r["episode_uuid"], r["name"], r["label"])
+        for r in extract_mentions(eps).collect()
+    }
+    assert m_udf == m_col
+    e_udf = {
+        (r["episode_uuid"], r["subj_name"], r["predicate"], r["obj_name"])
+        for r in both.where("kind = 'edge'").collect()
+    }
+    e_col = {
+        (r["episode_uuid"], r["subj_name"], r["predicate"], r["obj_name"])
+        for r in extract_triples(eps).collect()
+    }
+    assert e_udf == e_col

@@ -1,0 +1,93 @@
+"""Bi-temporal invalidation semantics (reference
+edge_operations.py:538-573, 820-844; FIXTURES.md §6.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.temporal import SYSTEM_TIME, invalidate_contradictions
+
+COLS = (
+    "uuid string, group_id string, source_node_uuid string, "
+    "target_node_uuid string, name string, fact string, valid_at string, "
+    "invalid_at string, expired_at string"
+)
+
+
+def _edges(spark, rows):
+    df = spark.createDataFrame(rows, COLS)
+    for c in ("valid_at", "invalid_at", "expired_at"):
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_contradiction_invalidates_older_edge(spark):
+    # Alice WORKS_AT Acme (2020) contradicted by Alice WORKS_AT Initech (2023)
+    df = _edges(
+        spark,
+        [
+            ("e1", "g", "alice", "acme", "WORKS_AT", "f1", "2020-01-01", None, None),
+            ("e2", "g", "alice", "initech", "WORKS_AT", "f2", "2023-01-01", None, None),
+        ],
+    )
+    out = {r["uuid"]: r for r in invalidate_contradictions(df).collect()}
+    assert out["e1"]["invalid_at"] == dt.datetime(2023, 1, 1)
+    assert out["e1"]["expired_at"] == dt.datetime.fromisoformat(SYSTEM_TIME)
+    assert out["e2"]["invalid_at"] is None and out["e2"]["expired_at"] is None
+
+
+def test_new_edge_self_expiry(spark):
+    # an ARRIVING edge older than existing facts expires against the
+    # earliest newer candidate (edge_operations.py:825-839): order of
+    # arrival is irrelevant — min-over-greater picks 2021, not 2023.
+    df = _edges(
+        spark,
+        [
+            ("old", "g", "a", "x", "WORKS_AT", "f", "2019-01-01", None, None),
+            ("mid", "g", "a", "y", "WORKS_AT", "f", "2021-01-01", None, None),
+            ("new", "g", "a", "z", "WORKS_AT", "f", "2023-01-01", None, None),
+        ],
+    )
+    out = {r["uuid"]: r for r in invalidate_contradictions(df).collect()}
+    assert out["old"]["invalid_at"] == dt.datetime(2021, 1, 1)
+    assert out["mid"]["invalid_at"] == dt.datetime(2023, 1, 1)
+    assert out["new"]["invalid_at"] is None
+
+
+def test_equal_valid_at_never_invalidates(spark):
+    df = _edges(
+        spark,
+        [
+            ("e1", "g", "a", "x", "WORKS_AT", "f", "2020-01-01", None, None),
+            ("e2", "g", "a", "y", "WORKS_AT", "f", "2020-01-01", None, None),
+        ],
+    )
+    out = invalidate_contradictions(df).collect()
+    assert all(r["invalid_at"] is None for r in out)
+
+
+def test_non_exclusive_predicates_untouched(spark):
+    df = _edges(
+        spark,
+        [
+            ("e1", "g", "a", "x", "MENTIONED_WITH", "f", "2020-01-01", None, None),
+            ("e2", "g", "a", "y", "MENTIONED_WITH", "f", "2023-01-01", None, None),
+        ],
+    )
+    out = invalidate_contradictions(df).collect()
+    assert all(r["invalid_at"] is None and r["expired_at"] is None for r in out)
+
+
+def test_different_subject_or_group_is_disjoint(spark):
+    df = _edges(
+        spark,
+        [
+            ("e1", "g1", "a", "x", "WORKS_AT", "f", "2020-01-01", None, None),
+            ("e2", "g2", "a", "y", "WORKS_AT", "f", "2023-01-01", None, None),
+            ("e3", "g1", "b", "y", "WORKS_AT", "f", "2023-01-01", None, None),
+        ],
+    )
+    out = invalidate_contradictions(df).collect()
+    assert all(r["invalid_at"] is None for r in out)

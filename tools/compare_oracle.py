@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from graphiti_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("compare_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:28s} rows={len(srows):7d} (rows-only, no oracle)")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_rows = len(srows) == len(orows)
+        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        ok_hash = sh == oh
+        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        print(
+            f"{name:28s} {status} rows {len(srows)}/{len(orows)} "
+            f"cols={'ok' if ok_cols else f'{scols} vs {ocols}'} hash {sh}/{oh}"
+        )
+        if status == "FAIL":
+            failures += 1
+            if not ok_hash and ok_cols and ok_rows:
+                # show first differing rows for debugging
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = {"|".join(canon_cell(r[i]) for i in order) for r in srows}
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                oset = {"|".join(canon_cell(r[i]) for i in oorder) for r in orows}
+                for d in sorted(sset - oset)[:3]:
+                    print("   spark-only:", d[:200])
+                for d in sorted(oset - sset)[:3]:
+                    print("   duck-only :", d[:200])
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
