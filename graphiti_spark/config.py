@@ -12,7 +12,15 @@ MIN_TOKEN_COUNT = 2
 ENTROPY_THRESHOLD = 1.5       # Shannon char-entropy gate
 FUZZY_JACCARD_THRESHOLD = 0.9
 MINHASH_PERMUTATIONS = 32
-MINHASH_BAND_SIZE = 4         # 32/4 = 8 LSH bands
+MINHASH_BAND_SIZE = 4         # 32/4 = 8 LSH bands (reference constant)
+# Band size for the BATCH-WIDE LSH self-join (our scale path). The
+# reference's bands of 4 are tuned for per-episode candidate sets of ~10
+# names (dedup_helpers.py:192-217); batch-wide, P(candidate | J=0.6) =
+# 1-(1-0.6^4)^8 ≈ 67% floods the verify stage (measured: 926k candidate
+# pairs → 51 true dups at 214k names). Bands of 8 give
+# P(J=0.9)=1-(1-0.43)^4 ≈ 90% recall at the 0.9 threshold with
+# P(J=0.6) ≈ 6.6% noise; the Jaccard verify keeps precision exact.
+LSH_BAND_SIZE_SELFJOIN = 8
 SHINGLE_SIZE = 3              # char 3-grams (dedup_helpers.py:88-94)
 
 # --- semantic candidate search (graphiti_core/utils/maintenance/node_operations.py:63-65)
@@ -49,6 +57,11 @@ UNION_FIND_DRIVER_MAX_PAIRS = 10_000_000
 LSH_BUCKET_CAP = 64
 # salt buckets for skewed repartitioning of mega-repos
 SKEW_SALT_BUCKETS = 16
+# cap on per-edge episode-provenance arrays: an edge asserted by millions of
+# episodes must not materialize a multi-MB array cell (the reference appends
+# unboundedly, edge_operations.py:684-695 — safe row-at-a-time, fatal
+# columnar). Full count is kept separately in n_episodes.
+EDGE_EPISODE_PROVENANCE_CAP = 64
 
 # predicates whose (subject, predicate) admits only one currently-valid
 # object — drives deterministic contradiction detection (the reference

@@ -17,6 +17,10 @@ Both use MINHASH_PERMUTATIONS=32 seeds and band size 4 → 8 LSH bands
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
 from graphiti_spark import config
@@ -57,6 +61,100 @@ def minhash_signature_blake2b(shingle_arr):  # type: ignore[no-untyped-def]
         return out
 
     return shingle_arr.apply(sig)
+
+
+def make_lsh_band_keys_udf(
+    band_size: int = config.LSH_BAND_SIZE_SELFJOIN,
+    perms: int = config.MINHASH_PERMUTATIONS,
+    jaccard_gate: bool = True,
+):
+    """One Arrow pass: fuzzy-normalized name → array<bigint> LSH band keys
+    (empty array when the entropy gate rejects the name).
+
+    Why a pandas UDF here and not column expressions: the nested
+    higher-order functions (transform/aggregate/filter) that express
+    entropy + shingles + 32-permutation MinHash are *interpreted* by
+    Catalyst (HOFs are excluded from whole-stage codegen), measured ~50 s
+    for 850k names on 32 cores. The numpy path below does the same work in
+    one Arrow batch pass. MinHash family: blake2b(shingle) low-8-bytes
+    (the reference's hash, dedup_helpers.py:97-100) permuted with 32
+    splitmix-style (a*h+b mod 2^61-1) linear maps — min per map.
+    """
+    p61 = (1 << 61) - 1
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, p61, size=perms, dtype=np.int64)
+    b = rng.integers(0, p61, size=perms, dtype=np.int64)
+    n_bands = perms // band_size
+
+    def _entropy_ok(s: str) -> bool:
+        if len(s) < config.MIN_NAME_LENGTH and len(s.split()) < config.MIN_TOKEN_COUNT:
+            return False
+        counts: dict[str, int] = {}
+        for ch in s:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(s)
+        ent = -sum((c / n) * np.log2(c / n) for c in counts.values())
+        return ent >= config.ENTROPY_THRESHOLD
+
+    def _shingle_hashes(s: str) -> np.ndarray:
+        d = s.replace(" ", "")
+        grams = {d[i : i + 3] for i in range(max(len(d) - 2, 1))} or {d}
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                >> 3  # fit in signed int64 positive range
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(names: pd.Series) -> pd.Series:
+        out = []
+        for s in names:
+            if s is None or not _entropy_ok(s):
+                out.append([])
+                continue
+            h = _shingle_hashes(s)
+            # perms x shingles linear maps in int64 mod 2^61-1
+            sig = ((a[:, None] * (h[None, :] % p61)) % p61 + b[:, None]) % p61
+            mins = sig.min(axis=1)
+            keys = []
+            for bd in range(n_bands):
+                chunk = mins[bd * band_size : (bd + 1) * band_size].tobytes()
+                k = int.from_bytes(
+                    hashlib.blake2b(bytes([bd]) + chunk, digest_size=8).digest(),
+                    "big",
+                    signed=False,
+                ) >> 1
+                keys.append(k)
+            out.append(keys)
+        return pd.Series(out)
+
+    return band_keys
+
+
+def make_jaccard_udf(k: int = config.SHINGLE_SIZE):
+    """pandas UDF: char-k-gram set Jaccard of two de-spaced strings
+    (dedup_helpers.py:88-94, 131-140) — used on the (small) LSH candidate
+    pair set where a per-pair python set op beats materializing shingle
+    arrays through the join."""
+
+    def sh(s: str) -> set:
+        d = (s or "").replace(" ", "")
+        return {d[i : i + k] for i in range(max(len(d) - (k - 1), 1))} or {d}
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sa, sb = sh(x), sh(y)
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out)
+
+    return jac
 
 
 def lsh_bands(signature: Column, band_size: int = config.MINHASH_BAND_SIZE) -> Column:

@@ -123,11 +123,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("uuid"), F.col("label").alias("canonical_uuid"))
 
 
-def canonical_map_from_pairs(pairs: DataFrame) -> DataFrame:
+def canonical_map_from_pairs(pairs: DataFrame, n: int | None = None) -> DataFrame:
     """pairs(a, b[, group_id]) → (alias_uuid, canonical_uuid) covering every
     uuid that appears in any pair. Auto-selects driver union-find vs
-    distributed CC by pair count."""
-    n = pairs.count()
+    distributed CC by pair count (pass ``n`` if already counted)."""
+    if n is None:
+        n = pairs.count()
     if n <= config.UNION_FIND_DRIVER_MAX_PAIRS:
         local = [(r["a"], r["b"]) for r in pairs.select("a", "b").collect()]
         mapping = union_find_driver(local)

@@ -107,32 +107,41 @@ def _predicate_col(subj_label: Column, obj_label: Column) -> Column:
     return expr
 
 
-def extract_triples(episodes: DataFrame) -> DataFrame:
+def extract_triples(episodes: DataFrame, distinct: bool = True) -> DataFrame:
     """episodes → raw triples (pre-resolution), one row per distinct
     (episode, subj, pred, obj).
 
     Self-edges are dropped (edge_operations.py:233-240); endpoints are by
     construction members of the episode's mention set (the reference
     validates this by name, edge_operations.py:217-230). valid_at = the
-    episode's reference time (fallback semantics). Zero-shuffle until the
-    final per-episode distinct.
+    episode's reference time (fallback semantics).
+
+    ``distinct=False`` skips the per-episode dedup shuffle — correct when
+    the consumer is an aggregation whose key subsumes (episode, subj,
+    pred, obj), e.g. dedupe_then_resolve's collect_set; the pipeline uses
+    this (one full shuffle of the triple stream saved).
     """
-    toks = _qualifying_tokens(F.col("content"))
-    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n1),
-        F.slice(toks, 2, n1),
-        lambda s, o: F.struct(s.alias("subj"), o.alias("obj")),
+    # Materialize the token array as a bound column, then explode an index
+    # sequence and pick pairs with element_at. A zip_with(slice, slice,
+    # struct) formulation allocates nested arrays + structs per row in
+    # interpreted HOF evaluation and measured ~2.5x slower at 6M triples.
+    toked = episodes.select(
+        F.col("uuid").alias("episode_uuid"),
+        "group_id",
+        "valid_at",
+        _qualifying_tokens(F.col("content")).alias("_toks"),
     )
-    subj, obj = F.col("pair.subj"), F.col("pair.obj")
+    idx = F.when(
+        F.size("_toks") > 1, F.sequence(F.lit(1), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    subj = F.element_at("_toks", F.col("_i"))
+    obj = F.element_at("_toks", F.col("_i") + 1)
     sl, ol = _label_col(subj), _label_col(obj)
     pred = _predicate_col(sl, ol)
-    return (
-        episodes.select(
-            F.col("uuid").alias("episode_uuid"),
-            "group_id",
-            "valid_at",
-            F.explode(pairs).alias("pair"),
+    out = (
+        toked.select(
+            "episode_uuid", "group_id", "valid_at", "_toks",
+            F.explode(idx).alias("_i"),
         )
         .where(subj != obj)  # self-edge drop
         .select(
@@ -145,8 +154,12 @@ def extract_triples(episodes: DataFrame) -> DataFrame:
             "valid_at",
             F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
         )
-        .dropDuplicates(["episode_uuid", "subj_name", "predicate", "obj_name"])
     )
+    if distinct:
+        out = out.dropDuplicates(
+            ["episode_uuid", "subj_name", "predicate", "obj_name"]
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -66,7 +66,9 @@ def exact_canonical_map(mentions: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_duplicate_pairs(candidates: DataFrame) -> DataFrame:
+def fuzzy_duplicate_pairs(
+    candidates: DataFrame, band_size: int = config.LSH_BAND_SIZE_SELFJOIN
+) -> DataFrame:
     """Stage 2 over exact-block representatives.
 
     candidates: (uuid, group_id, norm_name) — ONE row per exact block (the
@@ -74,20 +76,20 @@ def fuzzy_duplicate_pairs(candidates: DataFrame) -> DataFrame:
     far smaller distinct-name set).
     Returns pairs(a, b, group_id) with Jaccard >= 0.9.
     """
+    from graphiti_spark.functions.hashing import make_jaccard_udf, make_lsh_band_keys_udf
+
+    band_keys = make_lsh_band_keys_udf(band_size=band_size)
+    jac = make_jaccard_udf()
+
     gated = (
         candidates.withColumn("_fuzzy", normalize_fuzzy(F.col("norm_name")))
-        .where(has_high_entropy(F.col("_fuzzy")))
-        .withColumn("_sh", shingles(F.col("_fuzzy")))
-        .withColumn("_sig", minhash_signature(F.col("_sh")))
-        .withColumn("band", F.explode(lsh_bands(F.col("_sig"))))
-        .select(
-            "uuid", "group_id", "_sh",
-            F.col("band.band").alias("band_idx"),
-            F.col("band.key").alias("band_key"),
-        )
+        # one Arrow pass: entropy gate + shingles + MinHash + band keys
+        # (band index is baked into the key hash, so a flat explode joins)
+        .withColumn("band_key", F.explode(band_keys(F.col("_fuzzy"))))
+        .select("uuid", "group_id", "_fuzzy", "band_key")
     )
     # mega-bucket cap: drop buckets wider than LSH_BUCKET_CAP (skew guard)
-    bucket_w = Window.partitionBy("group_id", "band_idx", "band_key")
+    bucket_w = Window.partitionBy("group_id", "band_key")
     gated = gated.withColumn("_bw", F.count("*").over(bucket_w)).where(
         F.col("_bw") <= config.LSH_BUCKET_CAP
     )
@@ -96,7 +98,6 @@ def fuzzy_duplicate_pairs(candidates: DataFrame) -> DataFrame:
         a.join(
             b,
             (F.col("a.group_id") == F.col("b.group_id"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.uuid") < F.col("b.uuid")),
         )
@@ -104,11 +105,11 @@ def fuzzy_duplicate_pairs(candidates: DataFrame) -> DataFrame:
             F.col("a.uuid").alias("a"),
             F.col("b.uuid").alias("b"),
             F.col("a.group_id").alias("group_id"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
+            F.col("a._fuzzy").alias("fz_a"),
+            F.col("b._fuzzy").alias("fz_b"),
         )
         .dropDuplicates(["a", "b"])
-        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= config.FUZZY_JACCARD_THRESHOLD)
+        .where(jac(F.col("fz_a"), F.col("fz_b")) >= config.FUZZY_JACCARD_THRESHOLD)
         .select("a", "b", "group_id")
     )
     return pairs
@@ -155,61 +156,102 @@ def semantic_duplicate_pairs(
 
 def resolve_nodes(
     mentions: DataFrame, fuzzy: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """Full node resolution. Returns (nodes, canonical_map).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full node resolution. Returns (nodes, canonical_map, name_map).
 
-    canonical_map covers EVERY mention_uuid (identity rows included), like
-    the reference's uuid_map + identity fill (node_operations.py:690-705).
+    - canonical_map: mention-grain (alias_uuid → canonical_uuid), covering
+      EVERY mention like the reference's uuid_map + identity fill
+      (node_operations.py:690-705).
+    - name_map: (group_id, norm_name → canonical_uuid) at distinct-name
+      grain. Canonicalization is a *function of the normalized name within
+      a group* (exact stage + name-level fuzzy CC), so edge pointer
+      rewrites join this far smaller table instead of the mention-grain map
+      — at 200k files that is 0.85M vs 4.4M join rows and skips minting
+      sha256 mention ids for every triple endpoint.
+
     nodes carries one row per canonical entity with unioned labels and the
     representative (min-uuid mention's) surface name.
     """
-    exact = exact_canonical_map(mentions).persist()
-
-    if fuzzy:
-        reps = (
-            exact.groupBy("group_id", "norm_name")
-            .agg(F.min("canonical_uuid").alias("uuid"))
-            .select("uuid", "group_id", "norm_name")
-        )
-        pairs = fuzzy_duplicate_pairs(reps)
-        if pairs.limit(1).count() > 0:
-            cc = canonical_map_from_pairs(pairs)  # rep uuid -> final canonical
-            exact = (
-                exact.join(
-                    cc.withColumnRenamed("alias_uuid", "canonical_uuid_old"),
-                    exact.canonical_uuid == F.col("canonical_uuid_old"),
-                    "left",
-                )
-                .select(
-                    "alias_uuid",
-                    F.coalesce(cc.canonical_uuid, exact.canonical_uuid).alias(
-                        "canonical_uuid"
-                    ),
-                    "group_id",
-                    "norm_name",
-                )
-            )
-
-    canonical_map = exact.select("alias_uuid", "canonical_uuid", "group_id")
-
-    # node rows: representative = the mention whose uuid IS the canonical id
-    reps = mentions.withColumnRenamed("mention_uuid", "canonical_uuid")
-    member_labels = (
-        mentions.join(
-            canonical_map, mentions.mention_uuid == canonical_map.alias_uuid
-        )
-        .groupBy("canonical_uuid")
+    # ONE name-grain aggregation carries everything node resolution needs:
+    # canonical id (min mention_uuid), representative surface name (the
+    # canonical mention's — the reference keeps the canonical node's name
+    # when merging, node_operations.py:627-708), label set, first-seen.
+    # A separate name_map + member-labels pass was measured to shuffle the
+    # mention stream twice.
+    norm = normalize_exact(F.col("name"))
+    mentions_n = mentions.withColumn("_norm", norm)
+    name_stats = (
+        mentions_n.groupBy("group_id", F.col("_norm").alias("norm_name"))
         .agg(
-            F.array_sort(F.collect_set(mentions.label)).alias("labels"),
-            F.min(mentions.valid_at).alias("first_seen_at"),
+            F.min("mention_uuid").alias("canonical_uuid"),
+            F.min_by("name", "mention_uuid").alias("rep_name"),
+            F.array_sort(F.collect_set("label")).alias("labels"),
+            F.min("valid_at").alias("first_seen_at"),
+        )
+        .persist()
+    )
+
+    remap = None
+    if fuzzy:
+        reps = name_stats.select(
+            F.col("canonical_uuid").alias("uuid"), "group_id", "norm_name"
+        )
+        # persist + full count (NOT limit(1): CollectLimit materializes
+        # partitions in serial ramp-up rounds, which single-threads the LSH
+        # join); the count doubles as the CC driver/distributed decision
+        pairs = fuzzy_duplicate_pairs(reps).persist()
+        n_pairs = pairs.count()
+        if n_pairs > 0:
+            remap = canonical_map_from_pairs(pairs, n_pairs)  # exact id -> final id
+        pairs.unpersist()
+
+    stats = name_stats
+    if remap is not None:
+        stats = (
+            name_stats.join(
+                remap.withColumnRenamed("alias_uuid", "_old"),
+                name_stats.canonical_uuid == F.col("_old"),
+                "left",
+            )
+            .withColumn(
+                "final_uuid",
+                F.coalesce(remap.canonical_uuid, name_stats.canonical_uuid),
+            )
+            .drop("_old", remap.canonical_uuid)
+        )
+    else:
+        stats = stats.withColumn("final_uuid", F.col("canonical_uuid"))
+
+    name_map = stats.select(
+        "group_id", "norm_name", F.col("final_uuid").alias("canonical_uuid")
+    ).persist()
+
+    # mention-grain alias map (the reference's uuid_map contract) — lazy;
+    # only provenance queries consume it, the edge path joins name_map.
+    canonical_map = (
+        mentions_n.join(name_map.withColumnRenamed("norm_name", "_norm"),
+                        ["group_id", "_norm"])
+        .select(
+            F.col("mention_uuid").alias("alias_uuid"),
+            "canonical_uuid",
+            "group_id",
         )
     )
+
+    # node rows at final-canonical grain (name-grain input: tiny agg).
     nodes = (
-        reps.join(member_labels, "canonical_uuid")
+        stats.groupBy(F.col("final_uuid").alias("uuid"), "group_id")
+        .agg(
+            F.min_by("rep_name", "canonical_uuid").alias("name"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("labels")))
+            ).alias("labels"),
+            F.min("first_seen_at").alias("first_seen_at"),
+        )
         .select(
-            F.col("canonical_uuid").alias("uuid"),
+            "uuid",
             "name",
-            reps.group_id.alias("group_id"),
+            "group_id",
             F.array_union(F.array(F.lit("Entity")), F.col("labels")).alias("labels"),
             F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
             F.concat(F.lit("Entity "), F.col("name")).alias("summary"),
@@ -217,4 +259,4 @@ def resolve_nodes(
             F.lit(None).cast("array<float>").alias("name_embedding"),
         )
     )
-    return nodes, canonical_map
+    return nodes, canonical_map, name_map

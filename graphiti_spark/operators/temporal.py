@@ -23,8 +23,12 @@ earliest newer candidate (825-839), and existing edges expire against
 newer arrivals (538-573) — min-over-greater is exactly "candidates scanned
 in ascending valid_at order".
 
-Implementation: distinct valid_at per key + lead() + join back — two
-shuffles on (group_id, src, predicate), no self-join, no pairwise blowup.
+Implementation: ONE value-range window — ``min(epoch) over (partition by
+key order by epoch range between 1 following and unbounded following)`` is
+exactly "earliest strictly-later valid_at" (value-based frames exclude
+ties). No self-join, no second branch over the input (a lead-over-distinct
+formulation was measured to recompute the whole upstream pipeline twice),
+one shuffle on (group_id, src, predicate).
 """
 
 from __future__ import annotations
@@ -41,31 +45,30 @@ def invalidate_contradictions(
     exclusive_predicates: tuple[str, ...] = config.EXCLUSIVE_PREDICATES,
     system_time: str = SYSTEM_TIME,
 ) -> DataFrame:
-    """edges (EDGES schema) → same schema with invalid_at/expired_at set."""
-    key = ["group_id", "source_node_uuid", "name"]
-
-    excl = edges.where(F.col("name").isin(*exclusive_predicates))
-    rest = edges.where(~F.col("name").isin(*exclusive_predicates))
-
-    w = Window.partitionBy(*key).orderBy("valid_at")
-    nxt = (
-        excl.select(*key, "valid_at")
-        .distinct()
-        .withColumn("_nxt", F.lead("valid_at").over(w))
+    """edges (EDGES schema, invalid_at/expired_at still null) → same schema
+    with the contradiction rules applied. Single-pass: the window is
+    computed for every row (partitions are per-predicate anyway) and masked
+    to the exclusive predicates."""
+    epoch = F.unix_micros(F.col("valid_at"))
+    w = (
+        Window.partitionBy("group_id", "source_node_uuid", "name")
+        .orderBy(epoch)
+        .rangeBetween(1, Window.unboundedFollowing)
     )
-    out = (
-        excl.drop("invalid_at", "expired_at")
-        .join(nxt, [*key, "valid_at"], "left")
-        .withColumn("invalid_at", F.col("_nxt"))
+    is_excl = F.col("name").isin(*exclusive_predicates)
+    # materialize the window ONCE in its own projection; referencing the
+    # window expression from two withColumns was observed to plan two
+    # stacked Window operators
+    nxt = F.col("_nxt")
+    return (
+        edges.withColumn("_nxt", F.timestamp_micros(F.min(epoch).over(w)))
+        .withColumn("invalid_at", F.when(is_excl, nxt))
         .withColumn(
             "expired_at",
-            F.when(
-                F.col("_nxt").isNotNull(), F.lit(system_time).cast("timestamp")
-            ),
+            F.when(is_excl & nxt.isNotNull(), F.lit(system_time).cast("timestamp")),
         )
-        .drop("_nxt")
+        .select(edges.columns)
     )
-    return out.unionByName(rest).select(edges.columns)
 
 
 def currently_valid(edges: DataFrame) -> DataFrame:

@@ -134,31 +134,32 @@ edges_dedup AS (
          lower(trim(fact)) AS fact_norm,
          min(fact) AS fact,
          min(valid_at) AS valid_at,
-         string_agg(DISTINCT episode_uuid, ',' ORDER BY episode_uuid) AS episodes_csv,
+         array_to_string(
+           list(DISTINCT episode_uuid ORDER BY episode_uuid)[1:{config.EDGE_EPISODE_PROVENANCE_CAP}],
+           ',') AS episodes_csv,
          count(DISTINCT episode_uuid) AS n_episodes
   FROM edges_resolved
   GROUP BY group_id, source_node_uuid, target_node_uuid, predicate,
            lower(trim(fact))
 ),
+edges_nxt AS (
+  SELECT *,
+         min(epoch_us(valid_at)) OVER (
+           PARTITION BY group_id, source_node_uuid, name
+           ORDER BY epoch_us(valid_at)
+           RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS nxt_us
+  FROM edges_dedup
+),
 edges AS (
-  SELECT {_uuid('edge', 'd.group_id', 'd.source_node_uuid', 'd.target_node_uuid', 'd.name', 'd.fact_norm')} AS uuid,
-         d.group_id, d.source_node_uuid, d.target_node_uuid, d.name, d.fact,
-         d.valid_at,
-         CASE WHEN d.name IN ({excl}) THEN n.nxt END AS invalid_at,
-         CASE WHEN d.name IN ({excl}) AND n.nxt IS NOT NULL
+  SELECT {_uuid('edge', 'group_id', 'source_node_uuid', 'target_node_uuid', 'name', 'fact_norm')} AS uuid,
+         group_id, source_node_uuid, target_node_uuid, name, fact,
+         valid_at,
+         CASE WHEN name IN ({excl}) THEN make_timestamp(nxt_us) END AS invalid_at,
+         CASE WHEN name IN ({excl}) AND nxt_us IS NOT NULL
               THEN TIMESTAMP '{SYSTEM_TIME}' END AS expired_at,
-         d.episodes_csv, d.n_episodes
-  FROM edges_dedup d
-  LEFT JOIN (
-    SELECT group_id, source_node_uuid, name, valid_at,
-           lead(valid_at) OVER (
-             PARTITION BY group_id, source_node_uuid, name ORDER BY valid_at
-           ) AS nxt
-    FROM (SELECT DISTINCT group_id, source_node_uuid, name, valid_at
-          FROM edges_dedup WHERE name IN ({excl}))
-  ) n
-    ON n.group_id = d.group_id AND n.source_node_uuid = d.source_node_uuid
-   AND n.name = d.name AND n.valid_at = d.valid_at
+         episodes_csv, n_episodes
+  FROM edges_nxt
 )
 """
 

@@ -23,11 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from graphiti_spark import config
-from graphiti_spark.operators.edges import (
-    build_episodic_edges,
-    dedupe_edges_exact,
-    resolve_edge_pointers,
-)
+from graphiti_spark.operators.edges import build_episodic_edges, dedupe_then_resolve
 from graphiti_spark.operators.extraction import extract_mentions, extract_triples
 from graphiti_spark.operators.resolution import resolve_nodes
 from graphiti_spark.operators.temporal import invalidate_contradictions
@@ -57,18 +53,30 @@ def build_graph(
     fuzzy: bool = True,
     invalidate: bool = True,
     chunk: bool = True,
+    persist_episodes: bool = True,
 ) -> GraphTables:
     """Run the full construction pipeline (lazily — nothing executes until
-    the returned DataFrames are acted on, so Catalyst sees whole plans)."""
+    the returned DataFrames are acted on, so Catalyst sees whole plans).
+
+    ``persist_episodes`` caches the chunked episode table so the mention
+    and triple extraction branches scan the source once, not twice (at
+    cluster scale the equivalent is writing episodes to their Iceberg
+    table first — which the reference also does, graphiti.py:1319-1343 —
+    and reading back)."""
     episodes = episodes_from_source_files(salted_repartition(source_files), chunk=chunk)
+    if persist_episodes:
+        from pyspark import StorageLevel
+
+        episodes = episodes.persist(StorageLevel.MEMORY_AND_DISK)
 
     mentions_raw = extract_mentions(episodes)
-    triples_raw = extract_triples(episodes)
+    # distinct=False: dedupe_then_resolve's aggregation subsumes the
+    # per-episode distinct — saves one full shuffle of the triple stream
+    triples_raw = extract_triples(episodes, distinct=False)
 
-    nodes, canonical_map = resolve_nodes(mentions_raw, fuzzy=fuzzy)
+    nodes, canonical_map, name_map = resolve_nodes(mentions_raw, fuzzy=fuzzy)
 
-    resolved = resolve_edge_pointers(triples_raw, canonical_map)
-    edges = dedupe_edges_exact(resolved)
+    edges = dedupe_then_resolve(triples_raw, name_map)
     if invalidate:
         edges = invalidate_contradictions(edges)
 

@@ -83,6 +83,9 @@ EDGES = T.StructType(
         T.StructField("fact", T.StringType(), False),
         T.StructField("fact_embedding", T.ArrayType(T.FloatType()), True),
         T.StructField("episodes", T.ArrayType(T.StringType()), False),
+        # full provenance multiplicity (episodes array is capped at
+        # config.EDGE_EPISODE_PROVENANCE_CAP for columnar safety)
+        T.StructField("n_episodes", T.LongType(), False),
         T.StructField("created_at", T.TimestampType(), False),
         T.StructField("valid_at", T.TimestampType(), True),
         T.StructField("invalid_at", T.TimestampType(), True),

@@ -96,12 +96,28 @@ def generate_source_files(
 
     n_vocab = len(vocab)
     base = spark.range(n_files).withColumnRenamed("id", "doc_id")
-    # word_i = vocab[(doc_id * 31 + i * 17 + (doc_id % 7) * i) % n_vocab]
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    # Well-mixed deterministic words: mostly common-vocab tokens (realistic
+    # head skew) plus ~1/7 long-tail identifiers ("symNNN") so entity
+    # cardinality grows with corpus size like real code identifiers do.
+    tail_card = max(n_files // 5, 100)
     words = F.transform(
         F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
-        lambda i: F.element_at(
-            F.array(*[F.lit(w) for w in vocab]),
-            ((F.col("doc_id") * 31 + i * 17 + (F.col("doc_id") % 7) * i) % n_vocab + 1).cast("int"),
+        lambda i: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(0)), F.lit(7)) == 0,
+            F.concat(
+                F.lit("sym"),
+                F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(1)), F.lit(tail_card)).cast(
+                    "string"
+                ),
+            ),
+        ).otherwise(
+            F.element_at(
+                vocab_arr,
+                (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(2)), F.lit(n_vocab)) + 1).cast(
+                    "int"
+                ),
+            )
         ),
     )
     df = base.select(

@@ -121,7 +121,7 @@ def test_resolve_nodes_merges_fuzzy_and_unions_labels(spark):
         "mention_uuid string, episode_uuid string, group_id string, "
         "name string, label string, valid_at string",
     ).withColumn("valid_at", F.col("valid_at").cast("timestamp"))
-    nodes, cmap = resolve_nodes(mentions, fuzzy=True)
+    nodes, cmap, _name_map = resolve_nodes(mentions, fuzzy=True)
     got = {r["alias_uuid"]: r["canonical_uuid"] for r in cmap.collect()}
     assert got["m1"] == got["m2"] == "m1"  # min uuid of the component
     assert got["m3"] == "m3"
