@@ -116,6 +116,195 @@ def _q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data + retrieval queries
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphiti_spark.oracles_td import ANN_PROBE_IDS
+
+    return (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id").isin(*ANN_PROBE_IDS))
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    )
+
+
+def _q_td_dedup_exact(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_td_dedup_ngram_jaccard(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_td_dedup_minhash_lsh(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_td_dedup_simhash(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(spark, sf_dir))
+
+
+def _q_td_dedup_embedding_cosine(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_td_ann_bruteforce(spark, sf_dir):
+    from graphiti_spark.operators.similarity import knn_bruteforce
+
+    return knn_bruteforce(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
+def _q_td_ann_lsh(spark, sf_dir):
+    from graphiti_spark.operators.similarity import ann_hyperplane_lsh
+
+    return ann_hyperplane_lsh(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
+def _q_td_ann_ivf(spark, sf_dir):
+    from graphiti_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
+def _q_td_token_stats(spark, sf_dir):
+    from graphiti_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_td_quality_score(spark, sf_dir):
+    from graphiti_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_td_lang_id(spark, sf_dir):
+    from graphiti_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_td_fingerprint(spark, sf_dir):
+    from graphiti_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_sr_bm25(spark, sf_dir):
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.oracles_td import BM25_TERMS
+
+    return bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+
+
+def _q_sr_rrf(spark, sf_dir):
+    from graphiti_spark.operators.search import bm25_scores, rrf
+    from graphiti_spark.operators.similarity import knn_bruteforce
+    from graphiti_spark.oracles_td import BM25_TERMS
+
+    bm = bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    bm_ranked = (
+        bm.withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        ).where(F.col("rank") <= 20)
+    )
+    probe0 = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("probe_id"), "embedding"
+    )
+    cos_ranked = (
+        knn_bruteforce(_emb(spark, sf_dir), probe0, k=20)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf([bm_ranked.select("doc_id", "rank"), cos_ranked], "doc_id")
+
+
+def _q_sr_episode_window(spark, sf_dir):
+    from graphiti_spark.operators.search import retrieve_episodes
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    return retrieve_episodes(_graph(spark, sf_dir).episodes, EPISODE_REF_TIME)
+
+
+def _q_sr_mentions_rerank(spark, sf_dir):
+    from graphiti_spark.operators.search import episode_mentions_rerank
+
+    g = _graph(spark, sf_dir)
+    return episode_mentions_rerank(
+        g.nodes.select("uuid", "name", "group_id"), g.mentions
+    )
+
+
+def _q_sr_bfs2(spark, sf_dir):
+    from graphiti_spark.operators.search import bfs_edges
+
+    g = _graph(spark, sf_dir)
+    origins = [
+        r["uuid"]
+        for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    return bfs_edges(g.edges, origins, max_depth=2).select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "group_id", "depth"
+    )
+
+
+def _q_sr_communities(spark, sf_dir):
+    from graphiti_spark.operators.community import community_nodes
+
+    g = _graph(spark, sf_dir)
+    return community_nodes(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+
+
+def _q_sr_mmr(spark, sf_dir):
+    from graphiti_spark.operators.search import mmr_rerank
+    from graphiti_spark.operators.similarity import knn_bruteforce
+
+    probe0 = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("probe_id"), "embedding"
+    )
+    cands = knn_bruteforce(_emb(spark, sf_dir), probe0, k=20).join(
+        _emb(spark, sf_dir), "vec_id"
+    )
+    return mmr_rerank(cands, k=10).drop("_g")
+
+
+def _q_mm_media_features(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(_docs(spark, sf_dir)))
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_source_files": _q_source_files,
@@ -128,8 +317,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "kg_invalidated_edges": _q_invalidated_edges,
         "kg_mention_edges": _q_mention_edges,
+        # training-data pipeline ops
+        "td_dedup_exact": _q_td_dedup_exact,
+        "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
+        "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,
+        "td_dedup_simhash": _q_td_dedup_simhash,
+        "td_dedup_embedding_cosine": _q_td_dedup_embedding_cosine,
+        "td_ann_bruteforce": _q_td_ann_bruteforce,
+        "td_ann_lsh": _q_td_ann_lsh,
+        "td_ann_ivf": _q_td_ann_ivf,
+        "td_token_stats": _q_td_token_stats,
+        "td_quality_score": _q_td_quality_score,
+        "td_lang_id": _q_td_lang_id,
+        "td_fingerprint": _q_td_fingerprint,
+        # retrieval / search ops
+        "sr_bm25": _q_sr_bm25,
+        "sr_rrf": _q_sr_rrf,
+        "sr_episode_window": _q_sr_episode_window,
+        "sr_mentions_rerank": _q_sr_mentions_rerank,
+        "sr_bfs2": _q_sr_bfs2,
+        "sr_communities": _q_sr_communities,
+        "sr_mmr": _q_sr_mmr,
+        # multimodal plumbing
+        "mm_media_features": _q_mm_media_features,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return kg_oracles("documents")
+    from graphiti_spark.oracles_td import td_oracles
+
+    out = kg_oracles("documents")
+    out.update(td_oracles())
+    # td_dedup_minhash_lsh / td_dedup_simhash / td_ann_lsh / td_ann_ivf /
+    # sr_communities / sr_mmr / mm_media_features intentionally have no
+    # oracle (xxhash64/iterative/greedy semantics not expressible in
+    # DuckDB); the driver records rows-only checks and tests/ cover them
+    # against brute-force or reimplementations.
+    return out

@@ -178,38 +178,33 @@ def lsh_bands(signature: Column, band_size: int = config.MINHASH_BAND_SIZE) -> C
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over a token array, as pure column algebra.
+@F.pandas_udf(T.LongType())
+def simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token array (Arrow-vectorized numpy).
 
-    For each bit b: sum over tokens of (+1 if bit b of xxhash64(token) else
-    -1); simhash bit b = (sum > 0). Returned as bigint. Near-duplicate test
-    = small Hamming distance (see :func:`hamming64`).
+    For each bit b: sum over tokens of (+1 if bit b of blake2b64(token)
+    else -1); simhash bit b = (vote > 0). Near-duplicate test = small
+    Hamming distance (see :func:`hamming64`).
     """
-    bit_votes = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
+    import hashlib
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
             ),
-            lambda a, v: a + v,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
+            dtype=">u8",
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        val = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    return tokens.apply(one)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1,0 +1,93 @@
+"""Community detection: synchronous label propagation over the entity
+graph (reference utils/maintenance/community_operations.py:30-138).
+
+Reference semantics: project the graph to per-group neighbor counts
+(`count(e)` per neighbor pair, :64-74), then iterate: each node adopts the
+plurality community among its neighbors weighted by edge count, ties
+broken toward the LARGER community id (:93-138), until fixpoint.
+
+Spark: adjacency DataFrame + iterative join/groupBy/max_by with a
+localCheckpoint per round (bounded iterations — label propagation on these
+graphs converges in a handful of rounds; the reference also caps implicitly
+by its while-loop fixpoint test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def build_adjacency(edges: DataFrame) -> DataFrame:
+    """Undirected weighted projection: (group_id, a, b, edge_count) with
+    both orientations (community_operations.py:30-90)."""
+    pairs = edges.select(
+        "group_id",
+        F.col("source_node_uuid").alias("a"),
+        F.col("target_node_uuid").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    sym = pairs.unionByName(
+        pairs.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return sym.groupBy("group_id", "a", "b").agg(
+        F.count("*").cast("long").alias("edge_count")
+    )
+
+
+def label_propagation(
+    adjacency: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(group_id, uuid, community) — community = final propagated label,
+    canonicalized to the min member uuid for stable output."""
+    labels = (
+        adjacency.select("group_id", F.col("a").alias("uuid"))
+        .distinct()
+        .withColumn("label", F.col("uuid"))
+    )
+    for _ in range(max_iter):
+        votes = (
+            adjacency.join(
+                labels.select(F.col("uuid").alias("b"), F.col("label").alias("nbr_label")),
+                "b",
+            )
+            .groupBy("group_id", "a", "nbr_label")
+            .agg(F.sum("edge_count").alias("w"))
+        )
+        # plurality; tie -> larger community id (community_operations.py:118-126)
+        best = (
+            votes.groupBy("group_id", "a")
+            .agg(F.max_by("nbr_label", F.struct(F.col("w"), F.col("nbr_label"))).alias("new_label"))
+        )
+        new_labels = (
+            labels.join(
+                best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
+            )
+            .select(
+                "group_id",
+                "uuid",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "uuid")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # canonicalize community ids to min member uuid
+    canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
+    return labels.join(canon, "label").select("group_id", "uuid", "community")
+
+
+def community_nodes(edges: DataFrame) -> DataFrame:
+    """End-to-end: edges → adjacency → label propagation → community
+    assignments + member counts (CommunityNode analog, nodes.py:687-689)."""
+    assign = label_propagation(build_adjacency(edges))
+    sizes = assign.groupBy("group_id", "community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return assign.join(sizes, ["group_id", "community"])

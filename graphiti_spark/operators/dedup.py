@@ -1,0 +1,155 @@
+"""Document-level deduplication suite for training-data pipelines.
+
+The KG pipeline dedups *entity names* (operators/resolution.py); these
+operators dedup *documents* — the other workload a 100 TB corpus engine
+must serve. Five strategies, cheapest first, mirroring the staged-escalator
+philosophy of the reference's dedup (dedup_helpers.py):
+
+- exact:            hash-groupBy on the full text (one shuffle)
+- ngram Jaccard:    word-shingle set overlap, brute pairs within a block
+- MinHash + LSH:    shingle → signature → banded buckets → verified pairs
+                    (the scale path: candidates ∝ true dups, not n²)
+- SimHash:          64-bit fingerprints, near-dup = small Hamming distance
+- embedding cosine: semantic near-dup over a vector column
+
+All blocked by a cheap key (language) so no stage is a global cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.functions.hashing import (
+    hamming64,
+    make_jaccard_udf,
+    make_lsh_band_keys_udf,
+    simhash64,
+)
+from graphiti_spark.functions.text import jaccard, tokenize
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicates by content hash. Output: one row per document with
+    its duplicate-group id (md5), group size, and whether it is the keeper
+    (min doc_id — deterministic)."""
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .withColumn("keeper_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", (F.col("doc_id") != F.col("keeper_doc_id")))
+    )
+
+
+def word_shingles(text: F.Column, n: int = 3) -> F.Column:
+    """distinct word n-grams (joined by space) — document shingling."""
+    toks = tokenize(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(cnt > 0, grams).otherwise(F.array()))
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, threshold: float = 0.5, block: str = "lang"
+) -> DataFrame:
+    """Brute-force word-3gram Jaccard pairs within a blocking key — the
+    exact baseline the LSH variant approximates. O(block²); use only when
+    blocks are bounded (here: language)."""
+    d = docs.select("doc_id", F.col(block).alias("_blk"), word_shingles(F.col("text")).alias("_sh"))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 4).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, threshold: float = 0.5, band_size: int = 4
+) -> DataFrame:
+    """MinHash/LSH near-dup pairs, verified with exact Jaccard — the 100 TB
+    path: one Arrow pass for signatures, explode band keys, self-join on
+    buckets (candidates ∝ collisions), verify survivors.
+
+    At threshold 0.5 with 32 perms / bands of 4: P(candidate|J=0.5) ≈ 40%
+    per the S-curve — run two band sizes for higher recall if needed.
+    Output schema matches dedup_ngram_jaccard for recall measurement."""
+    band_keys = make_lsh_band_keys_udf(band_size=band_size)
+    jac = make_jaccard_udf()
+    d = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("_txt"),
+    ).withColumn("band_key", F.explode(band_keys(F.col("_txt"))))
+    w = Window.partitionBy("band_key")
+    d = d.withColumn("_bw", F.count("*").over(w)).where(
+        F.col("_bw") <= config.LSH_BUCKET_CAP
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a._txt").alias("_ta"),
+            F.col("b._txt").alias("_tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("jaccard_sim", F.round(jac(F.col("_ta"), F.col("_tb")), 4))
+        .where(F.col("jaccard_sim") >= threshold)
+        .drop("_ta", "_tb")
+    )
+    return pairs
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint per doc (JVM column
+    algebra), block on the top-16-bit prefix (near-dups almost always share
+    it), verify with full Hamming distance."""
+    d = docs.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    ).withColumn("prefix", F.shiftrightunsigned("simhash", 48))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_embedding_cosine(
+    embeddings: DataFrame, threshold: float = 0.95, block_labels: bool = True
+) -> DataFrame:
+    """Semantic near-dup pairs over a vector column: cosine >= threshold.
+    Blocked by label when available (the class analog of group_id
+    blocking); at true scale swap the self-join for the LSH/IVF variant in
+    operators/similarity.py."""
+    from graphiti_spark.functions.embeddings import cosine
+
+    d = embeddings.select("vec_id", "embedding", "label")
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block_labels:
+        cond = cond & (F.col("a.label") == F.col("b.label"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schema, partition-friendly synthesis,
+Arrow batch shapes, mapInPandas feature extraction; the codec itself is a
+deterministic fake behind ``decode_stub`` (image/audio libraries are not in
+this container — swap ``_fake_decode`` for PIL/libav calls with the same
+signature on a real cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+            T.StructField("codec", T.StringType(), True),
+        ]), False),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, payload_sha256 string, "
+    "feature array<float>"
+)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic opaque binary payloads from the documents table —
+    stands in for an Iceberg table with a binary column."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+            (F.col("doc_id") % 30000).cast("int").alias("duration_ms"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str):
+    """The real-codec boundary. On a production cluster this dispatches to
+    PIL / torchaudio / pyav; here it is explicitly NOT implemented."""
+    raise NotImplementedError(
+        "media codecs are not available in this container; "
+        "extract_features uses the deterministic fake decoder"
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in decoder: sha256-seeded pseudo-pixels."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype("float32")
+    v /= (v**2).sum() ** 0.5 or 1.0
+    return [float(x) for x in v]
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: per Arrow
+    batch, decode (fake) → fixed-dim feature vector + content hash. The
+    batch shape (thousands of rows, zero-copy binary) is exactly what a
+    real decoder would receive."""
+    import hashlib
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "kind": b["kind"],
+                "n_bytes": b["payload"].map(len),
+                "payload_sha256": b["payload"].map(
+                    lambda p: hashlib.sha256(p).hexdigest()
+                ),
+                "feature": b["payload"].map(lambda p: _fake_decode(p, dim)),
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling: slice the payload into n equal spans
+    (the plumbing for video keyframe extraction: one row per frame with a
+    byte-range; a real implementation replaces the slice with a decoder
+    seek). Pure column algebra."""
+    total = F.length("payload")
+    span = F.greatest(F.floor(total / n_frames).cast("int"), F.lit(1))
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+            total.alias("_total"),
+            span.alias("_span"),
+        )
+        .where(F.col("frame_idx") * F.col("_span") < F.col("_total"))
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * F.col("_span")).alias("byte_offset"),
+            F.least(F.col("_span"), F.col("_total") - F.col("frame_idx") * F.col("_span")).alias("byte_len"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Search / retrieval operators (reference search/search.py:98-250 fan-out
+and search_utils.py methods), as DataFrame queries.
+
+The reference delegates BM25 to Lucene indices and cosine to DB vector
+indices, then fuses with RRF/MMR in Python. Here: BM25 is computed from an
+inverted-index DataFrame (explode → stats → join → aggregate), cosine from
+operators/similarity.py, and the fusers are window/aggregate algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.functions.text import tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame, query_terms: list[str],
+    id_col: str = "doc_id", text_col: str = "text",
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 over whitespace/punct-lower tokens
+    (edge_fulltext_search analog, search_utils.py:185-288).
+
+    One explode for term frequencies; document frequencies for the query
+    terms only (tiny aggregate, broadcast back); pure column math after.
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("double"))
+    n_docs_avgdl = toks.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = n_docs_avgdl["n"], n_docs_avgdl["avgdl"] or 1.0
+
+    tf = (
+        toks.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "term_score",
+            idf * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+    )
+    return scored
+
+
+def top_k(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """ORDER BY score DESC LIMIT k with deterministic id tiebreak — the
+    universal search tail (search_utils.py:272-275)."""
+    return (
+        scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    )
+
+
+def rrf(ranked_lists: list[DataFrame], id_col: str, rank_col: str = "rank",
+        rrf_k: int = 1) -> DataFrame:
+    """Reciprocal rank fusion (search_utils.py:1764-1779: score[uuid] +=
+    1/(rank + rank_const); reference uses rank starting 0 with +1)."""
+    tagged = None
+    for df in ranked_lists:
+        part = df.select(id_col, (F.lit(1.0) / (F.col(rank_col) + F.lit(rrf_k))).alias("_c"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (
+        tagged.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_sim_col: str = "cos_sim",
+    lambda_: float = config.MMR_LAMBDA,
+    k: int = config.DEFAULT_SEARCH_LIMIT,
+) -> DataFrame:
+    """Maximal marginal relevance (search_utils.py:1885-1923):
+    iteratively pick argmax of lambda*sim(q,c) + (lambda-1)*max_sim(c, picked).
+
+    Candidate sets are small by construction (2x limit per method), so the
+    greedy loop runs on the collected set with numpy inside one
+    applyInPandas group — the same driver-side scale the reference uses
+    (~40 rows), but kept inside the executor for pipeline composition.
+    """
+    import pandas as pd
+
+    schema = f"{id_col} long, mmr_score double, mmr_rank int"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        qsim = pdf[query_sim_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        picked: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(picked) < k:
+            if picked:
+                max_sim = (unit[remaining] @ unit[picked].T).max(axis=1)
+            else:
+                max_sim = np.zeros(len(remaining))
+            mmr = lambda_ * qsim[remaining] + (lambda_ - 1.0) * max_sim
+            j = int(np.argmax(mmr))
+            picked.append(remaining[j])
+            scores.append(float(mmr[j]))
+            remaining.pop(j)
+        return pd.DataFrame({
+            id_col: ids[picked],
+            "mmr_score": np.round(scores, 6),
+            "mmr_rank": range(1, len(picked) + 1),
+        })
+
+    return candidates.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        greedy, schema=schema
+    )
+
+
+def retrieve_episodes(
+    episodes: DataFrame,
+    reference_time: str,
+    last_n: int = config.EPISODE_WINDOW_LEN,
+) -> DataFrame:
+    """Last-n episode context window before a reference time, per group
+    (graph_data_operations.py:67-140, EPISODE_WINDOW_LEN=3)."""
+    w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.asc("uuid"))
+    return (
+        episodes.where(F.col("valid_at") <= F.lit(reference_time).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= last_n)
+        .select("group_id", "uuid", "name", "valid_at", "rn")
+    )
+
+
+def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Rerank nodes by MENTIONS in-degree (search_utils.py:1844-1882)."""
+    counts = mentions.groupBy("node_uuid").agg(F.count("*").cast("long").alias("n_mentions"))
+    return (
+        candidates.join(counts, candidates.uuid == counts.node_uuid, "left")
+        .drop("node_uuid")
+        .fillna(0, ["n_mentions"])
+    )
+
+
+def node_distance_rerank(
+    candidates: DataFrame, edges: DataFrame, center_uuid: str
+) -> DataFrame:
+    """1-hop distance reranker (search_utils.py:1782-1841): score 1 if the
+    candidate shares an edge with the center, inf (represented as null)
+    otherwise; the center scores 0."""
+    nbrs = (
+        edges.where(
+            (F.col("source_node_uuid") == center_uuid)
+            | (F.col("target_node_uuid") == center_uuid)
+        )
+        .select(
+            F.explode(
+                F.array("source_node_uuid", "target_node_uuid")
+            ).alias("nbr")
+        )
+        .where(F.col("nbr") != center_uuid)
+        .distinct()
+    )
+    return (
+        candidates.join(nbrs, candidates.uuid == nbrs.nbr, "left")
+        .withColumn(
+            "distance",
+            F.when(F.col("uuid") == center_uuid, F.lit(0.0))
+            .when(F.col("nbr").isNotNull(), F.lit(1.0)),
+        )
+        .drop("nbr")
+    )
+
+
+def bfs_edges(
+    edges: DataFrame,
+    origin_uuids: list[str],
+    max_depth: int = config.MAX_SEARCH_DEPTH,
+) -> DataFrame:
+    """Frontier BFS over the entity graph returning reached edges with
+    their discovery depth (edge_bfs_search, search_utils.py:439-561;
+    MAX_SEARCH_DEPTH=3). Iterative frontier joins, dedup per level,
+    localCheckpoint per iteration to cut lineage."""
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(u,) for u in origin_uuids], "node string"
+    )
+    visited = frontier
+    out = None
+    e = edges.select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "group_id"
+    )
+    for depth in range(1, max_depth + 1):
+        hop = (
+            e.join(frontier, e.source_node_uuid == frontier.node)
+            .drop("node")
+            .withColumn("depth", F.lit(depth))
+        )
+        out = hop if out is None else out.unionByName(hop)
+        nxt = (
+            hop.select(F.col("target_node_uuid").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    if out is None:
+        return e.withColumn("depth", F.lit(0)).limit(0)
+    w = Window.partitionBy("uuid").orderBy("depth")
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )

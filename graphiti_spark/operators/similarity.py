@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`knn_bruteforce` — exact cosine top-k per probe; the correctness
+  baseline and the reference's own strategy (every *_similarity_search in
+  search_utils.py is a full cosine scan behind a DB vector index).
+- :func:`ann_hyperplane_lsh` — random-hyperplane (sign-bit) LSH: probe and
+  corpus hash to b-bit bucket keys; candidates share a bucket in >= 1 of r
+  tables; verified with exact cosine. The scale path: candidate count
+  tracks collisions, not corpus size.
+- :func:`ann_ivf` — inverted-file coarse quantization: deterministic
+  centroid sample, assign vectors to nearest centroid, probe top-p lists.
+
+All cosine math is JVM column algebra (functions/embeddings.py); the
+hyperplanes derive from xxhash64 so executors need no broadcast state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from graphiti_spark.functions.embeddings import cosine, dot
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, probes: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine per probe row.
+
+    probes: (probe_id, embedding). Ties break on vec_id for determinism.
+    Plan: broadcast probes (small) against the corpus scan — one pass,
+    no shuffle of the corpus; the window tops-k per probe.
+    """
+    p = probes.select(
+        F.col("probe_id"), F.col("embedding").alias("_pvec")
+    )
+    scored = (
+        embeddings.join(F.broadcast(p))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def make_hyperplane_keys_udf(tables: int, bits: int, dim: int):
+    """pandas UDF: embedding → array<bigint> of per-table sign-bit bucket
+    keys (table index baked into the key's high bits). Hyperplanes are
+    drawn from a seeded RNG per table — deterministic on every executor,
+    no broadcast state; one BLAS matmul per Arrow batch."""
+    planes = [
+        np.random.default_rng(1000 + t).standard_normal((bits, dim))
+        for t in range(tables)
+    ]
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(embs: pd.Series) -> pd.Series:
+        mat = np.array(embs.tolist(), dtype=np.float64)  # (n, dim)
+        out = np.empty((mat.shape[0], len(planes)), dtype=np.int64)
+        for t, P in enumerate(planes):
+            bitsm = (mat @ P.T) > 0  # (n, bits)
+            out[:, t] = (bitsm @ weights) | (np.int64(t) << 48)
+        return pd.Series(list(out))
+
+    return keys
+
+
+def ann_hyperplane_lsh(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    tables: int = 8,
+    bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: bucket join on the sign-bits key, exact cosine on
+    candidates, window top-k. Same output schema as knn_bruteforce for
+    recall measurement."""
+    keys = make_hyperplane_keys_udf(tables, bits, dim)
+
+    def with_keys(df: DataFrame, idcol: str) -> DataFrame:
+        return df.select(
+            idcol, "embedding", F.explode(keys(F.col("embedding"))).alias("bk")
+        )
+
+    c = with_keys(embeddings, "vec_id").withColumnRenamed("embedding", "_cvec")
+    p = with_keys(probes, "probe_id").withColumnRenamed("embedding", "_pvec")
+    cand = (
+        c.join(F.broadcast(p), c.bk == p.bk)
+        .select("probe_id", "vec_id", "_cvec", "_pvec")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("_cvec"), F.col("_pvec")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF: centroids = the first ``n_centroids`` corpus vectors by vec_id
+    (deterministic coarse sample; swap in k-means output on a real corpus).
+    Vectors index to their nearest centroid; probes scan the ``n_probe``
+    nearest inverted lists only."""
+    cent = (
+        embeddings.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("_cent"))
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .withColumn("_cs", cosine(F.col("embedding"), F.col("_cent")))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    probe_lists = (
+        probes.join(F.broadcast(cent))
+        .withColumn("_cs", cosine(F.col("embedding"), F.col("_cent")))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .where(F.col("_r") <= n_probe)
+        .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probe_lists), "cent_id")
+        .select(
+            "probe_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

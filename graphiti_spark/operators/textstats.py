@@ -1,0 +1,117 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, document fingerprinting. All JVM column algebra (no UDFs)
+so every operator has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark.functions.text import tokenize
+
+# function-word markers per language — the classic n-gram/stopword
+# heuristic (deterministic stand-in for fasttext-style lang-id; the
+# corpus vocabulary is English so 'en' wins on real signal and the rest
+# fall back to a hash tiebreak, keeping the operator fully deterministic)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    subword estimate (ceil(chars/4) — the reference's own token estimator,
+    content_chunking.py:39-51), chars."""
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals + composite score in [0,1]:
+    mean word length band, stopword ratio band, alpha ratio, repetition
+    (distinct/total tokens). The C4/Gopher-style rule family expressed as
+    column algebra."""
+    toks = tokenize(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) /
+        F.greatest(F.length("text"), F.lit(1))
+    )
+    rep_ratio = F.size(F.array_distinct(toks)) / n
+    score = (
+        F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(rep_ratio >= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(rep_ratio, 4).alias("repetition_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores + argmax language. Deterministic
+    tiebreak: higher score wins, then lexicographic language code."""
+    toks = tokenize(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))) / n
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax via greatest over (score, inverted-lang) struct
+    pairs = F.array(*[
+        F.struct(F.round(scores[lang], 6).alias("s"),
+                 F.lit(lang).alias("l"))
+        for lang in sorted(LANG_MARKERS, reverse=True)
+    ])
+    best = F.array_max(pairs)
+    return docs.select(
+        "doc_id",
+        *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint with md5 gram hashes (hex strings) so
+    the oracle can reproduce it exactly: word-bigram md5s, lexicographic
+    min per stride of ``window``, distinct sorted, joined to one string."""
+    toks = tokenize(F.col("text"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 2))),
+    )
+    grams = F.when(n1 > 0, grams).otherwise(F.array(F.md5(F.col("text"))))
+    n_strides = F.greatest(F.ceil(F.size(grams) / F.lit(window)).cast("int"), F.lit(1))
+    fp = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_strides - 1),
+                lambda s: F.array_min(F.slice(grams, s * window + 1, window)),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", fp).alias("fingerprint"),
+        F.size(fp).cast("long").alias("n_grams"),
+    )

@@ -1,0 +1,264 @@
+"""DuckDB oracles for the training-data and retrieval operators.
+
+Tokenization contract shared with functions/text.tokenize:
+lower → punctuation ([^\\w\\s]) to space → split on \\s+ → drop empties.
+"""
+
+from __future__ import annotations
+
+from graphiti_spark.oracles import kg_cte_prefix
+
+TOKS = (
+    "list_filter(string_split_regex(lower(regexp_replace({col}, '[^\\w\\s]', ' ', 'g')),"
+    " '\\s+'), x -> length(x) > 0)"
+)
+
+BM25_TERMS = ("spark", "merge", "query")
+ANN_PROBE_IDS = (0, 1, 2)
+EPISODE_REF_TIME = "2024-06-01 00:00:00"
+
+
+def _toks(col: str) -> str:
+    return TOKS.format(col=col)
+
+
+def td_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["td_dedup_exact"] = """
+SELECT doc_id, md5(text) AS text_hash,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+    o["td_dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, lang, {_toks('text')} AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+             THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(list_concat(a.grams, b.grams)))
+             ELSE 0 END, 4) AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+            THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(list_concat(a.grams, b.grams)))
+            ELSE 0 END, 4) >= 0.5"""
+
+    o["td_dedup_embedding_cosine"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
+
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    o["td_ann_bruteforce"] = f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+           WHERE vec_id IN ({probe_list})),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, p.pvec), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN p
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+    o["td_token_stats"] = f"""
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+       ceil(length(text) / 4)::BIGINT AS n_subwords_est,
+       length(text)::BIGINT AS n_chars
+FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
+
+    o["td_quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    greatest(len(t), 1) AS n,
+    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / greatest(len(t), 1) AS mean_wl,
+    len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+      / greatest(len(t), 1) AS stop_ratio,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+      / greatest(length(text), 1) AS alpha_ratio,
+    len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS rep_ratio
+  FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)
+)
+SELECT doc_id,
+  round(mean_wl, 4) AS mean_word_len,
+  round(stop_ratio, 4) AS stopword_ratio,
+  round(alpha_ratio, 4) AS alpha_ratio,
+  round(rep_ratio, 4) AS repetition_ratio,
+  round(
+    (CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 0.25 ELSE 0 END)
+    + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.25 ELSE 0 END)
+    + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
+    + (CASE WHEN rep_ratio >= 0.2 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS quality_score
+FROM q"""
+
+    # tie order must match Spark's array_max over (score, lang): fr>es>en>de
+    o["td_lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','a','of','and')))::DOUBLE / greatest(len(t),1) AS s_en,
+    len(list_filter(t, x -> x IN ('el','la','de','que')))::DOUBLE / greatest(len(t),1) AS s_es,
+    len(list_filter(t, x -> x IN ('der','die','und','das')))::DOUBLE / greatest(len(t),1) AS s_de,
+    len(list_filter(t, x -> x IN ('le','la','et','les')))::DOUBLE / greatest(len(t),1) AS s_fr
+  FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+)
+SELECT doc_id,
+  round(s_de, 4) AS score_de, round(s_en, 4) AS score_en,
+  round(s_es, 4) AS score_es, round(s_fr, 4) AS score_fr,
+  CASE WHEN greatest(round(s_en,6), round(s_es,6), round(s_de,6), round(s_fr,6)) = 0 THEN 'unknown'
+       WHEN round(s_fr,6) >= round(s_en,6) AND round(s_fr,6) >= round(s_es,6) AND round(s_fr,6) >= round(s_de,6) THEN 'fr'
+       WHEN round(s_es,6) >= round(s_en,6) AND round(s_es,6) >= round(s_de,6) THEN 'es'
+       WHEN round(s_en,6) >= round(s_de,6) THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM s"""
+
+    o["td_fingerprint"] = f"""
+WITH g AS (
+  SELECT doc_id, text,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i -> md5(array_to_string(t[i:i+1], ' ')))
+    ELSE [md5(text)] END AS grams
+  FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)
+),
+fp AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(0, greatest(ceil(len(grams) / 8.0)::INT, 1)),
+                     s -> list_min(grams[s*8+1 : least((s+1)*8, len(grams))]))
+    )) AS f
+  FROM g
+)
+SELECT doc_id, array_to_string(f, ',') AS fingerprint, len(f)::BIGINT AS n_grams
+FROM fp"""
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    o["sr_bm25"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_toks('text')} AS t FROM documents
+),
+docstats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, len(t), term
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+  round(sum(
+    ln(1 + (ds.n - df.df + 0.5) / (df.df + 0.5))
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / ds.avgdl))
+  ), 4) AS bm25
+FROM tf JOIN df USING (term) CROSS JOIN docstats ds
+GROUP BY tf.doc_id"""
+
+    o["sr_rrf"] = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+docstats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, len(t), term
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+    round(sum(ln(1 + (ds.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / ds.avgdl))), 4) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN docstats ds GROUP BY tf.doc_id
+),
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= 20
+),
+cos_ranked AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(e.embedding, p.embedding), 4) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+  QUALIFY rank <= 20
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score FROM (
+  SELECT doc_id, 1.0 / (rank + 1) AS c FROM bm_ranked
+  UNION ALL
+  SELECT doc_id, 1.0 / (rank + 1) AS c FROM cos_ranked
+) GROUP BY doc_id"""
+
+    p = kg_cte_prefix("documents")
+    o["sr_episode_window"] = p + f"""
+SELECT group_id, uuid, name, valid_at, rn FROM (
+  SELECT group_id, uuid, name, valid_at,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY valid_at DESC, uuid ASC) AS rn
+  FROM episodes WHERE valid_at <= TIMESTAMP '{EPISODE_REF_TIME}'
+) WHERE rn <= 3"""
+
+    o["sr_mentions_rerank"] = p + """
+, mention_edges AS (
+  SELECT DISTINCT m.episode_uuid, c.canonical_uuid AS node_uuid
+  FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid
+)
+SELECT n.uuid, n.name, n.group_id,
+       count(me.episode_uuid)::BIGINT AS n_mentions
+FROM nodes n LEFT JOIN mention_edges me ON me.node_uuid = n.uuid
+GROUP BY n.uuid, n.name, n.group_id"""
+
+    o["sr_bfs2"] = p + """
+, origin AS (
+  SELECT uuid FROM nodes
+  WHERE group_id = 'megacorp/monorepo' AND name = 'spark'
+),
+d1 AS (
+  SELECT e.uuid, e.source_node_uuid, e.target_node_uuid, e.name, e.group_id,
+         1 AS depth
+  FROM edges e JOIN origin o ON e.source_node_uuid = o.uuid
+),
+f1 AS (
+  SELECT DISTINCT target_node_uuid AS node FROM d1
+  WHERE target_node_uuid NOT IN (SELECT uuid FROM origin)
+),
+d2 AS (
+  SELECT e.uuid, e.source_node_uuid, e.target_node_uuid, e.name, e.group_id,
+         2 AS depth
+  FROM edges e JOIN f1 ON e.source_node_uuid = f1.node
+)
+SELECT uuid, source_node_uuid, target_node_uuid, name, group_id,
+       min(depth) AS depth
+FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+GROUP BY uuid, source_node_uuid, target_node_uuid, name, group_id"""
+
+    o["mm_frame_sample"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         3 * length(text) AS total
+  FROM documents
+)
+SELECT media_id, frame_idx,
+       frame_idx * span AS byte_offset,
+       least(span, total - frame_idx * span) AS byte_len
+FROM (
+  SELECT media_id, total, greatest(floor(total / 4)::INT, 1) AS span,
+         unnest(range(0, 4)) AS frame_idx
+  FROM media WHERE kind = 'video'
+)
+WHERE frame_idx * span < total"""
+
+    return o

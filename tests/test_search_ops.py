@@ -1,0 +1,88 @@
+"""Search/retrieval + community operator tests (reference semantics from
+search_utils.py and community_operations.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import community_nodes, label_propagation, build_adjacency
+from graphiti_spark.operators.search import bfs_edges, bm25_scores, mmr_rerank, rrf
+
+
+EDGE_COLS = (
+    "uuid string, group_id string, source_node_uuid string, "
+    "target_node_uuid string, name string"
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, EDGE_COLS)
+
+
+def test_bfs_depth_semantics(spark):
+    # a -> b -> c -> d (depth 3 cut at max_depth), plus a -> c shortcut
+    e = _edges(spark, [
+        ("e1", "g", "a", "b", "R"),
+        ("e2", "g", "b", "c", "R"),
+        ("e3", "g", "c", "d", "R"),
+        ("e4", "g", "a", "c", "R"),
+        ("e5", "g", "x", "y", "R"),  # unreachable
+    ])
+    out = {r["uuid"]: r["depth"] for r in bfs_edges(e, ["a"], max_depth=2).collect()}
+    assert out == {"e1": 1, "e4": 1, "e2": 2, "e3": 2}
+    # e3 discovered at depth 2 via the a->c shortcut frontier; e5 never
+
+
+def test_label_propagation_two_cliques(spark):
+    rows = []
+    for i, (a, b) in enumerate([("a", "b"), ("b", "c"), ("a", "c"),
+                                ("x", "y"), ("y", "z"), ("x", "z")]):
+        rows.append((f"e{i}", "g", a, b, "R"))
+    comm = {r["uuid"]: r["community"]
+            for r in community_nodes(_edges(spark, rows)).collect()}
+    assert comm["a"] == comm["b"] == comm["c"] == "a"  # canonical min uuid
+    assert comm["x"] == comm["y"] == comm["z"] == "x"
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark common common"),
+            (2, "rare common common common common"),
+            (3, "common common common common common"),
+            (4, "spark rare common"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["bm25"]
+              for r in bm25_scores(docs, ["spark", "rare"]).collect()}
+    assert 3 not in scores  # no query terms
+    assert scores[4] > scores[1]  # both terms beat repeated single term
+    assert scores[2] > 0
+
+
+def test_rrf_fusion(spark):
+    l1 = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    l2 = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf([l1, l2], "doc_id").collect()}
+    assert got[2] == pytest.approx(1 / 2 + 1 / 3)
+    assert got[1] == pytest.approx(1 / 2)
+    assert got[3] == pytest.approx(1 / 3)
+
+
+def test_mmr_demotes_redundant_candidates(spark):
+    # two near-identical top candidates + one diverse: MMR picks the
+    # diverse one second (reference search_utils.py:1885-1923, lambda 0.5)
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [0.999, 0.01, 0.0], 0.98),   # redundant with 1
+        (3, [0.0, 1.0, 0.0], 0.70),      # diverse
+    ]
+    cands = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cos_sim double"
+    )
+    out = sorted(
+        mmr_rerank(cands, k=3).collect(), key=lambda r: r["mmr_rank"]
+    )
+    assert [r["vec_id"] for r in out] == [1, 3, 2]

@@ -1,0 +1,150 @@
+"""Training-data op tests: recall of approximate methods vs exact
+baselines, determinism of fingerprints/features."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from graphiti_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from graphiti_spark.operators.similarity import (
+    ann_hyperplane_lsh,
+    ann_ivf,
+    knn_bruteforce,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "completely different content about spark query engines and shuffles",
+        "a third document mentioning vectors, embeddings and approximate search",
+    ]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i * 10, b, "en"))
+        rows.append((i * 10 + 1, b, "en"))  # exact dup
+        rows.append((i * 10 + 2, b.replace("and", "and also"), "en"))  # near dup
+    rows.append((99, "unrelated singleton text with nothing shared here at all", "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact_groups(spark, dup_docs):
+    out = dedup_exact(dup_docs)
+    dups = out.where("is_duplicate").count()
+    assert dups == 3  # one exact dup per base doc
+    keepers = out.where("doc_id = keeper_doc_id").count()
+    assert keepers == out.select("text_hash").distinct().count()
+
+
+def test_minhash_lsh_recall_vs_bruteforce(spark, dup_docs):
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(dup_docs, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(dup_docs, threshold=0.5).collect()
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    # precision exact (verified), recall high (exact dups always collide)
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, (recall, truth, got)
+    exact_pairs = {(0, 1), (10, 11), (20, 21)}
+    assert exact_pairs <= got
+
+
+def test_simhash_identical_and_different(spark, dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup_simhash(dup_docs, max_hamming=63).collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs -> identical simhash
+    sims = dedup_simhash(dup_docs, max_hamming=10).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in sims}
+    assert (0, 1) in found and (10, 11) in found
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((5, 64))
+    rows = []
+    vid = 0
+    for c_id, c in enumerate(centers):
+        for _ in range(40):
+            v = c + 0.15 * rng.standard_normal(64)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v], c_id))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ann_lsh_recall(spark, clustered_vectors):
+    probes = clustered_vectors.where("vec_id in (0, 40, 80)").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = knn_bruteforce(clustered_vectors, probes, k=10)
+    approx = ann_hyperplane_lsh(clustered_vectors, probes, k=10)
+    t = {(r["probe_id"], r["vec_id"]) for r in truth.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.8, recall
+
+
+def test_ann_ivf_recall(spark, clustered_vectors):
+    probes = clustered_vectors.where("vec_id in (5, 45, 85)").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = knn_bruteforce(clustered_vectors, probes, k=10)
+    approx = ann_ivf(clustered_vectors, probes, k=10, n_centroids=16, n_probe=4)
+    t = {(r["probe_id"], r["vec_id"]) for r in truth.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.8, recall
+
+
+def test_media_features_deterministic_and_correct(spark, dup_docs):
+    media = synth_media(dup_docs)
+    f1 = {r["media_id"]: (r["n_bytes"], r["payload_sha256"], tuple(r["feature"]))
+          for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: (r["n_bytes"], r["payload_sha256"], tuple(r["feature"]))
+          for r in extract_features(media).collect()}
+    assert f1 == f2  # deterministic
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    for mid, (nb, _, feat) in f1.items():
+        assert nb == 3 * len(texts[mid])
+        assert len(feat) == 16
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image")
+
+
+def test_frame_sample_covers_payload(spark, dup_docs):
+    media = synth_media(dup_docs)
+    frames = frame_sample(media, n_frames=4).collect()
+    assert frames
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    lens = {r["doc_id"]: 3 * len(r["text"]) for r in dup_docs.collect()}
+    for mid, fs in by_media.items():
+        fs.sort(key=lambda r: r["frame_idx"])
+        assert fs[0]["byte_offset"] == 0
+        last = fs[-1]
+        assert last["byte_offset"] + last["byte_len"] <= lens[mid]
