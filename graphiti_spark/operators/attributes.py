@@ -1,0 +1,111 @@
+"""Attribute extraction, summary maintenance, and second-chance edge
+timestamps — the deterministic parts of the reference's attribute stage.
+
+- :func:`apply_capped_attributes` ports utils/maintenance/attribute_utils.py
+  :27-254: LLM-proposed attribute values are dropped when over-long
+  (default cap 250 chars; list-aggregate cap x8), merged with
+  overlay semantics for nodes (new keys win) and replace for edges.
+- :func:`append_fact_summaries` ports the no-LLM summary fast path
+  (node_operations.py:868-886): append new edge facts to a node summary
+  while it stays under 2 x MAX_SUMMARY_CHARS, truncate at MAX_SUMMARY_CHARS.
+- :func:`parse_edge_timestamps` ports the second-chance timestamp pass
+  (edge_operations.py:576-620 + prompts/extract_edges.py:242-301 rules):
+  when extraction left valid_at/invalid_at null, parse explicit temporal
+  phrases from the fact text ("since 2020", "from 2019 to 2021",
+  "until 2022", ISO dates), else fall back to the episode reference time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark import config
+
+ATTR_VALUE_CAP = 250          # attribute_utils.py default cap
+ATTR_LIST_CAP = ATTR_VALUE_CAP * 8
+
+
+def apply_capped_attributes(
+    df: DataFrame,
+    proposed_col: str = "proposed_attributes",
+    existing_col: str = "attributes",
+    mode: str = "overlay",
+) -> DataFrame:
+    """Merge a proposed map<string,string> into the existing attribute bag.
+
+    Over-long values are dropped (not truncated — matching the reference's
+    reject-don't-mangle choice). ``overlay`` keeps existing keys and adds/
+    updates from proposed (node semantics); ``replace`` takes proposed
+    wholesale when non-empty (edge semantics)."""
+    capped = F.map_filter(
+        F.col(proposed_col), lambda k, v: F.length(v) <= F.lit(ATTR_VALUE_CAP)
+    )
+    if mode == "overlay":
+        merged = F.map_zip_with(
+            F.coalesce(F.col(existing_col), F.create_map().cast("map<string,string>")),
+            F.coalesce(capped, F.create_map().cast("map<string,string>")),
+            lambda _k, old, new: F.coalesce(new, old),
+        )
+    elif mode == "replace":
+        merged = F.when(
+            F.size(F.coalesce(capped, F.create_map().cast("map<string,string>"))) > 0,
+            capped,
+        ).otherwise(F.col(existing_col))
+    else:
+        raise ValueError(mode)
+    return df.withColumn(existing_col, merged).drop(proposed_col)
+
+
+def append_fact_summaries(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Fast-path summary update: concat the node's (sorted, distinct) edge
+    facts onto its summary, apply only while the grown summary stays under
+    2 x MAX_SUMMARY_CHARS, truncate at MAX_SUMMARY_CHARS
+    (node_operations.py:868-886 + text_utils.py:26)."""
+    facts = (
+        edges.select(F.col("source_node_uuid").alias("uuid"), "fact")
+        .unionByName(edges.select(F.col("target_node_uuid").alias("uuid"), "fact"))
+        .groupBy("uuid")
+        .agg(F.concat_ws("; ", F.array_sort(F.collect_set("fact"))).alias("_facts"))
+    )
+    grown = F.concat_ws(". ", F.col("summary"), F.col("_facts"))
+    return (
+        nodes.join(facts, "uuid", "left")
+        .withColumn(
+            "summary",
+            F.when(
+                F.col("_facts").isNotNull()
+                & (F.length(grown) <= 2 * config.MAX_SUMMARY_CHARS),
+                F.substring(grown, 1, config.MAX_SUMMARY_CHARS),
+            ).otherwise(F.col("summary")),
+        )
+        .drop("_facts")
+    )
+
+
+_SINCE = r"\bsince (\d{4})\b"
+_FROM_TO = r"\bfrom (\d{4}) to (\d{4})\b"
+_UNTIL = r"\buntil (\d{4})\b"
+_ISO = r"\b(\d{4}-\d{2}-\d{2})\b"
+
+
+def parse_edge_timestamps(edges: DataFrame) -> DataFrame:
+    """Fill null valid_at/invalid_at from explicit phrases in ``fact``;
+    valid_at falls back to reference_time (the reference's rule when the
+    text carries no time information)."""
+    fact = F.col("fact")
+    y = lambda pat, g: F.regexp_extract(fact, pat, g)  # noqa: E731
+    valid_parsed = F.coalesce(
+        F.when(y(_SINCE, 1) != "", F.to_timestamp(F.concat(y(_SINCE, 1), F.lit("-01-01")))),
+        F.when(y(_FROM_TO, 1) != "", F.to_timestamp(F.concat(y(_FROM_TO, 1), F.lit("-01-01")))),
+        F.when(y(_ISO, 1) != "", F.to_timestamp(y(_ISO, 1))),
+    )
+    invalid_parsed = F.coalesce(
+        F.when(y(_FROM_TO, 2) != "", F.to_timestamp(F.concat(y(_FROM_TO, 2), F.lit("-01-01")))),
+        F.when(y(_UNTIL, 1) != "", F.to_timestamp(F.concat(y(_UNTIL, 1), F.lit("-01-01")))),
+    )
+    return edges.withColumn(
+        "valid_at",
+        F.coalesce(F.col("valid_at"), valid_parsed, F.col("reference_time")),
+    ).withColumn(
+        "invalid_at", F.coalesce(F.col("invalid_at"), invalid_parsed)
+    )

@@ -71,6 +71,69 @@ def invalidate_contradictions(
     )
 
 
+def invalidation_candidates(
+    edges: DataFrame,
+    new_edges: DataFrame,
+    min_score: float = config.DEFAULT_MIN_SCORE,
+    limit: int = config.DEFAULT_SEARCH_LIMIT,
+    use_embeddings: bool = False,
+) -> DataFrame:
+    """Contradiction-candidate search (get_edge_invalidation_candidates,
+    search_utils.py:1576-1760): for each new edge, existing edges sharing
+    *either* endpoint, scored by fact similarity, top-k per new edge.
+
+    The endpoint-OR theta-join is executed as a union of two equi-joins
+    (each shuffles on one endpoint key — no cross join). Similarity is
+    embedding cosine when ``use_embeddings`` (requires fact_embedding),
+    else word-overlap Jaccard on the fact text (the deterministic mode).
+    """
+    from pyspark.sql import Window
+
+    from graphiti_spark.functions.text import jaccard, tokenize
+
+    n_cols = [
+        F.col("uuid").alias("new_uuid"),
+        F.col("group_id"),
+        F.col("source_node_uuid").alias("n_src"),
+        F.col("target_node_uuid").alias("n_dst"),
+        F.col("fact").alias("new_fact"),
+    ]
+    e_cols = [
+        F.col("uuid"), F.col("group_id"),
+        F.col("source_node_uuid").alias("e_src"),
+        F.col("target_node_uuid").alias("e_dst"),
+        F.col("fact"),
+    ]
+    if use_embeddings:
+        n_cols.append(F.col("fact_embedding").alias("new_emb"))
+        e_cols.append(F.col("fact_embedding").alias("e_emb"))
+    n = new_edges.select(*n_cols)
+    e = edges.select(*e_cols)
+    by_src = n.join(e, (n.group_id == e.group_id) & (
+        (n.n_src == e.e_src) | (n.n_src == e.e_dst)), "inner").drop(e.group_id)
+    by_dst = n.join(e, (n.group_id == e.group_id) & (
+        (n.n_dst == e.e_src) | (n.n_dst == e.e_dst)), "inner").drop(e.group_id)
+    cand = (
+        by_src.unionByName(by_dst)
+        .where(F.col("uuid") != F.col("new_uuid"))
+        .dropDuplicates(["new_uuid", "uuid"])
+    )
+    if use_embeddings:
+        from graphiti_spark.functions.embeddings import cosine
+
+        score = F.round(cosine(F.col("new_emb"), F.col("e_emb")), 4)
+    else:
+        score = F.round(jaccard(tokenize(F.col("new_fact")), tokenize(F.col("fact"))), 4)
+    w = Window.partitionBy("new_uuid").orderBy(F.desc("score"), F.asc("uuid"))
+    return (
+        cand.withColumn("score", score)
+        .where(F.col("score") >= min_score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+        .select("new_uuid", "uuid", "group_id", "score", "rank")
+    )
+
+
 def currently_valid(edges: DataFrame) -> DataFrame:
     """The "as of now" slice: not expired and no closed validity window —
     the filter behind the flagship 'all currently-valid triples' query."""

@@ -244,6 +244,21 @@ SELECT uuid, source_node_uuid, target_node_uuid, name, group_id,
 FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
 GROUP BY uuid, source_node_uuid, target_node_uuid, name, group_id"""
 
+    o["sr_previous_episodes"] = p + """
+SELECT group_id, uuid, valid_at,
+       coalesce(array_to_string(
+         list_reverse(coalesce(
+           list(uuid) OVER (PARTITION BY group_id ORDER BY valid_at ASC, uuid ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []
+         ))[1:3], ','), '') AS prev_csv
+FROM episodes"""
+
+    o["kg_duplicate_of"] = p + """
+SELECT DISTINCT alias_uuid AS source_node_uuid,
+       canonical_uuid AS target_node_uuid,
+       group_id, 'IS_DUPLICATE_OF' AS name
+FROM canonical_map WHERE alias_uuid <> canonical_uuid"""
+
     o["mm_frame_sample"] = """
 WITH media AS (
   SELECT doc_id AS media_id,

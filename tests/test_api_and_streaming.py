@@ -1,0 +1,186 @@
+"""Facade (CRUD, filters, search orchestrator, removal), attribute ops,
+invalidation candidates, and streaming ingestion."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import (
+    DateFilter,
+    GraphitiSpark,
+    SearchFilters,
+    duplicate_of_edges,
+    previous_episodes_bulk,
+)
+from graphiti_spark.operators.attributes import (
+    append_fact_summaries,
+    apply_capped_attributes,
+    parse_edge_timestamps,
+)
+from graphiti_spark.sources import synth_source_files
+
+
+@pytest.fixture(scope="module")
+def gs(spark, sf_dir):
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir))
+    return g
+
+
+def test_crud_and_pagination(gs):
+    page1 = gs.edges_by_group(["megacorp/monorepo"], limit=10).collect()
+    assert len(page1) == 10
+    cursor = page1[-1]["uuid"]
+    page2 = gs.edges_by_group(["megacorp/monorepo"], limit=10, cursor=cursor).collect()
+    assert len(page2) == 10
+    assert all(r["uuid"] < cursor for r in page2)
+    some = [r["uuid"] for r in page1[:3]]
+    assert gs.nodes_by_uuids(some).count() == 0  # edge uuids are not node uuids
+    nuuids = [r["uuid"] for r in gs._table("nodes").limit(3).collect()]
+    assert gs.nodes_by_uuids(nuuids).count() == 3
+
+
+def test_search_filters_pushdown(gs):
+    f = SearchFilters(
+        edge_types=["OPERATES_ON"],
+        date_filters=[[DateFilter("expired_at", "IS NULL")]],
+    )
+    res = gs.search("spark merge query", limit=5, filters=f)
+    assert set(res) == {"edges", "nodes", "episodes"}
+    assert 0 < res["edges"].count() <= 5
+    # every returned edge satisfies the pushed filter
+    hits = [r["uuid"] for r in res["edges"].collect()]
+    check = gs._table("edges").where(F.col("uuid").isin(hits))
+    assert check.where("name <> 'OPERATES_ON' OR expired_at IS NOT NULL").count() == 0
+
+
+def test_remove_episode_drops_orphans(gs, spark):
+    ep = gs._table("episodes").limit(1).collect()[0]["uuid"]
+    out = gs.remove_episode(ep)
+    assert out["episodes"].where(F.col("uuid") == ep).count() == 0
+    assert out["mentions"].where(F.col("episode_uuid") == ep).count() == 0
+    # no surviving edge lists the removed episode as provenance
+    assert out["edges"].where(F.array_contains("episodes", ep)).count() == 0
+
+
+def test_clear_group(gs):
+    out = gs.clear_group(["megacorp/monorepo"])
+    for t, df in out.items():
+        assert df.where(F.col("group_id") == "megacorp/monorepo").count() == 0, t
+
+
+def test_duplicate_of_and_previous_episodes(gs, spark, sf_dir):
+    g = gs._session_graph
+    dup = duplicate_of_edges(g.canonical_map)
+    assert dup.where("source_node_uuid = target_node_uuid").count() == 0
+    prev = previous_episodes_bulk(g.episodes).collect()
+    by_group = {}
+    for r in prev:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: (r["valid_at"], r["uuid"]))
+        assert rows[0]["previous_episode_uuids"] == []
+        for i, r in enumerate(rows):
+            assert len(r["previous_episode_uuids"]) == min(i, 3)
+
+
+def test_apply_capped_attributes(spark):
+    df = spark.createDataFrame(
+        [("n1", {"keep": "v"}, {"ok": "x", "big": "y" * 300})],
+        "uuid string, attributes map<string,string>, proposed_attributes map<string,string>",
+    )
+    out = apply_capped_attributes(df).collect()[0]["attributes"]
+    assert out == {"keep": "v", "ok": "x"}  # over-cap value dropped
+
+
+def test_append_fact_summaries(spark):
+    nodes = spark.createDataFrame([("a", "Entity a")], "uuid string, summary string")
+    edges = spark.createDataFrame(
+        [("e1", "a", "b", "a OPERATES_ON b"), ("e2", "c", "a", "c FEEDS a")],
+        "uuid string, source_node_uuid string, target_node_uuid string, fact string",
+    )
+    out = append_fact_summaries(nodes, edges).collect()[0]["summary"]
+    assert "OPERATES_ON" in out and "FEEDS" in out and out.startswith("Entity a")
+
+
+def test_parse_edge_timestamps(spark):
+    rows = [
+        ("e1", "alice WORKS_AT acme since 2020", None, None, "2024-05-01"),
+        ("e2", "bob WORKS_AT inc from 2019 to 2021", None, None, "2024-05-01"),
+        ("e3", "carol LIVES_IN town until 2022", None, None, "2024-05-01"),
+        ("e4", "dan KNOWS erin", None, None, "2024-05-01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, fact string, valid_at string, invalid_at string, reference_time string"
+    )
+    for c in ("valid_at", "invalid_at", "reference_time"):
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    out = {r["uuid"]: r for r in parse_edge_timestamps(df).collect()}
+    assert out["e1"]["valid_at"] == dt.datetime(2020, 1, 1)
+    assert out["e2"]["valid_at"] == dt.datetime(2019, 1, 1)
+    assert out["e2"]["invalid_at"] == dt.datetime(2021, 1, 1)
+    assert out["e3"]["invalid_at"] == dt.datetime(2022, 1, 1)
+    assert out["e4"]["valid_at"] == dt.datetime(2024, 5, 1)  # reference_time fallback
+
+
+def test_invalidation_candidates(spark):
+    from graphiti_spark.operators.temporal import invalidation_candidates
+
+    cols = ("uuid string, group_id string, source_node_uuid string, "
+            "target_node_uuid string, fact string")
+    existing = spark.createDataFrame(
+        [
+            ("e1", "g", "alice", "acme", "alice works at acme"),
+            ("e2", "g", "alice", "initech", "alice works at initech"),
+            ("e3", "g", "zoe", "acme", "zoe works at acme"),
+            ("e4", "g2", "alice", "acme", "alice works at acme"),
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [("n1", "g", "alice", "globex", "alice works at globex")], cols
+    )
+    got = {r["uuid"]: r for r in
+           invalidation_candidates(existing, new, min_score=0.3).collect()}
+    assert "e1" in got and "e2" in got  # share the 'alice' endpoint
+    assert "e4" not in got              # other group
+    assert got["e1"]["score"] > 0.3
+
+
+def test_streaming_ingest_and_watermark(spark, sf_dir, tmp_path_factory):
+    from graphiti_spark.storage.writer import GraphStore
+    from graphiti_spark.streaming.ingest import (
+        read_source_stream,
+        stream_ingest,
+        streaming_mention_counts,
+    )
+
+    in_dir = str(tmp_path_factory.mktemp("stream_in"))
+    ck_dir = str(tmp_path_factory.mktemp("stream_ck"))
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("stream_store")), n_buckets=8)
+
+    src = synth_source_files(spark, sf_dir).limit(60)
+    src.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    q = stream_ingest(read_source_stream(spark, in_dir), store, ck_dir)
+    q.awaitTermination(180)
+    edges = store.read("edges")
+    assert edges is not None and edges.count() > 0
+    # idempotence across a second availableNow pass (no new files)
+    n1 = edges.count()
+    q2 = stream_ingest(read_source_stream(spark, in_dir), store, ck_dir)
+    q2.awaitTermination(120)
+    assert store.read("edges").count() == n1
+
+    # watermarked windowed aggregation plan builds and is streaming
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    ep_stream = episodes_from_source_files(
+        read_source_stream(spark, in_dir), chunk=False
+    )
+    agg = streaming_mention_counts(ep_stream)
+    assert agg.isStreaming
