@@ -96,6 +96,28 @@ class SearchFilters:
 
 
 # ---------------------------------------------------------------------------
+# SearchConfig recipes (search/search_config_recipes.py:34-223)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchConfig:
+    """Canned retrieval configurations: which scopes run, candidate
+    expansion, and the reranker — the reference ships 17 recipes built
+    from the same three axes."""
+
+    scopes: tuple[str, ...] = ("edges", "nodes", "episodes")
+    limit: int = config.DEFAULT_SEARCH_LIMIT
+    rerank: str = "rrf"  # rrf | mmr
+
+
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("edges",))
+NODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("nodes",))
+EPISODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("episodes",))
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(rerank="mmr")
+
+
+# ---------------------------------------------------------------------------
 # derived provenance tables
 # ---------------------------------------------------------------------------
 
@@ -255,6 +277,7 @@ class GraphitiSpark:
         limit: int = config.DEFAULT_SEARCH_LIMIT,
         filters: SearchFilters | None = None,
         rerank: str = "rrf",
+        search_config: "SearchConfig | None" = None,
     ) -> dict[str, DataFrame]:
         """Hybrid search fan-out (search.py:98-250): per scope, BM25 and
         cosine candidates at 2x limit, fused with RRF (or MMR over the
@@ -263,9 +286,17 @@ class GraphitiSpark:
         from pyspark.sql import Window
 
         from graphiti_spark.functions.embeddings import hash_embed
+        from graphiti_spark.functions.text import sanitize_query
         from graphiti_spark.operators.search import bm25_scores, rrf
         from graphiti_spark.operators.similarity import knn_bruteforce
 
+        if search_config is not None:
+            limit, rerank = search_config.limit, search_config.rerank
+        active_scopes = (
+            search_config.scopes if search_config is not None
+            else ("edges", "nodes", "episodes")
+        )
+        query = sanitize_query(query)
         terms = [t for t in query.lower().split() if t]
         out: dict[str, DataFrame] = {}
 
@@ -309,6 +340,7 @@ class GraphitiSpark:
             "nodes": (nodes, "uuid", "name"),
             "episodes": (episodes, "uuid", "content"),
         }
+        scopes = {k: v for k, v in scopes.items() if k in active_scopes}
         for scope, (df, id_col, text_col) in scopes.items():
             lists = [ranked_bm25(df, id_col, text_col),
                      ranked_cosine(df, id_col, text_col)]

@@ -72,6 +72,37 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+MAX_QUERY_LENGTH = 128  # reference helpers.py:68
+
+
+def sanitize_query(query: str) -> str:
+    """Fulltext-query sanitization (lucene_sanitize, helpers.py:79-113):
+    strip operator characters, collapse whitespace, cap length at
+    MAX_QUERY_LENGTH — applied before tokenizing a user query."""
+    import re
+
+    cleaned = re.sub(r'[+\-!(){}\[\]^"~*?:\\/&|<>=]', " ", query)
+    cleaned = re.sub(r"\s+", " ", cleaned).strip()
+    return cleaned[:MAX_QUERY_LENGTH]
+
+
+def concatenate_episodes(episodes_struct: Column) -> Column:
+    """Multi-episode prompt packing (text_utils.py:62-75): sorted
+    ``[Episode N] (timestamp: ...) content`` blocks joined by newlines.
+    Input: array<struct<idx:int, valid_at:timestamp, content:string>>."""
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(episodes_struct),
+            lambda e: F.concat(
+                F.lit("[Episode "), e["idx"].cast("string"),
+                F.lit("] (timestamp: "), e["valid_at"].cast("string"),
+                F.lit(") "), e["content"],
+            ),
+        ),
+    )
+
+
 def tokenize(text: Column) -> Column:
     """whitespace word tokenizer with lowercase + punctuation strip —
     the BM25/fulltext tokenization (reference delegates to Lucene;

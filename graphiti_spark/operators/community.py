@@ -83,6 +83,72 @@ def label_propagation(
     return labels.join(canon, "label").select("group_id", "uuid", "community")
 
 
+def summarize_communities(
+    assignments: DataFrame, nodes: DataFrame, max_chars: int = 1000
+) -> DataFrame:
+    """Hierarchical pairwise summary reduction (build_community,
+    community_operations.py:174-213): members are combined two-at-a-time in
+    log-depth rounds. The reference's combine step is an LLM call; the
+    deterministic combine is ordered concatenation (swap ``_combine`` for a
+    model client on a real deployment — the reduction shape is the point).
+    """
+    from pyspark.sql import Window
+
+    members = (
+        assignments.join(nodes.select("uuid", "summary"), "uuid")
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("group_id", "community").orderBy("uuid")
+            ),
+        )
+        .select("group_id", "community", "idx", "summary")
+    )
+    current = members
+    # log-depth pairwise reduce: idx -> ceil(idx/2), concat pairs
+    for _ in range(20):
+        if current.groupBy("group_id", "community").count().agg(
+            F.max("count")
+        ).collect()[0][0] <= 1:
+            break
+        current = (
+            current.withColumn("pair", F.ceil(F.col("idx") / 2))
+            .groupBy("group_id", "community", "pair")
+            .agg(F.concat_ws(" | ", F.array_sort(F.collect_list("summary"))).alias("summary"))
+            .withColumnRenamed("pair", "idx")
+        ).localCheckpoint()
+    return current.select(
+        "group_id",
+        "community",
+        F.substring("summary", 1, max_chars).alias("summary"),
+    )
+
+
+def assign_new_members(
+    adjacency: DataFrame, assignments: DataFrame, new_nodes: DataFrame
+) -> DataFrame:
+    """Incremental community assignment (determine_entity_community /
+    update_community, community_operations.py:274-367): a new entity joins
+    the modal community among its already-assigned neighbors; ties toward
+    the larger community id."""
+    votes = (
+        adjacency.join(new_nodes.select(F.col("uuid").alias("a")), "a")
+        .join(
+            assignments.select(F.col("uuid").alias("b"), "community"), "b"
+        )
+        .groupBy("group_id", "a", "community")
+        .agg(F.sum("edge_count").alias("w"))
+    )
+    return (
+        votes.groupBy("group_id", F.col("a").alias("uuid"))
+        .agg(
+            F.max_by(
+                "community", F.struct(F.col("w"), F.col("community"))
+            ).alias("community")
+        )
+    )
+
+
 def community_nodes(edges: DataFrame) -> DataFrame:
     """End-to-end: edges → adjacency → label propagation → community
     assignments + member counts (CommunityNode analog, nodes.py:687-689)."""

@@ -1,0 +1,92 @@
+"""Community summaries, incremental assignment, semantic dedup pairs,
+query sanitization, episode packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.text import concatenate_episodes, sanitize_query
+from graphiti_spark.operators.community import (
+    assign_new_members,
+    build_adjacency,
+    label_propagation,
+    summarize_communities,
+)
+from graphiti_spark.operators.resolution import semantic_duplicate_pairs
+
+EDGE_COLS = (
+    "uuid string, group_id string, source_node_uuid string, "
+    "target_node_uuid string, name string"
+)
+
+
+def test_summarize_communities_tree_reduce(spark):
+    edges = spark.createDataFrame(
+        [("e1", "g", "a", "b", "R"), ("e2", "g", "b", "c", "R"),
+         ("e3", "g", "a", "c", "R")],
+        EDGE_COLS,
+    )
+    assign = label_propagation(build_adjacency(edges))
+    nodes = spark.createDataFrame(
+        [("a", "sum-a"), ("b", "sum-b"), ("c", "sum-c")], "uuid string, summary string"
+    )
+    out = summarize_communities(assign, nodes).collect()
+    assert len(out) == 1
+    s = out[0]["summary"]
+    assert "sum-a" in s and "sum-b" in s and "sum-c" in s
+
+
+def test_assign_new_members_mode_of_neighbors(spark):
+    edges = spark.createDataFrame(
+        [("e1", "g", "a", "b", "R"), ("e2", "g", "b", "c", "R"),
+         ("e3", "g", "a", "c", "R"),
+         # new node n touches the abc clique twice, the xy pair once
+         ("e4", "g", "n", "a", "R"), ("e5", "g", "n", "b", "R"),
+         ("e6", "g", "n", "x", "R"),
+         ("e7", "g", "x", "y", "R")],
+        EDGE_COLS,
+    )
+    adj = build_adjacency(edges)
+    base_edges = spark.createDataFrame(
+        [("e1", "g", "a", "b", "R"), ("e2", "g", "b", "c", "R"),
+         ("e3", "g", "a", "c", "R"), ("e7", "g", "x", "y", "R")],
+        EDGE_COLS,
+    )
+    assignments = label_propagation(build_adjacency(base_edges))
+    new = spark.createDataFrame([("n",)], "uuid string")
+    got = assign_new_members(adj, assignments, new).collect()
+    assert len(got) == 1 and got[0]["community"] == "a"  # plurality wins
+
+
+def test_semantic_duplicate_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(64); v /= np.linalg.norm(v)
+    near = v + 0.05 * rng.standard_normal(64); near /= np.linalg.norm(near)
+    far = rng.standard_normal(64); far /= np.linalg.norm(far)
+    cands = spark.createDataFrame(
+        [("u1", "g", [float(x) for x in v]),
+         ("u2", "g", [float(x) for x in near]),
+         ("u3", "g", [float(x) for x in far])],
+        "uuid string, group_id string, name_embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]) for r in semantic_duplicate_pairs(cands).collect()}
+    assert ("u1", "u2") in pairs
+    assert all("u3" not in p for p in pairs)
+
+
+def test_sanitize_query():
+    assert sanitize_query('spark AND (merge || "join")~2') == "spark AND merge join 2"
+    assert len(sanitize_query("x" * 500)) == 128
+
+
+def test_concatenate_episodes(spark):
+    df = spark.createDataFrame(
+        [([ (2, "2024-01-02 00:00:00", "second"),
+            (1, "2024-01-01 00:00:00", "first") ],)],
+        "eps array<struct<idx:int, valid_at:string, content:string>>",
+    )
+    out = df.select(concatenate_episodes(F.col("eps")).alias("s")).collect()[0]["s"]
+    assert out.index("[Episode 1]") < out.index("[Episode 2]")
+    assert "first" in out and "second" in out
