@@ -179,6 +179,67 @@ def previous_episodes_bulk(
     )
 
 
+def _rewrite_graph(g: GraphTables, remap: DataFrame) -> GraphTables:
+    """Rewrite a batch's canonical node ids through (alias_uuid →
+    canonical_uuid) and restore invariants: edge uuids are recomputed from
+    their content (ids are derivations, never carried stale), edges with
+    colliding keys merge provenance, remapped node rows drop (the existing
+    node row already lives in the store)."""
+    from graphiti_spark.ids import edge_uuid
+
+    def rw(df: DataFrame, col: str) -> DataFrame:
+        m = remap.select(
+            F.col("alias_uuid").alias(col), F.col("canonical_uuid").alias("_new")
+        )
+        return (
+            df.join(m, col, "left")
+            .withColumn(col, F.coalesce("_new", col))
+            .drop("_new")
+        )
+
+    edges = rw(rw(g.edges, "source_node_uuid"), "target_node_uuid")
+    fact_norm = F.lower(F.trim(F.col("fact")))
+    edges = (
+        edges.groupBy(
+            "group_id", "source_node_uuid", "target_node_uuid", "name",
+            fact_norm.alias("_fn"),
+        )
+        .agg(
+            F.min("fact").alias("fact"),
+            F.first("fact_embedding").alias("fact_embedding"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("episodes")))
+            ).alias("episodes"),
+            F.sum("n_episodes").alias("n_episodes"),
+            F.min("created_at").alias("created_at"),
+            F.min("valid_at").alias("valid_at"),
+            F.min("invalid_at").alias("invalid_at"),
+            F.min("expired_at").alias("expired_at"),
+            F.min("reference_time").alias("reference_time"),
+            F.first("attributes").alias("attributes"),
+        )
+        .withColumn(
+            "uuid",
+            edge_uuid("group_id", "source_node_uuid", "target_node_uuid",
+                      F.col("name"), F.col("_fn")),
+        )
+        .drop("_fn")
+        .select(g.edges.columns)
+    )
+    nodes = g.nodes.join(
+        remap.select(F.col("alias_uuid").alias("uuid")), "uuid", "left_anti"
+    )
+    mentions = rw(g.mentions, "node_uuid").dropDuplicates(
+        ["episode_uuid", "node_uuid"]
+    )
+    canonical_map = rw(g.canonical_map, "canonical_uuid")
+    name_map = rw(g.name_map, "canonical_uuid")
+    return GraphTables(
+        episodes=g.episodes, nodes=nodes, edges=edges, mentions=mentions,
+        canonical_map=canonical_map, name_map=name_map,
+    )
+
+
 # ---------------------------------------------------------------------------
 # facade
 # ---------------------------------------------------------------------------
@@ -199,14 +260,72 @@ class GraphitiSpark:
     # ---- ingest ---------------------------------------------------------
 
     def add_episode_bulk(self, source_files: DataFrame, fuzzy: bool = True) -> GraphTables:
+        """Batch ingest. With a store attached, new mentions are resolved
+        against the LIVE graph first via the persistent name_index — the
+        first batch to canonicalize a (group, normalized name) owns the
+        node uuid and later batches adopt it (the reference's
+        resolve-vs-existing-graph step, graphiti.py:1131-1137 /
+        node_operations.py:627-708). Without this, batch-local canonical
+        ids would drift across incremental ingests."""
         g = build_graph(source_files, fuzzy=fuzzy)
         if self.store is not None:
+            existing = self.store.read("name_index")
+            if existing is not None:
+                ex = existing.select(
+                    "group_id", "norm_name",
+                    F.col("canonical_uuid").alias("_existing_uuid"),
+                )
+                # localCheckpoint, not persist: the rewritten tables keep
+                # referencing this remap lazily after name_index is
+                # overwritten below — the lineage back to the old files
+                # must be severed, not merely cached
+                remap = (
+                    g.name_map.join(ex, ["group_id", "norm_name"])
+                    .where(F.col("canonical_uuid") != F.col("_existing_uuid"))
+                    .select(
+                        F.col("canonical_uuid").alias("alias_uuid"),
+                        F.col("_existing_uuid").alias("canonical_uuid"),
+                    )
+                    .distinct()
+                    .localCheckpoint()
+                )
+                if remap.count() > 0:
+                    g = _rewrite_graph(g, remap)
             self.store.merge_upsert("episodes", g.episodes)
             self.store.merge_upsert("nodes", g.nodes)
             self.store.merge_upsert("edges", g.edges)
             self.store.merge_upsert("mentions", g.mentions)
+            self.store.merge_upsert("name_index", g.name_map)
+            self._reinvalidate_affected(g)
         self._session_graph = g
         return g
+
+    def _reinvalidate_affected(self, g: GraphTables) -> None:
+        """Incremental bi-temporal maintenance: new facts can contradict
+        STORED facts (and vice versa — the new-edge self-expiry rule), so
+        after the merge, contradiction windows are recomputed for exactly
+        the (group, subject, predicate) keys this batch touched and merged
+        back (the set-based analog of edge_operations.py:538-573 + 825-839
+        run against the live graph)."""
+        from graphiti_spark.operators.temporal import invalidate_contradictions
+
+        stored = self.store.read("edges")
+        if stored is None:
+            return
+        affected = g.edges.select(
+            "group_id", "source_node_uuid", "name"
+        ).distinct()
+        aff = stored.drop("bucket").join(
+            affected, ["group_id", "source_node_uuid", "name"], "left_semi"
+        )
+        cols = [c for c in aff.columns]
+        refreshed = (
+            invalidate_contradictions(
+                aff.withColumn("invalid_at", F.lit(None).cast("timestamp"))
+                .withColumn("expired_at", F.lit(None).cast("timestamp"))
+            ).select(cols)
+        )
+        self.store.merge_upsert("edges", refreshed)
 
     def add_episode(self, source_file_row: DataFrame) -> GraphTables:
         """Single-episode ingest = a one-row micro-batch of the same DAG
@@ -268,6 +387,20 @@ class GraphitiSpark:
             df = df.where(F.col("uuid") < cursor)
         df = df.orderBy(F.desc("uuid"))
         return df.limit(limit) if limit else df
+
+    def get_mentioned_nodes(self, episode_uuids: list[str]) -> DataFrame:
+        """Entities mentioned by the given episodes (search_utils.py:116)."""
+        m = self._table("mentions").where(F.col("episode_uuid").isin(*episode_uuids))
+        return self._table("nodes").join(
+            m.select(F.col("node_uuid").alias("uuid")).distinct(), "uuid", "left_semi"
+        )
+
+    def get_episodes_by_mentions(self, node_uuids: list[str]) -> DataFrame:
+        """Episodes mentioning the given entities (search_utils.py:150)."""
+        m = self._table("mentions").where(F.col("node_uuid").isin(*node_uuids))
+        return self._table("episodes").join(
+            m.select(F.col("episode_uuid").alias("uuid")).distinct(), "uuid", "left_semi"
+        )
 
     # ---- retrieval -------------------------------------------------------
 

@@ -190,6 +190,101 @@ def node_distance_rerank(
     )
 
 
+def get_relevant_nodes(
+    probes: DataFrame,
+    nodes: DataFrame,
+    min_score: float = config.DEFAULT_MIN_SCORE,
+    limit: int = config.SEMANTIC_CANDIDATE_LIMIT,
+) -> DataFrame:
+    """Batched per-probe hybrid candidate retrieval (search_utils.py:
+    1237-1388): for each probe (uuid, group_id, name[, name_embedding]),
+    the union of exact-normalized-name matches and embedding-cosine
+    candidates (>= min_score, top ``limit``), deduped per probe.
+
+    Exact arm: equi-join on (group_id, norm name) — group-partitioned.
+    Cosine arm: probe-broadcast scan when embeddings are present.
+    """
+    from graphiti_spark.functions.embeddings import cosine
+    from graphiti_spark.functions.text import normalize_exact
+
+    p = probes.select(
+        F.col("uuid").alias("probe_uuid"),
+        "group_id",
+        normalize_exact(F.col("name")).alias("_pnorm"),
+        *([F.col("name_embedding").alias("_pemb")]
+          if "name_embedding" in probes.columns else []),
+    )
+    n = nodes.select(
+        "uuid", "group_id", "name",
+        normalize_exact(F.col("name")).alias("_nnorm"),
+        *([F.col("name_embedding").alias("_nemb")]
+          if "name_embedding" in nodes.columns else []),
+    )
+    exact = (
+        p.join(n, (p.group_id == n.group_id) & (p._pnorm == n._nnorm))
+        .select("probe_uuid", "uuid", F.lit(1.0).alias("score"))
+    )
+    arms = [exact]
+    if "_pemb" in p.columns and "_nemb" in n.columns:
+        scored = (
+            n.join(F.broadcast(p.select("probe_uuid", "group_id", "_pemb")),
+                   "group_id")
+            .withColumn("score", F.round(cosine(F.col("_nemb"), F.col("_pemb")), 4))
+            .where(F.col("score") >= min_score)
+        )
+        w = Window.partitionBy("probe_uuid").orderBy(F.desc("score"), F.asc("uuid"))
+        arms.append(
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= limit)
+            .select("probe_uuid", "uuid", "score")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    w2 = Window.partitionBy("probe_uuid", "uuid").orderBy(F.desc("score"))
+    return (
+        out.withColumn("_r", F.row_number().over(w2))
+        .where((F.col("_r") == 1) & (F.col("probe_uuid") != F.col("uuid")))
+        .drop("_r")
+    )
+
+
+def get_relevant_edges(
+    new_edges: DataFrame,
+    edges: DataFrame,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Batched same-endpoint edge candidates (search_utils.py:1391-1574):
+    for each new edge, existing edges with the SAME endpoint pair (either
+    orientation), scored by fact word overlap."""
+    from graphiti_spark.functions.text import jaccard, tokenize
+
+    n = new_edges.select(
+        F.col("uuid").alias("new_uuid"), "group_id",
+        F.col("source_node_uuid").alias("n_src"),
+        F.col("target_node_uuid").alias("n_dst"),
+        F.col("fact").alias("new_fact"),
+    )
+    e = edges.select(
+        "uuid", "group_id",
+        F.col("source_node_uuid").alias("e_src"),
+        F.col("target_node_uuid").alias("e_dst"), "fact",
+    )
+    same = n.join(
+        e,
+        (n.group_id == e.group_id)
+        & (((n.n_src == e.e_src) & (n.n_dst == e.e_dst))
+           | ((n.n_src == e.e_dst) & (n.n_dst == e.e_src))),
+    ).drop(e.group_id)
+    score = F.round(jaccard(tokenize(F.col("new_fact")), tokenize(F.col("fact"))), 4)
+    return (
+        same.where(F.col("uuid") != F.col("new_uuid"))
+        .withColumn("score", score)
+        .where(F.col("score") >= min_overlap)
+        .select("new_uuid", "uuid", "group_id", "score")
+    )
+
+
 def bfs_edges(
     edges: DataFrame,
     origin_uuids: list[str],

@@ -1,0 +1,138 @@
+"""Cross-batch compaction: periodic fuzzy re-dedup of the stored graph.
+
+Streaming micro-batches run with ``fuzzy=False`` (streaming/ingest.py):
+exact name resolution is a pure function of (group, name) so it is stable
+across batches, but *fuzzy* duplicates (punctuation variants etc.) arriving
+in different batches end up as distinct canonical nodes. This plan is the
+batch companion the reference also relies on (its add_episode path defers
+cross-batch cleanup to dedupe_nodes_bulk semantics):
+
+  1. LSH self-join over the STORED node names per group → verified pairs
+  2. connected components → alias→canonical remap
+  3. MERGE: rewrite edge endpoints + mention node ids through the remap,
+     re-run contradiction invalidation on affected (group, src, predicate)
+     keys, drop merged node rows, record IS_DUPLICATE_OF provenance.
+
+Everything is keyed by content-derived ids, so compaction is idempotent —
+running it twice is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark.functions.text import normalize_exact
+from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
+from graphiti_spark.operators.resolution import fuzzy_duplicate_pairs
+from graphiti_spark.operators.temporal import invalidate_contradictions
+from graphiti_spark.storage.writer import GraphStore
+
+
+def compact_store(store: GraphStore) -> dict[str, int]:
+    """Run one compaction pass over the store. Returns counters."""
+    nodes = store.read("nodes")
+    edges = store.read("edges")
+    mentions = store.read("mentions")
+    if nodes is None or edges is None:
+        return {"merged_nodes": 0}
+    nodes, edges = nodes.drop("bucket"), edges.drop("bucket")
+    mentions = mentions.drop("bucket") if mentions is not None else None
+
+    cands = nodes.select(
+        "uuid", "group_id", normalize_exact(F.col("name")).alias("norm_name")
+    )
+    pairs = fuzzy_duplicate_pairs(cands).persist()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        pairs.unpersist()
+        return {"merged_nodes": 0}
+
+    remap = canonical_map_from_pairs(pairs, n_pairs)  # alias -> canonical
+    pairs.unpersist()
+    losers = remap.where(F.col("alias_uuid") != F.col("canonical_uuid")).persist()
+    n_merged = losers.count()
+    if n_merged == 0:
+        return {"merged_nodes": 0}
+
+    def rewrite(df: DataFrame, col: str) -> DataFrame:
+        m = losers.withColumnRenamed("alias_uuid", col)
+        return (
+            df.join(m, col, "left")
+            .withColumn(col, F.coalesce("canonical_uuid", col))
+            .drop("canonical_uuid")
+        )
+
+    edges2 = rewrite(rewrite(edges, "source_node_uuid"), "target_node_uuid")
+    # re-dedup rows whose keys collided after the rewrite, re-invalidate
+    from graphiti_spark import config as _c
+
+    from graphiti_spark.ids import edge_uuid
+
+    edges2 = (
+        edges2.groupBy("group_id", "source_node_uuid", "target_node_uuid",
+                       "name", F.lower(F.trim("fact")).alias("_fn"))
+        .agg(
+            F.min("fact").alias("fact"),
+            F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("episodes")))),
+                    1, _c.EDGE_EPISODE_PROVENANCE_CAP).alias("episodes"),
+            F.sum("n_episodes").alias("n_episodes"),
+            F.min("created_at").alias("created_at"),
+            F.min("valid_at").alias("valid_at"),
+            F.min("reference_time").alias("reference_time"),
+            F.first("fact_embedding").alias("fact_embedding"),
+            F.first("attributes").alias("attributes"),
+        )
+        .withColumn(
+            "uuid",
+            edge_uuid("group_id", "source_node_uuid", "target_node_uuid",
+                      F.col("name"), F.col("_fn")),
+        )
+        .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+        .withColumn("expired_at", F.lit(None).cast("timestamp"))
+        .drop("_fn")
+    )
+    edges2 = invalidate_contradictions(edges2).select(edges.columns)
+
+    # keep the name index pointing at survivors
+    name_index = store.read("name_index")
+    if name_index is not None:
+        loser_map = losers.select(
+            F.col("alias_uuid").alias("canonical_uuid"),
+            F.col("canonical_uuid").alias("_surv"),
+        )
+        ni = (
+            name_index.drop("bucket")
+            .join(loser_map, "canonical_uuid", "left")
+            .withColumn("canonical_uuid", F.coalesce("_surv", "canonical_uuid"))
+            .drop("_surv")
+        )
+        store.merge_upsert("name_index", ni)
+
+    mentions2 = rewrite(mentions, "node_uuid").dropDuplicates(
+        ["episode_uuid", "node_uuid"]
+    ) if mentions is not None else None
+
+    # survivor nodes keep their row; losers dropped (labels already unioned
+    # at name grain; cross-name label union happens via canonical row)
+    nodes2 = nodes.join(
+        losers.select(F.col("alias_uuid").alias("uuid")), "uuid", "left_anti"
+    )
+
+    # compaction REWRITES (rows merge away, not just update), so the whole
+    # recomputed tables replace the old ones — on Iceberg this is one
+    # transactional REPLACE; here an overwrite per table. All inputs were
+    # fully read before any write, and ids are content-derived, so a crash
+    # between writes is repaired by re-running compaction (idempotent).
+    def _replace(table: str, df: DataFrame) -> None:
+        out = df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("group_id"), F.lit(store.n_buckets)).cast("int"),
+        ).localCheckpoint()  # break lineage: we overwrite our own input files
+        out.write.mode("overwrite").partitionBy("bucket").parquet(store._path(table))
+
+    _replace("edges", edges2.select(edges.columns))
+    if mentions2 is not None:
+        _replace("mentions", mentions2.select(mentions.columns))
+    _replace("nodes", nodes2.select(nodes.columns))
+    losers.unpersist()
+    return {"merged_nodes": n_merged}

@@ -37,6 +37,11 @@ class GraphTables:
     edges: DataFrame
     mentions: DataFrame
     canonical_map: DataFrame
+    # (group_id, norm_name, canonical_uuid) — the name-grain resolution
+    # index; persisted across batches so incremental ingest resolves new
+    # mentions against the live graph (the reference's
+    # resolve_extracted_nodes-vs-existing-graph step)
+    name_map: DataFrame | None = None
 
 
 def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
@@ -87,6 +92,7 @@ def build_graph(
         edges=edges,
         mentions=mentions,
         canonical_map=canonical_map,
+        name_map=name_map,
     )
 
 

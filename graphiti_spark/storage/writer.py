@@ -30,12 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 N_BUCKETS_DEFAULT = 64
 
-TABLES = ("episodes", "nodes", "edges", "mentions")
+TABLES = ("episodes", "nodes", "edges", "mentions", "name_index")
 KEYS = {
     "episodes": ["uuid"],
     "nodes": ["uuid"],
     "edges": ["uuid"],
     "mentions": ["episode_uuid", "node_uuid"],
+    # name-grain resolution index: first writer of a (group, norm name)
+    # owns the canonical uuid; later batches adopt it at ingest
+    "name_index": ["group_id", "norm_name"],
 }
 
 
@@ -89,6 +92,11 @@ class GraphStore:
             .where(F.col("_rk") == 1)
             .drop("_new", "_rk")
         )
+        # break lineage before overwriting: updates may derive from the very
+        # files the dynamic overwrite replaces (self-merge), and a lazy scan
+        # during the write would read deleted parts. On Iceberg, snapshot
+        # isolation of MERGE INTO makes this a non-issue.
+        merged = merged.localCheckpoint()
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

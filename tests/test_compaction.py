@@ -1,0 +1,78 @@
+"""Cross-batch compaction: fuzzy duplicates arriving in different
+micro-batches get merged; compaction is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import GraphitiSpark
+from graphiti_spark.operators.search import get_relevant_edges, get_relevant_nodes
+from graphiti_spark.plans.compaction import compact_store
+from graphiti_spark.storage.writer import GraphStore
+
+SRC = (
+    "repo string, path string, commit string, lang string, content string, "
+    "content_sha256 string, file_seq long"
+)
+
+
+def _batch(spark, seq, content):
+    import hashlib
+
+    return spark.createDataFrame(
+        [("org/r", f"f{seq}.py", f"c{seq:03d}{'0'*37}", "en", content,
+          hashlib.sha256(content.encode()).hexdigest(), seq)],
+        SRC,
+    )
+
+
+def test_compaction_merges_cross_batch_fuzzy_dups(spark, tmp_path_factory):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("compact")), n_buckets=4)
+    gs = GraphitiSpark(spark, store)
+    # two batches, fuzzy OFF (the streaming mode): punctuation variants of
+    # the same entity land as distinct canonical nodes
+    gs.add_episode_bulk(_batch(spark, 1, "joe-michaels joined acme yesterday"),
+                        fuzzy=False)
+    gs.add_episode_bulk(_batch(spark, 2, "joemichaels joined acme again today"),
+                        fuzzy=False)
+    names = {r["name"] for r in store.read("nodes").collect()}
+    assert {"joe-michaels", "joemichaels"} <= names
+
+    out = compact_store(store)
+    assert out["merged_nodes"] == 1
+    nodes_after = store.read("nodes")
+    kept = {r["name"] for r in nodes_after.collect()}
+    assert len({"joe-michaels", "joemichaels"} & kept) == 1
+    # no dangling endpoints after the rewrite
+    nid = nodes_after.select(F.col("uuid").alias("nid"))
+    e = store.read("edges")
+    assert e.join(nid, e.source_node_uuid == nid.nid, "left_anti").count() == 0
+    assert e.join(nid, e.target_node_uuid == nid.nid, "left_anti").count() == 0
+
+    # idempotent: second pass merges nothing and changes nothing
+    before = e.count()
+    assert compact_store(store)["merged_nodes"] == 0
+    assert store.read("edges").count() == before
+
+
+def test_get_relevant_nodes_and_edges(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "g", "Acme Corp"), ("n2", "g", "acme  corp"), ("n3", "g", "Globex")],
+        "uuid string, group_id string, name string",
+    )
+    probes = spark.createDataFrame(
+        [("p1", "g", "ACME CORP")], "uuid string, group_id string, name string"
+    )
+    got = {(r["probe_uuid"], r["uuid"]) for r in get_relevant_nodes(probes, nodes).collect()}
+    assert got == {("p1", "n1"), ("p1", "n2")}
+
+    cols = ("uuid string, group_id string, source_node_uuid string, "
+            "target_node_uuid string, fact string")
+    existing = spark.createDataFrame(
+        [("e1", "g", "a", "b", "a likes b"), ("e2", "g", "b", "a", "b likes a"),
+         ("e3", "g", "a", "c", "a likes c")],
+        cols,
+    )
+    new = spark.createDataFrame([("x1", "g", "a", "b", "a admires b")], cols)
+    got_e = {r["uuid"] for r in get_relevant_edges(new, existing).collect()}
+    assert got_e == {"e1", "e2"}  # same endpoints, either orientation
