@@ -82,6 +82,41 @@ def append_fact_summaries(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def extract_attributes_with_client(
+    nodes: DataFrame,
+    client=None,
+    batch_size: int = config.MAX_SUMMARY_NODES,
+):
+    """Typed-attribute fill boundary (extract_attributes_from_nodes,
+    node_operations.py:726-1004): nodes flow through a pluggable batch
+    client in flights of MAX_SUMMARY_NODES=30 (the reference's LLM batch
+    size becomes the Arrow batch size). The default client is the identity
+    (deterministic mode extracts no typed attributes, matching the
+    reference when no entity-type models are registered)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if client is None:
+        def client(b: "pd.DataFrame") -> "pd.DataFrame":  # identity fill
+            out = b[["uuid"]].copy()
+            out["proposed_attributes"] = [dict() for _ in range(len(b))]
+            return out
+
+    schema = "uuid string, proposed_attributes map<string,string>"
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            for i in range(0, len(b), batch_size):
+                yield client(b.iloc[i : i + batch_size])
+
+    proposed = nodes.select("uuid", "name", "summary", "labels").mapInPandas(
+        run, schema=schema
+    )
+    merged = nodes.join(proposed, "uuid", "left")
+    return apply_capped_attributes(merged, mode="overlay")
+
+
 _SINCE = r"\bsince (\d{4})\b"
 _FROM_TO = r"\bfrom (\d{4}) to (\d{4})\b"
 _UNTIL = r"\buntil (\d{4})\b"

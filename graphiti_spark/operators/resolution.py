@@ -154,6 +154,36 @@ def semantic_duplicate_pairs(
     )
 
 
+def escalate_unresolved(
+    unresolved_with_candidates: DataFrame, client=None
+) -> DataFrame:
+    """The LLM-escalation boundary (_resolve_with_llm,
+    node_operations.py:467-624): rows of (uuid, name, candidate_uuids,
+    candidate_names) go to a pluggable batch resolver that returns
+    (uuid, duplicate_uuid | null). The deterministic default returns
+    "no duplicate" for every row — exactly the reference's defensive
+    fallback for malformed/absent LLM output (:560-585). Swap ``client``
+    for a model-backed resolver on a real deployment; the Arrow batch
+    boundary is already in place."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if client is None:
+        def client(b: "pd.DataFrame") -> "pd.DataFrame":
+            out = b[["uuid"]].copy()
+            out["duplicate_uuid"] = None
+            return out
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            yield client(b)
+
+    return unresolved_with_candidates.mapInPandas(
+        run, schema="uuid string, duplicate_uuid string"
+    )
+
+
 def resolve_nodes(
     mentions: DataFrame, fuzzy: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -1,0 +1,83 @@
+"""Custom stateful streaming: per-group saga watermarks via
+``applyInPandasWithState``.
+
+The reference's SagaNode tracks two monotone watermarks per saga
+(nodes.py:867-876; advanced in graphiti.py:1411-1459):
+
+- ``last_summarized_at``            — wall-clock/processing time
+- ``last_summarized_episode_valid_at`` — event time of the newest episode
+
+plus episode counters. This operator maintains exactly that state per
+``group_id`` across streaming micro-batches — the canonical use of Spark's
+arbitrary-stateful API: state survives between triggers, updates are
+monotone, and a GroupStateTimeout could retire idle sagas.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+OUTPUT_SCHEMA = (
+    "group_id string, n_episodes bigint, "
+    "last_summarized_episode_valid_at timestamp, first_episode_uuid string, "
+    "last_episode_uuid string"
+)
+STATE_SCHEMA = (
+    "n_episodes bigint, max_valid_at timestamp, first_uuid string, "
+    "last_uuid string"
+)
+
+
+def _update_saga(
+    key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+) -> Iterable["pd.DataFrame"]:
+    import pandas as pd
+
+    n, max_va, first_u, last_u = (
+        state.get if state.exists else (0, None, None, None)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["valid_at", "uuid"])
+        n += len(pdf)
+        batch_max = pdf["valid_at"].max().to_pydatetime()
+        if max_va is None or batch_max > max_va:
+            max_va = batch_max
+            last_u = pdf.loc[pdf["valid_at"].idxmax(), "uuid"]
+        if first_u is None:
+            first_u = pdf.iloc[0]["uuid"]
+    state.update((n, max_va, first_u, last_u))
+    yield pd.DataFrame(
+        [
+            {
+                "group_id": key[0],
+                "n_episodes": n,
+                "last_summarized_episode_valid_at": max_va,
+                "first_episode_uuid": first_u,
+                "last_episode_uuid": last_u,
+            }
+        ]
+    )
+
+
+def saga_watermarks(episode_stream: DataFrame) -> DataFrame:
+    """episode stream (uuid, group_id, valid_at, ...) → per-group saga
+    state, emitted each trigger with updated watermarks/counters."""
+    return (
+        episode_stream.select("group_id", "uuid", "valid_at")
+        .groupBy("group_id")
+        .applyInPandasWithState(
+            _update_saga,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,51 @@
+"""Pluggable model-client boundaries (the reference's LLM seams):
+attribute fill and dedup escalation, deterministic defaults."""
+
+from __future__ import annotations
+
+from graphiti_spark.operators.attributes import extract_attributes_with_client
+from graphiti_spark.operators.resolution import escalate_unresolved
+
+NODE_COLS = (
+    "uuid string, name string, group_id string, labels array<string>, "
+    "summary string, attributes map<string,string>"
+)
+
+
+def test_attribute_client_identity_and_caps(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "alice", "g", ["Entity"], "sum", {"k": "v"})], NODE_COLS
+    )
+    out = extract_attributes_with_client(nodes).collect()[0]
+    assert out["attributes"] == {"k": "v"}  # identity client: no change
+
+    def client(b):
+        o = b[["uuid"]].copy()
+        o["proposed_attributes"] = [
+            {"role": "eng", "huge": "x" * 300} for _ in range(len(b))
+        ]
+        return o
+
+    out2 = extract_attributes_with_client(nodes, client).collect()[0]
+    # over-cap value dropped, new key overlaid, existing kept
+    assert out2["attributes"] == {"k": "v", "role": "eng"}
+
+
+def test_escalation_default_is_no_duplicate(spark):
+    un = spark.createDataFrame(
+        [("u1", "bob", ["c1"], ["bobby"])],
+        "uuid string, name string, candidate_uuids array<string>, "
+        "candidate_names array<string>",
+    )
+    rows = escalate_unresolved(un).collect()
+    assert rows[0]["uuid"] == "u1" and rows[0]["duplicate_uuid"] is None
+
+    def client(b):
+        o = b[["uuid"]].copy()
+        o["duplicate_uuid"] = b["candidate_uuids"].map(
+            lambda cs: cs[0] if len(cs) else None
+        )
+        return o
+
+    rows2 = escalate_unresolved(un, client).collect()
+    assert rows2[0]["duplicate_uuid"] == "c1"

@@ -1,0 +1,46 @@
+"""applyInPandasWithState saga watermarks across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.sources import synth_source_files
+from graphiti_spark.sources.episodes import episodes_from_source_files
+from graphiti_spark.streaming.ingest import read_source_stream
+from graphiti_spark.streaming.stateful import saga_watermarks
+
+
+def test_saga_watermarks_accumulate_across_batches(spark, sf_dir, tmp_path_factory):
+    in_dir = str(tmp_path_factory.mktemp("saga_in"))
+    src = synth_source_files(spark, sf_dir).limit(80)
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    src.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    eps = episodes_from_source_files(read_source_stream(spark, in_dir), chunk=False)
+    q = (
+        saga_watermarks(eps)
+        .writeStream.format("memory")
+        .queryName("saga_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # final state per group: counters equal the batch-mode truth
+    out = spark.sql(
+        """SELECT group_id, max(n_episodes) AS n,
+                  max(last_summarized_episode_valid_at) AS wm
+           FROM saga_out GROUP BY group_id"""
+    ).collect()
+    truth = {
+        r["group_id"]: (r["n"], r["wm"])
+        for r in episodes_from_source_files(
+            synth_source_files(spark, "/root/testdata/sf0.001").limit(80), chunk=False
+        )
+        .groupBy("group_id")
+        .agg(F.count("*").alias("n"), F.max("valid_at").alias("wm"))
+        .collect()
+    }
+    got = {r["group_id"]: (r["n"], r["wm"]) for r in out}
+    assert got == truth

@@ -1,0 +1,9 @@
+"""Build the --py-files zip for spark-submit / local-cluster runs."""
+
+import shutil
+
+if __name__ == "__main__":
+    out = shutil.make_archive(
+        "/tmp/graphiti_spark_pyfiles", "zip", "/root/repo", "graphiti_spark"
+    )
+    print(out)

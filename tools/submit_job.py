@@ -1,0 +1,76 @@
+"""spark-submit entry point for the construction job.
+
+Cluster launch (the north rule's deployment shape):
+
+    python tools/make_pyfiles.py                     # build the zip
+    spark-submit --py-files /tmp/graphiti_spark_pyfiles.zip \\
+        --master <cluster> tools/submit_job.py \\
+        --input  <path or catalog.db.source_files> \\
+        --store  <warehouse path> \\
+        --job-id nightly-2026-08-16 \\
+        [--commit-batches 16] [--no-fuzzy] [--compact]
+
+Sandbox smoke:
+
+    python tools/submit_job.py --input /root/testdata/sf0.001 \\
+        --store /tmp/kg_store --job-id smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="sf dir with documents.parquet, a source_files parquet path, or an Iceberg table name")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--job-id", required=True)
+    ap.add_argument("--commit-batches", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="run cross-batch fuzzy compaction after ingest")
+    args = ap.parse_args()
+
+    from graphiti_spark.session import get_spark
+    from graphiti_spark.plans.checkpoint import run_with_checkpoint
+    from graphiti_spark.storage.writer import GraphStore
+
+    spark = get_spark("graphiti-submit")
+    if "/" not in args.input or args.input.rstrip("/").endswith((".db", ".table")):
+        src = spark.read.table(args.input)  # Iceberg catalog path
+    else:
+        try:
+            src = spark.read.parquet(f"{args.input}/source_files.parquet")
+        except Exception:
+            from graphiti_spark.sources import synth_source_files
+
+            src = synth_source_files(spark, args.input)
+
+    store = GraphStore(spark, args.store, n_buckets=args.n_buckets)
+    t0 = time.time()
+    res = run_with_checkpoint(
+        src, store, job_id=args.job_id,
+        commit_batches=args.commit_batches, fuzzy=not args.no_fuzzy,
+    )
+    out = dict(res)
+    if args.compact:
+        from graphiti_spark.plans.compaction import compact_store
+
+        out.update(compact_store(store))
+    edges = store.read("edges")
+    out["edges_total"] = edges.count() if edges is not None else 0
+    out["wall_sec"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
