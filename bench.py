@@ -52,6 +52,27 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         times[name] = time.perf_counter() - t
     g.edges.unpersist()
     g.nodes.unpersist()
+
+    # training-data ops over the documents/embeddings tables
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.dedup import dedup_minhash_lsh
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.operators.similarity import knn_bruteforce
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    for name, df in [
+        ("td_dedup_minhash", dedup_minhash_lsh(docs, threshold=0.5)),
+        ("td_ann_bruteforce", knn_bruteforce(emb, probes, k=10)),
+        ("sr_bm25", bm25_scores(docs, ["spark", "merge", "query"])),
+    ]:
+        t = time.perf_counter()
+        _materialize(df)
+        times[name] = time.perf_counter() - t
     return times, counts
 
 
