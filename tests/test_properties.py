@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the algebraic invariants the
+distributed implementation must hold regardless of input shape or order."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from graphiti_spark.operators.canonicalize import union_find_driver
+
+# -- pure-python properties (no Spark): run many examples -------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60
+    )
+)
+@settings(max_examples=200)
+def test_union_find_order_insensitive(pairs):
+    a = union_find_driver([(f"n{x}", f"n{y}") for x, y in pairs])
+    b = union_find_driver([(f"n{x}", f"n{y}") for x, y in reversed(pairs)])
+    assert a == b
+    # canonical is the component minimum: idempotent under re-application
+    assert all(a.get(v, v) == v for v in a.values())
+
+
+def _invalidate_py(edges):
+    """Reference-rule invalidation (min strictly-later valid_at per
+    (group, src, pred)) — the spec the Spark window must match."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for e in edges:
+        by_key[(e["g"], e["s"], e["p"])].append(e)
+    out = {}
+    for key, es in by_key.items():
+        times = sorted({e["t"] for e in es})
+        nxt = {t: (times[i + 1] if i + 1 < len(times) else None)
+               for i, t in enumerate(times)}
+        for e in es:
+            out[e["id"]] = nxt[e["t"]]
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 5),
+                  st.integers(0, 400)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=100)
+def test_invalidation_spec_is_order_insensitive(rows):
+    edges = [
+        dict(id=i, g=f"g{g}", s=f"s{s}", p="OPERATES_ON",
+             t=dt.datetime(2024, 1, 1) + dt.timedelta(days=d), o=o)
+        for i, (g, s, o, d) in enumerate(rows)
+    ]
+    a = _invalidate_py(edges)
+    b = _invalidate_py(list(reversed(edges)))
+    assert a == b
+
+
+# -- Spark-backed properties: few examples, deterministic data --------------
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_spark_invalidation_matches_spec(spark, data):
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.temporal import invalidate_contradictions
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 2), st.integers(0, 4),
+                      st.integers(0, 300)),
+            min_size=1, max_size=25,
+        )
+    )
+    edges = [
+        dict(id=i, g=f"g{g}", s=f"s{s}", p="OPERATES_ON",
+             t=dt.datetime(2024, 1, 1) + dt.timedelta(days=d), o=f"o{o}")
+        for i, (g, s, o, d) in enumerate(rows)
+    ]
+    spec = _invalidate_py(edges)
+    df = spark.createDataFrame(
+        [(str(e["id"]), e["g"], e["s"], e["o"], e["p"], "f",
+          e["t"].isoformat(sep=" ")) for e in edges],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string, valid_at string",
+    ).withColumn("valid_at", F.col("valid_at").cast("timestamp")) \
+     .withColumn("invalid_at", F.lit(None).cast("timestamp")) \
+     .withColumn("expired_at", F.lit(None).cast("timestamp"))
+    got = {
+        int(r["uuid"]): r["invalid_at"]
+        for r in invalidate_contradictions(df).collect()
+    }
+    assert got == spec
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    from graphiti_spark.operators.canonicalize import connected_components
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {r["uuid"]: r["canonical_uuid"] for r in connected_components(df).collect()}
+    assert got == union_find_driver(pairs)
+
+
+def test_minhash_similarity_property(spark):
+    """Signature agreement fraction approximates Jaccard (the MinHash
+    guarantee) for the JVM xxhash64 family kept as the column-expr
+    alternate of the UDF path."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.hashing import minhash_signature
+    from graphiti_spark.functions.text import jaccard, shingles
+
+    df = spark.createDataFrame(
+        [("abcdefghij klmnop", "abcdefghij klmnXp"),
+         ("totally different", "nothing alike here")],
+        "a string, b string",
+    )
+    out = df.select(
+        jaccard(shingles(F.col("a")), shingles(F.col("b"))).alias("j"),
+        F.size(
+            F.filter(
+                F.zip_with(
+                    minhash_signature(shingles(F.col("a"))),
+                    minhash_signature(shingles(F.col("b"))),
+                    lambda x, y: x == y,
+                ),
+                lambda v: v,
+            )
+        ).alias("agree"),
+    ).collect()
+    sim_pair, diff_pair = out[0], out[1]
+    assert sim_pair["j"] > 0.6 and sim_pair["agree"] >= 16  # of 32 perms
+    assert diff_pair["j"] < 0.1 and diff_pair["agree"] <= 6
