@@ -388,6 +388,21 @@ class GraphitiSpark:
         df = df.orderBy(F.desc("uuid"))
         return df.limit(limit) if limit else df
 
+    def create_views(self, prefix: str = "kg_") -> list[str]:
+        """Register the graph tables as temp views so the graph is
+        queryable with plain ``spark.sql`` — e.g.::
+
+            SELECT s.name, e.name, o.name FROM kg_edges e
+            JOIN kg_nodes s ON s.uuid = e.source_node_uuid
+            JOIN kg_nodes o ON o.uuid = e.target_node_uuid
+            WHERE e.invalid_at IS NULL
+        """
+        names = []
+        for t in ("episodes", "nodes", "edges", "mentions"):
+            self._table(t).createOrReplaceTempView(f"{prefix}{t}")
+            names.append(f"{prefix}{t}")
+        return names
+
     def get_mentioned_nodes(self, episode_uuids: list[str]) -> DataFrame:
         """Entities mentioned by the given episodes (search_utils.py:116)."""
         m = self._table("mentions").where(F.col("episode_uuid").isin(*episode_uuids))

@@ -1,0 +1,66 @@
+"""Iceberg MERGE INTO statement generation — the cluster storage path.
+
+GraphStore's parquet upserts are the sandbox stand-in; on a cluster with an
+Iceberg catalog the same contract is one atomic statement per table. This
+module generates those statements (and the DDL) so the writer swap is a
+config flag, not a rewrite. Mirrors the reference's per-provider bulk save
+queries (models/nodes/node_db_queries.py:1-394 — UNWIND + MERGE per
+vendor); here the "vendor" is an Iceberg catalog and the queries are SQL.
+
+No Iceberg runtime ships in this container, so execution is gated on the
+catalog being present; statement text is unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphiti_spark.storage.writer import KEYS
+
+
+def merge_into_sql(table: str, fq_table: str, updates_view: str) -> str:
+    """MERGE INTO <fq_table> USING <updates_view> ON <keys> —
+    WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT ALL (idempotent upsert;
+    update-wins matches GraphStore.merge_upsert)."""
+    on = " AND ".join(f"t.{k} = u.{k}" for k in KEYS[table])
+    return (
+        f"MERGE INTO {fq_table} t\n"
+        f"USING {updates_view} u\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def create_table_ddl(table: str, fq_table: str, schema_ddl: str,
+                     n_buckets: int = 64) -> str:
+    """Iceberg DDL with the same layout the parquet store uses: bucketed by
+    the graph partition key for co-located joins + partition pruning."""
+    part = {
+        "episodes": f"bucket({n_buckets}, group_id)",
+        "nodes": f"bucket({n_buckets}, group_id)",
+        "edges": f"bucket({n_buckets}, group_id)",
+        "mentions": f"bucket({n_buckets}, group_id)",
+        "name_index": f"bucket({n_buckets}, group_id)",
+    }[table]
+    return (
+        f"CREATE TABLE IF NOT EXISTS {fq_table} ({schema_ddl})\n"
+        f"USING iceberg PARTITIONED BY ({part})\n"
+        f"TBLPROPERTIES ('write.merge.mode'='merge-on-read')"
+    )
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    try:
+        spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
+        return True
+    except Exception:
+        return False
+
+
+def merge_upsert_iceberg(
+    spark: SparkSession, table: str, fq_table: str, updates: DataFrame
+) -> None:
+    """Execute the MERGE when a catalog exists (cluster path)."""
+    updates.createOrReplaceTempView("gs_updates")
+    spark.sql(merge_into_sql(table, fq_table, "gs_updates"))

@@ -1,0 +1,91 @@
+"""Edge-case robustness: degenerate content, unicode, oversized documents
+(chunking path end-to-end), SQL views, Iceberg statement generation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.plans.pipeline import build_graph, current_triples
+
+SRC = (
+    "repo string, path string, commit string, lang string, content string, "
+    "content_sha256 string, file_seq long"
+)
+
+
+def _rows(spark, contents):
+    rows = [
+        ("org/r", f"f{i}.py", f"{i:040d}", "en", c,
+         hashlib.sha256(c.encode()).hexdigest(), i)
+        for i, c in enumerate(contents)
+    ]
+    return spark.createDataFrame(rows, SRC)
+
+
+def test_degenerate_content(spark):
+    src = _rows(spark, [
+        "",                    # empty
+        "   ",                 # whitespace only
+        "a b c",               # all tokens below mention length
+        "solo",                # one qualifying token -> no bigrams
+        "naïve café résumé",   # unicode
+    ])
+    g = build_graph(src, fuzzy=True)
+    assert g.episodes.count() == 5
+    assert g.edges.where("source_node_uuid = target_node_uuid").count() == 0
+    # unicode tokens survive as entities
+    names = {r["name"] for r in g.nodes.collect()}
+    assert {"naïve", "café", "résumé", "solo"} <= names
+    assert current_triples(g).count() == g.edges.where("invalid_at is null").count()
+
+
+def test_oversized_dense_document_chunks_end_to_end(spark):
+    big = ("Alice Acme Bob Corp " * 1500).strip()  # ~7.5k tokens, dense caps
+    src = _rows(spark, [big])
+    g = build_graph(src)
+    eps = g.episodes.collect()
+    assert len(eps) > 1  # chunked
+    assert any("#" in r["uuid"] for r in eps)
+    # extraction ran per chunk; entities resolve across chunks to one node
+    assert g.nodes.where(F.col("name") == "Alice").count() == 1
+    alice_edges = g.edges.where(F.col("fact").startswith("Alice"))
+    assert alice_edges.count() > 0
+    # provenance includes multiple chunk episodes for repeated facts
+    assert alice_edges.agg(F.max("n_episodes")).collect()[0][0] > 1
+
+
+def test_sql_views(spark, sf_dir):
+    from graphiti_spark.api import GraphitiSpark
+    from graphiti_spark.sources import synth_source_files
+
+    gs = GraphitiSpark(spark)
+    gs.add_episode_bulk(synth_source_files(spark, sf_dir).limit(50))
+    views = gs.create_views()
+    assert "kg_edges" in views
+    n = spark.sql(
+        """SELECT count(*) AS n FROM kg_edges e
+           JOIN kg_nodes s ON s.uuid = e.source_node_uuid
+           WHERE e.invalid_at IS NULL"""
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+def test_iceberg_statement_generation(spark):
+    from graphiti_spark.storage.iceberg import (
+        create_table_ddl,
+        iceberg_available,
+        merge_into_sql,
+    )
+
+    sql = merge_into_sql("edges", "cat.db.edges", "updates")
+    assert "MERGE INTO cat.db.edges t" in sql
+    assert "ON t.uuid = u.uuid" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    m = merge_into_sql("mentions", "cat.db.mentions", "u")
+    assert "t.episode_uuid = u.episode_uuid AND t.node_uuid = u.node_uuid" in m
+    ddl = create_table_ddl("edges", "cat.db.edges", "uuid string")
+    assert "PARTITIONED BY (bucket(64, group_id))" in ddl
+    assert iceberg_available(spark) is False  # no catalog in this sandbox
