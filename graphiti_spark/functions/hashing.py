@@ -96,40 +96,54 @@ def make_lsh_band_keys_udf(
         ent = -sum((c / n) * np.log2(c / n) for c in counts.values())
         return ent >= config.ENTROPY_THRESHOLD
 
-    def _shingle_hashes(s: str) -> np.ndarray:
-        d = s.replace(" ", "")
-        grams = {d[i : i + 3] for i in range(max(len(d) - 2, 1))} or {d}
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                >> 3  # fit in signed int64 positive range
-                for g in grams
-            ),
-            dtype=np.int64,
-            count=len(grams),
-        )
-
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(names: pd.Series) -> pd.Series:
-        out = []
+        # One flat shingle-hash array for the WHOLE Arrow batch + per-name
+        # offsets, MinHash via one (perms x M) matrix and
+        # np.minimum.reduceat — a per-name numpy loop was measured at
+        # ~90us/name (27% of total pipeline CPU); this path amortizes
+        # numpy dispatch across the batch.
+        flat: list[int] = []
+        offsets: list[int] = [0]
+        keep: list[bool] = []
         for s in names:
-            if s is None or not _entropy_ok(s):
-                out.append([])
-                continue
-            h = _shingle_hashes(s)
-            # perms x shingles linear maps in int64 mod 2^61-1
-            sig = ((a[:, None] * (h[None, :] % p61)) % p61 + b[:, None]) % p61
-            mins = sig.min(axis=1)
-            keys = []
+            ok = s is not None and _entropy_ok(s)
+            keep.append(ok)
+            if ok:
+                d = s.replace(" ", "")
+                grams = {d[i: i + 3] for i in range(max(len(d) - 2, 1))} or {d}
+                flat.extend(
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                    ) >> 3
+                    for g in grams
+                )
+            offsets.append(len(flat))
+        if not flat:
+            return pd.Series([[]] * len(names))
+        h = np.asarray(flat, dtype=np.int64) % p61
+        sig = ((a[:, None] * h[None, :]) % p61 + b[:, None]) % p61  # perms x M
+        starts = np.asarray(offsets[:-1], dtype=np.int64)
+        kept_starts = starts[np.asarray(keep)]
+        mins = np.minimum.reduceat(sig, kept_starts, axis=1)  # perms x kept
+        # band key = polynomial combine of the band's minima (int64 wraps
+        # deterministically) with the band index in the high bits
+        P = np.int64(1099511628211)
+        kk = np.zeros((n_bands, mins.shape[1]), dtype=np.int64)
+        with np.errstate(over="ignore"):
             for bd in range(n_bands):
-                chunk = mins[bd * band_size : (bd + 1) * band_size].tobytes()
-                k = int.from_bytes(
-                    hashlib.blake2b(bytes([bd]) + chunk, digest_size=8).digest(),
-                    "big",
-                    signed=False,
-                ) >> 1
-                keys.append(k)
-            out.append(keys)
+                acc = np.int64(bd + 1)
+                for r in range(bd * band_size, (bd + 1) * band_size):
+                    acc = acc * P + mins[r]
+                kk[bd] = np.abs(acc) | (np.int64(bd) << 58)
+        out: list[list[int]] = []
+        j = 0
+        for ok in keep:
+            if ok:
+                out.append(kk[:, j].tolist())
+                j += 1
+            else:
+                out.append([])
         return pd.Series(out)
 
     return band_keys

@@ -91,7 +91,7 @@ def dedup_minhash_lsh(
     w = Window.partitionBy("band_key")
     d = d.withColumn("_bw", F.count("*").over(w)).where(
         F.col("_bw") <= config.LSH_BUCKET_CAP
-    )
+    ).persist()  # both self-join sides consume the UDF+window subtree
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

@@ -93,6 +93,9 @@ def fuzzy_duplicate_pairs(
     gated = gated.withColumn("_bw", F.count("*").over(bucket_w)).where(
         F.col("_bw") <= config.LSH_BUCKET_CAP
     )
+    # persist: the self-join consumes this subtree (UDF + window) on both
+    # sides, and exchange reuse was observed NOT to kick in under AQE
+    gated = gated.persist()
     a, b = gated.alias("a"), gated.alias("b")
     pairs = (
         a.join(
