@@ -305,7 +305,7 @@ def _q_sr_previous_episodes(spark, sf_dir):
 def _q_kg_duplicate_of(spark, sf_dir):
     from graphiti_spark.api import duplicate_of_edges
 
-    return duplicate_of_edges(_graph(spark, sf_dir).canonical_map).select(
+    return duplicate_of_edges(_graph(spark, sf_dir).name_map).select(
         "source_node_uuid", "target_node_uuid", "group_id", "name"
     )
 

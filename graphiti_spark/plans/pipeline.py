@@ -79,9 +79,11 @@ def build_graph(
     # per-episode distinct — saves one full shuffle of the triple stream
     triples_raw = extract_triples(episodes, distinct=False)
 
-    nodes, canonical_map, name_map = resolve_nodes(mentions_raw, fuzzy=fuzzy)
+    nodes, canonical_map, name_map, fuzzy_remap = resolve_nodes(
+        mentions_raw, fuzzy=fuzzy
+    )
 
-    edges = dedupe_then_resolve(triples_raw, name_map)
+    edges = dedupe_then_resolve(triples_raw, fuzzy_remap if fuzzy else None)
     if invalidate:
         edges = invalidate_contradictions(edges)
 

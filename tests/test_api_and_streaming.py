@@ -75,7 +75,26 @@ def test_clear_group(gs):
 
 def test_duplicate_of_and_previous_episodes(gs, spark, sf_dir):
     g = gs._session_graph
-    dup = duplicate_of_edges(g.canonical_map)
+    # corpus has no fuzzy merges -> no node-level duplicate edges
+    assert duplicate_of_edges(g.name_map).count() == 0
+    # a fuzzy pair produces exactly one IS_DUPLICATE_OF row
+    from graphiti_spark.operators.extraction import extract_mentions
+    from graphiti_spark.operators.resolution import resolve_nodes
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+    import hashlib
+
+    content = "joe-michaels met joemichaels"
+    fz = spark.createDataFrame(
+        [("org/r", "f.py", "c" * 40, "en", content,
+          hashlib.sha256(content.encode()).hexdigest(), 0)],
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string, file_seq long",
+    )
+    _, _, nm, _ = resolve_nodes(
+        extract_mentions(episodes_from_source_files(fz, chunk=False)), fuzzy=True
+    )
+    dup = duplicate_of_edges(nm)
+    assert dup.count() == 1
     assert dup.where("source_node_uuid = target_node_uuid").count() == 0
     prev = previous_episodes_bulk(g.episodes).collect()
     by_group = {}

@@ -121,11 +121,15 @@ def test_resolve_nodes_merges_fuzzy_and_unions_labels(spark):
         "mention_uuid string, episode_uuid string, group_id string, "
         "name string, label string, valid_at string",
     ).withColumn("valid_at", F.col("valid_at").cast("timestamp"))
-    nodes, cmap, _name_map = resolve_nodes(mentions, fuzzy=True)
+    nodes, cmap, name_map, fuzzy_remap = resolve_nodes(mentions, fuzzy=True)
     got = {r["alias_uuid"]: r["canonical_uuid"] for r in cmap.collect()}
-    assert got["m1"] == got["m2"] == "m1"  # min uuid of the component
-    assert got["m3"] == "m3"
+    # fuzzy variants share one canonical; Bob resolves alone
+    assert got["m1"] == got["m2"] != got["m3"]
     nrows = {r["name"]: r for r in nodes.collect()}
-    assert set(nrows) == {"Joe-Michaels", "Bob"}
+    assert len(nrows) == 2 and "Bob" in nrows
+    merged_name = next(n for n in nrows if n != "Bob")
+    assert merged_name in {"Joe-Michaels", "Joe Michaels"}
     # label promotion: union keeps the typed labels of both members
-    assert set(nrows["Joe-Michaels"]["labels"]) == {"Entity", "Place"}
+    assert set(nrows[merged_name]["labels"]) == {"Entity", "Place"}
+    # the fuzzy remap records exactly one id movement
+    assert fuzzy_remap.count() == 1
