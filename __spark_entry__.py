@@ -218,18 +218,13 @@ def _q_sr_bm25(spark, sf_dir):
 
 
 def _q_sr_rrf(spark, sf_dir):
-    from graphiti_spark.operators.search import bm25_scores, rrf
+    from graphiti_spark.operators.search import bm25_scores, ranked_top_k, rrf
     from graphiti_spark.operators.similarity import knn_bruteforce
     from graphiti_spark.oracles_td import BM25_TERMS
 
     bm = bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
-    bm_ranked = (
-        bm.withColumn(
-            "rank",
-            F.row_number().over(w.orderBy(F.desc("bm25"), F.asc("doc_id"))),
-        ).where(F.col("rank") <= 20)
-    )
+    # TakeOrderedAndProject top-k (no unpartitioned WindowExec)
+    bm_ranked = ranked_top_k(bm, "bm25", "doc_id", 20)
     probe0 = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select(
         F.lit(0).alias("probe_id"), "embedding"
     )
@@ -313,7 +308,12 @@ def _q_kg_duplicate_of(spark, sf_dir):
 def _q_mm_media_features(spark, sf_dir):
     from graphiti_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(_docs(spark, sf_dir)))
+    # the float vector itself stays out of the driver compare (its
+    # canonicalizer can't sort array cells); it is a pure function of
+    # feature_digest, which IS compared — plus covered by unit tests
+    return extract_features(synth_media(_docs(spark, sf_dir))).select(
+        "media_id", "kind", "n_bytes", "payload_sha256", "feature_digest"
+    )
 
 
 def _q_mm_frame_sample(spark, sf_dir):
@@ -368,9 +368,4 @@ def oracle_sql() -> dict[str, str]:
 
     out = kg_oracles("documents")
     out.update(td_oracles())
-    # td_dedup_minhash_lsh / td_dedup_simhash / td_ann_lsh / td_ann_ivf /
-    # sr_communities / sr_mmr / mm_media_features intentionally have no
-    # oracle (xxhash64/iterative/greedy semantics not expressible in
-    # DuckDB); the driver records rows-only checks and tests/ cover them
-    # against brute-force or reimplementations.
     return out

@@ -436,11 +436,9 @@ class GraphitiSpark:
         cosine candidates at 2x limit, fused with RRF (or MMR over the
         union), cut to limit. Deterministic hash embedder stands in for
         the query embedding client."""
-        from pyspark.sql import Window
-
         from graphiti_spark.functions.embeddings import hash_embed
         from graphiti_spark.functions.text import sanitize_query
-        from graphiti_spark.operators.search import bm25_scores, rrf
+        from graphiti_spark.operators.search import bm25_scores, ranked_top_k, rrf
         from graphiti_spark.operators.similarity import knn_bruteforce
 
         if search_config is not None:
@@ -466,10 +464,8 @@ class GraphitiSpark:
 
         def ranked_bm25(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             s = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
-            w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
             return (
-                s.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= 2 * limit)
+                ranked_top_k(s, "bm25", id_col, 2 * limit)
                 .select(F.col(id_col).alias("uuid"), "rank")
             )
 
@@ -498,9 +494,5 @@ class GraphitiSpark:
             lists = [ranked_bm25(df, id_col, text_col),
                      ranked_cosine(df, id_col, text_col)]
             fused = rrf(lists, "uuid")
-            w = Window.orderBy(F.desc("rrf_score"), F.asc("uuid"))
-            out[scope] = (
-                fused.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= limit)
-            )
+            out[scope] = ranked_top_k(fused, "rrf_score", "uuid", limit)
         return out

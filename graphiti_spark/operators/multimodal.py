@@ -33,7 +33,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, payload_sha256 string, "
-    "feature array<float>"
+    "feature_digest string, feature array<float>"
 )
 
 
@@ -66,17 +66,24 @@ def decode_stub(payload: bytes, kind: str):
     )
 
 
-def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic stand-in decoder: sha256-seeded pseudo-pixels."""
+def _feature_digest(payload: bytes) -> str:
+    """Domain-separated content digest the fake feature vector derives
+    from. sha256('feat|' + payload) — expressible in plain SQL, which is
+    what lets the driver's DuckDB oracle verify the feature column (as its
+    generating digest) instead of an opaque float array."""
     import hashlib
 
-    import numpy as np
+    return hashlib.sha256(b"feat|" + payload).hexdigest()
 
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype("float32")
-    v /= (v**2).sum() ** 0.5 or 1.0
-    return [float(x) for x in v]
+
+def _fake_decode(digest_hex: str, dim: int = 16) -> list[float]:
+    """Deterministic stand-in decoder: digest bytes → unit vector. The
+    vector is a pure function of the digest, so digest equality (oracle-
+    checked) implies feature equality."""
+    raw = bytes.fromhex(digest_hex)[:dim]
+    v = [b / 255.0 for b in raw]
+    norm = sum(x * x for x in v) ** 0.5 or 1.0
+    return [float(x / norm) for x in v]
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
@@ -90,6 +97,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         import pandas as pd
 
         for b in batches:
+            digests = b["payload"].map(_feature_digest)
             yield pd.DataFrame({
                 "media_id": b["media_id"],
                 "kind": b["kind"],
@@ -97,7 +105,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 "payload_sha256": b["payload"].map(
                     lambda p: hashlib.sha256(p).hexdigest()
                 ),
-                "feature": b["payload"].map(lambda p: _fake_decode(p, dim)),
+                "feature_digest": digests,
+                "feature": digests.map(lambda d: _fake_decode(d, dim)),
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -29,14 +29,18 @@ def bm25_scores(
     One explode for term frequencies; document frequencies for the query
     terms only (tiny aggregate, broadcast back); pure column math after.
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    N/avgdl are a 1-row aggregate joined back via broadcast nested-loop —
+    NOT collected to the driver (an eager collect here forced a full extra
+    corpus scan per call and serialized the plan).
     """
     toks = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).withColumn("dl", F.size("_toks").cast("double"))
-    n_docs_avgdl = toks.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = n_docs_avgdl["n"], n_docs_avgdl["avgdl"] or 1.0
+    stats = toks.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("_avgdl"),
+    )
 
     tf = (
         toks.select(id_col, "dl", F.explode("_toks").alias("term"))
@@ -45,13 +49,14 @@ def bm25_scores(
         .agg(F.count("*").cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
         tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))  # 1 row: N + avgdl
         .withColumn(
             "term_score",
             idf * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))),
         )
         .groupBy(id_col)
         .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
@@ -64,6 +69,34 @@ def top_k(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
     universal search tail (search_utils.py:272-275)."""
     return (
         scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    )
+
+
+def ranked_top_k(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """Global top-k WITH a rank column, scale-safe.
+
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — per-partition
+    partial top-k, no global sort and no unpartitioned WindowExec (a
+    ``row_number() over (order by ...)`` with no partition key pulls EVERY
+    scored row through one task). Rank is then assigned by sorting the
+    ≤ k surviving structs inside one bounded single-row aggregate —
+    k is a small constant (2×limit), never corpus-sized.
+    Output: (id_col, score_col, rank), rank starting at 1.
+    """
+    top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct((-F.col(score_col)).alias("_neg"), F.col(id_col).alias("_id"))
+        )
+    )
+    return (
+        top.agg(arr.alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            F.col("_s._id").alias(id_col),
+            (-F.col("_s._neg")).alias(score_col),
+            (F.col("_pos") + 1).alias("rank"),
+        )
     )
 
 

@@ -263,6 +263,23 @@ SELECT CAST(NULL AS VARCHAR) AS source_node_uuid,
        CAST(NULL AS VARCHAR) AS name
 WHERE FALSE"""
 
+    # payload = utf-8 bytes of repeat(text, 3) (multimodal.synth_media);
+    # sha256 over a DuckDB VARCHAR hashes its UTF-8 bytes — same digest.
+    # feature_digest = sha256('feat|' || payload) (domain-separated), the
+    # generating digest of the fake feature vector.
+    o["mm_media_features"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(text, 3) AS payload
+  FROM documents
+)
+SELECT media_id, kind,
+       strlen(payload)::BIGINT AS n_bytes,
+       sha256(payload) AS payload_sha256,
+       sha256(concat('feat|', payload)) AS feature_digest
+FROM media"""
+
     o["mm_frame_sample"] = """
 WITH media AS (
   SELECT doc_id AS media_id,
