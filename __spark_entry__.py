@@ -305,6 +305,16 @@ def _q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def _q_kg_invalidation_candidates(spark, sf_dir):
+    from graphiti_spark.operators.temporal import invalidation_candidates
+
+    g = _graph(spark, sf_dir)
+    new_e = g.edges.where(
+        (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "OPERATES_ON")
+    )
+    return invalidation_candidates(g.edges, new_e, min_score=0.3, limit=10)
+
+
 def _q_mm_media_features(spark, sf_dir):
     from graphiti_spark.operators.multimodal import extract_features, synth_media
 
@@ -355,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_bfs2": _q_sr_bfs2,
         "sr_previous_episodes": _q_sr_previous_episodes,
         "kg_duplicate_of": _q_kg_duplicate_of,
+        "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
         "sr_mmr": _q_sr_mmr,
         # multimodal plumbing

@@ -289,7 +289,11 @@ def get_relevant_edges(
 ) -> DataFrame:
     """Batched same-endpoint edge candidates (search_utils.py:1391-1574):
     for each new edge, existing edges with the SAME endpoint pair (either
-    orientation), scored by fact word overlap."""
+    orientation), scored by fact word overlap.
+
+    The two orientations are UNIONED equi-joins, each hashing on
+    (group_id, src, dst) — an OR-of-ANDs in one join condition degrades
+    the equi-key to group_id alone (per-group near-cross-product)."""
     from graphiti_spark.functions.text import jaccard, tokenize
 
     n = new_edges.select(
@@ -303,12 +307,17 @@ def get_relevant_edges(
         F.col("source_node_uuid").alias("e_src"),
         F.col("target_node_uuid").alias("e_dst"), "fact",
     )
-    same = n.join(
+    fwd = n.join(
         e,
-        (n.group_id == e.group_id)
-        & (((n.n_src == e.e_src) & (n.n_dst == e.e_dst))
-           | ((n.n_src == e.e_dst) & (n.n_dst == e.e_src))),
+        (n.group_id == e.group_id) & (n.n_src == e.e_src) & (n.n_dst == e.e_dst),
     ).drop(e.group_id)
+    rev = n.join(
+        e,
+        (n.group_id == e.group_id) & (n.n_src == e.e_dst) & (n.n_dst == e.e_src),
+    ).drop(e.group_id)
+    # both orientations matching at once would need a self-loop (dropped at
+    # extraction), but dedup anyway so the union can never double-count
+    same = fwd.unionByName(rev).dropDuplicates(["new_uuid", "uuid"])
     score = F.round(jaccard(tokenize(F.col("new_fact")), tokenize(F.col("fact"))), 4)
     return (
         same.where(F.col("uuid") != F.col("new_uuid"))

@@ -82,10 +82,13 @@ def invalidation_candidates(
     search_utils.py:1576-1760): for each new edge, existing edges sharing
     *either* endpoint, scored by fact similarity, top-k per new edge.
 
-    The endpoint-OR theta-join is executed as a union of two equi-joins
-    (each shuffles on one endpoint key — no cross join). Similarity is
-    embedding cosine when ``use_embeddings`` (requires fact_embedding),
-    else word-overlap Jaccard on the fact text (the deterministic mode).
+    The endpoint-OR theta-join is executed as a union of FOUR genuine
+    equi-joins (src×src, src×dst, dst×src, dst×dst), each hashing on
+    (group_id, endpoint). An OR inside one join condition leaves Catalyst
+    only group_id as the equi-key — a per-group near-cross-product that
+    goes quadratic on mega-repos. Similarity is embedding cosine when
+    ``use_embeddings`` (requires fact_embedding), else word-overlap
+    Jaccard on the fact text (the deterministic mode).
     """
     from pyspark.sql import Window
 
@@ -109,12 +112,19 @@ def invalidation_candidates(
         e_cols.append(F.col("fact_embedding").alias("e_emb"))
     n = new_edges.select(*n_cols)
     e = edges.select(*e_cols)
-    by_src = n.join(e, (n.group_id == e.group_id) & (
-        (n.n_src == e.e_src) | (n.n_src == e.e_dst)), "inner").drop(e.group_id)
-    by_dst = n.join(e, (n.group_id == e.group_id) & (
-        (n.n_dst == e.e_src) | (n.n_dst == e.e_dst)), "inner").drop(e.group_id)
+
+    def arm(n_end: str, e_end: str) -> DataFrame:
+        return n.join(
+            e,
+            (n.group_id == e.group_id) & (F.col(n_end) == F.col(e_end)),
+            "inner",
+        ).drop(e.group_id)
+
     cand = (
-        by_src.unionByName(by_dst)
+        arm("n_src", "e_src")
+        .unionByName(arm("n_src", "e_dst"))
+        .unionByName(arm("n_dst", "e_src"))
+        .unionByName(arm("n_dst", "e_dst"))
         .where(F.col("uuid") != F.col("new_uuid"))
         .dropDuplicates(["new_uuid", "uuid"])
     )

@@ -31,6 +31,15 @@ def _in_list(vals: tuple[str, ...]) -> str:
     return ", ".join(f"'{v}'" for v in vals)
 
 
+def _toks_sql(col: str) -> str:
+    """DuckDB twin of functions/text.tokenize: lower → punctuation
+    ([^\\w\\s]) to space → split on \\s+ → drop empties."""
+    return (
+        "list_filter(string_split_regex(lower(regexp_replace("
+        f"{col}, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> length(x) > 0)"
+    )
+
+
 def _label_case(col: str) -> str:
     return (
         f"CASE WHEN {col} IN ({_in_list(OPERATION_VOCAB)}) THEN 'Operation' "
@@ -208,4 +217,50 @@ FROM edges WHERE invalid_at IS NOT NULL""",
 SELECT DISTINCT m.episode_uuid AS episode_uuid,
        c.canonical_uuid AS node_uuid, m.group_id AS group_id
 FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid""",
+        "kg_invalidation_candidates": p
+        + f"""
+, new_e AS (
+  SELECT uuid AS new_uuid, group_id, source_node_uuid AS n_src,
+         target_node_uuid AS n_dst, fact AS new_fact
+  FROM edges
+  WHERE group_id = 'megacorp/monorepo' AND name = 'OPERATES_ON'
+),
+exist_e AS (
+  SELECT uuid, group_id, source_node_uuid AS e_src,
+         target_node_uuid AS e_dst, fact
+  FROM edges
+),
+cand AS (
+  SELECT DISTINCT new_uuid, uuid, group_id, new_fact, fact FROM (
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM new_e n JOIN exist_e e ON n.group_id = e.group_id AND n.n_src = e.e_src
+    UNION ALL
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM new_e n JOIN exist_e e ON n.group_id = e.group_id AND n.n_src = e.e_dst
+    UNION ALL
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM new_e n JOIN exist_e e ON n.group_id = e.group_id AND n.n_dst = e.e_src
+    UNION ALL
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM new_e n JOIN exist_e e ON n.group_id = e.group_id AND n.n_dst = e.e_dst
+  ) WHERE uuid <> new_uuid
+),
+scored AS (
+  SELECT new_uuid, uuid, group_id,
+         round(CASE WHEN len(list_distinct(list_concat(tn, te))) > 0
+               THEN len(list_intersect(tn, te))::DOUBLE
+                    / len(list_distinct(list_concat(tn, te)))
+               ELSE 0 END, 4) AS score
+  FROM (
+    SELECT new_uuid, uuid, group_id,
+           list_distinct({_toks_sql('new_fact')}) AS tn,
+           list_distinct({_toks_sql('fact')}) AS te
+    FROM cand
+  )
+)
+SELECT new_uuid, uuid, group_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_uuid
+                               ORDER BY score DESC, uuid ASC) AS rank
+  FROM scored WHERE score >= 0.3
+) WHERE rank <= 10""",
     }
