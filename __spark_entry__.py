@@ -305,6 +305,12 @@ def _q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def _q_kg_edges_fuzzy_dedup(spark, sf_dir):
+    from graphiti_spark.operators.edges import dedupe_edges_fuzzy
+
+    return dedupe_edges_fuzzy(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_invalidation_candidates(spark, sf_dir):
     from graphiti_spark.operators.temporal import invalidation_candidates
 
@@ -365,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_bfs2": _q_sr_bfs2,
         "sr_previous_episodes": _q_sr_previous_episodes,
         "kg_duplicate_of": _q_kg_duplicate_of,
+        "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
         "sr_mmr": _q_sr_mmr,

@@ -89,10 +89,16 @@ def make_lsh_band_keys_udf(
     def _entropy_ok(s: str) -> bool:
         if len(s) < config.MIN_NAME_LENGTH and len(s.split()) < config.MIN_TOKEN_COUNT:
             return False
+        # entropy over the de-spaced name (_name_entropy strips spaces
+        # first, dedup_helpers.py:52-64); length/token gates use the
+        # original form
+        d = s.replace(" ", "")
+        if not d:
+            return False
         counts: dict[str, int] = {}
-        for ch in s:
+        for ch in d:
             counts[ch] = counts.get(ch, 0) + 1
-        n = len(s)
+        n = len(d)
         ent = -sum((c / n) * np.log2(c / n) for c in counts.values())
         return ent >= config.ENTROPY_THRESHOLD
 

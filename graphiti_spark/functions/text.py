@@ -25,11 +25,12 @@ def normalize_fuzzy(name: Column) -> Column:
 
 
 def char_entropy(s: Column) -> Column:
-    """Shannon entropy over characters (dedup_helpers.py:52-76), as pure
-    column algebra: for each distinct char c, p_c = count(c)/len, entropy =
+    """Shannon entropy over the DE-SPACED characters (the reference strips
+    spaces first — _name_entropy, dedup_helpers.py:52-64), as pure column
+    algebra: for each distinct char c, p_c = count(c)/len, entropy =
     -sum p_c log2 p_c. O(distinct_chars * len) per name — names are short,
     and it stays inside codegen (no UDF)."""
-    chars = F.split(s, "")
+    chars = F.split(F.regexp_replace(s, " ", ""), "")
     n = F.greatest(F.size(chars), F.lit(1)).cast("double")
     distinct = F.array_distinct(chars)
     return F.aggregate(

@@ -25,11 +25,17 @@ from graphiti_spark.sources.episodes import FIXED_CREATED_AT
 def dedupe_then_resolve(
     triples_raw: DataFrame, fuzzy_remap: DataFrame | None = None
 ) -> DataFrame:
-    """Name-grain exact dedup FIRST, pointer resolution as expressions.
+    """Normalized-key exact dedup FIRST, pointer resolution as expressions.
 
-    Grouping triples by (group, subj, pred, obj) before resolution is
-    equivalent to dedup-after-resolve because the canonical endpoint id is
-    a function of (group_id, normalized name) — and with content-derived
+    The dedup key is (group, NORMALIZED subj, predicate, NORMALIZED obj) —
+    equivalent to the reference's normalized-fact key
+    (edge_operations.py:344-358, lower(trim(fact))) because the rule
+    extractor derives ``fact`` verbatim from (subj, pred, obj). Keying on
+    the RAW surface names would mint one uuid per fact_norm but several
+    rows per uuid when surfaces differ only by case, violating the
+    uuid-key invariant MERGE INTO relies on. The surviving surface fact is
+    min(fact) over the group (matching the oracle's min), and the group
+    key still determines the canonical endpoint ids — with content-derived
     entity ids that function is a sha2 COLUMN EXPRESSION, so pointer
     resolution needs no join at all. Only fuzzy merges move ids: applied
     as a broadcast coalesce against the (small) fuzzy_remap. The triple
@@ -43,9 +49,19 @@ def dedupe_then_resolve(
     # ONE collect_set serves both outputs (count_distinct alongside it
     # would trigger the two-phase distinct-aggregate rewrite — an extra
     # exchange — for a count the set already knows)
+    fact_pre = F.concat_ws(
+        " ", F.col("subj_name"), F.col("predicate"), F.col("obj_name")
+    )
     deduped = (
-        triples_raw.groupBy("group_id", "subj_name", "predicate", "obj_name")
+        triples_raw.withColumn("_fact", fact_pre)
+        .groupBy(
+            "group_id",
+            normalize_exact(F.col("subj_name")).alias("_subj_norm"),
+            "predicate",
+            normalize_exact(F.col("obj_name")).alias("_obj_norm"),
+        )
         .agg(
+            F.min("_fact").alias("fact"),
             F.array_sort(F.collect_set("episode_uuid")).alias("_eps"),
             F.min("valid_at").alias("valid_at"),
         )
@@ -57,10 +73,10 @@ def dedupe_then_resolve(
     )
     resolved = deduped.withColumn(
         "source_node_uuid",
-        entity_uuid("group_id", normalize_exact(F.col("subj_name"))),
+        entity_uuid("group_id", F.col("_subj_norm")),
     ).withColumn(
         "target_node_uuid",
-        entity_uuid("group_id", normalize_exact(F.col("obj_name"))),
+        entity_uuid("group_id", F.col("_obj_norm")),
     )
     if fuzzy_remap is not None:
         for col in ("source_node_uuid", "target_node_uuid"):
@@ -72,7 +88,7 @@ def dedupe_then_resolve(
                 .withColumn(col, F.coalesce("_fix", col))
                 .drop("_fix")
             )
-    fact = F.concat_ws(" ", F.col("subj_name"), F.col("predicate"), F.col("obj_name"))
+    fact = F.col("fact")
     fact_norm = F.lower(F.trim(fact))
     return resolved.select(
         edge_uuid(
@@ -225,6 +241,68 @@ def dedupe_edges_exact(resolved: DataFrame, fact_from_names: bool = True) -> Dat
         F.col("valid_at").alias("reference_time"),
         F.create_map().cast("map<string,string>").alias("attributes"),
     )
+
+
+def dedupe_edges_fuzzy(edges: DataFrame, min_overlap: float = 0.6) -> DataFrame:
+    """Fuzzy half of ``dedupe_edges_bulk`` (bulk_utils.py:489-581): edges
+    with the SAME directed endpoints whose facts overlap on >= 60% of
+    their word sets (the reference's word-overlap candidate rule,
+    bulk_utils.py:506-541) are duplicate phrasings of one fact; candidates
+    go through union-find compression (UnionFind/compress_uuid_map,
+    bulk_utils.py:584-621) and the survivor (min uuid) absorbs provenance.
+    The reference escalates candidates to an LLM; the deterministic core
+    keeps every pair the overlap rule accepts.
+
+    Plan: candidate pairs come from ONE equi-join on
+    (group_id, src, dst) — blocks are same-endpoint edge sets (small:
+    facts between one entity pair), so the within-block pair expansion is
+    bounded; no OR conditions, no cross join. Pairs → CC → one merge
+    aggregation.
+
+    Output grain: one row per surviving edge with merged provenance
+    counts. (Edges in no pair pass through as singleton groups.)
+    """
+    from graphiti_spark.functions.text import jaccard, tokenize
+    from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
+
+    e = edges.select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid",
+        "name", "fact", "valid_at", "n_episodes",
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.source_node_uuid") == F.col("b.source_node_uuid"))
+            & (F.col("a.target_node_uuid") == F.col("b.target_node_uuid"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .where(
+            jaccard(tokenize(F.col("a.fact")), tokenize(F.col("b.fact")))
+            >= F.lit(min_overlap)
+        )
+        .select(F.col("a.uuid").alias("a"), F.col("b.uuid").alias("b"))
+    )
+    cmap = canonical_map_from_pairs(pairs)
+    merged = (
+        e.join(
+            F.broadcast(cmap), e.uuid == cmap.alias_uuid, "left"
+        )
+        .withColumn("_surv", F.coalesce("canonical_uuid", "uuid"))
+        .groupBy(
+            F.col("_surv").alias("uuid"), "group_id",
+            "source_node_uuid", "target_node_uuid",
+        )
+        .agg(
+            F.min("name").alias("name"),
+            F.min("fact").alias("fact"),
+            F.min("valid_at").alias("valid_at"),
+            F.sum("n_episodes").alias("n_episodes"),
+            F.count("*").alias("n_merged"),
+        )
+    )
+    return merged
 
 
 def build_episodic_edges(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame:

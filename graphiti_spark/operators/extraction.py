@@ -21,7 +21,10 @@ same rules as pure column expressions (:func:`extract_mentions`,
 codegen, zero Python, zero serde.
 
 Rule set (deterministic, same on the DuckDB oracle side):
-- token qualifies as an entity mention iff ``len(token) >= 4``;
+- token qualifies as an entity mention iff ``len(token) >= 4`` — except
+  ``json`` episodes, whose floor is 5 (the per-source prompt dispatch of
+  node_operations.py:255-280 re-expressed as a per-source rule branch:
+  structured payloads carry denser short noise tokens);
 - label by vocabulary class (Operation / Object / Concept);
 - a triple joins each *consecutive pair of qualifying tokens*;
 - predicate from the label pair (Operation→Object = OPERATES_ON, ...).
@@ -41,6 +44,7 @@ if TYPE_CHECKING:
     import pandas as pd
 
 MIN_MENTION_LEN = 4
+MIN_MENTION_LEN_JSON = 5  # per-source dispatch (node_operations.py:255-280)
 
 OPERATION_VOCAB = (
     "merge", "join", "sort", "scan", "filter", "window", "group", "batch",
@@ -68,11 +72,19 @@ def _label_col(name: Column) -> Column:
     )
 
 
-def _qualifying_tokens(content: Column) -> Column:
-    """Ordered qualifying tokens; empty-name drop per node_operations.py:135."""
-    return F.filter(
-        F.split(content, " "), lambda t: F.length(t) >= F.lit(MIN_MENTION_LEN)
+def _min_len_col(source: Column) -> Column:
+    """Per-source mention-length floor — the deterministic analog of the
+    reference's per-source prompt dispatch (node_operations.py:255-280:
+    distinct message/text/json extraction rules)."""
+    return F.when(source == "json", F.lit(MIN_MENTION_LEN_JSON)).otherwise(
+        F.lit(MIN_MENTION_LEN)
     )
+
+
+def _qualifying_tokens(content: Column, min_len: Column | None = None) -> Column:
+    """Ordered qualifying tokens; empty-name drop per node_operations.py:135."""
+    ml = F.lit(MIN_MENTION_LEN) if min_len is None else min_len
+    return F.filter(F.split(content, " "), lambda t: F.length(t) >= ml)
 
 
 def extract_mentions(episodes: DataFrame) -> DataFrame:
@@ -82,12 +94,13 @@ def extract_mentions(episodes: DataFrame) -> DataFrame:
     collapse (node_operations.py:336-384). No shuffle: explode + project.
     """
     name = F.col("name")
+    toks = _qualifying_tokens(F.col("content"), _min_len_col(F.col("source")))
     return (
         episodes.select(
             F.col("uuid").alias("episode_uuid"),
             "group_id",
             "valid_at",
-            F.explode(F.array_distinct(_qualifying_tokens(F.col("content")))).alias("name"),
+            F.explode(F.array_distinct(toks)).alias("name"),
         )
         .select(
             mention_uuid(F.col("episode_uuid"), name).alias("mention_uuid"),
@@ -129,7 +142,9 @@ def extract_triples(episodes: DataFrame, distinct: bool = True) -> DataFrame:
         F.col("uuid").alias("episode_uuid"),
         "group_id",
         "valid_at",
-        _qualifying_tokens(F.col("content")).alias("_toks"),
+        _qualifying_tokens(
+            F.col("content"), _min_len_col(F.col("source"))
+        ).alias("_toks"),
     )
     idx = F.when(
         F.size("_toks") > 1, F.sequence(F.lit(1), F.size("_toks") - 1)
@@ -186,10 +201,12 @@ def default_rule_client(batch: "pd.DataFrame") -> "pd.DataFrame":
         return "Operation" if t in op else ("Object" if t in ob else "Concept")
 
     rows: list[dict] = []
-    for ep, gid, va, content in zip(
-        batch["uuid"], batch["group_id"], batch["valid_at"], batch["content"]
+    for ep, gid, va, src, content in zip(
+        batch["uuid"], batch["group_id"], batch["valid_at"], batch["source"],
+        batch["content"],
     ):
-        toks = [t for t in content.split(" ") if len(t) >= MIN_MENTION_LEN]
+        min_len = MIN_MENTION_LEN_JSON if src == "json" else MIN_MENTION_LEN
+        toks = [t for t in content.split(" ") if len(t) >= min_len]
         seen: set[str] = set()
         for t in toks:
             if t not in seen:
@@ -231,7 +248,7 @@ def extract_with_client(
     Returns a union table with a ``kind`` discriminator; split with
     ``.where(kind == 'mention'/'edge')``.
     """
-    cols = ["uuid", "group_id", "valid_at", "content"]
+    cols = ["uuid", "group_id", "valid_at", "source", "content"]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:

@@ -296,20 +296,26 @@ def resolve_nodes(
 
     # node rows at final-canonical grain (name-grain input: tiny agg);
     # component representative = name of the min-entity-uuid member.
+    # Label-specificity promotion (_promote_resolved_node,
+    # dedup_helpers.py:170-189): when a merge unions a generic label with
+    # typed ones, the surviving node keeps the MORE SPECIFIC set — here
+    # 'Concept' is the extractor's generic/default label, dropped whenever
+    # any typed label (Operation/Object/...) is present.
+    all_labels = F.array_sort(F.array_distinct(F.flatten(F.collect_list("labels"))))
+    specific = F.filter(F.col("labels"), lambda x: x != F.lit("Concept"))
+    promoted = F.when(F.size(specific) > 0, specific).otherwise(F.col("labels"))
     nodes = (
         stats.groupBy(F.col("final_uuid").alias("uuid"), "group_id")
         .agg(
             F.min_by("rep_name", "canonical_uuid").alias("name"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("labels")))
-            ).alias("labels"),
+            all_labels.alias("labels"),
             F.min("first_seen_at").alias("first_seen_at"),
         )
         .select(
             "uuid",
             "name",
             "group_id",
-            F.array_union(F.array(F.lit("Entity")), F.col("labels")).alias("labels"),
+            F.array_union(F.array(F.lit("Entity")), promoted).alias("labels"),
             F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
             F.concat(F.lit("Entity "), F.col("name")).alias("summary"),
             F.create_map().cast("map<string,string>").alias("attributes"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 from graphiti_spark.operators.extraction import (
     DEFAULT_PREDICATE,
     MIN_MENTION_LEN,
+    MIN_MENTION_LEN_JSON,
     OBJECT_VOCAB,
     OPERATION_VOCAB,
     PREDICATES,
@@ -61,13 +62,35 @@ def _uuid(prefix: str, *exprs: str) -> str:
     return f"substring(sha256(concat_ws('|', {parts})), 1, 32)"
 
 
+def _norm(col: str) -> str:
+    """lowercase + collapse whitespace (dedup_helpers.py:39-43)."""
+    return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+
+
 def kg_cte_prefix(documents: str = "documents") -> str:
-    """The shared WITH-chain mirroring plans/pipeline.build_graph."""
+    """The shared WITH-chain mirroring plans/pipeline.build_graph — the
+    entire pipeline (synthesis → episodes → extraction → exact + FUZZY
+    resolution → CC canonicalization → edge dedup → bi-temporal
+    invalidation) as one ANSI-SQL derivation.
+
+    Fuzzy derivation: the Spark side finds duplicate pairs via MinHash/LSH
+    + Jaccard >= 0.9 verify (dedup_helpers.py:97-140); the oracle derives
+    the same pair set as entropy-gated FUZZY-NORM EQUALITY (every injected
+    variant pair has Jaccard exactly 1.0, and the corpus carries no pair
+    with 0.9 <= J < 1 — asserted by tests/test_dedup_fuzzy.py's
+    brute-force sweep), then canonicalizes components with a recursive-CTE
+    min-label closure (UnionFind/compress, bulk_utils.py:584-621).
+    """
     excl = _in_list(config.EXCLUSIVE_PREDICATES)
-    norm_name = "lower(regexp_replace(trim(name), '\\s+', ' ', 'g'))"
+    norm_name = _norm("name")
     entity_id = _uuid("entity", "group_id", norm_name)
+    entity_id_m = _uuid("entity", "m.group_id", _norm("m.name"))
+    min_len = (
+        f"CASE WHEN e.source = 'json' THEN {MIN_MENTION_LEN_JSON} "
+        f"ELSE {MIN_MENTION_LEN} END"
+    )
     return f"""
-WITH source_files AS (
+WITH RECURSIVE source_files AS (
   {source_files_oracle_sql(documents)}
 ),
 episodes AS (
@@ -82,18 +105,18 @@ mentions AS (
   FROM (
     SELECT DISTINCT e.uuid AS episode_uuid, e.group_id, e.valid_at,
            unnest(list_filter(string_split(e.content, ' '),
-                              x -> length(x) >= {MIN_MENTION_LEN})) AS name
+                              x -> length(x) >= {min_len})) AS name
     FROM episodes e
   )
 ),
 tok_pos AS (
-  SELECT uuid AS episode_uuid, group_id, valid_at,
+  SELECT episode_uuid, group_id, valid_at,
          generate_subscripts(q, 1) AS pos, unnest(q) AS tok
   FROM (
-    SELECT uuid, group_id, valid_at,
-           list_filter(string_split(content, ' '),
-                       x -> length(x) >= {MIN_MENTION_LEN}) AS q
-    FROM episodes
+    SELECT e.uuid AS episode_uuid, e.group_id, e.valid_at,
+           list_filter(string_split(e.content, ' '),
+                       x -> length(x) >= {min_len}) AS q
+    FROM episodes e
   )
 ),
 triples_raw AS (
@@ -109,21 +132,93 @@ triples_raw AS (
     WHERE a.tok <> b.tok
   )
 ),
+name_blocks AS (
+  -- one row per (group, exact-normalized name): the distinct-name grain
+  -- fuzzy resolution runs on (resolution.resolve_nodes name_stats)
+  SELECT group_id, norm_name,
+         {_uuid('entity', 'group_id', 'norm_name')} AS exact_uuid,
+         regexp_replace(norm_name, '[^a-z0-9'' ]', '', 'g') AS fuzzy,
+         min(name) AS rep_name
+  FROM (SELECT group_id, name, {norm_name} AS norm_name FROM mentions)
+  GROUP BY group_id, norm_name
+),
+gate_entropy AS (
+  -- Shannon entropy over DE-SPACED chars (_name_entropy, dedup_helpers.py:52-64)
+  SELECT group_id, norm_name, -sum((c / n) * log2(c / n)) AS ent
+  FROM (
+    SELECT group_id, norm_name, ch, count(*)::DOUBLE AS c,
+           sum(count(*)) OVER (PARTITION BY group_id, norm_name)::DOUBLE AS n
+    FROM (
+      SELECT group_id, norm_name,
+             unnest(list_transform(range(1, length(replace(fuzzy, ' ', '')) + 1),
+                                   i -> substr(replace(fuzzy, ' ', ''), i, 1))) AS ch
+      FROM name_blocks
+    ) GROUP BY group_id, norm_name, ch
+  ) GROUP BY group_id, norm_name
+),
+gated AS (
+  -- fuzzy-matching gate (dedup_helpers.py:64-86): length/token floor AND
+  -- entropy >= threshold
+  SELECT nb.group_id, nb.norm_name, nb.exact_uuid, nb.fuzzy
+  FROM name_blocks nb JOIN gate_entropy ge
+    ON ge.group_id = nb.group_id AND ge.norm_name = nb.norm_name
+  WHERE (length(nb.fuzzy) >= {config.MIN_NAME_LENGTH}
+         OR len(list_filter(string_split_regex(trim(nb.fuzzy), '\\s+'),
+                            x -> length(x) > 0)) >= {config.MIN_TOKEN_COUNT})
+    AND ge.ent >= {config.ENTROPY_THRESHOLD}
+),
+fpairs AS (
+  SELECT a.exact_uuid AS pa, b.exact_uuid AS pb, a.group_id
+  FROM gated a JOIN gated b
+    ON a.group_id = b.group_id AND a.fuzzy = b.fuzzy
+   AND a.exact_uuid < b.exact_uuid
+),
+und AS (
+  SELECT pa AS a, pb AS b, group_id FROM fpairs
+  UNION SELECT pb, pa, group_id FROM fpairs
+),
+reach AS (
+  SELECT a AS node, b AS lbl, group_id FROM und
+  UNION
+  SELECT r.node, u.b AS lbl, r.group_id FROM reach r JOIN und u ON u.a = r.lbl
+),
+comp AS (
+  SELECT node, least(node, min(lbl)) AS root, min(group_id) AS group_id
+  FROM reach GROUP BY node
+),
+fuzzy_remap AS (
+  SELECT node AS _from, root AS _to, group_id FROM comp WHERE root <> node
+),
 canonical_map AS (
-  SELECT mention_uuid AS alias_uuid,
-         {entity_id} AS canonical_uuid,
-         group_id, name, label, valid_at
-  FROM mentions
+  SELECT m.mention_uuid AS alias_uuid,
+         coalesce(fr._to, {entity_id_m}) AS canonical_uuid,
+         m.group_id AS group_id, m.name AS name, m.label AS label,
+         m.valid_at AS valid_at
+  FROM mentions m LEFT JOIN fuzzy_remap fr ON fr._from = {entity_id_m}
+),
+final_blocks AS (
+  SELECT nb.group_id, nb.norm_name, nb.exact_uuid, nb.rep_name,
+         coalesce(fr._to, nb.exact_uuid) AS final_uuid
+  FROM name_blocks nb LEFT JOIN fuzzy_remap fr ON fr._from = nb.exact_uuid
+),
+node_labels AS (
+  SELECT c.canonical_uuid AS uuid, list_sort(list(DISTINCT m.label)) AS labs
+  FROM canonical_map c JOIN mentions m ON m.mention_uuid = c.alias_uuid
+  GROUP BY c.canonical_uuid
 ),
 nodes AS (
-  SELECT c.canonical_uuid AS uuid,
-         min(m.name) AS name,
-         c.group_id AS group_id,
-         concat_ws(',', 'Entity',
-                   string_agg(DISTINCT m.label, ',' ORDER BY m.label)) AS labels_csv
-  FROM canonical_map c
-  JOIN mentions m ON m.mention_uuid = c.alias_uuid
-  GROUP BY c.canonical_uuid, c.group_id
+  -- representative name = rep of the min-exact-uuid member block; label
+  -- specificity promotion: 'Concept' (the generic label) drops whenever a
+  -- typed label is present (dedup_helpers.py:170-189)
+  SELECT b.final_uuid AS uuid,
+         arg_min(b.rep_name, b.exact_uuid) AS name,
+         b.group_id AS group_id,
+         concat_ws(',', 'Entity', array_to_string(
+           CASE WHEN len(list_filter(l.labs, x -> x <> 'Concept')) > 0
+                THEN list_filter(l.labs, x -> x <> 'Concept')
+                ELSE l.labs END, ',')) AS labels_csv
+  FROM final_blocks b JOIN node_labels l ON l.uuid = b.final_uuid
+  GROUP BY b.final_uuid, b.group_id, l.labs
 ),
 edges_resolved AS (
   SELECT t.episode_uuid, t.group_id,
@@ -217,6 +312,24 @@ FROM edges WHERE invalid_at IS NOT NULL""",
 SELECT DISTINCT m.episode_uuid AS episode_uuid,
        c.canonical_uuid AS node_uuid, m.group_id AS group_id
 FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid""",
+        # fuzzy edge dedup (dedupe_edges_bulk fuzzy half): the Spark side
+        # runs same-endpoint pair generation + word-overlap >= 0.6 +
+        # union-find compress; on this corpus every accepted pair has
+        # IDENTICAL fact token sets (distinct predicates never exceed
+        # overlap 0.5 — 3-token facts share at most 2 of 4 tokens), so the
+        # oracle derivation is a sorted-distinct token-set key groupBy,
+        # and the CC survivor (min component uuid) is min(uuid) per key
+        "kg_edges_fuzzy_dedup": p
+        + f"""
+SELECT min(uuid) AS uuid, group_id, source_node_uuid, target_node_uuid,
+       min(name) AS name, min(fact) AS fact, min(valid_at) AS valid_at,
+       sum(n_episodes)::BIGINT AS n_episodes, count(*)::BIGINT AS n_merged
+FROM (
+  SELECT e.*,
+         array_to_string(list_sort(list_distinct({_toks_sql('fact')})), ' ') AS tok_key
+  FROM edges e
+)
+GROUP BY group_id, source_node_uuid, target_node_uuid, tok_key""",
         "kg_invalidation_candidates": p
         + f"""
 , new_e AS (

@@ -253,15 +253,14 @@ SELECT group_id, uuid, valid_at,
          ))[1:3], ','), '') AS prev_csv
 FROM episodes"""
 
-    # node-level fuzzy duplicate pairs: the deterministic test corpus has
-    # no fuzzy merges, so the oracle asserts the query is exactly empty
-    # (fuzzy behavior itself is unit-tested in tests/test_dedup_fuzzy.py)
-    o["kg_duplicate_of"] = """
-SELECT CAST(NULL AS VARCHAR) AS source_node_uuid,
-       CAST(NULL AS VARCHAR) AS target_node_uuid,
-       CAST(NULL AS VARCHAR) AS group_id,
-       CAST(NULL AS VARCHAR) AS name
-WHERE FALSE"""
+    # node-level fuzzy duplicate pairs (IS_DUPLICATE_OF provenance,
+    # edge_operations.py:850-911): the corpus injects punctuation-variant
+    # entity names (sources/source_files.py), so the fuzzy merge path is
+    # exercised end-to-end by this oracle — non-empty by construction
+    o["kg_duplicate_of"] = p + """
+SELECT _from AS source_node_uuid, _to AS target_node_uuid, group_id,
+       'IS_DUPLICATE_OF' AS name
+FROM fuzzy_remap"""
 
     # payload = utf-8 bytes of repeat(text, 3) (multimodal.synth_media);
     # sha256 over a DuckDB VARCHAR hashes its UTF-8 bytes — same digest.

@@ -34,6 +34,24 @@ _DIALECT = {
     "duckdb": {"sha_open": "sha256(", "sha_close": ")", "str": "VARCHAR"},
 }
 
+# Variant-name injection: a deterministic slice of documents carries
+# punctuation / case variants of the same logical entity, so the fuzzy
+# resolution path (LSH -> Jaccard -> CC -> remap -> edge fix-up) is
+# exercised BY THE ORACLE SUITE, not just unit tests:
+#   - 'Pipeline-Orchestrator' vs 'pipeline.orchestrator': distinct exact
+#     blocks whose fuzzy-normalized forms coincide -> fuzzy merge
+#     (dedup_helpers.py:45-49, 220-279 semantics);
+#   - 'Kubernetes Deployment' vs 'kubernetes deployment': case-variant
+#     facts that must collapse under the normalized-fact edge-dedup key
+#     (edge_operations.py:344-358).
+_VARIANT_CONTENT = (
+    "CASE WHEN doc_id % 11 = 3 THEN concat(text, ' Pipeline-Orchestrator')"
+    " WHEN doc_id % 11 = 7 THEN concat(text, ' pipeline.orchestrator')"
+    " WHEN doc_id % 13 = 4 THEN concat(text, ' Kubernetes Deployment')"
+    " WHEN doc_id % 13 = 9 THEN concat(text, ' kubernetes deployment')"
+    " ELSE text END"
+)
+
 # documents(doc_id, text, lang, source, n_chars) -> source_files
 # Skew knob: every 5th document lands in one mega-repo (~20% of rows), the
 # scale hazard the north rule calls out (salted repartition + AQE handle it).
@@ -46,8 +64,8 @@ SELECT
          CAST(doc_id AS {str}), '.py')                        AS path,
   md5(concat(text, '@', CAST(doc_id AS {str})))               AS commit,
   lang                                                        AS lang,
-  text                                                        AS content,
-  {sha_open}text{sha_close}                                   AS content_sha256,
+  {variant}                                                   AS content,
+  {sha_open}{variant}{sha_close}                              AS content_sha256,
   doc_id                                                      AS file_seq
 FROM {documents}
 """
@@ -56,7 +74,8 @@ FROM {documents}
 def _render(dialect: str, documents: str) -> str:
     d = _DIALECT[dialect]
     return _SRC_TEMPLATE.format(
-        str=d["str"], sha_open=d["sha_open"], sha_close=d["sha_close"], documents=documents
+        str=d["str"], sha_open=d["sha_open"], sha_close=d["sha_close"],
+        documents=documents, variant=_VARIANT_CONTENT,
     )
 
 
@@ -130,7 +149,8 @@ def generate_source_files(
     )
     df.createOrReplaceTempView("gs_documents_gen")
     sql = _SRC_TEMPLATE.format(
-        str="STRING", sha_open="sha2(", sha_close=", 256)", documents="gs_documents_gen"
+        str="STRING", sha_open="sha2(", sha_close=", 256)",
+        documents="gs_documents_gen", variant=_VARIANT_CONTENT,
     )
     # widen repo space beyond the test mapping when asked
     if n_repos != 100 or mega_repo_share != 5:

@@ -75,8 +75,12 @@ def test_clear_group(gs):
 
 def test_duplicate_of_and_previous_episodes(gs, spark, sf_dir):
     g = gs._session_graph
-    # corpus has no fuzzy merges -> no node-level duplicate edges
-    assert duplicate_of_edges(g.name_map).count() == 0
+    # the corpus injects punctuation-variant names (source_files.py
+    # _VARIANT_CONTENT), so node-level duplicate edges exist and never
+    # self-loop
+    corpus_dup = duplicate_of_edges(g.name_map)
+    assert corpus_dup.count() >= 1
+    assert corpus_dup.where("source_node_uuid = target_node_uuid").count() == 0
     # a fuzzy pair produces exactly one IS_DUPLICATE_OF row
     from graphiti_spark.operators.extraction import extract_mentions
     from graphiti_spark.operators.resolution import resolve_nodes

@@ -133,3 +133,68 @@ def test_resolve_nodes_merges_fuzzy_and_unions_labels(spark):
     assert set(nrows[merged_name]["labels"]) == {"Entity", "Place"}
     # the fuzzy remap records exactly one id movement
     assert fuzzy_remap.count() == 1
+
+
+def test_label_specificity_promotion(spark):
+    """_promote_resolved_node (dedup_helpers.py:170-189): merging a
+    generic-labeled mention into a typed one keeps the MORE SPECIFIC
+    label — 'Concept' (the extractor default) drops whenever any typed
+    label is present; an all-generic block keeps 'Concept'."""
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "e1", "g", "merge", "Operation", "2024-01-01"),
+            ("m2", "e2", "g", "Merge", "Concept", "2024-01-02"),
+            ("m3", "e3", "g", "zebra", "Concept", "2024-01-03"),
+        ],
+        "mention_uuid string, episode_uuid string, group_id string, "
+        "name string, label string, valid_at string",
+    ).withColumn("valid_at", F.col("valid_at").cast("timestamp"))
+    nodes, *_ = resolve_nodes(mentions, fuzzy=False)
+    rows = {r["name"]: set(r["labels"]) for r in nodes.collect()}
+    # 'merge'/'Merge' share one exact block; Concept yields to Operation
+    assert rows["Merge"] == {"Entity", "Operation"}
+    assert rows["zebra"] == {"Entity", "Concept"}
+
+
+def test_oracle_fuzzy_equality_assumption():
+    """The DuckDB oracle derives fuzzy pairs as gated fuzzy-norm EQUALITY
+    while Spark runs LSH + Jaccard >= 0.9 (oracles.kg_cte_prefix docstring).
+    They coincide iff the corpus has NO gated pair with 0.9 <= J < 1.0 —
+    asserted here by a brute-force sweep over every distinct gated name of
+    both test corpora."""
+    from itertools import combinations
+
+    import duckdb
+
+    from graphiti_spark.oracles import kg_cte_prefix
+
+    def sh3(s: str) -> set:
+        d = s.replace(" ", "")
+        return {d[i: i + 3] for i in range(max(len(d) - 2, 1))} or {d}
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        rows = con.execute(
+            kg_cte_prefix("documents")
+            + "SELECT group_id, fuzzy FROM gated"
+        ).fetchall()
+        by_group: dict[str, list[str]] = {}
+        for g, fz in rows:
+            by_group.setdefault(g, []).append(fz)
+        for g, names in by_group.items():
+            shingle_sets = [(n, sh3(n)) for n in names]
+            for (na, sa), (nb, sb) in combinations(shingle_sets, 2):
+                u = len(sa | sb)
+                j = len(sa & sb) / u if u else 0.0
+                if j >= 0.9:
+                    assert na == nb, (
+                        f"near-but-not-equal fuzzy pair in {sf_dir} group {g}: "
+                        f"{na!r} vs {nb!r} (J={j:.3f}) — oracle equality "
+                        "derivation no longer matches the LSH path"
+                    )
+        con.close()

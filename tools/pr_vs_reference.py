@@ -28,6 +28,7 @@ from collections import defaultdict
 sys.path.insert(0, "/root/repo")
 
 MIN_LEN = 4
+MIN_LEN_JSON = 5
 OPERATION = {"merge", "join", "sort", "scan", "filter", "window", "group",
              "batch", "stream", "hash"}
 OBJECT = {"table", "column", "line", "value", "data", "part", "vector",
@@ -45,6 +46,44 @@ def label(t: str) -> str:
     return "Operation" if t in OPERATION else ("Object" if t in OBJECT else "Concept")
 
 
+def variant_content(doc_id: int, text: str) -> str:
+    """The synthesis-time variant injection (sources/source_files.py
+    _VARIANT_CONTENT), reproduced independently."""
+    if doc_id % 11 == 3:
+        return text + " Pipeline-Orchestrator"
+    if doc_id % 11 == 7:
+        return text + " pipeline.orchestrator"
+    if doc_id % 13 == 4:
+        return text + " Kubernetes Deployment"
+    if doc_id % 13 == 9:
+        return text + " kubernetes deployment"
+    return text
+
+
+def fuzzy_form(norm: str) -> str:
+    """keep [a-z0-9' ] of the normalized name (dedup_helpers.py:45-49)."""
+    import re
+
+    return re.sub(r"[^a-z0-9' ]", "", norm)
+
+
+def passes_gate(fuzzy: str) -> bool:
+    """length/token floor + despaced Shannon entropy (dedup_helpers.py:52-86)."""
+    import math
+
+    if len(fuzzy) < 6 and len(fuzzy.split()) < 2:
+        return False
+    d = fuzzy.replace(" ", "")
+    if not d:
+        return False
+    counts: dict[str, int] = {}
+    for ch in d:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(d)
+    ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return ent >= 1.5
+
+
 def reference_skeleton(rows):
     """rows: dicts with repo, lang, text (content), doc_id. Returns the
     emitted edge set keyed (group, subj, pred, obj) with temporal fields."""
@@ -54,27 +93,47 @@ def reference_skeleton(rows):
     episodes = []
     for r in rows:
         valid_at = dt.datetime(2024, 1, 1) + dt.timedelta(days=int(r["doc_id"]) % 365)
-        episodes.append(dict(group=r["repo"], content=r["text"], valid_at=valid_at))
+        source = "text" if r["lang"] == "en" else ("json" if r["lang"] == "zh" else "message")
+        episodes.append(dict(group=r["repo"],
+                             content=variant_content(int(r["doc_id"]), r["text"]),
+                             valid_at=valid_at, source=source))
 
     # --- per-episode extraction + sequential cross-episode canonical pool
     # (bulk_utils.py:374-486: iterate episodes, resolve each batch of
-    # extracted nodes against the accumulated canonical pool)
+    # extracted nodes against the accumulated canonical pool — exact
+    # normalized-name hit first, then the MinHash/fuzzy pass against the
+    # accumulated canonicals, dedup_helpers.py:220-279)
     canonical_pool: dict[tuple[str, str], str] = {}  # (group, norm) -> canonical name
-    uuid_map: dict[str, str] = {}
+    fuzzy_pool: dict[tuple[str, str], str] = {}      # (group, fuzzy)  -> canonical name
     edges: dict[tuple, dict] = {}
 
+    def resolve(group: str, name: str) -> str:
+        norm = name.lower().strip()
+        key = (group, norm)
+        if key in canonical_pool:
+            return canonical_pool[key]
+        fz = fuzzy_form(norm)
+        if passes_gate(fz) and (group, fz) in fuzzy_pool:
+            canonical = fuzzy_pool[(group, fz)]
+        else:
+            canonical = name
+            if passes_gate(fz):
+                fuzzy_pool[(group, fz)] = name
+        canonical_pool[key] = canonical
+        return canonical
+
     for ep in episodes:
-        toks = [t for t in ep["content"].split(" ") if len(t) >= MIN_LEN]
+        min_len = MIN_LEN_JSON if ep["source"] == "json" else MIN_LEN
+        toks = [t for t in ep["content"].split(" ") if len(t) >= min_len]
         # same-batch exact collapse (node_operations.py:336-384)
         mentions, seen = [], set()
         for t in toks:
             if t not in seen:
                 seen.add(t)
                 mentions.append(t)
-        # resolve vs pool (exact normalized name; dedup_helpers.py:236-247)
+        # resolve vs pool (exact + fuzzy; dedup_helpers.py:236-279)
         for name in mentions:
-            key = (ep["group"], name.lower().strip())
-            canonical_pool.setdefault(key, name)
+            resolve(ep["group"], name)
         # extract + resolve edges (edge_operations.py:117-322 + 684-695)
         seen_e = set()
         for s, o in zip(toks, toks[1:]):
