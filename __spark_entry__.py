@@ -267,10 +267,13 @@ def _q_sr_bfs2(spark, sf_dir):
 
 
 def _q_sr_communities(spark, sf_dir):
-    from graphiti_spark.operators.community import community_nodes
+    # the deterministic CC variant (min-label propagation to fixpoint) —
+    # oracle-checkable; the plurality-vote label_propagation keeps the
+    # reference's exact semantics under unit tests (tests/test_community_extras)
+    from graphiti_spark.operators.community import community_nodes_cc
 
     g = _graph(spark, sf_dir)
-    return community_nodes(
+    return community_nodes_cc(
         g.edges.where(F.col("group_id") == "megacorp/monorepo")
     )
 

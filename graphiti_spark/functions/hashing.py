@@ -155,6 +155,74 @@ def make_lsh_band_keys_udf(
     return band_keys
 
 
+def make_sha_minhash_band_keys_udf(band_size: int = 4, perms: int = 32):
+    """array<string> shingles → array<string> LSH band keys, using a
+    sha256-derived permutation family EXPRESSIBLE IN ANSI SQL (the DuckDB
+    oracle computes the identical keys, oracles_td.minhash_lsh_sql):
+
+    for shingle g and round r in 0..perms/8-1, digest = hex sha256("r:g");
+    its 8 aligned 8-hex-char slices are 8 permutation values — MinHash
+    needs *a* uniform permutation family, and lexicographic min over hex
+    slices is one. Band key b = "b{b}|" + "|".join(minima of the band's
+    ``band_size`` permutations). Empty shingle arrays yield no keys.
+
+    One Arrow pass; hashlib sha256 is C-speed and the per-shingle work is
+    4 digests (perms/8), not 32."""
+    n_rounds = perms // 8
+    n_bands = perms // band_size
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def band_keys(shingle_arr: pd.Series) -> pd.Series:
+        out: list[list[str]] = []
+        for grams in shingle_arr:
+            if grams is None or len(grams) == 0:
+                out.append([])
+                continue
+            mins: list[str | None] = [None] * perms
+            for g in grams:
+                for r in range(n_rounds):
+                    h = hashlib.sha256(f"{r}:{g}".encode()).hexdigest()
+                    base = r * 8
+                    for s in range(8):
+                        v = h[s * 8: s * 8 + 8]
+                        p = base + s
+                        if mins[p] is None or v < mins[p]:
+                            mins[p] = v
+            out.append([
+                "b%d|%s" % (b, "|".join(mins[b * band_size:(b + 1) * band_size]))
+                for b in range(n_bands)
+            ])
+        return pd.Series(out)
+
+    return band_keys
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_sha(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash with per-token hash = first 16 hex chars of
+    sha256(token) — the SQL-expressible twin of :func:`simhash64` (the
+    DuckDB oracle reconstructs the same bits nibble-by-nibble,
+    oracles_td.simhash_sql). Vote math identical: bit b = majority of
+    token-hash bits b, weighted by occurrence."""
+    import hashlib as _hashlib
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        hs = np.array(
+            [int(_hashlib.sha256(t.encode()).hexdigest()[:16], 16) for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        val = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    return tokens.apply(one)
+
+
 def make_jaccard_udf(k: int = config.SHINGLE_SIZE):
     """pandas UDF: char-k-gram set Jaccard of two de-spaced strings
     (dedup_helpers.py:88-94, 131-140) — used on the (small) LSH candidate

@@ -157,3 +157,47 @@ def community_nodes(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_members")
     )
     return assign.join(sizes, ["group_id", "community"])
+
+
+def community_nodes_cc(edges: DataFrame) -> DataFrame:
+    """Deterministic community variant: community = CONNECTED COMPONENT of
+    the undirected entity graph, id = min member uuid — i.e. min-label
+    propagation run to fixpoint, which is what the reference's
+    label_propagation loop (community_operations.py:93-138) converges to
+    when every node's plurality vote is replaced by the min rule. This is
+    the oracle-checkable twin (a recursive-CTE min-label closure in
+    DuckDB); the plurality-vote :func:`label_propagation` above keeps the
+    reference's exact semantics and stays covered by unit tests.
+
+    Output: (group_id, uuid, community, n_members)."""
+    from graphiti_spark.operators.canonicalize import connected_components
+
+    pairs = (
+        edges.select(
+            F.col("source_node_uuid").alias("a"),
+            F.col("target_node_uuid").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cc = connected_components(pairs)
+    members = (
+        edges.select("group_id", F.col("source_node_uuid").alias("uuid"))
+        .unionByName(
+            edges.select("group_id", F.col("target_node_uuid").alias("uuid"))
+        )
+        .distinct()
+    )
+    assign = (
+        members.join(cc, members.uuid == cc.uuid, "left")
+        .select(
+            "group_id",
+            members.uuid.alias("uuid"),
+            # nodes with only self-loop edges have no CC row: own component
+            F.coalesce(cc.canonical_uuid, members.uuid).alias("community"),
+        )
+    )
+    sizes = assign.groupBy("group_id", "community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return assign.join(sizes, ["group_id", "community"])

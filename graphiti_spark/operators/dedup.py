@@ -22,9 +22,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from graphiti_spark import config
 from graphiti_spark.functions.hashing import (
     hamming64,
-    make_jaccard_udf,
-    make_lsh_band_keys_udf,
-    simhash64,
+    make_sha_minhash_band_keys_udf,
+    simhash64_sha,
 )
 from graphiti_spark.functions.text import jaccard, tokenize
 
@@ -77,17 +76,25 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified with exact Jaccard — the 100 TB
     path: one Arrow pass for signatures, explode band keys, self-join on
-    buckets (candidates ∝ collisions), verify survivors.
+    buckets (candidates ∝ collisions, mega-buckets capped), verify
+    survivors.
+
+    Shingles are WORD 3-grams — the same definition as
+    :func:`dedup_ngram_jaccard` — and the permutation family is
+    sha256-slice based (functions/hashing.make_sha_minhash_band_keys_udf),
+    so the entire operator is reproduced by the DuckDB oracle
+    (oracles_td.minhash_lsh_sql): bucket keys, cap, candidate pairs and
+    verify are all hash-checked, not just row counts. A faster xxhash64
+    JVM family exists in functions/hashing.minhash_signature for
+    deployments that don't need cross-engine parity.
 
     At threshold 0.5 with 32 perms / bands of 4: P(candidate|J=0.5) ≈ 40%
     per the S-curve — run two band sizes for higher recall if needed.
     Output schema matches dedup_ngram_jaccard for recall measurement."""
-    band_keys = make_lsh_band_keys_udf(band_size=band_size)
-    jac = make_jaccard_udf()
+    band_keys = make_sha_minhash_band_keys_udf(band_size=band_size)
     d = docs.select(
-        "doc_id",
-        F.lower(F.col("text")).alias("_txt"),
-    ).withColumn("band_key", F.explode(band_keys(F.col("_txt"))))
+        "doc_id", word_shingles(F.col("text")).alias("_sh")
+    ).withColumn("band_key", F.explode(band_keys(F.col("_sh"))))
     w = Window.partitionBy("band_key")
     d = d.withColumn("_bw", F.count("*").over(w)).where(
         F.col("_bw") <= config.LSH_BUCKET_CAP
@@ -99,23 +106,25 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a._txt").alias("_ta"),
-            F.col("b._txt").alias("_tb"),
+            F.col("a._sh").alias("_sa"),
+            F.col("b._sh").alias("_sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("jaccard_sim", F.round(jac(F.col("_ta"), F.col("_tb")), 4))
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("_sa"), F.col("_sb")), 4))
         .where(F.col("jaccard_sim") >= threshold)
-        .drop("_ta", "_tb")
+        .drop("_sa", "_sb")
     )
     return pairs
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint per doc (JVM column
-    algebra), block on the top-16-bit prefix (near-dups almost always share
-    it), verify with full Hamming distance."""
+    """SimHash near-dup pairs: 64-bit fingerprint per doc, block on the
+    top-16-bit prefix (near-dups almost always share it), verify with full
+    Hamming distance. Token hashes are sha256-derived
+    (functions/hashing.simhash64_sha) so the DuckDB oracle reconstructs
+    the identical fingerprints bit-by-bit (oracles_td.simhash_sql)."""
     d = docs.select(
-        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+        "doc_id", simhash64_sha(tokenize(F.col("text"))).alias("simhash")
     ).withColumn("prefix", F.shiftrightunsigned("simhash", 48))
     a, b = d.alias("a"), d.alias("b")
     return (

@@ -129,6 +129,11 @@ def mmr_rerank(
     greedy loop runs on the collected set with numpy inside one
     applyInPandas group — the same driver-side scale the reference uses
     (~40 rows), but kept inside the executor for pipeline composition.
+
+    Determinism contract (shared with the DuckDB oracle,
+    oracles_td.mmr_sql): candidates sorted by id, pairwise cosines rounded
+    to 4 and MMR scores to 6 BEFORE each argmax, ties broken on the
+    smallest id — the greedy trajectory is engine-independent.
     """
     import pandas as pd
 
@@ -137,28 +142,30 @@ def mmr_rerank(
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
         qsim = pdf[query_sim_col].to_numpy(dtype=np.float64)
         ids = pdf[id_col].to_numpy()
+        pair = np.round(unit @ unit.T, 4)
         picked: list[int] = []
         scores: list[float] = []
         remaining = list(range(len(ids)))
         while remaining and len(picked) < k:
             if picked:
-                max_sim = (unit[remaining] @ unit[picked].T).max(axis=1)
+                max_sim = pair[np.ix_(remaining, picked)].max(axis=1)
             else:
                 max_sim = np.zeros(len(remaining))
-            mmr = lambda_ * qsim[remaining] + (lambda_ - 1.0) * max_sim
-            j = int(np.argmax(mmr))
+            mmr = np.round(lambda_ * qsim[remaining] + (lambda_ - 1.0) * max_sim, 6)
+            j = int(np.argmax(mmr))  # first max = smallest id (sorted input)
             picked.append(remaining[j])
             scores.append(float(mmr[j]))
             remaining.pop(j)
         return pd.DataFrame({
             id_col: ids[picked],
-            "mmr_score": np.round(scores, 6),
+            "mmr_score": scores,
             "mmr_rank": range(1, len(picked) + 1),
         })
 

@@ -117,7 +117,10 @@ def ann_ivf(
     """IVF: centroids = the first ``n_centroids`` corpus vectors by vec_id
     (deterministic coarse sample; swap in k-means output on a real corpus).
     Vectors index to their nearest centroid; probes scan the ``n_probe``
-    nearest inverted lists only."""
+    nearest inverted lists only. Assignment/probe-list cosines are rounded
+    to 4 decimals (ties broken on cent_id) so the argmax is deterministic
+    across engines — the DuckDB oracle (oracles_td.ann_ivf_sql) reproduces
+    the identical assignment."""
     cent = (
         embeddings.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("_cent"))
@@ -125,7 +128,7 @@ def ann_ivf(
     assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     assigned = (
         embeddings.join(F.broadcast(cent))
-        .withColumn("_cs", cosine(F.col("embedding"), F.col("_cent")))
+        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
         .withColumn("_r", F.row_number().over(assign_w))
         .where(F.col("_r") == 1)
         .select("vec_id", "embedding", "cent_id")
@@ -133,7 +136,7 @@ def ann_ivf(
     probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     probe_lists = (
         probes.join(F.broadcast(cent))
-        .withColumn("_cs", cosine(F.col("embedding"), F.col("_cent")))
+        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
         .withColumn("_r", F.row_number().over(probe_w))
         .where(F.col("_r") <= n_probe)
         .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")

@@ -22,6 +22,252 @@ def _toks(col: str) -> str:
     return TOKS.format(col=col)
 
 
+# word-3-gram shingles of a token list `t` (the contract of
+# operators/dedup.word_shingles; validated green by td_dedup_ngram_jaccard)
+GRAMS = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t) - 1),"
+    " i -> array_to_string(t[i:i+2], ' '))) ELSE [] END"
+)
+
+
+def _gram_jaccard(ga: str, gb: str) -> str:
+    return (
+        f"CASE WHEN len(list_distinct(list_concat({ga}, {gb}))) > 0 "
+        f"THEN len(list_intersect({ga}, {gb}))::DOUBLE "
+        f"/ len(list_distinct(list_concat({ga}, {gb}))) ELSE 0 END"
+    )
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.5, band_size: int = 4, perms: int = 32,
+    cap: int | None = None,
+) -> str:
+    """DuckDB twin of operators/dedup.dedup_minhash_lsh: identical
+    sha256-slice permutation family, band keys, bucket cap, candidate
+    self-join and Jaccard verify (see
+    functions/hashing.make_sha_minhash_band_keys_udf)."""
+    from graphiti_spark import config
+
+    cap = cap if cap is not None else config.LSH_BUCKET_CAP
+    sig_exprs = []
+    for p in range(perms):
+        r, s = divmod(p, 8)
+        sig_exprs.append(
+            f"list_min(list_transform(grams, g -> "
+            f"substr(sha256(concat('{r}:', g)), {s * 8 + 1}, 8))) AS m{p}"
+        )
+    band_exprs = []
+    for b in range(perms // band_size):
+        inner = ", '|', ".join(f"m{b * band_size + i}" for i in range(band_size))
+        band_exprs.append(f"concat('b{b}|', {inner})")
+    jac = _gram_jaccard("ga", "gb")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {GRAMS} AS grams
+  FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+),
+sig AS (
+  SELECT doc_id, grams, {', '.join(sig_exprs)}
+  FROM sh WHERE len(grams) > 0
+),
+bands AS (
+  SELECT doc_id, grams, unnest([{', '.join(band_exprs)}]) AS band_key FROM sig
+),
+capped AS (
+  SELECT doc_id, grams, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_key) AS bw FROM bands
+  ) WHERE bw <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.grams AS ga, b.grams AS gb
+  FROM capped a JOIN capped b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round({jac}, 4) AS jaccard_sim
+FROM pairs WHERE round({jac}, 4) >= {threshold}"""
+
+
+def simhash_sql(max_hamming: int = 8) -> str:
+    """DuckDB twin of operators/dedup.dedup_simhash: reconstructs the
+    64-bit sha256-based SimHash nibble-by-nibble (hashing.simhash64_sha),
+    blocks on the top-16-bit prefix, verifies full Hamming distance."""
+    def bit(j: int) -> str:
+        pos = 16 - j // 4  # 1-based hex char position (char 16 = lowest nibble)
+        return (
+            f"(((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+            f">> {j % 4}) & 1)"
+        )
+
+    votes = ", ".join(f"sum(2 * {bit(j)} - 1) AS v{j}" for j in range(64))
+    lo = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    hi = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END" for j in range(32, 64)
+    )
+    pfx = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << (j - 48)} ELSE 0 END" for j in range(48, 64)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
+    SELECT doc_id, unnest(t) AS tok
+    FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+  )
+),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+parts AS (
+  SELECT doc_id, ({lo})::BIGINT AS lo, ({hi})::BIGINT AS hi,
+         ({pfx})::BIGINT AS prefix
+  FROM votes
+),
+sims AS (
+  SELECT doc_id,
+         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+           * 4294967296 + lo AS simhash,
+         prefix
+  FROM parts
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def ann_lsh_sql(
+    k: int = 10, tables: int = 8, bits: int = 12, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_hyperplane_lsh: the seeded
+    hyperplanes are embedded as DOUBLE literals (same numpy RNG draw), the
+    per-table sign-bit bucket keys match bit-for-bit, candidates join on
+    key and are verified with rounded cosine."""
+    import numpy as np
+
+    key_exprs = []
+    for t in range(tables):
+        planes = np.random.default_rng(1000 + t).standard_normal((bits, dim))
+        terms = []
+        for i in range(bits):
+            vec = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(emb, {vec}) > 0 THEN {1 << i} ELSE 0 END"
+            )
+        key_exprs.append("(" + " + ".join(terms) + f" + {t << 48})")
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings
+),
+ckeys AS (
+  SELECT vec_id, embedding, unnest([{', '.join(key_exprs)}]) AS bk FROM base
+),
+pkeys AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, bk
+  FROM ckeys WHERE vec_id IN ({probe_list})
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, c.vec_id, c.embedding AS cvec, p.pvec
+  FROM ckeys c JOIN pkeys p ON c.bk = p.bk
+),
+scored AS (
+  SELECT probe_id, vec_id,
+         round(list_cosine_similarity(cvec, pvec), 4) AS cos_sim
+  FROM cand
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of operators/similarity.ann_ivf: deterministic centroid
+    sample (first n by vec_id), nearest-centroid assignment and probe-list
+    selection on cosine ROUNDED TO 4 (both engines, so FP noise cannot
+    flip an argmax), inverted-list scan, top-k."""
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 4) DESC,
+                      c.cent_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+plists AS (
+  SELECT probe_id, pvec, cent_id FROM (
+    SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cent_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY round(list_cosine_similarity(p.embedding, c.cvec), 4) DESC,
+                      c.cent_id ASC) AS r
+    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id IN ({probe_list})
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT pl.probe_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding, pl.pvec), 4) AS cos_sim
+  FROM assigned a JOIN plists pl ON a.cent_id = pl.cent_id
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def mmr_sql(k: int = 10, lambda_: float = 0.5, n_cand: int = 20) -> str:
+    """DuckDB twin of operators/search.mmr_rerank: the greedy argmax loop
+    is UNROLLED into k chained CTEs. Pairwise cosines are rounded to 4 and
+    MMR scores to 6 in BOTH engines before each argmax; ties break on
+    vec_id ascending — making the greedy trajectory deterministic and
+    engine-independent."""
+    base = f"""
+WITH p AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+ranked AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         round(list_cosine_similarity(e.embedding, p.pvec), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN p
+  QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) <= {n_cand}
+),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS s
+  FROM ranked a JOIN ranked b ON a.vec_id <> b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, mmr_score, 1 AS mmr_rank FROM (
+    SELECT vec_id, round({lambda_} * cos_sim, 6) AS mmr_score FROM ranked
+    ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+  )
+)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT vec_id, mmr_score, {i} AS mmr_rank FROM (
+    SELECT c.vec_id,
+           round({lambda_} * c.cos_sim + ({lambda_} - 1.0) * max(p.s), 6) AS mmr_score
+    FROM ranked c JOIN pair p ON p.va = c.vec_id
+     AND p.vb IN (SELECT vec_id FROM sel{i - 1})
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    GROUP BY c.vec_id, c.cos_sim
+    ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1
+  )
+)""")
+    return base + "".join(steps) + f"""
+SELECT vec_id, mmr_score, mmr_rank FROM sel{k}"""
+
+
 def td_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -58,6 +304,12 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
+
+    o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
+    o["td_dedup_simhash"] = simhash_sql(max_hamming=8)
+    o["td_ann_lsh"] = ann_lsh_sql(k=10)
+    o["td_ann_ivf"] = ann_ivf_sql(k=10)
+    o["sr_mmr"] = mmr_sql(k=10)
 
     probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
     o["td_ann_bruteforce"] = f"""
@@ -278,6 +530,37 @@ SELECT media_id, kind,
        sha256(payload) AS payload_sha256,
        sha256(concat('feat|', payload)) AS feature_digest
 FROM media"""
+
+    # CC communities (min-label propagation to fixpoint) over the megacorp
+    # entity graph — recursive-CTE min-label closure, community = min
+    # member uuid, size = component cardinality
+    o["sr_communities"] = p + """
+, ge AS (
+  SELECT DISTINCT source_node_uuid AS a, target_node_uuid AS b
+  FROM edges
+  WHERE group_id = 'megacorp/monorepo' AND source_node_uuid <> target_node_uuid
+),
+und2 AS (SELECT a, b FROM ge UNION SELECT b, a FROM ge),
+creach AS (
+  SELECT a AS node, b AS lbl FROM und2
+  UNION
+  SELECT r.node, u.b AS lbl FROM creach r JOIN und2 u ON u.a = r.lbl
+),
+cassign AS (
+  SELECT node AS uuid, least(node, min(lbl)) AS community
+  FROM creach GROUP BY node
+),
+cmembers AS (
+  SELECT DISTINCT uuid FROM (
+    SELECT source_node_uuid AS uuid FROM edges WHERE group_id = 'megacorp/monorepo'
+    UNION ALL
+    SELECT target_node_uuid FROM edges WHERE group_id = 'megacorp/monorepo'
+  )
+)
+SELECT 'megacorp/monorepo' AS group_id, m.uuid,
+       coalesce(c.community, m.uuid) AS community,
+       count(*) OVER (PARTITION BY coalesce(c.community, m.uuid))::BIGINT AS n_members
+FROM cmembers m LEFT JOIN cassign c ON c.uuid = m.uuid"""
 
     o["mm_frame_sample"] = """
 WITH media AS (
