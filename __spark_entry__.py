@@ -308,6 +308,19 @@ def _q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def _q_sr_community_search(spark, sf_dir):
+    """Community fulltext arm (community_fulltext_search,
+    search_utils.py:956-1043): BM25 over community name+summary."""
+    from graphiti_spark.operators.community import build_communities
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.oracles_td import BM25_TERMS
+
+    g = _graph(spark, sf_dir)
+    comm, _ = build_communities(g.edges, g.nodes)
+    docs = comm.withColumn("_text", F.concat_ws(" ", "name", "summary"))
+    return bm25_scores(docs, list(BM25_TERMS), id_col="uuid", text_col="_text")
+
+
 def _q_kg_edges_fuzzy_dedup(spark, sf_dir):
     from graphiti_spark.operators.edges import dedupe_edges_fuzzy
 
@@ -377,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
+        "sr_community_search": _q_sr_community_search,
         "sr_mmr": _q_sr_mmr,
         # multimodal plumbing
         "mm_media_features": _q_mm_media_features,

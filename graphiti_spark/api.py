@@ -105,7 +105,7 @@ class SearchConfig:
     expansion, and the reranker — the reference ships 17 recipes built
     from the same three axes."""
 
-    scopes: tuple[str, ...] = ("edges", "nodes", "episodes")
+    scopes: tuple[str, ...] = ("edges", "nodes", "episodes", "communities")
     limit: int = config.DEFAULT_SEARCH_LIMIT
     rerank: str = "rrf"  # rrf | mmr
 
@@ -114,6 +114,7 @@ COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
 EDGE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("edges",))
 NODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("nodes",))
 EPISODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("episodes",))
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(scopes=("communities",))
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(rerank="mmr")
 
 
@@ -261,10 +262,51 @@ class GraphitiSpark:
         self.spark = spark
         self.store = store
         self._session_graph: GraphTables | None = None
+        self._communities: tuple[DataFrame, DataFrame] | None = None
+
+    # ---- communities -----------------------------------------------------
+
+    def communities_tables(self, refresh: bool = False) -> tuple[DataFrame, DataFrame]:
+        """(communities, HAS_MEMBER edges) — materialized into the store
+        when one is attached (the reference's update_communities path,
+        graphiti.py:1184-1191 → community_operations), else session-cached."""
+        from graphiti_spark.operators.community import build_communities
+
+        if not refresh:
+            if self._communities is not None:
+                return self._communities
+            if self.store is not None:
+                c = self.store.read("communities")
+                m = self.store.read("community_edges")
+                if c is not None and m is not None:
+                    self._communities = (c.drop("bucket"), m.drop("bucket"))
+                    return self._communities
+        comm, member_edges = build_communities(
+            self._table("edges"), self._table("nodes")
+        )
+        if self.store is not None:
+            self.store.merge_upsert("communities", comm)
+            self.store.merge_upsert("community_edges", member_edges)
+            comm = self.store.read("communities").drop("bucket")
+            member_edges = self.store.read("community_edges").drop("bucket")
+        self._communities = (comm, member_edges)
+        return self._communities
+
+    def get_communities_by_nodes(self, node_uuids: list[str]) -> DataFrame:
+        """Communities containing any of the given entities
+        (get_communities_by_nodes, search_utils.py:116-182)."""
+        _, member_edges = self.communities_tables()
+        hits = member_edges.where(
+            F.col("target_node_uuid").isin(*node_uuids)
+        ).select(F.col("source_node_uuid").alias("uuid")).distinct()
+        return self.communities_tables()[0].join(hits, "uuid", "left_semi")
 
     # ---- ingest ---------------------------------------------------------
 
-    def add_episode_bulk(self, source_files: DataFrame, fuzzy: bool = True) -> GraphTables:
+    def add_episode_bulk(
+        self, source_files: DataFrame, fuzzy: bool = True,
+        update_communities: bool = False,
+    ) -> GraphTables:
         """Batch ingest. With a store attached, new mentions are resolved
         against the LIVE graph first via the persistent name_index — the
         first batch to canonicalize a (group, normalized name) owns the
@@ -303,6 +345,9 @@ class GraphitiSpark:
             self.store.merge_upsert("name_index", g.name_map)
             self._reinvalidate_affected(g)
         self._session_graph = g
+        self._communities = None  # graph changed; rebuild lazily
+        if update_communities:
+            self.communities_tables(refresh=True)
         return g
 
     def _reinvalidate_affected(self, g: GraphTables) -> None:
@@ -445,7 +490,7 @@ class GraphitiSpark:
             limit, rerank = search_config.limit, search_config.rerank
         active_scopes = (
             search_config.scopes if search_config is not None
-            else ("edges", "nodes", "episodes")
+            else ("edges", "nodes", "episodes", "communities")
         )
         query = sanitize_query(query)
         terms = [t for t in query.lower().split() if t]
@@ -489,6 +534,12 @@ class GraphitiSpark:
             "nodes": (nodes, "uuid", "name"),
             "episodes": (episodes, "uuid", "content"),
         }
+        if "communities" in active_scopes:
+            comm, _ = self.communities_tables()
+            scopes["communities"] = (
+                comm.withColumn("_text", F.concat_ws(" ", "name", "summary")),
+                "uuid", "_text",
+            )
         scopes = {k: v for k, v in scopes.items() if k in active_scopes}
         for scope, (df, id_col, text_col) in scopes.items():
             lists = [ranked_bm25(df, id_col, text_col),

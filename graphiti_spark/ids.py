@@ -42,6 +42,14 @@ def entity_uuid(group_id: Column | str, norm_name: Column | str) -> Column:
     return _hash_id(F.lit("entity"), group_id, norm_name)
 
 
+def community_uuid(
+    group_id: Column | str, min_member_uuid: Column | str
+) -> Column:
+    """Community identity = (graph partition, component's min member) —
+    stable across re-runs because the CC canonical member is."""
+    return _hash_id(F.lit("community"), group_id, min_member_uuid)
+
+
 def edge_uuid(
     group_id: Column | str,
     src: Column | str,

@@ -159,6 +159,58 @@ def community_nodes(edges: DataFrame) -> DataFrame:
     return assign.join(sizes, ["group_id", "community"])
 
 
+def build_communities(
+    edges: DataFrame, nodes: DataFrame, top_names: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize CommunityNode rows (nodes.py:687-689) + HAS_MEMBER
+    edges (build_community_edges, edge_operations.py:99-114) from CC
+    assignments. Deterministic SQL-expressible summaries stand in for the
+    reference's hierarchical LLM reduction (community_operations.py:
+    174-213 — :func:`summarize_communities` keeps that reduction shape for
+    model-backed deployments):
+
+    - uuid      = sha256('community'|group|min member uuid)
+    - name      = the min member's surface name
+    - summary   = 'Community: ' + first ``top_names`` member names
+                  (sorted), capped at MAX_SUMMARY_CHARS
+    - n_members = component cardinality
+
+    Returns (communities, member_edges)."""
+    from graphiti_spark import config
+    from graphiti_spark.ids import community_uuid
+    from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+    assign = community_nodes_cc(edges)
+    named = assign.join(nodes.select("uuid", "name"), "uuid")
+    communities = (
+        named.groupBy("group_id", "community", "n_members")
+        .agg(
+            F.min_by("name", "uuid").alias("_cname"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("name")), 1, top_names), ", "
+            ).alias("_members"),
+        )
+        .select(
+            community_uuid("group_id", F.col("community")).alias("uuid"),
+            F.col("_cname").alias("name"),
+            "group_id",
+            F.substring(
+                F.concat(F.lit("Community: "), F.col("_members")),
+                1, config.MAX_SUMMARY_CHARS,
+            ).alias("summary"),
+            "n_members",
+        )
+    )
+    member_edges = assign.select(
+        community_uuid("group_id", F.col("community")).alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+        "group_id",
+        F.lit("HAS_MEMBER").alias("name"),
+        F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+    )
+    return communities, member_edges
+
+
 def community_nodes_cc(edges: DataFrame) -> DataFrame:
     """Deterministic community variant: community = CONNECTED COMPONENT of
     the undirected entity graph, id = min member uuid — i.e. min-label

@@ -6,6 +6,7 @@ lower → punctuation ([^\\w\\s]) to space → split on \\s+ → drop empties.
 
 from __future__ import annotations
 
+from graphiti_spark.ids import oracle_sql_hash
 from graphiti_spark.oracles import kg_cte_prefix
 
 TOKS = (
@@ -561,6 +562,63 @@ SELECT 'megacorp/monorepo' AS group_id, m.uuid,
        coalesce(c.community, m.uuid) AS community,
        count(*) OVER (PARTITION BY coalesce(c.community, m.uuid))::BIGINT AS n_members
 FROM cmembers m LEFT JOIN cassign c ON c.uuid = m.uuid"""
+
+    # community fulltext arm: CC communities over ALL groups (node uuids
+    # embed the group, so one closure serves every group), deterministic
+    # name/summary construction (community.build_communities), then the
+    # same BM25 as sr_bm25 with communities as the corpus
+    comm_text_toks = _toks("concat_ws(' ', name, summary)")
+    o["sr_community_search"] = p + f"""
+, ge2 AS (
+  SELECT DISTINCT source_node_uuid AS a, target_node_uuid AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+undB AS (SELECT a, b FROM ge2 UNION SELECT b, a FROM ge2),
+reachB AS (
+  SELECT a AS node, b AS lbl FROM undB
+  UNION
+  SELECT r.node, u.b AS lbl FROM reachB r JOIN undB u ON u.a = r.lbl
+),
+assignB AS (
+  SELECT node AS uuid, least(node, min(lbl)) AS community
+  FROM reachB GROUP BY node
+),
+membersB AS (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, source_node_uuid AS uuid FROM edges
+    UNION ALL SELECT group_id, target_node_uuid FROM edges
+  )
+),
+fullB AS (
+  SELECT m.group_id, m.uuid, coalesce(a.community, m.uuid) AS community
+  FROM membersB m LEFT JOIN assignB a ON a.uuid = m.uuid
+),
+commB AS (
+  SELECT {oracle_sql_hash('community', 'f.group_id', 'f.community')} AS uuid,
+         arg_min(n.name, f.uuid) AS name,
+         f.group_id AS group_id,
+         substr(concat('Community: ',
+                array_to_string(list_sort(list(n.name))[1:8], ', ')), 1, 1000) AS summary,
+         count(*)::BIGINT AS n_members
+  FROM fullB f JOIN nodes n ON n.uuid = f.uuid
+  GROUP BY f.group_id, f.community
+),
+ctoks AS (SELECT uuid, {comm_text_toks} AS t FROM commB),
+cstats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM ctoks),
+ctf AS (
+  SELECT uuid, len(t)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT uuid, t, unnest(t) AS term FROM ctoks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY uuid, len(t), term
+),
+cdf AS (SELECT term, count(DISTINCT uuid)::DOUBLE AS df FROM ctf GROUP BY term)
+SELECT ctf.uuid,
+  round(sum(
+    ln(1 + (ds.n - cdf.df + 0.5) / (cdf.df + 0.5))
+    * (ctf.tf * 2.2) / (ctf.tf + 1.2 * (1 - 0.75 + 0.75 * ctf.dl / ds.avgdl))
+  ), 4) AS bm25
+FROM ctf JOIN cdf USING (term) CROSS JOIN cstats ds
+GROUP BY ctf.uuid"""
 
     o["mm_frame_sample"] = """
 WITH media AS (

@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 N_BUCKETS_DEFAULT = 64
 
-TABLES = ("episodes", "nodes", "edges", "mentions", "name_index")
+TABLES = (
+    "episodes", "nodes", "edges", "mentions", "name_index",
+    "communities", "community_edges",
+)
 KEYS = {
     "episodes": ["uuid"],
     "nodes": ["uuid"],
@@ -39,6 +42,8 @@ KEYS = {
     # name-grain resolution index: first writer of a (group, norm name)
     # owns the canonical uuid; later batches adopt it at ingest
     "name_index": ["group_id", "norm_name"],
+    "communities": ["uuid"],
+    "community_edges": ["source_node_uuid", "target_node_uuid"],
 }
 
 

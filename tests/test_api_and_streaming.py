@@ -50,12 +50,32 @@ def test_search_filters_pushdown(gs):
         date_filters=[[DateFilter("expired_at", "IS NULL")]],
     )
     res = gs.search("spark merge query", limit=5, filters=f)
-    assert set(res) == {"edges", "nodes", "episodes"}
+    assert set(res) == {"edges", "nodes", "episodes", "communities"}
     assert 0 < res["edges"].count() <= 5
     # every returned edge satisfies the pushed filter
     hits = [r["uuid"] for r in res["edges"].collect()]
     check = gs._table("edges").where(F.col("uuid").isin(hits))
     assert check.where("name <> 'OPERATES_ON' OR expired_at IS NOT NULL").count() == 0
+
+
+def test_community_scope_and_membership(gs):
+    """4th search scope (community_fulltext/similarity,
+    search_utils.py:956-1161) + get_communities_by_nodes provenance."""
+    from graphiti_spark.api import COMMUNITY_HYBRID_SEARCH_RRF
+
+    res = gs.search("spark merge query", search_config=COMMUNITY_HYBRID_SEARCH_RRF)
+    assert set(res) == {"communities"}
+    assert res["communities"].count() > 0
+    comm, member_edges = gs.communities_tables()
+    assert comm.count() > 0
+    assert member_edges.where("name <> 'HAS_MEMBER'").count() == 0
+    # membership lookup: a member node's community contains it
+    m = member_edges.limit(1).collect()[0]
+    found = gs.get_communities_by_nodes([m["target_node_uuid"]]).collect()
+    assert any(r["uuid"] == m["source_node_uuid"] for r in found)
+    # community rows carry a deterministic summary
+    c = comm.limit(1).collect()[0]
+    assert c["summary"].startswith("Community: ") and c["n_members"] >= 1
 
 
 def test_remove_episode_drops_orphans(gs, spark):
