@@ -57,6 +57,23 @@ class DateFilter:
 
 
 @dataclass
+class PropertyFilter:
+    """Predicate over a dynamic attribute (search_filters.py:27-84
+    PropertyFilter): applies to ``attributes[name]`` (MapType column).
+    Values compare as strings — the reference's attribute bags are
+    schemaless, so ordering is lexicographic in both engines."""
+
+    name: str
+    op: str
+    value: str | None = None
+
+    def to_column(self) -> Column:
+        c = F.col("attributes").getItem(self.name)
+        v = F.lit(self.value) if self.value is not None else None
+        return _OPS[self.op](c, v)
+
+
+@dataclass
 class SearchFilters:
     """OR-of-AND filter lists, exactly the reference's composition rule:
     the outer list ORs, each inner list ANDs (search_filters.py:86-273)."""
@@ -65,6 +82,18 @@ class SearchFilters:
     edge_types: list[str] | None = None
     edge_uuids: list[str] | None = None
     date_filters: list[list[DateFilter]] = field(default_factory=list)
+    property_filters: list[list[PropertyFilter]] = field(default_factory=list)
+
+    @staticmethod
+    def _or_of_ands(clauses) -> Column | None:
+        ors = None
+        for clause in clauses:
+            ands = None
+            for f_ in clause:
+                c = f_.to_column()
+                ands = c if ands is None else (ands & c)
+            ors = ands if ors is None else (ors | ands)
+        return ors
 
     def edge_predicate(self) -> Column | None:
         preds: list[Column] = []
@@ -72,27 +101,30 @@ class SearchFilters:
             preds.append(F.col("name").isin(*self.edge_types))
         if self.edge_uuids:
             preds.append(F.col("uuid").isin(*self.edge_uuids))
-        if self.date_filters:
-            ors = None
-            for clause in self.date_filters:
-                ands = None
-                for f_ in clause:
-                    c = f_.to_column()
-                    ands = c if ands is None else (ands & c)
-                ors = ands if ors is None else (ors | ands)
-            if ors is not None:
-                preds.append(ors)
+        for clauses in (self.date_filters, self.property_filters):
+            if clauses:
+                ors = self._or_of_ands(clauses)
+                if ors is not None:
+                    preds.append(ors)
         out = None
         for p in preds:
             out = p if out is None else (out & p)
         return out
 
     def node_predicate(self) -> Column | None:
+        preds: list[Column] = []
         if self.node_labels:
-            return F.arrays_overlap(
+            preds.append(F.arrays_overlap(
                 F.col("labels"), F.array(*[F.lit(x) for x in self.node_labels])
-            )
-        return None
+            ))
+        if self.property_filters:
+            ors = self._or_of_ands(self.property_filters)
+            if ors is not None:
+                preds.append(ors)
+        out = None
+        for p in preds:
+            out = p if out is None else (out & p)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -103,19 +135,34 @@ class SearchFilters:
 class SearchConfig:
     """Canned retrieval configurations: which scopes run, candidate
     expansion, and the reranker — the reference ships 17 recipes built
-    from the same three axes."""
+    from the same three axes (search_config_recipes.py:34-223), all
+    mirrored below. ``cross_encoder`` routes through a pluggable client
+    boundary with a deterministic term-overlap default (the reference's
+    clients are remote models, cross_encoder/client.py)."""
 
     scopes: tuple[str, ...] = ("edges", "nodes", "episodes", "communities")
     limit: int = config.DEFAULT_SEARCH_LIMIT
-    rerank: str = "rrf"  # rrf | mmr
+    rerank: str = "rrf"  # rrf | mmr | cross_encoder | node_distance | episode_mentions
 
 
+# the reference's 17 recipes (search_config_recipes.py:34-223), 1:1
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
-EDGE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("edges",))
-NODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("nodes",))
-EPISODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("episodes",))
-COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(scopes=("communities",))
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(rerank="mmr")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(rerank="cross_encoder")
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("edges",))
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(scopes=("edges",), rerank="mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(scopes=("edges",), rerank="node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(scopes=("edges",), rerank="episode_mentions")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(scopes=("edges",), rerank="cross_encoder")
+NODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("nodes",))
+NODE_HYBRID_SEARCH_MMR = SearchConfig(scopes=("nodes",), rerank="mmr")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(scopes=("nodes",), rerank="node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(scopes=("nodes",), rerank="episode_mentions")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(scopes=("nodes",), rerank="cross_encoder")
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(scopes=("communities",))
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(scopes=("communities",), rerank="mmr")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(scopes=("communities",), rerank="cross_encoder")
+EPISODE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("episodes",))
 
 
 # ---------------------------------------------------------------------------
@@ -476,14 +523,26 @@ class GraphitiSpark:
         filters: SearchFilters | None = None,
         rerank: str = "rrf",
         search_config: "SearchConfig | None" = None,
+        center_node_uuid: str | None = None,
     ) -> dict[str, DataFrame]:
         """Hybrid search fan-out (search.py:98-250): per scope, BM25 and
-        cosine candidates at 2x limit, fused with RRF (or MMR over the
-        union), cut to limit. Deterministic hash embedder stands in for
-        the query embedding client."""
-        from graphiti_spark.functions.embeddings import hash_embed
+        cosine candidates at 2x limit, fused with RRF, then the configured
+        reranker (rrf | mmr | cross_encoder | node_distance |
+        episode_mentions — search.py:253-460) cuts to limit. Deterministic
+        hash embedder stands in for the query embedding client;
+        ``center_node_uuid`` feeds the node-distance reranker (falls back
+        to RRF order when absent, like the reference's guard)."""
+        from graphiti_spark.functions.embeddings import dot, hash_embed
         from graphiti_spark.functions.text import sanitize_query
-        from graphiti_spark.operators.search import bm25_scores, ranked_top_k, rrf
+        from graphiti_spark.operators.search import (
+            bm25_scores,
+            cross_encoder_rerank,
+            episode_mentions_rerank,
+            mmr_rerank,
+            node_distance_rerank,
+            ranked_top_k,
+            rrf,
+        )
         from graphiti_spark.operators.similarity import knn_bruteforce
 
         if search_config is not None:
@@ -541,9 +600,81 @@ class GraphitiSpark:
                 "uuid", "_text",
             )
         scopes = {k: v for k, v in scopes.items() if k in active_scopes}
+        def apply_rerank(scope: str, df: DataFrame, id_col: str,
+                         text_col: str, fused: DataFrame) -> DataFrame:
+            if rerank == "rrf":
+                return ranked_top_k(fused, "rrf_score", "uuid", limit)
+            # candidate pool at 2x expansion, then the configured reranker
+            pool = ranked_top_k(fused, "rrf_score", "uuid", 2 * limit)
+            cand = pool.join(
+                df.select(F.col(id_col).alias("uuid"),
+                          F.col(text_col).alias("_t")),
+                "uuid",
+            )
+            if rerank == "cross_encoder":
+                scored = cross_encoder_rerank(cand, query)
+                return ranked_top_k(
+                    scored.select("uuid", "ce_score"), "ce_score", "uuid", limit
+                )
+            if rerank == "mmr":
+                probe = self.spark.createDataFrame([(query,)], "q string").select(
+                    hash_embed(F.col("q")).alias("_qemb")
+                )
+                withsim = (
+                    cand.withColumn("embedding", hash_embed(F.col("_t")))
+                    .join(F.broadcast(probe))
+                    .withColumn(
+                        "cos_sim",
+                        F.round(dot(F.col("embedding"), F.col("_qemb")), 4),
+                    )
+                )
+                return mmr_rerank(
+                    withsim, id_col="uuid", k=limit, id_type="string"
+                ).drop("_g")
+            if rerank == "node_distance":
+                # reference guard: no center node -> keep RRF order
+                if center_node_uuid is None or scope not in ("nodes", "edges"):
+                    return ranked_top_k(fused, "rrf_score", "uuid", limit)
+                if scope == "edges":
+                    m = self._table("edges").select(
+                        "uuid", F.col("source_node_uuid").alias("_n"))
+                else:
+                    m = df.select(F.col(id_col).alias("uuid"),
+                                  F.col(id_col).alias("_n"))
+                nd = node_distance_rerank(
+                    pool.join(m, "uuid").withColumnRenamed("_n", "nd_uuid")
+                    .withColumnRenamed("uuid", "_cand").withColumnRenamed("nd_uuid", "uuid"),
+                    self._table("edges"), center_node_uuid,
+                )
+                return (
+                    nd.select(F.col("_cand").alias("uuid"), "distance")
+                    .orderBy(F.asc_nulls_last("distance"), F.asc("uuid"))
+                    .limit(limit)
+                )
+            if rerank == "episode_mentions":
+                if scope == "edges":
+                    m = self._table("edges").select(
+                        "uuid", F.col("source_node_uuid").alias("node_ref"))
+                    c = pool.join(m, "uuid")
+                elif scope == "nodes":
+                    c = pool.withColumn("node_ref", F.col("uuid"))
+                else:
+                    return ranked_top_k(fused, "rrf_score", "uuid", limit)
+                counts = self._table("mentions").groupBy(
+                    F.col("node_uuid").alias("node_ref")
+                ).agg(F.count("*").cast("long").alias("n_mentions"))
+                return (
+                    c.join(counts, "node_ref", "left")
+                    .fillna(0, ["n_mentions"])
+                    .select("uuid", "n_mentions")
+                    .orderBy(F.desc("n_mentions"), F.asc("uuid"))
+                    .limit(limit)
+                )
+            raise ValueError(f"unknown reranker {rerank}")
+
         for scope, (df, id_col, text_col) in scopes.items():
             lists = [ranked_bm25(df, id_col, text_col),
                      ranked_cosine(df, id_col, text_col)]
             fused = rrf(lists, "uuid")
-            out[scope] = ranked_top_k(fused, "rrf_score", "uuid", limit)
+            out[scope] = apply_rerank(scope, df, id_col, text_col, fused)
         return out

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graphiti_spark import config
-from graphiti_spark.functions.text import tokenize
+from graphiti_spark.functions.text import jaccard, tokenize
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -121,6 +121,7 @@ def mmr_rerank(
     query_sim_col: str = "cos_sim",
     lambda_: float = config.MMR_LAMBDA,
     k: int = config.DEFAULT_SEARCH_LIMIT,
+    id_type: str = "long",
 ) -> DataFrame:
     """Maximal marginal relevance (search_utils.py:1885-1923):
     iteratively pick argmax of lambda*sim(q,c) + (lambda-1)*max_sim(c, picked).
@@ -137,7 +138,7 @@ def mmr_rerank(
     """
     import pandas as pd
 
-    schema = f"{id_col} long, mmr_score double, mmr_rank int"
+    schema = f"{id_col} {id_type}, mmr_score double, mmr_rank int"
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -172,6 +173,35 @@ def mmr_rerank(
     return candidates.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         greedy, schema=schema
     )
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame, query: str, text_col: str = "_t", client=None
+) -> DataFrame:
+    """Cross-encoder rerank boundary (CrossEncoderClient.rank(query,
+    passages), cross_encoder/client.py; wired at search.py:395-410). The
+    deterministic default client scores passages by query-term overlap
+    Jaccard — pure JVM column algebra; pass ``client`` (a callable
+    pdf, query -> pdf with ce_score) to swap in a model-backed reranker
+    over the same Arrow batch boundary."""
+    if client is None:
+        q = tokenize(F.lit(query))
+        return candidates.withColumn(
+            "ce_score", F.round(jaccard(tokenize(F.col(text_col)), q), 6)
+        )
+
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    cols = ", ".join(f"{c.name} {c.dataType.simpleString()}"
+                     for c in candidates.schema.fields)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            yield client(b, query)
+
+    return candidates.mapInPandas(run, schema=f"{cols}, ce_score double")
 
 
 def retrieve_episodes(

@@ -58,6 +58,40 @@ def test_search_filters_pushdown(gs):
     assert check.where("name <> 'OPERATES_ON' OR expired_at IS NOT NULL").count() == 0
 
 
+def test_property_filters_and_recipes(gs, spark):
+    """SearchFilters.property_filters (search_filters.py:27-273) + the
+    full 17-recipe surface (search_config_recipes.py:34-223) + reranker
+    dispatch."""
+    import graphiti_spark.api as api
+    from graphiti_spark.api import PropertyFilter
+
+    recipes = [n for n in dir(api) if "_HYBRID_SEARCH_" in n]
+    assert len(recipes) == 17
+    # property filter over the attribute map: attributes are empty in the
+    # deterministic pipeline, so IS NULL keeps rows and IS NOT NULL drops all
+    keep = SearchFilters(property_filters=[[PropertyFilter("owner", "IS NULL")]])
+    drop = SearchFilters(property_filters=[[PropertyFilter("owner", "IS NOT NULL")]])
+    assert gs.search("spark merge", limit=3, filters=keep)["edges"].count() > 0
+    assert gs.search("spark merge", limit=3, filters=drop)["edges"].count() == 0
+    # OR-of-AND composition: (owner IS NOT NULL) OR (owner IS NULL) = all
+    both = SearchFilters(property_filters=[
+        [PropertyFilter("owner", "IS NOT NULL")],
+        [PropertyFilter("owner", "IS NULL")],
+    ])
+    assert gs.search("spark merge", limit=3, filters=both)["edges"].count() > 0
+    # every reranker returns <= limit rows for its scope
+    center = gs._table("nodes").limit(1).collect()[0]["uuid"]
+    for cfg in (api.EDGE_HYBRID_SEARCH_MMR, api.NODE_HYBRID_SEARCH_CROSS_ENCODER,
+                api.NODE_HYBRID_SEARCH_EPISODE_MENTIONS):
+        res = gs.search("spark merge query", search_config=cfg)
+        (scope,) = cfg.scopes
+        assert 0 < res[scope].count() <= cfg.limit
+    res = gs.search("spark merge query",
+                    search_config=api.NODE_HYBRID_SEARCH_NODE_DISTANCE,
+                    center_node_uuid=center)
+    assert 0 < res["nodes"].count() <= 10
+
+
 def test_community_scope_and_membership(gs):
     """4th search scope (community_fulltext/similarity,
     search_utils.py:956-1161) + get_communities_by_nodes provenance."""
