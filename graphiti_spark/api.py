@@ -373,14 +373,21 @@ class GraphitiSpark:
                 # referencing this remap lazily after name_index is
                 # overwritten below — the lineage back to the old files
                 # must be severed, not merely cached
+                # one target per alias: a fuzzy-merged batch canonical can
+                # match SEVERAL existing uuids (one per member norm_name);
+                # letting the rewrite joins fan out would duplicate edge/
+                # mention rows. Collapse to min(existing) — the remaining
+                # existing ids stay separate nodes until a compaction pass
+                # merges them (deterministic, idempotent across re-runs).
                 remap = (
                     g.name_map.join(ex, ["group_id", "norm_name"])
                     .where(F.col("canonical_uuid") != F.col("_existing_uuid"))
                     .select(
                         F.col("canonical_uuid").alias("alias_uuid"),
-                        F.col("_existing_uuid").alias("canonical_uuid"),
+                        F.col("_existing_uuid").alias("_target"),
                     )
-                    .distinct()
+                    .groupBy("alias_uuid")
+                    .agg(F.min("_target").alias("canonical_uuid"))
                     .localCheckpoint()
                 )
                 if remap.count() > 0:
@@ -445,13 +452,26 @@ class GraphitiSpark:
         """Episode deletion plan (graphiti.py:1765-1793): drop the episode,
         drop edges whose ONLY provenance it is, drop entities mentioned by
         no remaining episode. Returns the retained tables (caller persists
-        via store.merge semantics or overwrite)."""
+        via store.merge semantics or overwrite).
+
+        Provenance-cap caveat: edge ``episodes`` arrays are capped at
+        EDGE_EPISODE_PROVENANCE_CAP (columnar safety — config.py), so an
+        edge asserted by MORE episodes than the cap whose capped array
+        omits the deleted one keeps its counters unchanged (best-effort
+        deletion); edges under the cap are exact — array entry removed and
+        n_episodes decremented. Full-fidelity deletion at 100 TB keeps a
+        separate (edge_uuid, episode_uuid) provenance table and anti-joins
+        it instead."""
         episodes = self._table("episodes").where(F.col("uuid") != episode_uuid)
         edges = self._table("edges")
-        edges_kept = edges.where(
-            ~F.array_contains("episodes", episode_uuid) | (F.size("episodes") > 1)
-        ).withColumn(
-            "episodes", F.array_remove("episodes", episode_uuid)
+        had = F.array_contains("episodes", episode_uuid)
+        edges_kept = (
+            edges.where(~had | (F.size("episodes") > 1))
+            .withColumn(
+                "n_episodes",
+                F.when(had, F.col("n_episodes") - 1).otherwise(F.col("n_episodes")),
+            )
+            .withColumn("episodes", F.array_remove("episodes", episode_uuid))
         )
         mentions = self._table("mentions").where(F.col("episode_uuid") != episode_uuid)
         nodes = self._table("nodes").join(

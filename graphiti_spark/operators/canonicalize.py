@@ -110,16 +110,28 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
         )
         new_labels = new_labels.localCheckpoint()  # cut lineage per iteration
+        # full count on the checkpointed diff — limit(1).count() plans
+        # CollectLimit whose serial partition ramp-up single-threads the
+        # convergence check on wide inputs
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label fixpoint NOT reached after "
+            f"{max_iter} iterations ({changed} labels still moving) — "
+            "components with diameter > max_iter carry split canonical ids",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("uuid"), F.col("label").alias("canonical_uuid"))
 
 

@@ -72,12 +72,20 @@ def label_propagation(
             new_labels.alias("n")
             .join(labels.alias("o"), "uuid")
             .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"label_propagation: fixpoint NOT reached after {max_iter} "
+            f"iterations ({changed} labels still moving)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # canonicalize community ids to min member uuid
     canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
     return labels.join(canon, "label").select("group_id", "uuid", "community")

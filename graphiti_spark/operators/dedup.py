@@ -140,25 +140,47 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 
 def dedup_embedding_cosine(
-    embeddings: DataFrame, threshold: float = 0.95, block_labels: bool = True
+    embeddings: DataFrame, threshold: float = 0.95, block_labels: bool = True,
+    method: str = "exact", tables: int = 8, bits: int = 6, dim: int = 64,
 ) -> DataFrame:
     """Semantic near-dup pairs over a vector column: cosine >= threshold.
-    Blocked by label when available (the class analog of group_id
-    blocking); at true scale swap the self-join for the LSH/IVF variant in
-    operators/similarity.py."""
+
+    ``method='exact'`` (the oracle-checked default): all pairs within a
+    label block — O(block²), acceptable only when blocks are bounded.
+    ``method='lsh'`` (the 100 TB path): candidates must share >= 1
+    random-hyperplane sign-bit bucket (within the label block), so the
+    pair count tracks collisions, not block²; survivors verified with
+    exact cosine. Recall vs the exact twin is asserted >= 0.9 in
+    tests/test_td_ops.py."""
     from graphiti_spark.functions.embeddings import cosine
 
     d = embeddings.select("vec_id", "embedding", "label")
+    if method == "lsh":
+        from graphiti_spark.operators.similarity import make_hyperplane_keys_udf
+
+        keys = make_hyperplane_keys_udf(tables, bits, dim)
+        d = d.withColumn("bk", F.explode(keys(F.col("embedding"))))
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.vec_id") < F.col("b.vec_id")
     if block_labels:
         cond = cond & (F.col("a.label") == F.col("b.label"))
-    return (
+    if method == "lsh":
+        cond = cond & (F.col("a.bk") == F.col("b.bk"))
+    out = (
         a.join(b, cond)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+            F.col("a.embedding").alias("_ea"),
+            F.col("b.embedding").alias("_eb"),
+        )
+    )
+    if method == "lsh":
+        out = out.dropDuplicates(["vec_a", "vec_b"])
+    return (
+        out.withColumn(
+            "cos_sim", F.round(cosine(F.col("_ea"), F.col("_eb")), 4)
         )
         .where(F.col("cos_sim") >= threshold)
+        .drop("_ea", "_eb")
     )

@@ -118,19 +118,14 @@ def fuzzy_duplicate_pairs(
     return pairs
 
 
-def semantic_duplicate_pairs(
+def semantic_duplicate_pairs_exact(
     candidates: DataFrame,
     min_score: float = config.SEMANTIC_MIN_SCORE,
     limit: int = config.SEMANTIC_CANDIDATE_LIMIT,
 ) -> DataFrame:
-    """Stage 3 (optional): embedding-cosine candidate pairs within group
-    blocks (node_operations.py:418-450: limit 15, min score 0.6).
-
-    candidates must carry (uuid, group_id, name_embedding). Blocking is the
-    group partition; at 100 TB add label blocking before enabling this.
-    NOTE: returns *candidate* pairs; the caller decides resolution (the
-    reference escalates these to an LLM — deterministic mode treats
-    cosine >= threshold as duplicate only when names also share a token).
+    """All-pairs brute-force twin of :func:`semantic_duplicate_pairs` —
+    O(n²) per group. Kept ONLY as the recall baseline for tests and for
+    small candidate sets; the default stage routes through LSH buckets.
     """
     from graphiti_spark.functions.embeddings import dot
 
@@ -144,7 +139,7 @@ def semantic_duplicate_pairs(
         .withColumn("score", dot(F.col("a.name_embedding"), F.col("b.name_embedding")))
         .where(F.col("score") >= min_score)
     )
-    w = Window.partitionBy("a.uuid").orderBy(F.desc("score"))
+    w = Window.partitionBy("a.uuid").orderBy(F.desc("score"), F.asc("b.uuid"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= limit)
@@ -154,6 +149,62 @@ def semantic_duplicate_pairs(
             F.col("a.group_id").alias("group_id"),
             "score",
         )
+    )
+
+
+def semantic_duplicate_pairs(
+    candidates: DataFrame,
+    min_score: float = config.SEMANTIC_MIN_SCORE,
+    limit: int = config.SEMANTIC_CANDIDATE_LIMIT,
+    tables: int = 8,
+    bits: int = 6,
+    dim: int = config.EMBEDDING_DIM,
+) -> DataFrame:
+    """Stage 3 (optional): embedding-cosine candidate pairs
+    (node_operations.py:418-450: limit 15, min score 0.6), blocked by
+    RANDOM-HYPERPLANE LSH BUCKETS within each group — the 100 TB shape:
+    a pair is considered only when it shares >= 1 of ``tables`` sign-bit
+    bucket keys, so candidate count tracks collisions, not group².
+    Survivors are verified with exact cosine; at 8 tables × 6 bits a
+    cos=0.9 pair is caught with P ≈ 0.98 (recall vs the all-pairs twin is
+    asserted >= 0.9 in tests/test_dedup_fuzzy.py).
+
+    candidates must carry (uuid, group_id, name_embedding). Returns
+    *candidate* pairs; the caller decides resolution (the reference
+    escalates these to an LLM).
+    """
+    from graphiti_spark.functions.embeddings import dot
+    from graphiti_spark.operators.similarity import make_hyperplane_keys_udf
+
+    keys = make_hyperplane_keys_udf(tables, bits, dim)
+    d = candidates.select("uuid", "group_id", "name_embedding").withColumn(
+        "bk", F.explode(keys(F.col("name_embedding")))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.uuid") < F.col("b.uuid")),
+        )
+        .select(
+            F.col("a.uuid").alias("a"),
+            F.col("b.uuid").alias("b"),
+            F.col("a.group_id").alias("group_id"),
+            F.col("a.name_embedding").alias("_ea"),
+            F.col("b.name_embedding").alias("_eb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn("score", dot(F.col("_ea"), F.col("_eb")))
+        .where(F.col("score") >= min_score)
+        .drop("_ea", "_eb")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= limit)
+        .drop("_rk")
     )
 
 

@@ -71,9 +71,36 @@ def test_semantic_duplicate_pairs(spark):
          ("u3", "g", [float(x) for x in far])],
         "uuid string, group_id string, name_embedding array<float>",
     )
-    pairs = {(r["a"], r["b"]) for r in semantic_duplicate_pairs(cands).collect()}
+    pairs = {(r["a"], r["b"]) for r in semantic_duplicate_pairs(cands, dim=64).collect()}
     assert ("u1", "u2") in pairs
     assert all("u3" not in p for p in pairs)
+
+
+def test_semantic_lsh_recall_vs_exact(spark):
+    """The LSH-blocked stage-3 plan must keep >= 0.9 recall vs its
+    all-pairs twin (VERDICT: block the semantic stage before enabling)."""
+    import numpy as np
+
+    from graphiti_spark.operators.resolution import semantic_duplicate_pairs_exact
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in rng.standard_normal((6, 64)):
+        for _ in range(10):
+            v = c + 0.12 * rng.standard_normal(64)
+            v /= np.linalg.norm(v)
+            rows.append((f"u{vid:03d}", "g", [float(x) for x in v]))
+            vid += 1
+    cands = spark.createDataFrame(
+        rows, "uuid string, group_id string, name_embedding array<float>"
+    )
+    truth = {(r["a"], r["b"])
+             for r in semantic_duplicate_pairs_exact(cands, limit=100).collect()}
+    got = {(r["a"], r["b"])
+           for r in semantic_duplicate_pairs(cands, limit=100, dim=64).collect()}
+    assert truth
+    assert len(got & truth) / len(truth) >= 0.9, (len(got & truth), len(truth))
 
 
 def test_sanitize_query():

@@ -117,6 +117,20 @@ def test_ann_ivf_recall(spark, clustered_vectors):
     assert recall >= 0.8, recall
 
 
+def test_embedding_cosine_lsh_recall_vs_exact(spark, clustered_vectors):
+    """The hyperplane-bucketed method='lsh' scale path must keep >= 0.9
+    recall vs the exact all-pairs twin at the same threshold."""
+    from graphiti_spark.operators.dedup import dedup_embedding_cosine
+
+    truth = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(
+        clustered_vectors, threshold=0.8).collect()}
+    got = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(
+        clustered_vectors, threshold=0.8, method="lsh").collect()}
+    assert truth
+    assert got <= truth  # verify step keeps precision exact
+    assert len(got & truth) / len(truth) >= 0.9
+
+
 def test_media_features_deterministic_and_correct(spark, dup_docs):
     media = synth_media(dup_docs)
     f1 = {r["media_id"]: (r["n_bytes"], r["payload_sha256"], tuple(r["feature"]))
