@@ -308,6 +308,20 @@ def _q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def _q_kg_saga_nodes(spark, sf_dir):
+    from graphiti_spark.operators.saga import build_saga_nodes
+
+    return build_saga_nodes(_graph(spark, sf_dir).episodes)
+
+
+def _q_kg_next_episode_edges(spark, sf_dir):
+    from graphiti_spark.operators.saga import next_episode_edges
+
+    return next_episode_edges(_graph(spark, sf_dir).episodes).select(
+        "source_node_uuid", "target_node_uuid", "group_id", "name"
+    )
+
+
 def _q_sr_community_search(spark, sf_dir):
     """Community fulltext arm (community_fulltext_search,
     search_utils.py:956-1043): BM25 over community name+summary."""
@@ -388,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_previous_episodes": _q_sr_previous_episodes,
         "kg_duplicate_of": _q_kg_duplicate_of,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
+        "kg_saga_nodes": _q_kg_saga_nodes,
+        "kg_next_episode_edges": _q_kg_next_episode_edges,
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
         "sr_community_search": _q_sr_community_search,

@@ -398,6 +398,7 @@ class GraphitiSpark:
             self.store.merge_upsert("mentions", g.mentions)
             self.store.merge_upsert("name_index", g.name_map)
             self._reinvalidate_affected(g)
+            self._update_sagas(g)
         self._session_graph = g
         self._communities = None  # graph changed; rebuild lazily
         if update_communities:
@@ -430,6 +431,29 @@ class GraphitiSpark:
             ).select(cols)
         )
         self.store.merge_upsert("edges", refreshed)
+
+    def _update_sagas(self, g: GraphTables) -> None:
+        """Saga chain bookkeeping (graphiti.py:1411-1459): saga nodes,
+        HAS_EPISODE membership, NEXT_EPISODE ordering — recomputed from the
+        STORED episodes of exactly the groups this batch touched, so the
+        chain stays correct when a batch inserts mid-saga and the
+        derivation is idempotent (the event-time watermark is a max(),
+        monotone by construction). At 100 TB the same recompute runs per
+        affected group — bounded by batch spread, not corpus size."""
+        from graphiti_spark.operators.saga import (
+            build_saga_nodes,
+            has_episode_edges,
+            next_episode_edges,
+        )
+
+        eps = self.store.read("episodes")
+        if eps is None:
+            return
+        affected = g.episodes.select("group_id").distinct()
+        eps = eps.drop("bucket").join(affected, "group_id", "left_semi")
+        self.store.merge_upsert("sagas", build_saga_nodes(eps))
+        self.store.merge_upsert("saga_edges", has_episode_edges(eps))
+        self.store.merge_upsert("next_episode_edges", next_episode_edges(eps))
 
     def add_episode(self, source_file_row: DataFrame) -> GraphTables:
         """Single-episode ingest = a one-row micro-batch of the same DAG

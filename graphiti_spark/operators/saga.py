@@ -1,0 +1,91 @@
+"""Saga chain: (:Saga)-[:HAS_EPISODE]->(:Episodic) membership,
+(:Episodic)-[:NEXT_EPISODE]->(:Episodic) ordering, and saga node
+bookkeeping with dual watermarks.
+
+Reference semantics being reproduced (not ported):
+- ``SagaNode`` (nodes.py:867-876): summary + first/last episode pointers +
+  two monotone watermarks — wall-clock ``last_summarized_at`` and
+  event-time ``last_summarized_episode_valid_at`` (the same processing-
+  time vs event-time split Spark Structured Streaming formalizes; the
+  stateful-streaming twin lives in streaming/stateful.py).
+- ``HasEpisodeEdge`` (edges.py:689) / ``NextEpisodeEdge`` (edges.py:822):
+  membership + strict episode ordering inside a saga.
+- Saga bookkeeping on ingest (graphiti.py:1411-1459): first episode is
+  kept, last episode and the event-time watermark advance with each batch.
+
+Deterministic mapping: one saga per ``group_id`` (the reference threads an
+explicit ``saga`` name through add_episode; the graph partition is our
+batch-mode analog and keeps every derivation a pure column expression).
+Ordering inside a saga is (valid_at, uuid) — total and deterministic.
+
+Plans: everything is one window pass per output, partitioned by group_id —
+no self-joins, no shuffles beyond the per-group sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from graphiti_spark.ids import _hash_id
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+
+def saga_uuid(group_id: Column | str = "group_id") -> Column:
+    """Saga identity = the graph partition (deterministic, idempotent)."""
+    return _hash_id(F.lit("saga"), group_id)
+
+
+def build_saga_nodes(episodes: DataFrame) -> DataFrame:
+    """One SagaNode row per group: first/last episode by (valid_at, uuid),
+    episode count, and the event-time watermark = max valid_at seen
+    (monotone under incremental MERGE because max() only advances)."""
+    return (
+        episodes.groupBy("group_id")
+        .agg(
+            F.min_by("uuid", F.struct("valid_at", "uuid")).alias("first_episode_uuid"),
+            F.max_by("uuid", F.struct("valid_at", "uuid")).alias("last_episode_uuid"),
+            F.max("valid_at").alias("last_summarized_episode_valid_at"),
+            F.count("*").cast("long").alias("n_episodes"),
+        )
+        .select(
+            saga_uuid("group_id").alias("uuid"),
+            F.col("group_id").alias("name"),
+            "group_id",
+            "first_episode_uuid",
+            "last_episode_uuid",
+            F.lit(FIXED_CREATED_AT).cast("timestamp")
+            .alias("last_summarized_at"),  # wall-clock watermark (deterministic stand-in)
+            "last_summarized_episode_valid_at",
+            "n_episodes",
+        )
+    )
+
+
+def has_episode_edges(episodes: DataFrame) -> DataFrame:
+    """(:Saga)-[:HAS_EPISODE]->(:Episodic), one row per episode."""
+    return episodes.select(
+        saga_uuid("group_id").alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+        "group_id",
+        F.lit("HAS_EPISODE").alias("name"),
+        F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+    )
+
+
+def next_episode_edges(episodes: DataFrame) -> DataFrame:
+    """(:Episodic)-[:NEXT_EPISODE]->(:Episodic): the saga's strict episode
+    chain — one lead() window per group, no self-join."""
+    w = Window.partitionBy("group_id").orderBy(F.asc("valid_at"), F.asc("uuid"))
+    nxt = F.lead("uuid").over(w)
+    return (
+        episodes.select("group_id", "uuid", "valid_at")
+        .withColumn("_next", nxt)
+        .where(F.col("_next").isNotNull())
+        .select(
+            F.col("uuid").alias("source_node_uuid"),
+            F.col("_next").alias("target_node_uuid"),
+            "group_id",
+            F.lit("NEXT_EPISODE").alias("name"),
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+        )
+    )

@@ -22,7 +22,7 @@ from graphiti_spark.operators.extraction import (
     OPERATION_VOCAB,
     PREDICATES,
 )
-from graphiti_spark.sources.episodes import episodes_sql
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT, episodes_sql
 from graphiti_spark.sources.source_files import source_files_oracle_sql
 from graphiti_spark.operators.temporal import SYSTEM_TIME
 from graphiti_spark import config
@@ -330,6 +330,33 @@ FROM (
   FROM edges e
 )
 GROUP BY group_id, source_node_uuid, target_node_uuid, tok_key""",
+        # saga chain (SagaNode nodes.py:867-876; HAS_EPISODE edges.py:689;
+        # NEXT_EPISODE edges.py:822; bookkeeping graphiti.py:1411-1459):
+        # one saga per group, ordering = (valid_at, uuid)
+        "kg_saga_nodes": p
+        + f"""
+SELECT {_uuid('saga', 'group_id')} AS uuid, group_id AS name, group_id,
+       min(CASE WHEN rn_a = 1 THEN uuid END) AS first_episode_uuid,
+       min(CASE WHEN rn_d = 1 THEN uuid END) AS last_episode_uuid,
+       TIMESTAMP '{FIXED_CREATED_AT}' AS last_summarized_at,
+       max(valid_at) AS last_summarized_episode_valid_at,
+       count(*) AS n_episodes
+FROM (
+  SELECT group_id, uuid, valid_at,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY valid_at ASC, uuid ASC) AS rn_a,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY valid_at DESC, uuid DESC) AS rn_d
+  FROM episodes
+) GROUP BY group_id""",
+        "kg_next_episode_edges": p
+        + """
+SELECT uuid AS source_node_uuid,
+       lead(uuid) OVER (PARTITION BY group_id
+                        ORDER BY valid_at ASC, uuid ASC) AS target_node_uuid,
+       group_id, 'NEXT_EPISODE' AS name
+FROM episodes
+QUALIFY target_node_uuid IS NOT NULL""",
         "kg_invalidation_candidates": p
         + f"""
 , new_e AS (

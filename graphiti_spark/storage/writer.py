@@ -32,7 +32,8 @@ N_BUCKETS_DEFAULT = 64
 
 TABLES = (
     "episodes", "nodes", "edges", "mentions", "name_index",
-    "communities", "community_edges",
+    "communities", "community_edges", "sagas", "saga_edges",
+    "next_episode_edges",
 )
 KEYS = {
     "episodes": ["uuid"],
@@ -44,6 +45,11 @@ KEYS = {
     "name_index": ["group_id", "norm_name"],
     "communities": ["uuid"],
     "community_edges": ["source_node_uuid", "target_node_uuid"],
+    "sagas": ["uuid"],
+    "saga_edges": ["source_node_uuid", "target_node_uuid"],  # HAS_EPISODE
+    # an episode has exactly ONE next: keying by source lets a mid-chain
+    # insert REPLACE the stale a->c row with a->b (upsert-only store)
+    "next_episode_edges": ["source_node_uuid"],
 }
 
 

@@ -92,6 +92,51 @@ def test_property_filters_and_recipes(gs, spark):
     assert 0 < res["nodes"].count() <= 10
 
 
+def test_saga_chain_incremental(spark, tmp_path_factory):
+    """Saga bookkeeping (graphiti.py:1411-1459): HAS_EPISODE membership,
+    NEXT_EPISODE strict chain that stays correct when a later batch
+    inserts an episode mid-saga, and a monotone event-time watermark."""
+    import hashlib
+
+    from graphiti_spark.storage.writer import GraphStore
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [("org/r", f"f{seq}.py", "c" * 40, "en", c,
+              hashlib.sha256(c.encode()).hexdigest(), seq)
+             for c, seq in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, content_sha256 string, file_seq long",
+        )
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("saga_store")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    # batch 1: days 10 and 30; batch 2 inserts day 20 mid-chain
+    g.add_episode_bulk(batch([("alpha merge table beta", 10),
+                              ("gamma join column delta", 30)]))
+    wm1 = store.read("sagas").collect()[0]["last_summarized_episode_valid_at"]
+    g.add_episode_bulk(batch([("epsilon sort line zeta", 20)]))
+    sagas = store.read("sagas").collect()
+    assert len(sagas) == 1
+    wm2 = sagas[0]["last_summarized_episode_valid_at"]
+    assert wm2 >= wm1  # event-time watermark is monotone
+    assert sagas[0]["n_episodes"] == 3
+    eps = {r["uuid"]: r["valid_at"]
+           for r in store.read("episodes").select("uuid", "valid_at").collect()}
+    order = [u for u, _ in sorted(eps.items(), key=lambda kv: (kv[1], kv[0]))]
+    nxt = {r["source_node_uuid"]: r["target_node_uuid"]
+           for r in store.read("next_episode_edges").collect()}
+    # the chain follows episode order exactly, including the mid insert
+    # (the stale day10 -> day30 edge was REPLACED, not accumulated)
+    assert len(nxt) == 2
+    assert nxt[order[0]] == order[1] and nxt[order[1]] == order[2]
+    has = store.read("saga_edges")
+    assert has.where("name <> 'HAS_EPISODE'").count() == 0
+    assert has.count() == 3
+    assert sagas[0]["first_episode_uuid"] == order[0]
+    assert sagas[0]["last_episode_uuid"] == order[2]
+
+
 def test_community_scope_and_membership(gs):
     """4th search scope (community_fulltext/similarity,
     search_utils.py:956-1161) + get_communities_by_nodes provenance."""
