@@ -92,7 +92,12 @@ def dedup_minhash_lsh(
     per the S-curve — run two band sizes for higher recall if needed.
     Output schema matches dedup_ngram_jaccard for recall measurement."""
     band_keys = make_sha_minhash_band_keys_udf(band_size=band_size)
-    d = docs.select(
+    # spread the corpus BEFORE the hash UDF: a small parquet input arrives
+    # as one partition and would run the sha work single-threaded (at
+    # cluster scale the scan is already wide and AQE coalesces the extra
+    # exchange away when it isn't needed)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.repartition(par, "doc_id").select(
         "doc_id", word_shingles(F.col("text")).alias("_sh")
     ).withColumn("band_key", F.explode(band_keys(F.col("_sh"))))
     w = Window.partitionBy("band_key")
@@ -123,7 +128,8 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     Hamming distance. Token hashes are sha256-derived
     (functions/hashing.simhash64_sha) so the DuckDB oracle reconstructs
     the identical fingerprints bit-by-bit (oracles_td.simhash_sql)."""
-    d = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.repartition(par, "doc_id").select(
         "doc_id", simhash64_sha(tokenize(F.col("text"))).alias("simhash")
     ).withColumn("prefix", F.shiftrightunsigned("simhash", 48))
     a, b = d.alias("a"), d.alias("b")

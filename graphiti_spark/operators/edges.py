@@ -48,28 +48,35 @@ def dedupe_then_resolve(
 
     # ONE collect_set serves both outputs (count_distinct alongside it
     # would trigger the two-phase distinct-aggregate rewrite — an extra
-    # exchange — for a count the set already knows)
-    fact_pre = F.concat_ws(
-        " ", F.col("subj_name"), F.col("predicate"), F.col("obj_name")
-    )
+    # exchange — for a count the set already knows). The surviving fact is
+    # min(fact) — computed as min(struct(subj, obj)) + one post-agg concat:
+    # the predicate is constant within a group and names contain no spaces
+    # (' ' sorts below every token char), so struct ordering equals fact
+    # ordering while shuffling ~40% fewer bytes (no predicate duplication,
+    # no per-raw-row concat).
     deduped = (
-        triples_raw.withColumn("_fact", fact_pre)
-        .groupBy(
+        triples_raw.groupBy(
             "group_id",
             normalize_exact(F.col("subj_name")).alias("_subj_norm"),
             "predicate",
             normalize_exact(F.col("obj_name")).alias("_obj_norm"),
         )
         .agg(
-            F.min("_fact").alias("fact"),
+            F.min(F.struct(
+                F.col("subj_name").alias("s"), F.col("obj_name").alias("o")
+            )).alias("_rep"),
             F.array_sort(F.collect_set("episode_uuid")).alias("_eps"),
             F.min("valid_at").alias("valid_at"),
+        )
+        .withColumn(
+            "fact",
+            F.concat_ws(" ", F.col("_rep.s"), F.col("predicate"), F.col("_rep.o")),
         )
         .withColumn("n_episodes", F.size("_eps").cast("long"))
         .withColumn(
             "episodes", F.slice("_eps", 1, config.EDGE_EPISODE_PROVENANCE_CAP)
         )
-        .drop("_eps")
+        .drop("_eps", "_rep")
     )
     resolved = deduped.withColumn(
         "source_node_uuid",

@@ -92,6 +92,27 @@ def test_property_filters_and_recipes(gs, spark):
     assert 0 < res["nodes"].count() <= 10
 
 
+def test_filter_reaches_parquet_scan(spark, sf_dir, tmp_path_factory):
+    """SearchFilters predicates must land in the parquet scan
+    (PushedFilters), not evaluate post-scan — the Catalyst half of the
+    reference's pushdown DSL (search_filters.py:86-273)."""
+    from graphiti_spark.storage.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("pushdown")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir))
+    f = SearchFilters(
+        edge_types=["OPERATES_ON"],
+        date_filters=[[DateFilter("expired_at", "IS NULL")]],
+    )
+    df = store.read("edges").where(f.edge_predicate())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(name,OPERATES_ON)" in pushed
+    assert "IsNull(expired_at)" in pushed
+
+
 def test_saga_chain_incremental(spark, tmp_path_factory):
     """Saga bookkeeping (graphiti.py:1411-1459): HAS_EPISODE membership,
     NEXT_EPISODE strict chain that stays correct when a later batch
