@@ -238,8 +238,25 @@ def escalate_unresolved(
     )
 
 
+def filter_existing_duplicate_of_edges(
+    pairs: DataFrame, stored_duplicate_of: DataFrame | None
+) -> DataFrame:
+    """Drop duplicate pairs already recorded as IS_DUPLICATE_OF rows
+    (edge_operations.py:850-911) — one left-anti join on the pair key.
+    With content-derived ids re-recording is an idempotent upsert, so this
+    is a write-amplification optimization, not a correctness need; the
+    reference needs it because its edges carry fresh uuid4s."""
+    if stored_duplicate_of is None:
+        return pairs
+    existing = stored_duplicate_of.select(
+        F.col("source_node_uuid").alias("a"),
+        F.col("target_node_uuid").alias("b"),
+    )
+    return pairs.join(existing, ["a", "b"], "left_anti")
+
+
 def resolve_nodes(
-    mentions: DataFrame, fuzzy: bool = True
+    mentions: DataFrame, fuzzy: bool = True, semantic: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full node resolution. Returns (nodes, canonical_map, name_map,
     fuzzy_remap).
@@ -287,14 +304,38 @@ def resolve_nodes(
     )
 
     remap = None
-    if fuzzy:
+    if fuzzy or semantic:
         reps = name_stats.select(
             F.col("canonical_uuid").alias("uuid"), "group_id", "norm_name"
         )
+        all_pairs = fuzzy_duplicate_pairs(reps) if fuzzy else None
+        if semantic:
+            # stage 3 (resolve_extracted_nodes' semantic candidate pass,
+            # node_operations.py:418-450): embed distinct names, LSH-blocked
+            # cosine candidates; deterministic escalation guard = the names
+            # must also share a word token (the reference sends candidates
+            # to an LLM; this is the conservative no-model acceptance rule)
+            from graphiti_spark.functions.embeddings import hash_embed
+
+            emb = reps.withColumn(
+                "name_embedding", hash_embed(F.col("norm_name"))
+            )
+            sem = (
+                semantic_duplicate_pairs(emb)
+                .join(reps.select(F.col("uuid").alias("a"),
+                                  F.col("norm_name").alias("_na")), "a")
+                .join(reps.select(F.col("uuid").alias("b"),
+                                  F.col("norm_name").alias("_nb")), "b")
+                .where(F.arrays_overlap(F.split("_na", " "), F.split("_nb", " ")))
+                .select("a", "b", "group_id")
+            )
+            all_pairs = sem if all_pairs is None else (
+                all_pairs.select("a", "b", "group_id").unionByName(sem).distinct()
+            )
         # persist + full count (NOT limit(1): CollectLimit materializes
         # partitions in serial ramp-up rounds, which single-threads the LSH
         # join); the count doubles as the CC driver/distributed decision
-        pairs = fuzzy_duplicate_pairs(reps).persist()
+        pairs = all_pairs.persist()
         n_pairs = pairs.count()
         if n_pairs > 0:
             remap = canonical_map_from_pairs(pairs, n_pairs)  # exact id -> final id

@@ -156,6 +156,42 @@ def test_label_specificity_promotion(spark):
     assert rows["zebra"] == {"Entity", "Concept"}
 
 
+def test_semantic_wiring_and_duplicate_of_filter(spark):
+    """Stage-3 semantic resolution wired into resolve_nodes (hash-embed +
+    LSH-blocked cosine + share-a-token guard) and the stored-pair
+    anti-join (filter_existing_duplicate_of_edges)."""
+    from graphiti_spark.operators.resolution import (
+        filter_existing_duplicate_of_edges,
+    )
+
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "e1", "g", "grand hotel", "Entity", "2024-01-01"),
+            ("m2", "e2", "g", "grand hotel budapest", "Entity", "2024-01-02"),
+            ("m3", "e3", "g", "zzqx", "Entity", "2024-01-03"),
+        ],
+        "mention_uuid string, episode_uuid string, group_id string, "
+        "name string, label string, valid_at string",
+    ).withColumn("valid_at", F.col("valid_at").cast("timestamp"))
+    # identical hash-embeddings only for identical names, so the semantic
+    # stage alone cannot merge distinct names — wiring must still run
+    # without error and produce a superset-or-equal of the fuzzy result
+    nodes_f, *_ = resolve_nodes(mentions, fuzzy=True, semantic=False)
+    nodes_s, *_ = resolve_nodes(mentions, fuzzy=True, semantic=True)
+    assert nodes_s.count() <= nodes_f.count()
+
+    pairs = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "a string, b string"
+    )
+    stored = spark.createDataFrame(
+        [("a1", "b1", "g", "IS_DUPLICATE_OF")],
+        "source_node_uuid string, target_node_uuid string, group_id string, name string",
+    )
+    left = filter_existing_duplicate_of_edges(pairs, stored).collect()
+    assert [(r["a"], r["b"]) for r in left] == [("a2", "b2")]
+    assert filter_existing_duplicate_of_edges(pairs, None).count() == 2
+
+
 def test_oracle_fuzzy_equality_assumption():
     """The DuckDB oracle derives fuzzy pairs as gated fuzzy-norm EQUALITY
     while Spark runs LSH + Jaccard >= 0.9 (oracles.kg_cte_prefix docstring).
