@@ -43,9 +43,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     times["pipeline_full"] = time.perf_counter() - t0
     counts["edges"] = n_edges
 
+    from graphiti_spark.operators.edges import dedupe_edges_fuzzy
+
     for name, df in [
         ("current_triples", current_triples(g)),
         ("mentions", g.mentions),
+        ("kg_edges_fuzzy_dedup", dedupe_edges_fuzzy(g.edges)),
     ]:
         t = time.perf_counter()
         _materialize(df)
@@ -65,8 +68,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     probes = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
+    from graphiti_spark.operators.dedup import dedup_simhash
+
     for name, df in [
         ("td_dedup_minhash", dedup_minhash_lsh(docs, threshold=0.5)),
+        ("td_dedup_simhash", dedup_simhash(docs)),
         ("td_ann_bruteforce", knn_bruteforce(emb, probes, k=10)),
         ("sr_bm25", bm25_scores(docs, ["spark", "merge", "query"])),
     ]:
@@ -103,7 +109,7 @@ def main() -> None:
         results = {}
         for n in (base, base * 4):
             spark = (
-                SparkSession.builder.master(f"local-cluster[{n},1,8192]")
+                SparkSession.builder.master(f"local-cluster[{n},1,12288]")
                 .appName(f"bench-exec{n}")
                 .config("spark.sql.shuffle.partitions", "8")
                 .config("spark.sql.adaptive.enabled", "true")

@@ -292,9 +292,12 @@ def dedupe_edges_fuzzy(edges: DataFrame, min_overlap: float = 0.6) -> DataFrame:
         .select(F.col("a.uuid").alias("a"), F.col("b.uuid").alias("b"))
     )
     cmap = canonical_map_from_pairs(pairs)
+    # no broadcast hint: the map is tiny when the driver union-find path
+    # ran, but the distributed-CC fallback output is unbounded — AQE picks
+    # broadcast automatically whenever it fits
     merged = (
         e.join(
-            F.broadcast(cmap), e.uuid == cmap.alias_uuid, "left"
+            cmap, e.uuid == cmap.alias_uuid, "left"
         )
         .withColumn("_surv", F.coalesce("canonical_uuid", "uuid"))
         .groupBy(

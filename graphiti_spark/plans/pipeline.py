@@ -69,15 +69,24 @@ def build_graph(
     table first — which the reference also does, graphiti.py:1319-1343 —
     and reading back)."""
     episodes = episodes_from_source_files(salted_repartition(source_files), chunk=chunk)
+    ex_input = episodes
     if persist_episodes:
         from pyspark import StorageLevel
 
-        episodes = episodes.persist(StorageLevel.MEMORY_AND_DISK)
+        # cache ONLY the extraction projection: content dominates but the
+        # name/description/sha columns are dead weight for the two
+        # extraction branches (~35% less cached/bus traffic — the shared
+        # memory bus is the scaling ceiling on a single box, BASELINE.md).
+        # Full episode rows stay lazy; table consumers recompute the cheap
+        # synthesis projection instead of caching it twice.
+        ex_input = episodes.select(
+            "uuid", "group_id", "valid_at", "source", "content"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    mentions_raw = extract_mentions(episodes)
+    mentions_raw = extract_mentions(ex_input)
     # distinct=False: dedupe_then_resolve's aggregation subsumes the
     # per-episode distinct — saves one full shuffle of the triple stream
-    triples_raw = extract_triples(episodes, distinct=False)
+    triples_raw = extract_triples(ex_input, distinct=False)
 
     nodes, canonical_map, name_map, fuzzy_remap = resolve_nodes(
         mentions_raw, fuzzy=fuzzy
