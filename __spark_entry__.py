@@ -322,6 +322,35 @@ def _q_kg_next_episode_edges(spark, sf_dir):
     )
 
 
+def _q_sr_relevant_edges(spark, sf_dir):
+    """Batched same-endpoint candidates (get_relevant_edges,
+    search_utils.py:1391-1574), probes = megacorp OPERATES_ON edges."""
+    from graphiti_spark.operators.search import get_relevant_edges
+
+    g = _graph(spark, sf_dir)
+    probes = g.edges.where(
+        (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "OPERATES_ON")
+    )
+    return get_relevant_edges(probes, g.edges, min_overlap=0.3)
+
+
+def _q_sr_node_distance(spark, sf_dir):
+    """1-hop distance reranker (node_distance_reranker,
+    search_utils.py:1782-1841) centered on megacorp's 'spark' entity."""
+    from graphiti_spark.operators.search import node_distance_rerank
+
+    g = _graph(spark, sf_dir)
+    center = [
+        r["uuid"] for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ][0]
+    cands = g.nodes.where(F.col("group_id") == "megacorp/monorepo").select(
+        "uuid", "name"
+    )
+    return node_distance_rerank(cands, g.edges, center)
+
+
 def _q_sr_community_search(spark, sf_dir):
     """Community fulltext arm (community_fulltext_search,
     search_utils.py:956-1043): BM25 over community name+summary."""
@@ -407,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
         "sr_community_search": _q_sr_community_search,
+        "sr_relevant_edges": _q_sr_relevant_edges,
+        "sr_node_distance": _q_sr_node_distance,
         "sr_mmr": _q_sr_mmr,
         # multimodal plumbing
         "mm_media_features": _q_mm_media_features,

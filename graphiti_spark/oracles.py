@@ -357,6 +357,65 @@ SELECT uuid AS source_node_uuid,
        group_id, 'NEXT_EPISODE' AS name
 FROM episodes
 QUALIFY target_node_uuid IS NOT NULL""",
+        # batched same-endpoint candidates (get_relevant_edges,
+        # search_utils.py:1391-1574): two orientation equi-joins + token
+        # Jaccard, probes = megacorp OPERATES_ON edges
+        "sr_relevant_edges": p
+        + f"""
+, re_new AS (
+  SELECT uuid AS new_uuid, group_id, source_node_uuid AS n_src,
+         target_node_uuid AS n_dst, fact AS new_fact
+  FROM edges
+  WHERE group_id = 'megacorp/monorepo' AND name = 'OPERATES_ON'
+),
+re_cand AS (
+  SELECT DISTINCT new_uuid, uuid, group_id, new_fact, fact FROM (
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM re_new n JOIN edges e
+      ON n.group_id = e.group_id AND n.n_src = e.source_node_uuid
+     AND n.n_dst = e.target_node_uuid
+    UNION ALL
+    SELECT n.new_uuid, e.uuid, n.group_id, n.new_fact, e.fact
+    FROM re_new n JOIN edges e
+      ON n.group_id = e.group_id AND n.n_src = e.target_node_uuid
+     AND n.n_dst = e.source_node_uuid
+  ) WHERE uuid <> new_uuid
+)
+SELECT new_uuid, uuid, group_id, score FROM (
+  SELECT new_uuid, uuid, group_id,
+         round(CASE WHEN len(list_distinct(list_concat(tn, te))) > 0
+               THEN len(list_intersect(tn, te))::DOUBLE
+                    / len(list_distinct(list_concat(tn, te)))
+               ELSE 0 END, 4) AS score
+  FROM (
+    SELECT new_uuid, uuid, group_id,
+           list_distinct({_toks_sql('new_fact')}) AS tn,
+           list_distinct({_toks_sql('fact')}) AS te
+    FROM re_cand
+  )
+) WHERE score >= 0.3""",
+        # 1-hop distance reranker (node_distance_reranker,
+        # search_utils.py:1782-1841): center 0, adjacent 1, else null
+        "sr_node_distance": p
+        + """
+, nd_center AS (
+  SELECT uuid FROM nodes
+  WHERE group_id = 'megacorp/monorepo' AND name = 'spark'
+),
+nd_nbrs AS (
+  SELECT DISTINCT nbr FROM (
+    SELECT e.target_node_uuid AS nbr
+    FROM edges e JOIN nd_center c ON e.source_node_uuid = c.uuid
+    UNION ALL
+    SELECT e.source_node_uuid
+    FROM edges e JOIN nd_center c ON e.target_node_uuid = c.uuid
+  ) WHERE nbr NOT IN (SELECT uuid FROM nd_center)
+)
+SELECT n.uuid, n.name,
+       (CASE WHEN n.uuid = (SELECT uuid FROM nd_center) THEN 0.0
+             WHEN b.nbr IS NOT NULL THEN 1.0 END)::DOUBLE AS distance
+FROM nodes n LEFT JOIN nd_nbrs b ON b.nbr = n.uuid
+WHERE n.group_id = 'megacorp/monorepo'""",
         "kg_invalidation_candidates": p
         + f"""
 , new_e AS (
