@@ -393,8 +393,8 @@ class GraphitiSpark:
                 if remap.count() > 0:
                     g = _rewrite_graph(g, remap)
             self.store.merge_upsert("episodes", g.episodes)
-            self.store.merge_upsert("nodes", g.nodes)
-            self.store.merge_upsert("edges", g.edges)
+            self.store.merge_upsert("nodes", self._merge_node_attrs(g.nodes))
+            self.store.merge_upsert("edges", self._merge_edge_provenance(g.edges))
             self.store.merge_upsert("mentions", g.mentions)
             self.store.merge_upsert("name_index", g.name_map)
             self._reinvalidate_affected(g)
@@ -431,6 +431,91 @@ class GraphitiSpark:
             ).select(cols)
         )
         self.store.merge_upsert("edges", refreshed)
+
+    def _merge_node_attrs(self, nodes: DataFrame) -> DataFrame:
+        """Resolve incoming nodes against the LIVE graph row
+        (_promote_resolved_node, dedup_helpers.py:170-189, applied at
+        ingest): labels are unioned with the stored row's and the
+        specificity rule re-applied ON THE UNION (promoting per batch and
+        unioning promoted sets would resurrect the generic label), the
+        representative name stays min over all batches, created_at stays
+        first-seen. Makes incremental ingest converge to the bulk result
+        instead of last-batch-wins."""
+        stored = self.store.read("nodes")
+        if stored is None:
+            return nodes
+        ex = stored.select(
+            "uuid",
+            F.col("name").alias("_old_name"),
+            F.col("labels").alias("_old_labels"),
+            F.col("created_at").alias("_old_ca"),
+        )
+        union = F.array_sort(
+            F.array_distinct(
+                F.concat(F.coalesce(F.col("_old_labels"), F.array()), F.col("labels"))
+            )
+        )
+        rest = F.filter(union, lambda x: x != F.lit("Entity"))
+        specific = F.filter(rest, lambda x: x != F.lit("Concept"))
+        promoted = F.when(F.size(specific) > 0, specific).otherwise(rest)
+        merged_name = F.least(F.col("name"), F.coalesce(F.col("_old_name"), F.col("name")))
+        return (
+            nodes.join(ex, "uuid", "left")
+            .withColumn(
+                "labels", F.array_union(F.array(F.lit("Entity")), promoted)
+            )
+            .withColumn("name", merged_name)
+            .withColumn("summary", F.concat(F.lit("Entity "), F.col("name")))
+            .withColumn(
+                "created_at", F.least("created_at", F.coalesce("_old_ca", "created_at"))
+            )
+            .drop("_old_name", "_old_labels", "_old_ca")
+        )
+
+    def _merge_edge_provenance(self, edges: DataFrame) -> DataFrame:
+        """The exact-match short circuit against the LIVE graph
+        (edge_operations.py:684-695): an incoming edge whose uuid already
+        exists APPENDS its episode provenance and keeps the existing
+        temporal fields, instead of replacing the row (a plain keyed
+        upsert would silently drop the earlier batches' provenance). With
+        both arrays under EDGE_EPISODE_PROVENANCE_CAP the merged
+        n_episodes is exact (distinct union); above the cap it is a
+        documented lower bound — same caveat as remove_episode."""
+        stored = self.store.read("edges")
+        if stored is None:
+            return edges
+        ex = stored.select(
+            "uuid",
+            F.col("episodes").alias("_old_eps"),
+            F.col("n_episodes").alias("_old_n"),
+            F.col("valid_at").alias("_old_va"),
+            F.col("created_at").alias("_old_ca"),
+        )
+        merged_eps = F.array_sort(
+            F.array_distinct(
+                F.concat(F.coalesce(F.col("_old_eps"), F.array()), F.col("episodes"))
+            )
+        )
+        out = (
+            edges.join(ex, "uuid", "left")
+            .withColumn("episodes", merged_eps)
+            .withColumn(
+                "n_episodes",
+                F.greatest(
+                    F.col("n_episodes"),
+                    F.coalesce(F.col("_old_n"), F.lit(0)),
+                    F.size("episodes").cast("long"),
+                ),
+            )
+            .withColumn("valid_at", F.least("valid_at", F.coalesce("_old_va", "valid_at")))
+            .withColumn("created_at", F.least("created_at", F.coalesce("_old_ca", "created_at")))
+            .withColumn(
+                "episodes",
+                F.slice("episodes", 1, config.EDGE_EPISODE_PROVENANCE_CAP),
+            )
+            .drop("_old_eps", "_old_n", "_old_va", "_old_ca")
+        )
+        return out
 
     def _update_sagas(self, g: GraphTables) -> None:
         """Saga chain bookkeeping (graphiti.py:1411-1459): saga nodes,

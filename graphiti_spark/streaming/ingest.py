@@ -44,21 +44,23 @@ def stream_ingest(
     fuzzy: bool = False,
     available_now: bool = True,
 ):
-    """Run the construction pipeline per micro-batch, merging into the
-    store. fuzzy defaults off in micro-batches (the LSH pass is a batch
-    affair; cross-batch fuzzy merges happen in periodic compaction runs —
-    mirroring the reference's split between add_episode and the bulk
-    dedup pass)."""
-    from graphiti_spark.plans.pipeline import build_graph
+    """Run the construction pipeline per micro-batch through the FULL
+    facade ingest — live-graph name reconciliation via the persistent
+    name_index, bi-temporal re-invalidation of the touched (group,
+    subject, predicate) keys, and saga bookkeeping — so a stream of
+    micro-batches converges to the same store a single bulk ingest
+    produces. fuzzy defaults off in micro-batches (the LSH pass is a
+    batch affair; cross-batch fuzzy merges happen in periodic compaction
+    runs — mirroring the reference's split between add_episode and the
+    bulk dedup pass)."""
+    from graphiti_spark.api import GraphitiSpark
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        g = build_graph(batch_df, fuzzy=fuzzy)
-        store.merge_upsert("episodes", g.episodes)
-        store.merge_upsert("nodes", g.nodes)
-        store.merge_upsert("edges", g.edges)
-        store.merge_upsert("mentions", g.mentions)
+        GraphitiSpark(batch_df.sparkSession, store=store).add_episode_bulk(
+            batch_df, fuzzy=fuzzy
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

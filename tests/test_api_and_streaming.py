@@ -92,6 +92,45 @@ def test_property_filters_and_recipes(gs, spark):
     assert 0 < res["nodes"].count() <= 10
 
 
+def test_incremental_ingest_converges_to_bulk(spark, sf_dir, tmp_path_factory):
+    """Two half-batches through the facade must produce the SAME store a
+    single bulk ingest does — edge provenance appends (exact-match short
+    circuit, edge_operations.py:684-695), node labels re-promote on the
+    union, temporal fields keep first-seen, re-invalidation converges."""
+    from graphiti_spark.storage.writer import GraphStore
+
+    src = synth_source_files(spark, sf_dir)
+    store_a = GraphStore(spark, str(tmp_path_factory.mktemp("bulk")), n_buckets=4)
+    GraphitiSpark(spark, store=store_a).add_episode_bulk(src, fuzzy=False)
+
+    store_b = GraphStore(spark, str(tmp_path_factory.mktemp("incr")), n_buckets=4)
+    gb = GraphitiSpark(spark, store=store_b)
+    gb.add_episode_bulk(src.where("file_seq % 2 = 0"), fuzzy=False)
+    gb.add_episode_bulk(src.where("file_seq % 2 = 1"), fuzzy=False)
+
+    def edge_rows(store):
+        return {
+            (r["uuid"], tuple(r["episodes"]), r["n_episodes"],
+             r["valid_at"], r["invalid_at"])
+            for r in store.read("edges").select(
+                "uuid", "episodes", "n_episodes", "valid_at", "invalid_at"
+            ).collect()
+        }
+
+    def node_rows(store):
+        return {
+            (r["uuid"], r["name"], tuple(r["labels"]))
+            for r in store.read("nodes").select("uuid", "name", "labels").collect()
+        }
+
+    assert edge_rows(store_a) == edge_rows(store_b)
+    assert node_rows(store_a) == node_rows(store_b)
+    # and re-running a batch is a no-op (idempotent MERGE)
+    gb.add_episode_bulk(src.where("file_seq % 2 = 1"), fuzzy=False)
+    assert edge_rows(store_a) == edge_rows(store_b)
+    assert node_rows(store_a) == node_rows(store_b)
+
+
 def test_filter_reaches_parquet_scan(spark, sf_dir, tmp_path_factory):
     """SearchFilters predicates must land in the parquet scan
     (PushedFilters), not evaluate post-scan — the Catalyst half of the
