@@ -397,6 +397,18 @@ def _q_mm_frame_sample(spark, sf_dir):
     return frame_sample(synth_media(_docs(spark, sf_dir)))
 
 
+def _q_mm_resize_plan(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(_docs(spark, sf_dir)))
+
+
+def _q_td_dedup_clusters(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_source_files": _q_source_files,
@@ -413,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_exact": _q_td_dedup_exact,
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
         "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,
+        "td_dedup_clusters": _q_td_dedup_clusters,
         "td_dedup_simhash": _q_td_dedup_simhash,
         "td_dedup_embedding_cosine": _q_td_dedup_embedding_cosine,
         "td_ann_bruteforce": _q_td_ann_bruteforce,
@@ -442,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "mm_media_features": _q_mm_media_features,
         "mm_frame_sample": _q_mm_frame_sample,
+        "mm_resize_plan": _q_mm_resize_plan,
     }
 
 

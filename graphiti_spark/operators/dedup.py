@@ -122,6 +122,37 @@ def dedup_minhash_lsh(
     return pairs
 
 
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate CLUSTERS — what a real 100 TB dedup pipeline emits:
+    connected components over the verified MinHash/LSH pair set, keeper =
+    min doc_id per component (docs in no pair keep themselves). Output:
+    (doc_id, keeper_doc_id, is_duplicate) at document grain — feed
+    ``where(~is_duplicate)`` to the training-data writer."""
+    from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
+
+    # CC canonical = lexicographic min; zero-pad so string order matches
+    # numeric doc_id order
+    pairs = dedup_minhash_lsh(docs, threshold=threshold).selectExpr(
+        "lpad(cast(doc_a as string), 12, '0') as a",
+        "lpad(cast(doc_b as string), 12, '0') as b",
+    )
+    cmap = canonical_map_from_pairs(pairs).select(
+        F.col("alias_uuid").cast("long").alias("doc_id"),
+        F.col("canonical_uuid").cast("long").alias("_keeper"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(cmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_keeper", "doc_id").alias("keeper_doc_id"),
+            (F.coalesce("_keeper", F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint per doc, block on the
     top-16-bit prefix (near-dups almost always share it), verify with full

@@ -112,6 +112,34 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize planning for image/video media: aspect-ratio-preserving
+    target dimensions within (max_w, max_h), never upscaling, plus the
+    decoded-output byte estimate (w*h*3). This is the Spark-side plumbing
+    a real resize stage needs — partition-parallel geometry over typed
+    metadata; the pixel work itself belongs to the decode boundary
+    (:func:`decode_stub`) on a cluster with codecs. Pure column algebra.
+    """
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h)
+    out_w = F.greatest(F.floor(w * scale), F.lit(1)).cast("int")
+    out_h = F.greatest(F.floor(h * scale), F.lit(1)).cast("int")
+    return (
+        media.where(F.col("kind").isin("image", "video"))
+        .select(
+            "media_id",
+            "kind",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            out_w.alias("out_width"),
+            out_h.alias("out_height"),
+            F.round(scale, 6).alias("scale"),
+            (out_w.cast("long") * out_h.cast("long") * 3).alias("est_bytes"),
+        )
+    )
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic frame sampling: slice the payload into n equal spans
     (the plumbing for video keyframe extraction: one row per frame with a

@@ -39,14 +39,13 @@ def _gram_jaccard(ga: str, gb: str) -> str:
     )
 
 
-def minhash_lsh_sql(
+def _minhash_pair_ctes(
     threshold: float = 0.5, band_size: int = 4, perms: int = 32,
     cap: int | None = None,
 ) -> str:
-    """DuckDB twin of operators/dedup.dedup_minhash_lsh: identical
-    sha256-slice permutation family, band keys, bucket cap, candidate
-    self-join and Jaccard verify (see
-    functions/hashing.make_sha_minhash_band_keys_udf)."""
+    """CTE chain (sans WITH) ending in ``vpairs(doc_a, doc_b,
+    jaccard_sim)`` — the verified MinHash/LSH pair set shared by
+    :func:`minhash_lsh_sql` and the cluster oracle."""
     from graphiti_spark import config
 
     cap = cap if cap is not None else config.LSH_BUCKET_CAP
@@ -62,8 +61,7 @@ def minhash_lsh_sql(
         inner = ", '|', ".join(f"m{b * band_size + i}" for i in range(band_size))
         band_exprs.append(f"concat('b{b}|', {inner})")
     jac = _gram_jaccard("ga", "gb")
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {GRAMS} AS grams
   FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
 ),
@@ -84,9 +82,49 @@ pairs AS (
          a.grams AS ga, b.grams AS gb
   FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, round({jac}, 4) AS jaccard_sim
-FROM pairs WHERE round({jac}, 4) >= {threshold}"""
+),
+vpairs AS (
+  SELECT doc_a, doc_b, round({jac}, 4) AS jaccard_sim
+  FROM pairs WHERE round({jac}, 4) >= {threshold}
+)"""
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.5, band_size: int = 4, perms: int = 32,
+    cap: int | None = None,
+) -> str:
+    """DuckDB twin of operators/dedup.dedup_minhash_lsh: identical
+    sha256-slice permutation family, band keys, bucket cap, candidate
+    self-join and Jaccard verify (see
+    functions/hashing.make_sha_minhash_band_keys_udf)."""
+    return (
+        "WITH " + _minhash_pair_ctes(threshold, band_size, perms, cap)
+        + "\nSELECT doc_a, doc_b, jaccard_sim FROM vpairs"
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of operators/dedup.dedup_clusters: recursive min-label
+    closure over the verified pair set, keeper = min doc_id per component
+    (numeric min == the Spark side's zero-padded lexicographic min)."""
+    return (
+        "WITH RECURSIVE " + _minhash_pair_ctes(threshold)
+        + """,
+du AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+dreach AS (
+  SELECT a AS node, b AS lbl FROM du
+  UNION
+  SELECT r.node, u.b AS lbl FROM dreach r JOIN du u ON u.a = r.lbl
+),
+dcomp AS (SELECT node, least(node, min(lbl)) AS keeper FROM dreach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.keeper, d.doc_id) AS keeper_doc_id,
+       coalesce(c.keeper, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN dcomp c ON c.node = d.doc_id"""
+    )
 
 
 def simhash_sql(max_hamming: int = 8) -> str:
@@ -307,6 +345,7 @@ FROM embeddings a JOIN embeddings b
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
 
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
+    o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)
     o["td_dedup_simhash"] = simhash_sql(max_hamming=8)
     o["td_ann_lsh"] = ann_lsh_sql(k=10)
     o["td_ann_ivf"] = ann_ivf_sql(k=10)
@@ -619,6 +658,27 @@ SELECT ctf.uuid,
   ), 4) AS bm25
 FROM ctf JOIN cdf USING (term) CROSS JOIN cstats ds
 GROUP BY ctf.uuid"""
+
+    # resize planning over synth_media metadata (multimodal.resize_plan):
+    # aspect-preserving fit within 224x224, never upscaling
+    o["mm_resize_plan"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (doc_id % 640 + 32)::INT AS width,
+         (doc_id % 480 + 32)::INT AS height
+  FROM documents
+)
+SELECT media_id, kind, width, height,
+       greatest(floor(width * s), 1)::INT AS out_width,
+       greatest(floor(height * s), 1)::INT AS out_height,
+       round(s, 6) AS scale,
+       greatest(floor(width * s), 1)::BIGINT
+         * greatest(floor(height * s), 1)::BIGINT * 3 AS est_bytes
+FROM (
+  SELECT *, least(1.0, 224.0 / width, 224.0 / height) AS s FROM media
+)
+WHERE kind IN ('image', 'video')"""
 
     o["mm_frame_sample"] = """
 WITH media AS (

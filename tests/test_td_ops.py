@@ -67,6 +67,39 @@ def test_minhash_lsh_recall_vs_bruteforce(spark, dup_docs):
     assert exact_pairs <= got
 
 
+def test_dedup_clusters_keeper_semantics(spark, dup_docs):
+    """Clusters: every exact dup maps to the min doc_id of its component;
+    keepers are never marked duplicate; singletons keep themselves."""
+    from graphiti_spark.operators.dedup import dedup_clusters
+
+    rows = {r["doc_id"]: r for r in dedup_clusters(dup_docs, threshold=0.5).collect()}
+    assert len(rows) == dup_docs.count()  # document grain, total
+    for base in (0, 10, 20):  # exact dup pairs (base, base+1)
+        assert rows[base + 1]["keeper_doc_id"] == rows[base]["keeper_doc_id"]
+        assert rows[base + 1]["is_duplicate"]
+    keepers = {r["keeper_doc_id"] for r in rows.values()}
+    for k in keepers:
+        assert not rows[k]["is_duplicate"]
+    assert rows[99]["keeper_doc_id"] == 99  # singleton
+
+
+def test_resize_plan_invariants(spark, dup_docs):
+    """Resize geometry: aspect preserved, bounded by the box, never
+    upscaled, audio excluded."""
+    from graphiti_spark.operators.multimodal import resize_plan, synth_media
+
+    out = resize_plan(synth_media(dup_docs), max_w=64, max_h=64).collect()
+    assert out and all(r["kind"] in ("image", "video") for r in out)
+    for r in out:
+        assert r["out_width"] <= max(64, 1) and r["out_height"] <= 64
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        assert r["est_bytes"] == r["out_width"] * r["out_height"] * 3
+        if r["scale"] < 1.0:
+            # aspect ratio preserved within rounding
+            assert abs(r["out_width"] / r["out_height"]
+                       - r["width"] / r["height"]) < 0.1
+
+
 def test_simhash_identical_and_different(spark, dup_docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in dedup_simhash(dup_docs, max_hamming=63).collect()}
