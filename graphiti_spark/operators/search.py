@@ -143,6 +143,15 @@ def mmr_rerank(
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # enforce the bounded-candidate invariant this single-group plan
+        # relies on (candidate sets are 2x limit by construction; a
+        # corpus-sized group here would mean a caller skipped top-k)
+        if len(pdf) > 4096:
+            raise ValueError(
+                f"mmr_rerank got {len(pdf)} candidates — it reranks a "
+                "bounded candidate set (<= 2x limit); run a top-k "
+                "selection first"
+            )
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
