@@ -145,3 +145,25 @@ def test_minhash_similarity_property(spark):
     sim_pair, diff_pair = out[0], out[1]
     assert sim_pair["j"] > 0.6 and sim_pair["agree"] >= 16  # of 32 perms
     assert diff_pair["j"] < 0.1 and diff_pair["agree"] <= 6
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=3, max_size=12),
+             min_size=1, max_size=15)
+)
+@settings(max_examples=30, deadline=None)
+def test_sha_band_keys_identity_collision(grams):
+    """The guarantee the oracle-equality argument rests on: IDENTICAL
+    shingle sets produce IDENTICAL band keys in every band (J=1 pairs are
+    LSH candidates with probability exactly 1), and the keys are
+    permutation-invariant (MinHash is a min over a set)."""
+    import pandas as pd
+
+    from graphiti_spark.functions.hashing import make_sha_minhash_band_keys_udf
+
+    fn = make_sha_minhash_band_keys_udf().func  # unwrap the pandas UDF
+    a = list(dict.fromkeys(grams))          # distinct, original order
+    b = list(reversed(a))                   # distinct, reversed order
+    out = fn(pd.Series([a, b, list(a)]))
+    assert list(out[0]) == list(out[1]) == list(out[2])
+    assert len(out[0]) == 8 and len(set(out[0])) == 8  # band idx in key
