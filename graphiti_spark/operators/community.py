@@ -112,13 +112,18 @@ def summarize_communities(
         )
         .select("group_id", "community", "idx", "summary")
     )
+    # log-depth pairwise reduce: idx -> ceil(idx/2), concat pairs. The
+    # round count is ceil(log2(max members)) computed ONCE up front — a
+    # per-round convergence count would add one full job per level.
+    import math
+
+    max_members = (
+        members.groupBy("group_id", "community").count()
+        .agg(F.max("count")).collect()[0][0]
+    ) or 1
+    rounds = max(math.ceil(math.log2(max_members)), 0) if max_members > 1 else 0
     current = members
-    # log-depth pairwise reduce: idx -> ceil(idx/2), concat pairs
-    for _ in range(20):
-        if current.groupBy("group_id", "community").count().agg(
-            F.max("count")
-        ).collect()[0][0] <= 1:
-            break
+    for _ in range(rounds):
         current = (
             current.withColumn("pair", F.ceil(F.col("idx") / 2))
             .groupBy("group_id", "community", "pair")
