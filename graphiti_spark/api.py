@@ -332,8 +332,14 @@ class GraphitiSpark:
             self._table("edges"), self._table("nodes")
         )
         if self.store is not None:
-            self.store.merge_upsert("communities", comm)
-            self.store.merge_upsert("community_edges", member_edges)
+            # group-scoped REPLACE, not upsert: community uuid =
+            # hash(group, min member), so a rebuild after incremental
+            # ingest changes the key set — upserting would leave the
+            # previous structure's rows alive (reference deletes existing
+            # communities before rebuild, graphiti.py:1504
+            # remove_communities)
+            self.store.replace_groups("communities", comm)
+            self.store.replace_groups("community_edges", member_edges)
             comm = self.store.read("communities").drop("bucket")
             member_edges = self.store.read("community_edges").drop("bucket")
         self._communities = (comm, member_edges)
@@ -569,9 +575,28 @@ class GraphitiSpark:
         omits the deleted one keeps its counters unchanged (best-effort
         deletion); edges under the cap are exact — array entry removed and
         n_episodes decremented. Full-fidelity deletion at 100 TB keeps a
-        separate (edge_uuid, episode_uuid) provenance table and anti-joins
-        it instead."""
-        episodes = self._table("episodes").where(F.col("uuid") != episode_uuid)
+        separate (edge_uuid, episode_uuid) provenance table
+        (:meth:`edge_provenance_table`) and anti-joins it instead.
+
+        Derived tables: saga chains (sagas / saga_edges /
+        next_episode_edges) are recomputed from the RETAINED episodes of
+        the affected groups and returned alongside — persist them with
+        ``store.replace_groups`` (not upsert: a mid-chain deletion changes
+        keyed rows a->deleted that an upsert would leave alive).
+        Communities are invalidated (session cache cleared); rebuild with
+        ``communities_tables(refresh=True)``."""
+        from graphiti_spark.operators.saga import (
+            build_saga_nodes,
+            has_episode_edges,
+            next_episode_edges,
+        )
+
+        all_eps = self._table("episodes")
+        affected = (
+            all_eps.where(F.col("uuid") == episode_uuid)
+            .select("group_id").distinct()
+        )
+        episodes = all_eps.where(F.col("uuid") != episode_uuid)
         edges = self._table("edges")
         had = F.array_contains("episodes", episode_uuid)
         edges_kept = (
@@ -588,15 +613,38 @@ class GraphitiSpark:
             "uuid",
             "left_semi",
         )
-        return dict(episodes=episodes, edges=edges_kept, mentions=mentions, nodes=nodes)
+        saga_eps = episodes.join(affected, "group_id", "left_semi")
+        self._communities = None  # structure changed; rebuild lazily
+        return dict(
+            episodes=episodes, edges=edges_kept, mentions=mentions, nodes=nodes,
+            sagas=build_saga_nodes(saga_eps),
+            saga_edges=has_episode_edges(saga_eps),
+            next_episode_edges=next_episode_edges(saga_eps),
+        )
+
+    _DERIVED_TABLES = (
+        "sagas", "saga_edges", "next_episode_edges",
+        "communities", "community_edges",
+    )
 
     def clear_group(self, group_ids: list[str]) -> dict[str, DataFrame]:
         """DELETE FROM every table WHERE group_id IN (...) — clear_data
-        (graph_data_operations.py:34-64)."""
-        return {
+        (graph_data_operations.py:34-64). Derived tables (sagas,
+        communities, ...) are included when a store holds them, so a
+        cleared group leaves no stale chain or community rows."""
+        out = {
             t: self._table(t).where(~F.col("group_id").isin(*group_ids))
             for t in ("episodes", "nodes", "edges", "mentions")
         }
+        if self.store is not None:
+            for t in self._DERIVED_TABLES:
+                df = self.store.read(t)
+                if df is not None:
+                    out[t] = df.drop("bucket").where(
+                        ~F.col("group_id").isin(*group_ids)
+                    )
+        self._communities = None
+        return out
 
     # ---- point CRUD ------------------------------------------------------
 
@@ -782,23 +830,31 @@ class GraphitiSpark:
                 )
             if rerank == "episode_mentions":
                 if scope == "edges":
-                    m = self._table("edges").select(
-                        "uuid", F.col("source_node_uuid").alias("node_ref"))
-                    c = pool.join(m, "uuid")
-                elif scope == "nodes":
-                    c = pool.withColumn("node_ref", F.col("uuid"))
-                else:
-                    return ranked_top_k(fused, "rrf_score", "uuid", limit)
-                counts = self._table("mentions").groupBy(
-                    F.col("node_uuid").alias("node_ref")
-                ).agg(F.count("*").cast("long").alias("n_mentions"))
-                return (
-                    c.join(counts, "node_ref", "left")
-                    .fillna(0, ["n_mentions"])
-                    .select("uuid", "n_mentions")
-                    .orderBy(F.desc("n_mentions"), F.asc("uuid"))
-                    .limit(limit)
-                )
+                    # the reference sorts EDGES by their own episode
+                    # provenance count (len(edge.episodes),
+                    # search/search.py:449-450), not by the source node's
+                    # mention count
+                    ne = self._table("edges").select(
+                        "uuid", F.col("n_episodes").alias("n_mentions"))
+                    return (
+                        pool.join(ne, "uuid", "left")
+                        .fillna(0, ["n_mentions"])
+                        .select("uuid", "n_mentions")
+                        .orderBy(F.desc("n_mentions"), F.asc("uuid"))
+                        .limit(limit)
+                    )
+                if scope == "nodes":
+                    counts = self._table("mentions").groupBy(
+                        F.col("node_uuid").alias("uuid")
+                    ).agg(F.count("*").cast("long").alias("n_mentions"))
+                    return (
+                        pool.join(counts, "uuid", "left")
+                        .fillna(0, ["n_mentions"])
+                        .select("uuid", "n_mentions")
+                        .orderBy(F.desc("n_mentions"), F.asc("uuid"))
+                        .limit(limit)
+                    )
+                return ranked_top_k(fused, "rrf_score", "uuid", limit)
             raise ValueError(f"unknown reranker {rerank}")
 
         for scope, (df, id_col, text_col) in scopes.items():

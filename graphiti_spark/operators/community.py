@@ -33,6 +33,23 @@ def build_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def _plurality_votes(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous vote round: each node's plurality neighbor label,
+    weighted by edge count; tie -> larger community id
+    (community_operations.py:118-126)."""
+    votes = (
+        adjacency.join(
+            labels.select(F.col("uuid").alias("b"), F.col("label").alias("nbr_label")),
+            "b",
+        )
+        .groupBy("group_id", "a", "nbr_label")
+        .agg(F.sum("edge_count").alias("w"))
+    )
+    return votes.groupBy("group_id", "a").agg(
+        F.max_by("nbr_label", F.struct(F.col("w"), F.col("nbr_label"))).alias("new_label")
+    )
+
+
 def label_propagation(
     adjacency: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -44,19 +61,7 @@ def label_propagation(
         .withColumn("label", F.col("uuid"))
     )
     for _ in range(max_iter):
-        votes = (
-            adjacency.join(
-                labels.select(F.col("uuid").alias("b"), F.col("label").alias("nbr_label")),
-                "b",
-            )
-            .groupBy("group_id", "a", "nbr_label")
-            .agg(F.sum("edge_count").alias("w"))
-        )
-        # plurality; tie -> larger community id (community_operations.py:118-126)
-        best = (
-            votes.groupBy("group_id", "a")
-            .agg(F.max_by("nbr_label", F.struct(F.col("w"), F.col("nbr_label"))).alias("new_label"))
-        )
+        best = _plurality_votes(adjacency, labels)
         new_labels = (
             labels.join(
                 best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
@@ -78,13 +83,26 @@ def label_propagation(
         if changed == 0:
             break
     if changed != 0:
-        import warnings
-
-        warnings.warn(
-            f"label_propagation: fixpoint NOT reached after {max_iter} "
-            f"iterations ({changed} labels still moving)",
-            RuntimeWarning,
-            stacklevel=2,
+        # Synchronous plurality LPA oscillates on 2-cycles (bipartite
+        # cores flip labels every round), so the raw loop output would be
+        # iteration-parity-dependent. Deterministic break: one extra
+        # min-rule round — every still-moving node adopts the SMALLER of
+        # (current, plurality) label, which is identical under either
+        # parity, so callers always see the same assignment.
+        best = (
+            _plurality_votes(adjacency, labels)
+            .select(F.col("a").alias("uuid"), "new_label")
+        )
+        labels = (
+            labels.join(best, "uuid", "left")
+            .select(
+                "group_id",
+                "uuid",
+                F.least(
+                    F.col("label"), F.coalesce("new_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
     # canonicalize community ids to min member uuid
     canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))

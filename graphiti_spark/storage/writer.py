@@ -116,6 +116,37 @@ class GraphStore:
         finally:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    def replace_groups(self, table: str, updates: DataFrame) -> None:
+        """Group-scoped REPLACE: delete every stored row whose group_id
+        appears in ``updates``, then insert ``updates`` — the parquet
+        analog of ``DELETE FROM t WHERE group_id IN (...)`` + INSERT
+        (Iceberg: ``MERGE ... WHEN NOT MATCHED BY SOURCE AND group_id IN
+        (...) THEN DELETE``). Needed for derived tables whose KEYS change
+        when the derivation re-runs (communities: uuid = hash(group, min
+        member) — an upsert would leave stale rows from the previous
+        component structure, the reference's remove_communities-before-
+        rebuild, graphiti.py:1504). Rows of a group share one bucket
+        (bucket = hash(group_id)), so only affected buckets rewrite."""
+        updates = updates.withColumn("bucket", bucket_col(n_buckets=self.n_buckets))
+        existing = self.read(table)
+        p = self._path(table)
+        if existing is None:
+            updates.write.mode("overwrite").partitionBy("bucket").parquet(p)
+            return
+        groups = updates.select("group_id").distinct()
+        buckets = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
+        old = existing.where(F.col("bucket").isin(buckets)).join(
+            groups, "group_id", "left_anti"
+        )
+        merged = updates.unionByName(old.select(updates.columns)).localCheckpoint()
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(p)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     # ---- checkpoint / lineage ------------------------------------------
 
     def checkpoint_path(self) -> str:

@@ -1,0 +1,156 @@
+"""Round-3 ADVICE regressions: stale community rows on refresh, the
+edges-scope episode_mentions reranker contract, derived-table refresh on
+episode deletion, and deterministic LPA termination on oscillating graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import GraphitiSpark
+from graphiti_spark.sources import synth_source_files
+from graphiti_spark.storage.writer import GraphStore
+
+
+def test_communities_refresh_replaces_stale_rows(spark, sf_dir, tmp_path_factory):
+    """communities_tables(refresh=True) after incremental ingest must NOT
+    leave the previous component structure's rows alive (reference deletes
+    communities before rebuild, graphiti.py:1504): community uuid =
+    hash(group, min member), so changed components change the key set and
+    an upsert would duplicate membership."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("comm")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src.where("file_seq % 2 = 0"), fuzzy=False)
+    g.communities_tables(refresh=True)
+    first = {r["uuid"] for r in store.read("communities").select("uuid").collect()}
+    assert first
+    # second batch merges components -> some first-batch community uuids die
+    g.add_episode_bulk(src.where("file_seq % 2 = 1"), fuzzy=False)
+    comm, member_edges = g.communities_tables(refresh=True)
+    stored = {r["uuid"] for r in store.read("communities").select("uuid").collect()}
+    current = {r["uuid"] for r in comm.select("uuid").collect()}
+    assert stored == current  # no stale survivors
+    # no entity belongs to two communities
+    dup = (
+        store.read("community_edges")
+        .groupBy("target_node_uuid")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0
+    # membership edges reference only live communities
+    orphan = (
+        store.read("community_edges")
+        .join(
+            store.read("communities").select(
+                F.col("uuid").alias("source_node_uuid")
+            ),
+            "source_node_uuid",
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphan == 0
+
+
+def test_episode_mentions_reranker_edges_rank_by_edge_provenance(spark, sf_dir):
+    """EDGE_HYBRID_SEARCH_EPISODE_MENTIONS must order by the EDGE's own
+    episode provenance count (len(edge.episodes), search/search.py:449-450),
+    not the source node's mention count."""
+    import graphiti_spark.api as api
+
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir))
+    res = g.search(
+        "spark merge query", search_config=api.EDGE_HYBRID_SEARCH_EPISODE_MENTIONS
+    )["edges"].collect()
+    assert res
+    ne = {
+        r["uuid"]: r["n_episodes"]
+        for r in g._table("edges")
+        .where(F.col("uuid").isin([x["uuid"] for x in res]))
+        .collect()
+    }
+    got = [(r["uuid"], r["n_mentions"]) for r in res]
+    # reported count is the edge's own n_episodes, and the order is desc
+    for uuid, n in got:
+        assert n == ne[uuid]
+    assert [n for _, n in got] == sorted(
+        [n for _, n in got], reverse=True
+    )
+
+
+def test_remove_episode_refreshes_saga_chain(spark, sf_dir, tmp_path_factory):
+    """Deleting a mid-chain episode must return recomputed NEXT_EPISODE
+    edges that bridge over it (a->deleted->c becomes a->c), plus saga
+    counters recomputed from the retained episodes."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("rmsaga")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src, fuzzy=False)
+    # pick a mid-chain episode: one that is both a source and a target
+    nee = store.read("next_episode_edges")
+    mid = (
+        nee.alias("a")
+        .join(
+            nee.select(F.col("target_node_uuid").alias("source_node_uuid")).alias("b"),
+            "source_node_uuid",
+            "left_semi",
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    victim = mid["source_node_uuid"]
+    pred = nee.where(F.col("target_node_uuid") == victim).collect()[0][
+        "source_node_uuid"
+    ]
+    succ = mid["target_node_uuid"]
+    out = g.remove_episode(victim)
+    assert set(out) >= {"sagas", "saga_edges", "next_episode_edges"}
+    new_chain = {
+        (r["source_node_uuid"], r["target_node_uuid"])
+        for r in out["next_episode_edges"].collect()
+    }
+    assert (pred, succ) in new_chain  # bridged
+    assert all(victim not in pair for pair in new_chain)
+    # saga episode counters reflect the retained set
+    n_eps = out["sagas"].agg(F.sum("n_episodes")).collect()[0][0]
+    assert n_eps == out["episodes"].join(
+        out["sagas"].select("group_id").distinct(), "group_id", "left_semi"
+    ).count()
+    # clear_group drops derived tables too
+    grp = mid["group_id"]
+    cleared = g.clear_group([grp])
+    for t in ("sagas", "saga_edges", "next_episode_edges"):
+        assert t in cleared
+        assert cleared[t].where(F.col("group_id") == grp).count() == 0
+
+
+def test_label_propagation_oscillation_breaks_deterministically(spark):
+    """Plurality LPA on a 2-cycle flips labels every round; after max_iter
+    the min-rule tiebreak round must yield the same assignment regardless
+    of iteration parity (odd vs even max_iter)."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "c", "d")],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+    adj = build_adjacency(edges)
+    odd = {
+        (r["uuid"], r["community"])
+        for r in label_propagation(adj, max_iter=3).collect()
+    }
+    even = {
+        (r["uuid"], r["community"])
+        for r in label_propagation(adj, max_iter=4).collect()
+    }
+    assert odd == even
+    # each 2-cycle collapses onto its min member
+    as_map = dict(odd)
+    assert as_map["a"] == as_map["b"] == "a"
+    assert as_map["c"] == as_map["d"] == "c"
