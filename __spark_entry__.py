@@ -163,6 +163,18 @@ def _q_td_dedup_simhash(spark, sf_dir):
 
 
 def _q_td_dedup_embedding_cosine(spark, sf_dir):
+    # the exact O(block²) recall baseline; the deployable default is LSH
+    # (td_dedup_embedding_lsh below)
+    from graphiti_spark.operators.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(
+        _emb(spark, sf_dir), threshold=0.35, method="exact"
+    )
+
+
+def _q_td_dedup_embedding_lsh(spark, sf_dir):
+    # the scale path AND the function's default: hyperplane-bucketed
+    # candidates, cosine-verified survivors
     from graphiti_spark.operators.dedup import dedup_embedding_cosine
 
     return dedup_embedding_cosine(_emb(spark, sf_dir), threshold=0.35)
@@ -428,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_clusters": _q_td_dedup_clusters,
         "td_dedup_simhash": _q_td_dedup_simhash,
         "td_dedup_embedding_cosine": _q_td_dedup_embedding_cosine,
+        "td_dedup_embedding_lsh": _q_td_dedup_embedding_lsh,
         "td_ann_bruteforce": _q_td_ann_bruteforce,
         "td_ann_lsh": _q_td_ann_lsh,
         "td_ann_ivf": _q_td_ann_ivf,

@@ -55,6 +55,18 @@ UNION_FIND_DRIVER_MAX_PAIRS = 10_000_000
 # generation (mega-bucket skew guard; common identifiers like "main"/"utils"
 # would otherwise create O(n^2) pair blowups at 100 TB scale)
 LSH_BUCKET_CAP = 64
+# SimHash band-bucket cap (per 7-bit block table): the pigeonhole recall
+# guarantee (hashing.SIMHASH_BLOCKS) holds for every pair whose shared
+# untouched block lands in an under-cap bucket, so this cap bounds
+# adversarial mega-bucket blowup (cap² comparisons worst case) while
+# leaving natural buckets intact. It is deliberately larger than
+# LSH_BUCKET_CAP because 7-bit keys are coarse (128 values/table); run
+# exact dedup FIRST (dedup_exact is one cheap shuffle) so identical docs
+# collapse before simhash banding — that is what keeps natural buckets
+# small at 100 TB. For corpora too dense even then, compose keys from
+# block PAIRS (Manku-style b=10/m=2 → C(10,2)=45 tables of ~13-bit keys,
+# guarantee intact for hamming <= 8) at 45×/doc explode cost.
+SIMHASH_BUCKET_CAP = 1024
 # salt buckets for skewed repartitioning of mega-repos
 SKEW_SALT_BUCKETS = 16
 # cap on per-edge episode-provenance arrays: an edge asserted by millions of

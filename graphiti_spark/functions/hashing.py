@@ -320,6 +320,29 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# SimHash multi-table blocking (Manku et al., WWW'07 pigeonhole scheme):
+# (start_bit, width) fields covering all 64 bits in MAX_HAMMING+1 = 9
+# blocks, so any pair within Hamming distance 8 has >= 1 block with ZERO
+# differing bits — i.e. the banded self-join has FULL recall at the
+# verify threshold, unlike a single-prefix table. Shared by
+# operators/dedup.dedup_simhash and the DuckDB twin (oracles_td.simhash_sql).
+SIMHASH_BLOCKS: tuple[tuple[int, int], ...] = (
+    (0, 8), (8, 7), (15, 7), (22, 7), (29, 7), (36, 7), (43, 7), (50, 7), (57, 7),
+)
+
+
+def simhash_block_keys(simhash: Column) -> Column:
+    """array<bigint> of banded block keys for a signed 64-bit simhash
+    column: key_j = (block j's bits) | (j << 16)."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(simhash, s).bitwiseAND(F.lit((1 << w) - 1))
+            + F.lit(j << 16)
+            for j, (s, w) in enumerate(SIMHASH_BLOCKS)
+        ]
+    )
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min xxhash64 over each stride
     of ``window`` word 2-grams, collected as a sorted distinct array —

@@ -154,41 +154,64 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint per doc, block on the
-    top-16-bit prefix (near-dups almost always share it), verify with full
-    Hamming distance. Token hashes are sha256-derived
+    """SimHash near-dup pairs: 64-bit fingerprint per doc, banded
+    multi-table blocking, verify with full Hamming distance.
+
+    Blocking is the Manku-style pigeonhole scheme
+    (functions/hashing.SIMHASH_BLOCKS): 9 bit-field tables for
+    max_hamming=8, so a qualifying pair ALWAYS collides in at least one
+    table — full recall by construction (asserted vs brute-force Hamming
+    in tests/test_td_ops.py), vs the single top-16-bit-prefix table that
+    silently missed near-dups whose flipped bit landed in the prefix.
+    Per-table candidate volume is bounded by SIMHASH_BUCKET_CAP (see
+    config.py for the cap-vs-recall contract and the block-pair
+    parameterization for denser corpora). Token hashes are sha256-derived
     (functions/hashing.simhash64_sha) so the DuckDB oracle reconstructs
-    the identical fingerprints bit-by-bit (oracles_td.simhash_sql)."""
+    the identical fingerprints AND band keys bit-by-bit
+    (oracles_td.simhash_sql)."""
+    from graphiti_spark.functions.hashing import simhash_block_keys
+
     par = docs.sparkSession.sparkContext.defaultParallelism
-    d = docs.repartition(par, "doc_id").select(
-        "doc_id", simhash64_sha(tokenize(F.col("text"))).alias("simhash")
-    ).withColumn("prefix", F.shiftrightunsigned("simhash", 48))
+    d = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", simhash64_sha(tokenize(F.col("text"))).alias("simhash"))
+        .withColumn("bk", F.explode(simhash_block_keys(F.col("simhash"))))
+    )
+    w = Window.partitionBy("bk")
+    d = d.withColumn("_bw", F.count("*").over(w)).where(
+        F.col("_bw") <= config.SIMHASH_BUCKET_CAP
+    ).persist()  # both self-join sides consume the UDF+window subtree
     a, b = d.alias("a"), d.alias("b")
     return (
-        a.join(b, (F.col("a.prefix") == F.col("b.prefix"))
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
         .where(F.col("hamming") <= max_hamming)
+        .drop("_sa", "_sb")
     )
 
 
 def dedup_embedding_cosine(
     embeddings: DataFrame, threshold: float = 0.95, block_labels: bool = True,
-    method: str = "exact", tables: int = 8, bits: int = 6, dim: int = 64,
+    method: str = "lsh", tables: int = 8, bits: int = 6, dim: int = 64,
 ) -> DataFrame:
     """Semantic near-dup pairs over a vector column: cosine >= threshold.
 
-    ``method='exact'`` (the oracle-checked default): all pairs within a
-    label block — O(block²), acceptable only when blocks are bounded.
-    ``method='lsh'`` (the 100 TB path): candidates must share >= 1
-    random-hyperplane sign-bit bucket (within the label block), so the
-    pair count tracks collisions, not block²; survivors verified with
-    exact cosine. Recall vs the exact twin is asserted >= 0.9 in
-    tests/test_td_ops.py."""
+    ``method='lsh'`` (the DEFAULT — the 100 TB path, oracle-checked as
+    td_dedup_embedding_lsh): candidates must share >= 1 random-hyperplane
+    sign-bit bucket (within the label block), so the pair count tracks
+    collisions, not block²; survivors verified with exact cosine.
+    ``method='exact'`` (the recall baseline, oracle-checked as
+    td_dedup_embedding_cosine): all pairs within a label block — O(block²),
+    acceptable only when blocks are bounded. LSH recall vs the exact twin
+    is asserted >= 0.9 in tests/test_community_extras.py."""
     from graphiti_spark.functions.embeddings import cosine
 
     d = embeddings.select("vec_id", "embedding", "label")

@@ -127,10 +127,18 @@ FROM documents d LEFT JOIN dcomp c ON c.node = d.doc_id"""
     )
 
 
-def simhash_sql(max_hamming: int = 8) -> str:
+def simhash_sql(max_hamming: int = 8, cap: int | None = None) -> str:
     """DuckDB twin of operators/dedup.dedup_simhash: reconstructs the
     64-bit sha256-based SimHash nibble-by-nibble (hashing.simhash64_sha),
-    blocks on the top-16-bit prefix, verifies full Hamming distance."""
+    blocks on the SAME 9 pigeonhole bit-field tables
+    (hashing.SIMHASH_BLOCKS — full recall at Hamming <= 8 by
+    construction), applies the identical per-table bucket cap, and
+    verifies full Hamming distance on candidate survivors."""
+    from graphiti_spark import config
+    from graphiti_spark.functions.hashing import SIMHASH_BLOCKS
+
+    cap = cap if cap is not None else config.SIMHASH_BUCKET_CAP
+
     def bit(j: int) -> str:
         pos = 16 - j // 4  # 1-based hex char position (char 16 = lowest nibble)
         return (
@@ -143,8 +151,25 @@ def simhash_sql(max_hamming: int = 8) -> str:
     hi = " + ".join(
         f"CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END" for j in range(32, 64)
     )
-    pfx = " + ".join(
-        f"CASE WHEN v{j} > 0 THEN {1 << (j - 48)} ELSE 0 END" for j in range(48, 64)
+
+    # banded block keys over the non-negative 32-bit halves (lo, hi), so
+    # no unsigned-shift trickery on the signed combined value is needed
+    def block_key(j: int, start: int, width: int) -> str:
+        mask = (1 << width) - 1
+        if start >= 32:
+            val = f"((hi >> {start - 32}) & {mask})"
+        elif start + width <= 32:
+            val = f"((lo >> {start}) & {mask})"
+        else:
+            nlo = 32 - start
+            val = (
+                f"(((lo >> {start}) & {(1 << nlo) - 1}) "
+                f"+ ((hi & {(1 << (width - nlo)) - 1}) << {nlo}))"
+            )
+        return f"({val} + {j << 16})"
+
+    keys = ", ".join(
+        block_key(j, s, w) for j, (s, w) in enumerate(SIMHASH_BLOCKS)
     )
     return f"""
 WITH th AS (
@@ -155,30 +180,37 @@ WITH th AS (
 ),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
 parts AS (
-  SELECT doc_id, ({lo})::BIGINT AS lo, ({hi})::BIGINT AS hi,
-         ({pfx})::BIGINT AS prefix
-  FROM votes
+  SELECT doc_id, ({lo})::BIGINT AS lo, ({hi})::BIGINT AS hi FROM votes
 ),
 sims AS (
   SELECT doc_id,
          (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
            * 4294967296 + lo AS simhash,
-         prefix
+         lo, hi
   FROM parts
+),
+bands AS (
+  SELECT doc_id, simhash, unnest([{keys}]) AS bk FROM sims
+),
+capped AS (
+  SELECT doc_id, simhash, bk FROM (
+    SELECT *, count(*) OVER (PARTITION BY bk) AS bw FROM bands
+  ) WHERE bw <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sims a JOIN sims b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
-def ann_lsh_sql(
-    k: int = 10, tables: int = 8, bits: int = 12, dim: int = 64,
-) -> str:
-    """DuckDB twin of operators/similarity.ann_hyperplane_lsh: the seeded
-    hyperplanes are embedded as DOUBLE literals (same numpy RNG draw), the
-    per-table sign-bit bucket keys match bit-for-bit, candidates join on
-    key and are verified with rounded cosine."""
+def _hyperplane_key_exprs(tables: int, bits: int, dim: int) -> list[str]:
+    """Per-table sign-bit bucket-key SQL expressions over a DOUBLE[] column
+    ``emb`` — the exact hyperplanes of
+    operators/similarity.make_hyperplane_keys_udf (same seeded numpy RNG
+    draw), embedded as literals so DuckDB reproduces the keys bit-for-bit."""
     import numpy as np
 
     key_exprs = []
@@ -191,6 +223,17 @@ def ann_lsh_sql(
                 f"CASE WHEN list_dot_product(emb, {vec}) > 0 THEN {1 << i} ELSE 0 END"
             )
         key_exprs.append("(" + " + ".join(terms) + f" + {t << 48})")
+    return key_exprs
+
+
+def ann_lsh_sql(
+    k: int = 10, tables: int = 8, bits: int = 12, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_hyperplane_lsh: the seeded
+    hyperplanes are embedded as DOUBLE literals (same numpy RNG draw), the
+    per-table sign-bit bucket keys match bit-for-bit, candidates join on
+    key and are verified with rounded cosine."""
+    key_exprs = _hyperplane_key_exprs(tables, bits, dim)
     probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
     return f"""
 WITH base AS (
@@ -343,6 +386,30 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
+
+    # the SCALE path for embedding dedup (dedup_embedding_cosine's default
+    # method='lsh'): candidates share >= 1 hyperplane sign-bit bucket
+    # within the label block; survivors verified with rounded cosine. The
+    # exact twin above stays as the recall baseline.
+    lsh_keys = _hyperplane_key_exprs(tables=8, bits=6, dim=64)
+    o["td_dedup_embedding_lsh"] = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, embedding::DOUBLE[] AS emb FROM embeddings
+),
+ckeys AS (
+  SELECT vec_id, label, embedding, unnest([{', '.join(lsh_keys)}]) AS bk
+  FROM base
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM ckeys a JOIN ckeys b
+    ON a.bk = b.bk AND a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea, eb), 4) AS cos_sim
+FROM cand
+WHERE round(list_cosine_similarity(ea, eb), 4) >= 0.35"""
 
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
     o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)

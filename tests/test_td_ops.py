@@ -100,6 +100,38 @@ def test_resize_plan_invariants(spark, dup_docs):
                        - r["width"] / r["height"]) < 0.1
 
 
+def test_simhash_full_recall_vs_bruteforce_hamming(spark, sf_dir):
+    """Pigeonhole guarantee of the 9-block banding (hashing.SIMHASH_BLOCKS):
+    at max_hamming=8 every qualifying pair shares >= 1 untouched block, so
+    the banded join recovers EXACTLY the brute-force Hamming pair set —
+    the single-prefix table this replaces missed pairs whose flipped bits
+    landed in the prefix."""
+    import numpy as np
+
+    from graphiti_spark.functions.hashing import simhash64_sha
+    from graphiti_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sims = (
+        docs.select("doc_id", simhash64_sha(tokenize(F.col("text"))).alias("s"))
+        .collect()
+    )
+    ids = np.array([r["doc_id"] for r in sims])
+    vals = np.array([r["s"] for r in sims], dtype=np.int64).view(np.uint64)
+    xor = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):
+        ham += (xor & 1).astype(np.int64)
+        xor >>= 1
+    ai, bi = np.where((ham <= 8) & (ids[:, None] < ids[None, :]))
+    truth = set(zip(ids[ai].tolist(), ids[bi].tolist()))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash(docs, max_hamming=8).collect()
+    }
+    assert got == truth, (len(got), len(truth))
+
+
 def test_simhash_identical_and_different(spark, dup_docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in dedup_simhash(dup_docs, max_hamming=63).collect()}
