@@ -74,12 +74,17 @@ def kg_cte_prefix(documents: str = "documents") -> str:
     invalidation) as one ANSI-SQL derivation.
 
     Fuzzy derivation: the Spark side finds duplicate pairs via MinHash/LSH
-    + Jaccard >= 0.9 verify (dedup_helpers.py:97-140); the oracle derives
-    the same pair set as entropy-gated FUZZY-NORM EQUALITY (every injected
-    variant pair has Jaccard exactly 1.0, and the corpus carries no pair
-    with 0.9 <= J < 1 — asserted by tests/test_dedup_fuzzy.py's
-    brute-force sweep), then canonicalizes components with a recursive-CTE
-    min-label closure (UnionFind/compress, bulk_utils.py:584-621).
+    + char-3-gram Jaccard >= 0.9 verify (dedup_helpers.py:97-140); the
+    oracle derives the same pair set as entropy-gated TRUE char-3-gram
+    Jaccard >= 0.9 over all gated pairs within a group (the de-spaced
+    shingling of dedup_helpers.py:88-94 rebuilt in SQL), so near-threshold
+    accepts (the injected 0.9 <= J < 1 corpus pair) and rejects are
+    hash-checked — the remaining assumption is only that Spark's LSH
+    candidate generation has recall 1.0 on this corpus (P(miss) < 1e-6
+    per qualifying pair at 8 bands of 4; asserted by
+    tests/test_dedup_fuzzy.py's brute-force-vs-LSH sweep), then
+    canonicalizes components with a recursive-CTE min-label closure
+    (UnionFind/compress, bulk_utils.py:584-621).
     """
     excl = _in_list(config.EXCLUSIVE_PREDICATES)
     norm_name = _norm("name")
@@ -167,11 +172,26 @@ gated AS (
                             x -> length(x) > 0)) >= {config.MIN_TOKEN_COUNT})
     AND ge.ent >= {config.ENTROPY_THRESHOLD}
 ),
+fgrams AS (
+  -- char-3-gram shingles of the DE-SPACED fuzzy form (shingles,
+  -- dedup_helpers.py:88-94; names shorter than 3 shingle to themselves)
+  SELECT group_id, exact_uuid,
+         CASE WHEN length(ds) >= 3
+              THEN list_distinct(list_transform(range(1, length(ds) - 1),
+                                                i -> substr(ds, i, 3)))
+              ELSE [ds] END AS grams
+  FROM (SELECT group_id, exact_uuid, replace(fuzzy, ' ', '') AS ds FROM gated)
+),
 fpairs AS (
+  -- TRUE Jaccard >= threshold over all gated pairs in a group — the
+  -- verify rule of dedup_helpers.py:131-140 applied exhaustively (the
+  -- Spark side reaches the same set through LSH candidates)
   SELECT a.exact_uuid AS pa, b.exact_uuid AS pb, a.group_id
-  FROM gated a JOIN gated b
-    ON a.group_id = b.group_id AND a.fuzzy = b.fuzzy
-   AND a.exact_uuid < b.exact_uuid
+  FROM fgrams a JOIN fgrams b
+    ON a.group_id = b.group_id AND a.exact_uuid < b.exact_uuid
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams)))
+        >= {config.FUZZY_JACCARD_THRESHOLD}
 ),
 und AS (
   SELECT pa AS a, pb AS b, group_id FROM fpairs
@@ -312,24 +332,51 @@ FROM edges WHERE invalid_at IS NOT NULL""",
 SELECT DISTINCT m.episode_uuid AS episode_uuid,
        c.canonical_uuid AS node_uuid, m.group_id AS group_id
 FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid""",
-        # fuzzy edge dedup (dedupe_edges_bulk fuzzy half): the Spark side
-        # runs same-endpoint pair generation + word-overlap >= 0.6 +
-        # union-find compress; on this corpus every accepted pair has
-        # IDENTICAL fact token sets (distinct predicates never exceed
-        # overlap 0.5 — 3-token facts share at most 2 of 4 tokens), so the
-        # oracle derivation is a sorted-distinct token-set key groupBy,
-        # and the CC survivor (min component uuid) is min(uuid) per key
+        # fuzzy edge dedup (dedupe_edges_bulk fuzzy half,
+        # bulk_utils.py:489-581): TRUE pairwise derivation — same-endpoint
+        # candidate pairs, fact token-set Jaccard >= 0.6 (the word-overlap
+        # rule, bulk_utils.py:506-541; the corpus injects a pair strictly
+        # inside (0.6, 1)), recursive-CTE union-find compression
+        # (bulk_utils.py:584-621), survivor = min component uuid absorbing
+        # provenance — exactly the Spark operator's semantics with no
+        # corpus-conditioned shortcut
         "kg_edges_fuzzy_dedup": p
         + f"""
-SELECT min(uuid) AS uuid, group_id, source_node_uuid, target_node_uuid,
-       min(name) AS name, min(fact) AS fact, min(valid_at) AS valid_at,
-       sum(n_episodes)::BIGINT AS n_episodes, count(*)::BIGINT AS n_merged
-FROM (
-  SELECT e.*,
-         array_to_string(list_sort(list_distinct({_toks_sql('fact')})), ' ') AS tok_key
-  FROM edges e
+, ef_tok AS (
+  SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact,
+         valid_at, n_episodes, list_distinct({_toks_sql('fact')}) AS toks
+  FROM edges
+),
+ef_pairs AS (
+  SELECT a.uuid AS pa, b.uuid AS pb
+  FROM ef_tok a JOIN ef_tok b
+    ON a.group_id = b.group_id
+   AND a.source_node_uuid = b.source_node_uuid
+   AND a.target_node_uuid = b.target_node_uuid
+   AND a.uuid < b.uuid
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+),
+ef_und AS (
+  SELECT pa AS a, pb AS b FROM ef_pairs UNION SELECT pb, pa FROM ef_pairs
+),
+ef_reach AS (
+  SELECT a AS node, b AS lbl FROM ef_und
+  UNION
+  SELECT r.node, u.b AS lbl FROM ef_reach r JOIN ef_und u ON u.a = r.lbl
+),
+ef_comp AS (
+  SELECT node, least(node, min(lbl)) AS surv FROM ef_reach GROUP BY node
 )
-GROUP BY group_id, source_node_uuid, target_node_uuid, tok_key""",
+SELECT coalesce(c.surv, e.uuid) AS uuid, e.group_id,
+       e.source_node_uuid, e.target_node_uuid,
+       min(e.name) AS name, min(e.fact) AS fact,
+       min(e.valid_at) AS valid_at,
+       sum(e.n_episodes)::BIGINT AS n_episodes,
+       count(*)::BIGINT AS n_merged
+FROM ef_tok e LEFT JOIN ef_comp c ON c.node = e.uuid
+GROUP BY coalesce(c.surv, e.uuid), e.group_id,
+         e.source_node_uuid, e.target_node_uuid""",
         # saga chain (SagaNode nodes.py:867-876; HAS_EPISODE edges.py:689;
         # NEXT_EPISODE edges.py:822; bookkeeping graphiti.py:1411-1459):
         # one saga per group, ordering = (valid_at, uuid)

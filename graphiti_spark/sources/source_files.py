@@ -39,16 +39,31 @@ _DIALECT = {
 # resolution path (LSH -> Jaccard -> CC -> remap -> edge fix-up) is
 # exercised BY THE ORACLE SUITE, not just unit tests:
 #   - 'Pipeline-Orchestrator' vs 'pipeline.orchestrator': distinct exact
-#     blocks whose fuzzy-normalized forms coincide -> fuzzy merge
-#     (dedup_helpers.py:45-49, 220-279 semantics);
+#     blocks whose fuzzy-normalized forms coincide (J = 1.0) -> fuzzy
+#     merge (dedup_helpers.py:45-49, 220-279 semantics);
 #   - 'Kubernetes Deployment' vs 'kubernetes deployment': case-variant
 #     facts that must collapse under the normalized-fact edge-dedup key
-#     (edge_operations.py:344-358).
+#     (edge_operations.py:344-358);
+#   - 'Data-Pipeline-Orchestrators' vs 'Data-Pipeline-Orchestrator': a
+#     NEAR-THRESHOLD fuzzy pair — char-3-gram Jaccard 22/23 ≈ 0.957 ∈
+#     [0.9, 1) — so the exact Jaccard accept boundary of
+#     dedup_helpers.py:131-140 is oracle-checked, not only unit-tested.
+#     Carried inside a fixed phrase ('Scheduler invokes X') so both docs
+#     emit an (invokes -> X) edge: after the name merge the two edges
+#     share endpoints with fact token-set Jaccard 4/6 ≈ 0.667 ∈ (0.6, 1),
+#     exercising the EDGE fuzzy-dedup threshold (bulk_utils.py:506-541)
+#     strictly inside its open interval too;
+#   - 'Pipeline-Orchestrated': REJECT boundary — J = 0.8 vs
+#     'Pipeline-Orchestrator' (and ≈ 0.818 for Data-Pipeline-* vs
+#     Pipeline-*), both engines must NOT merge it.
 _VARIANT_CONTENT = (
     "CASE WHEN doc_id % 11 = 3 THEN concat(text, ' Pipeline-Orchestrator')"
     " WHEN doc_id % 11 = 7 THEN concat(text, ' pipeline.orchestrator')"
     " WHEN doc_id % 13 = 4 THEN concat(text, ' Kubernetes Deployment')"
     " WHEN doc_id % 13 = 9 THEN concat(text, ' kubernetes deployment')"
+    " WHEN doc_id % 17 = 5 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrators')"
+    " WHEN doc_id % 19 = 6 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrator')"
+    " WHEN doc_id % 23 = 7 THEN concat(text, ' Pipeline-Orchestrated')"
     " ELSE text END"
 )
 

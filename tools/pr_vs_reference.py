@@ -57,6 +57,12 @@ def variant_content(doc_id: int, text: str) -> str:
         return text + " Kubernetes Deployment"
     if doc_id % 13 == 9:
         return text + " kubernetes deployment"
+    if doc_id % 17 == 5:
+        return text + " Scheduler invokes Data-Pipeline-Orchestrators"
+    if doc_id % 19 == 6:
+        return text + " Scheduler invokes Data-Pipeline-Orchestrator"
+    if doc_id % 23 == 7:
+        return text + " Pipeline-Orchestrated"
     return text
 
 
@@ -102,23 +108,38 @@ def reference_skeleton(rows):
     # (bulk_utils.py:374-486: iterate episodes, resolve each batch of
     # extracted nodes against the accumulated canonical pool — exact
     # normalized-name hit first, then the MinHash/fuzzy pass against the
-    # accumulated canonicals, dedup_helpers.py:220-279)
+    # accumulated candidates with shingle Jaccard >= 0.9 verify,
+    # dedup_helpers.py:131-140, 220-279)
     canonical_pool: dict[tuple[str, str], str] = {}  # (group, norm) -> canonical name
-    fuzzy_pool: dict[tuple[str, str], str] = {}      # (group, fuzzy)  -> canonical name
+    fuzzy_pool: dict[str, list[tuple[frozenset, str]]] = {}  # group -> [(shingles, canonical)]
     edges: dict[tuple, dict] = {}
+
+    def sh3(fz: str) -> frozenset:
+        """char-3-gram shingles of the de-spaced fuzzy form
+        (dedup_helpers.py:88-94)."""
+        d = fz.replace(" ", "")
+        return frozenset(d[i: i + 3] for i in range(max(len(d) - 2, 1))) or frozenset({d})
+
+    surfaces: dict[tuple[str, str], str] = {}  # (group, norm) -> min surface
 
     def resolve(group: str, name: str) -> str:
         norm = name.lower().strip()
         key = (group, norm)
+        surfaces[key] = min(surfaces.get(key, name), name)
         if key in canonical_pool:
             return canonical_pool[key]
         fz = fuzzy_form(norm)
-        if passes_gate(fz) and (group, fz) in fuzzy_pool:
-            canonical = fuzzy_pool[(group, fz)]
-        else:
-            canonical = name
-            if passes_gate(fz):
-                fuzzy_pool[(group, fz)] = name
+        canonical = name
+        if passes_gate(fz):
+            grams = sh3(fz)
+            pool = fuzzy_pool.setdefault(group, [])
+            for cand_grams, cand_name in pool:
+                u = len(grams | cand_grams)
+                if u and len(grams & cand_grams) / u >= 0.9:
+                    canonical = cand_name
+                    break
+            else:
+                pool.append((grams, name))
         canonical_pool[key] = canonical
         return canonical
 
@@ -153,6 +174,33 @@ def reference_skeleton(rows):
             else:
                 edges[k] = dict(valid_at=ep["valid_at"], n_episodes=1,
                                 invalid_at=None)
+
+    # --- canonical-name convention alignment: the sequential pool crowns
+    # the FIRST-SEEN member; the batch engine crowns the min-entity-uuid
+    # member's representative surface (resolution.resolve_nodes). The
+    # MERGE DECISIONS above stay sequential-reference semantics; only the
+    # component's display name is renormalized to the shared convention so
+    # triples compare on one key.
+    def euuid(group: str, norm: str) -> str:
+        return hashlib.sha256(f"entity|{group}|{norm}".encode()).hexdigest()[:32]
+
+    members = defaultdict(list)  # (group, canonical name) -> [norms]
+    for (g, norm), canon in canonical_pool.items():
+        members[(g, canon)].append(norm)
+    final_name: dict[tuple[str, str], str] = {}
+    for (g, canon), norms in members.items():
+        best = min(norms, key=lambda n: euuid(g, n))
+        final_name[(g, canon)] = surfaces[(g, best)]
+    renamed: dict[tuple, dict] = {}
+    for (g, cs, p, co), e in edges.items():
+        k = (g, final_name[(g, cs)], p, final_name[(g, co)])
+        if k in renamed:
+            r = renamed[k]
+            r["n_episodes"] += e["n_episodes"]
+            r["valid_at"] = min(r["valid_at"], e["valid_at"])
+        else:
+            renamed[k] = e
+    edges = renamed
 
     # --- bi-temporal invalidation (edge_operations.py:538-573, 825-839):
     # per (group, subject, exclusive predicate), candidates in ascending
