@@ -320,6 +320,40 @@ def _q_kg_duplicate_of(spark, sf_dir):
     )
 
 
+def _q_kg_node_embeddings(spark, sf_dir):
+    """Materialized node embeddings (save-time fill, bulk_utils.py:128-260):
+    digest + vector come from ONE UDF pass, so the DuckDB digest match
+    proves every stored vector was seeded by sha256(name); dim and the
+    unit L2 norm are checked as scalars (the float vector itself is a pure
+    function of the digest — unit-tested, not hashable cross-engine)."""
+    from graphiti_spark.functions.embeddings import hash_embed_with_digest, l2_norm
+
+    n = _graph(spark, sf_dir).nodes.withColumn(
+        "_e", hash_embed_with_digest(F.col("name"))
+    )
+    return n.select(
+        "uuid", "name",
+        F.col("_e.digest").alias("embedding_digest"),
+        F.size("_e.vec").alias("dim"),
+        F.round(l2_norm(F.col("_e.vec")), 4).alias("l2_norm"),
+    )
+
+
+def _q_kg_edge_embeddings(spark, sf_dir):
+    """Materialized fact embeddings (create_entity_edge_embeddings)."""
+    from graphiti_spark.functions.embeddings import hash_embed_with_digest, l2_norm
+
+    e = _graph(spark, sf_dir).edges.withColumn(
+        "_e", hash_embed_with_digest(F.col("fact"))
+    )
+    return e.select(
+        "uuid", "fact",
+        F.col("_e.digest").alias("embedding_digest"),
+        F.size("_e.vec").alias("dim"),
+        F.round(l2_norm(F.col("_e.vec")), 4).alias("l2_norm"),
+    )
+
+
 def _q_kg_saga_nodes(spark, sf_dir):
     from graphiti_spark.operators.saga import build_saga_nodes
 
@@ -457,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_previous_episodes": _q_sr_previous_episodes,
         "kg_duplicate_of": _q_kg_duplicate_of,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
+        "kg_node_embeddings": _q_kg_node_embeddings,
+        "kg_edge_embeddings": _q_kg_edge_embeddings,
         "kg_saga_nodes": _q_kg_saga_nodes,
         "kg_next_episode_edges": _q_kg_next_episode_edges,
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,

@@ -310,6 +310,70 @@ class GraphitiSpark:
         self.store = store
         self._session_graph: GraphTables | None = None
         self._communities: tuple[DataFrame, DataFrame] | None = None
+        # session-cached (uuid, embedding) projections per scope — the
+        # fallback when no store carries materialized vectors; embeds the
+        # corpus ONCE per session instead of once per search() call
+        self._emb_cache: dict[str, DataFrame] = {}
+
+    def _invalidate_caches(self) -> None:
+        self._communities = None
+        for df in self._emb_cache.values():
+            df.unpersist()
+        self._emb_cache = {}
+
+    def _scope_embeddings(
+        self, scope: str, df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """(uuid, embedding) for a scope. Store-backed nodes/edges read the
+        STORED vectors (materialized at save time, bulk_utils.py:128-260 →
+        served like search_utils.py:291-437); other scopes and store-less
+        sessions hash-embed once and persist. The returned frame is
+        UNFILTERED — callers semi-join their (possibly filtered) candidate
+        ids."""
+        emb_col = {"nodes": "name_embedding", "edges": "fact_embedding"}.get(scope)
+        if (
+            self.store is not None
+            and emb_col is not None
+            and emb_col in df.columns
+        ):
+            return df.select(
+                F.col(id_col).alias("uuid"), F.col(emb_col).alias("embedding")
+            ).where(F.col("embedding").isNotNull())
+        cached = self._emb_cache.get(scope)
+        if cached is None:
+            from graphiti_spark.functions.embeddings import hash_embed
+
+            cached = df.select(
+                F.col(id_col).alias("uuid"),
+                hash_embed(F.col(text_col)).alias("embedding"),
+            ).persist()
+            self._emb_cache[scope] = cached
+        return cached
+
+    def _cosine_ranked(
+        self, scope: str, df: DataFrame, base: DataFrame, id_col: str,
+        text_col: str, query: str, k: int, filtered: bool,
+    ) -> DataFrame:
+        """Top-k (uuid, rank) by cosine to the query — the *_similarity
+        arms (search_utils.py:291-437). The query vector is computed
+        driver-side and enters the plan as a LITERAL array, and the corpus
+        side reads stored/session-cached vectors, so the search plan
+        contains no Python UDF when a store is attached."""
+        from graphiti_spark.functions.embeddings import cosine, probe_vector_column
+        from graphiti_spark.operators.search import ranked_top_k
+
+        emb = self._scope_embeddings(scope, base, id_col, text_col)
+        if filtered:
+            emb = emb.join(
+                df.select(F.col(id_col).alias("uuid")), "uuid", "left_semi"
+            )
+        scored = emb.select(
+            "uuid",
+            F.round(cosine(F.col("embedding"), probe_vector_column(query)), 4).alias(
+                "cos_sim"
+            ),
+        )
+        return ranked_top_k(scored, "cos_sim", "uuid", k).select("uuid", "rank")
 
     # ---- communities -----------------------------------------------------
 
@@ -398,15 +462,29 @@ class GraphitiSpark:
                 )
                 if remap.count() > 0:
                     g = _rewrite_graph(g, remap)
+            # save-time embedding fill (create_entity_node_embeddings /
+            # create_entity_edge_embeddings, bulk_utils.py:128-260): vectors
+            # are materialized INTO the stored tables so search and
+            # embedding-based invalidation read them instead of re-embedding
+            # the corpus per query
+            from graphiti_spark.functions.embeddings import (
+                fill_edge_embeddings,
+                fill_node_embeddings,
+            )
+
             self.store.merge_upsert("episodes", g.episodes)
-            self.store.merge_upsert("nodes", self._merge_node_attrs(g.nodes))
-            self.store.merge_upsert("edges", self._merge_edge_provenance(g.edges))
+            self.store.merge_upsert(
+                "nodes", fill_node_embeddings(self._merge_node_attrs(g.nodes))
+            )
+            self.store.merge_upsert(
+                "edges", fill_edge_embeddings(self._merge_edge_provenance(g.edges))
+            )
             self.store.merge_upsert("mentions", g.mentions)
             self.store.merge_upsert("name_index", g.name_map)
             self._reinvalidate_affected(g)
             self._update_sagas(g)
         self._session_graph = g
-        self._communities = None  # graph changed; rebuild lazily
+        self._invalidate_caches()  # graph changed; rebuild lazily
         if update_communities:
             self.communities_tables(refresh=True)
         return g
@@ -455,6 +533,7 @@ class GraphitiSpark:
             F.col("name").alias("_old_name"),
             F.col("labels").alias("_old_labels"),
             F.col("created_at").alias("_old_ca"),
+            F.col("name_embedding").alias("_old_emb"),
         )
         union = F.array_sort(
             F.array_distinct(
@@ -475,7 +554,17 @@ class GraphitiSpark:
             .withColumn(
                 "created_at", F.least("created_at", F.coalesce("_old_ca", "created_at"))
             )
-            .drop("_old_name", "_old_labels", "_old_ca")
+            # reuse the stored vector only when the merged name is the one
+            # it was derived from; a changed representative name leaves the
+            # column null for the save-time fill to recompute
+            .withColumn(
+                "name_embedding",
+                F.coalesce(
+                    F.col("name_embedding"),
+                    F.when(merged_name == F.col("_old_name"), F.col("_old_emb")),
+                ),
+            )
+            .drop("_old_name", "_old_labels", "_old_ca", "_old_emb")
         )
 
     def _merge_edge_provenance(self, edges: DataFrame) -> DataFrame:
@@ -496,6 +585,8 @@ class GraphitiSpark:
             F.col("n_episodes").alias("_old_n"),
             F.col("valid_at").alias("_old_va"),
             F.col("created_at").alias("_old_ca"),
+            # fact is uuid-key-derived, so the stored vector stays valid
+            F.col("fact_embedding").alias("_old_fe"),
         )
         merged_eps = F.array_sort(
             F.array_distinct(
@@ -519,7 +610,10 @@ class GraphitiSpark:
                 "episodes",
                 F.slice("episodes", 1, config.EDGE_EPISODE_PROVENANCE_CAP),
             )
-            .drop("_old_eps", "_old_n", "_old_va", "_old_ca")
+            .withColumn(
+                "fact_embedding", F.coalesce("fact_embedding", "_old_fe")
+            )
+            .drop("_old_eps", "_old_n", "_old_va", "_old_ca", "_old_fe")
         )
         return out
 
@@ -614,7 +708,7 @@ class GraphitiSpark:
             "left_semi",
         )
         saga_eps = episodes.join(affected, "group_id", "left_semi")
-        self._communities = None  # structure changed; rebuild lazily
+        self._invalidate_caches()  # structure changed; rebuild lazily
         return dict(
             episodes=episodes, edges=edges_kept, mentions=mentions, nodes=nodes,
             sagas=build_saga_nodes(saga_eps),
@@ -643,7 +737,7 @@ class GraphitiSpark:
                     out[t] = df.drop("bucket").where(
                         ~F.col("group_id").isin(*group_ids)
                     )
-        self._communities = None
+        self._invalidate_caches()
         return out
 
     # ---- point CRUD ------------------------------------------------------
@@ -709,7 +803,10 @@ class GraphitiSpark:
         hash embedder stands in for the query embedding client;
         ``center_node_uuid`` feeds the node-distance reranker (falls back
         to RRF order when absent, like the reference's guard)."""
-        from graphiti_spark.functions.embeddings import dot, hash_embed
+        from graphiti_spark.functions.embeddings import (
+            cosine,
+            probe_vector_column,
+        )
         from graphiti_spark.functions.text import sanitize_query
         from graphiti_spark.operators.search import (
             bm25_scores,
@@ -720,7 +817,6 @@ class GraphitiSpark:
             ranked_top_k,
             rrf,
         )
-        from graphiti_spark.operators.similarity import knn_bruteforce
 
         if search_config is not None:
             limit, rerank = search_config.limit, search_config.rerank
@@ -732,16 +828,18 @@ class GraphitiSpark:
         terms = [t for t in query.lower().split() if t]
         out: dict[str, DataFrame] = {}
 
-        edges = self._table("edges")
-        nodes = self._table("nodes")
+        edges_base = self._table("edges")
+        nodes_base = self._table("nodes")
         episodes = self._table("episodes")
+        edges, nodes = edges_base, nodes_base
+        edges_filtered = nodes_filtered = False
         if filters is not None:
             ep = filters.edge_predicate()
             if ep is not None:
-                edges = edges.where(ep)
+                edges, edges_filtered = edges.where(ep), True
             np_ = filters.node_predicate()
             if np_ is not None:
-                nodes = nodes.where(np_)
+                nodes, nodes_filtered = nodes.where(np_), True
 
         def ranked_bm25(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             s = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
@@ -750,35 +848,20 @@ class GraphitiSpark:
                 .select(F.col(id_col).alias("uuid"), "rank")
             )
 
-        def ranked_cosine(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-            # embed the candidate text + the query with the deterministic
-            # embedder; exact cosine top-2k
-            emb = df.select(
-                F.col(id_col), hash_embed(F.col(text_col)).alias("embedding")
-            ).withColumn("vec_id", F.xxhash64(id_col))
-            probe = self.spark.createDataFrame([(query,)], "q string").select(
-                F.lit(0).alias("probe_id"), hash_embed(F.col("q")).alias("embedding")
-            )
-            top = knn_bruteforce(emb.select("vec_id", "embedding"), probe, k=2 * limit)
-            return (
-                top.join(emb.select("vec_id", id_col), "vec_id")
-                .select(F.col(id_col).alias("uuid"), "rank")
-            )
-
+        # scope -> (filtered df, UNFILTERED base for the embedding
+        # projection, id col, text col, filter flag)
         scopes = {
-            "edges": (edges, "uuid", "fact"),
-            "nodes": (nodes, "uuid", "name"),
-            "episodes": (episodes, "uuid", "content"),
+            "edges": (edges, edges_base, "uuid", "fact", edges_filtered),
+            "nodes": (nodes, nodes_base, "uuid", "name", nodes_filtered),
+            "episodes": (episodes, episodes, "uuid", "content", False),
         }
         if "communities" in active_scopes:
             comm, _ = self.communities_tables()
-            scopes["communities"] = (
-                comm.withColumn("_text", F.concat_ws(" ", "name", "summary")),
-                "uuid", "_text",
-            )
+            comm = comm.withColumn("_text", F.concat_ws(" ", "name", "summary"))
+            scopes["communities"] = (comm, comm, "uuid", "_text", False)
         scopes = {k: v for k, v in scopes.items() if k in active_scopes}
-        def apply_rerank(scope: str, df: DataFrame, id_col: str,
-                         text_col: str, fused: DataFrame) -> DataFrame:
+        def apply_rerank(scope: str, df: DataFrame, base: DataFrame,
+                         id_col: str, text_col: str, fused: DataFrame) -> DataFrame:
             if rerank == "rrf":
                 return ranked_top_k(fused, "rrf_score", "uuid", limit)
             # candidate pool at 2x expansion, then the configured reranker
@@ -794,16 +877,12 @@ class GraphitiSpark:
                     scored.select("uuid", "ce_score"), "ce_score", "uuid", limit
                 )
             if rerank == "mmr":
-                probe = self.spark.createDataFrame([(query,)], "q string").select(
-                    hash_embed(F.col("q")).alias("_qemb")
-                )
-                withsim = (
-                    cand.withColumn("embedding", hash_embed(F.col("_t")))
-                    .join(F.broadcast(probe))
-                    .withColumn(
-                        "cos_sim",
-                        F.round(dot(F.col("embedding"), F.col("_qemb")), 4),
-                    )
+                emb = self._scope_embeddings(scope, base, id_col, text_col)
+                withsim = cand.join(emb, "uuid").withColumn(
+                    "cos_sim",
+                    F.round(
+                        cosine(F.col("embedding"), probe_vector_column(query)), 4
+                    ),
                 )
                 return mmr_rerank(
                     withsim, id_col="uuid", k=limit, id_type="string"
@@ -857,9 +936,13 @@ class GraphitiSpark:
                 return ranked_top_k(fused, "rrf_score", "uuid", limit)
             raise ValueError(f"unknown reranker {rerank}")
 
-        for scope, (df, id_col, text_col) in scopes.items():
-            lists = [ranked_bm25(df, id_col, text_col),
-                     ranked_cosine(df, id_col, text_col)]
+        for scope, (df, base, id_col, text_col, filtered) in scopes.items():
+            lists = [
+                ranked_bm25(df, id_col, text_col),
+                self._cosine_ranked(
+                    scope, df, base, id_col, text_col, query, 2 * limit, filtered,
+                ),
+            ]
             fused = rrf(lists, "uuid")
-            out[scope] = apply_rerank(scope, df, id_col, text_col, fused)
+            out[scope] = apply_rerank(scope, df, base, id_col, text_col, fused)
         return out

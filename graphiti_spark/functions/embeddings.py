@@ -17,7 +17,7 @@ numpy BLAS wins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from graphiti_spark import config
 
@@ -46,6 +46,101 @@ def make_hash_embedder(dim: int = config.EMBEDDING_DIM):
 
 
 hash_embed = make_hash_embedder()
+
+
+def embed_text_local(text: str, dim: int = config.EMBEDDING_DIM) -> list[float]:
+    """Driver-side twin of :func:`hash_embed` for SINGLE probe texts
+    (identical math — asserted by tests). Embedding the one-row search
+    query on the driver keeps the search-side Spark plan free of any
+    Python UDF: the probe vector enters the plan as a literal array and
+    the corpus side reads STORED vectors (bulk_utils.py:128-260 fills
+    embeddings at save time; search_utils.py:291-437 serves from them)."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    v /= np.linalg.norm(v) or 1.0
+    return [float(x) for x in v]
+
+
+def probe_vector_column(text: str, dim: int = config.EMBEDDING_DIM) -> Column:
+    """The probe embedding as a literal array<float> column."""
+    return F.array(*[F.lit(x) for x in embed_text_local(text, dim)]).cast(
+        "array<float>"
+    )
+
+
+def make_hash_embedder_with_digest(dim: int = config.EMBEDDING_DIM):
+    """Like :func:`make_hash_embedder` but the UDF also returns the
+    sha256 GENERATING digest alongside the vector, from the same pass —
+    the oracle contract: DuckDB recomputes ``sha256(text)`` and a
+    hash-match proves every materialized vector was seeded by its source
+    text (the same scheme as multimodal ``feature_digest``)."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("digest", T.StringType()),
+                T.StructField("vec", T.ArrayType(T.FloatType())),
+            ]
+        )
+    )
+    def hash_embed_digest(texts):  # type: ignore[no-untyped-def]
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        digests, vecs = [], []
+        for t in texts:
+            if t is None:
+                digests.append(None)
+                vecs.append(None)
+                continue
+            dg = hashlib.sha256(t.encode()).hexdigest()
+            rng = np.random.default_rng(int(dg[:16], 16))
+            v = rng.standard_normal(dim).astype(np.float32)
+            v /= np.linalg.norm(v) or 1.0
+            digests.append(dg)
+            vecs.append(v.tolist())
+        return pd.DataFrame({"digest": digests, "vec": vecs})
+
+    return hash_embed_digest
+
+
+hash_embed_with_digest = make_hash_embedder_with_digest()
+
+
+def embedding_digest(text: Column) -> Column:
+    """sha256 hex of the text — the GENERATING digest of its hash
+    embedding (the vector is a pure function of this digest's first 8
+    bytes). DuckDB-expressible, so the oracle suite can verify that every
+    materialized embedding derives from the right source text, the same
+    contract as multimodal ``feature_digest``."""
+    return F.sha2(text, 256)
+
+
+def fill_node_embeddings(nodes: DataFrame) -> "DataFrame":
+    """Populate ``name_embedding`` for rows missing it — the save-time
+    embedding fill (create_entity_node_embeddings, bulk_utils.py:128-260).
+    One Arrow pass; rows already carrying a vector are left untouched so
+    incremental re-ingest does not recompute the corpus."""
+    return nodes.withColumn(
+        "name_embedding",
+        F.coalesce(F.col("name_embedding"), hash_embed(F.col("name"))),
+    )
+
+
+def fill_edge_embeddings(edges: DataFrame) -> "DataFrame":
+    """Populate ``fact_embedding`` (create_entity_edge_embeddings,
+    edge_operations.py / bulk_utils.py:128-260)."""
+    return edges.withColumn(
+        "fact_embedding",
+        F.coalesce(F.col("fact_embedding"), hash_embed(F.col("fact"))),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

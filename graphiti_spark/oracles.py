@@ -377,6 +377,20 @@ SELECT coalesce(c.surv, e.uuid) AS uuid, e.group_id,
 FROM ef_tok e LEFT JOIN ef_comp c ON c.node = e.uuid
 GROUP BY coalesce(c.surv, e.uuid), e.group_id,
          e.source_node_uuid, e.target_node_uuid""",
+        # materialized-embedding contract (save-time fill,
+        # bulk_utils.py:128-260): digest = sha256(source text), vector a
+        # pure unit-norm function of it — the digest hash-match proves the
+        # fill derives from the right text for every row
+        "kg_node_embeddings": p
+        + f"""
+SELECT uuid, name, sha256(name) AS embedding_digest,
+       {config.EMBEDDING_DIM}::INT AS dim, 1.0::DOUBLE AS l2_norm
+FROM nodes""",
+        "kg_edge_embeddings": p
+        + f"""
+SELECT uuid, fact, sha256(fact) AS embedding_digest,
+       {config.EMBEDDING_DIM}::INT AS dim, 1.0::DOUBLE AS l2_norm
+FROM edges""",
         # saga chain (SagaNode nodes.py:867-876; HAS_EPISODE edges.py:689;
         # NEXT_EPISODE edges.py:822; bookkeeping graphiti.py:1411-1459):
         # one saga per group, ordering = (valid_at, uuid)

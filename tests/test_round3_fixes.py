@@ -127,6 +127,68 @@ def test_remove_episode_refreshes_saga_chain(spark, sf_dir, tmp_path_factory):
         assert cleared[t].where(F.col("group_id") == grp).count() == 0
 
 
+def test_embed_text_local_matches_udf(spark):
+    """The driver-side probe embedder must be bit-identical to the
+    corpus-side UDF (and to the digest-paired variant), or stored-vector
+    search would score probes against a different space."""
+    from graphiti_spark.functions.embeddings import (
+        embed_text_local,
+        hash_embed,
+        hash_embed_with_digest,
+    )
+
+    df = spark.createDataFrame([("spark merge query",)], "t string")
+    via_udf = df.select(hash_embed(F.col("t")).alias("v")).collect()[0]["v"]
+    via_pair = df.select(hash_embed_with_digest(F.col("t")).alias("e")).collect()[0][
+        "e"
+    ]["vec"]
+    local = embed_text_local("spark merge query")
+    assert via_udf == local == via_pair
+
+
+def test_store_backed_search_reads_stored_vectors(spark, sf_dir, tmp_path_factory):
+    """With a store attached, the search-side physical plan must contain
+    NO Python UDF: corpus vectors come from the materialized
+    name_embedding/fact_embedding columns (filled at save time,
+    bulk_utils.py:128-260) and the probe enters as a literal array."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("emb")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src, fuzzy=False)
+    # vectors are materialized in the store
+    for table, col in (("nodes", "name_embedding"), ("edges", "fact_embedding")):
+        nulls = store.read(table).where(F.col(col).isNull()).count()
+        assert nulls == 0, (table, nulls)
+    res = g.search("spark merge query", limit=5)
+    for scope in ("edges", "nodes"):
+        df = res[scope]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "PythonUDF" not in plan, (scope, plan[:500])
+        assert 0 < df.count() <= 5
+    # embedding-based invalidation candidates run off the stored vectors
+    from graphiti_spark.operators.temporal import invalidation_candidates
+
+    edges = store.read("edges").drop("bucket")
+    new_e = edges.where(F.col("name") == "OPERATES_ON").limit(20)
+    cand = invalidation_candidates(edges, new_e, min_score=0.0, use_embeddings=True)
+    assert cand.count() > 0
+
+
+def test_sessionmode_search_embeds_once_per_session(spark, sf_dir):
+    """Store-less sessions embed each scope's corpus ONCE (persisted
+    projection), not once per search() call."""
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir), fuzzy=False)
+    assert g.search("spark merge", limit=3)["nodes"].count() > 0
+    first = g._emb_cache.get("nodes")
+    assert first is not None
+    assert g.search("different query terms", limit=3)["nodes"].count() > 0
+    assert g._emb_cache.get("nodes") is first  # same cached projection
+    # ingest invalidates the cache
+    g.add_episode_bulk(synth_source_files(spark, sf_dir), fuzzy=False)
+    assert g._emb_cache == {}
+
+
 def test_label_propagation_oscillation_breaks_deterministically(spark):
     """Plurality LPA on a 2-cycle flips labels every round; after max_iter
     the min-rule tiebreak round must yield the same assignment regardless
