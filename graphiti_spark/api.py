@@ -771,6 +771,42 @@ class GraphitiSpark:
             names.append(f"{prefix}{t}")
         return names
 
+    def retrieve_episodes(
+        self,
+        reference_time: str,
+        last_n: int = config.EPISODE_WINDOW_LEN,
+        group_ids: list[str] | None = None,
+        source: str | None = None,
+        saga: str | None = None,
+    ) -> DataFrame:
+        """Episode context windows with the reference's full filter
+        signature (graph_data_operations.py:67-140): group_ids AND source
+        AND saga. Saga membership resolves through the stored HAS_EPISODE
+        edges when a store is attached."""
+        from graphiti_spark.operators.search import retrieve_episodes
+
+        saga_edges = None
+        if saga is not None and self.store is not None:
+            se = self.store.read("saga_edges")
+            if se is not None:
+                saga_edges = se.drop("bucket")
+        return retrieve_episodes(
+            self._table("episodes"), reference_time, last_n,
+            group_ids=group_ids, source=source, saga=saga,
+            saga_edges=saga_edges,
+        )
+
+    def node_bfs(
+        self, origin_uuids: list[str], max_depth: int = config.MAX_SEARCH_DEPTH
+    ) -> DataFrame:
+        """Entities reachable from the origins (node_bfs_search,
+        search_utils.py:774-868)."""
+        from graphiti_spark.operators.search import bfs_nodes
+
+        return bfs_nodes(
+            self._table("edges"), self._table("nodes"), origin_uuids, max_depth
+        )
+
     def get_mentioned_nodes(self, episode_uuids: list[str]) -> DataFrame:
         """Entities mentioned by the given episodes (search_utils.py:116)."""
         m = self._table("mentions").where(F.col("episode_uuid").isin(*episode_uuids))
@@ -849,16 +885,20 @@ class GraphitiSpark:
             )
 
         # scope -> (filtered df, UNFILTERED base for the embedding
-        # projection, id col, text col, filter flag)
+        # projection, id col, cosine text col, BM25 text col, filter flag)
+        # — the edge fulltext arm indexes fact AND relation name
+        # (search_utils.py:185-288 indexes both fields); the cosine arm
+        # stays on fact (fact_embedding is derived from fact alone)
+        edges_ft = edges.withColumn("_ft", F.concat_ws(" ", "fact", "name"))
         scopes = {
-            "edges": (edges, edges_base, "uuid", "fact", edges_filtered),
-            "nodes": (nodes, nodes_base, "uuid", "name", nodes_filtered),
-            "episodes": (episodes, episodes, "uuid", "content", False),
+            "edges": (edges_ft, edges_base, "uuid", "fact", "_ft", edges_filtered),
+            "nodes": (nodes, nodes_base, "uuid", "name", "name", nodes_filtered),
+            "episodes": (episodes, episodes, "uuid", "content", "content", False),
         }
         if "communities" in active_scopes:
             comm, _ = self.communities_tables()
             comm = comm.withColumn("_text", F.concat_ws(" ", "name", "summary"))
-            scopes["communities"] = (comm, comm, "uuid", "_text", False)
+            scopes["communities"] = (comm, comm, "uuid", "_text", "_text", False)
         scopes = {k: v for k, v in scopes.items() if k in active_scopes}
         def apply_rerank(scope: str, df: DataFrame, base: DataFrame,
                          id_col: str, text_col: str, fused: DataFrame) -> DataFrame:
@@ -936,9 +976,9 @@ class GraphitiSpark:
                 return ranked_top_k(fused, "rrf_score", "uuid", limit)
             raise ValueError(f"unknown reranker {rerank}")
 
-        for scope, (df, base, id_col, text_col, filtered) in scopes.items():
+        for scope, (df, base, id_col, text_col, bm25_col, filtered) in scopes.items():
             lists = [
-                ranked_bm25(df, id_col, text_col),
+                ranked_bm25(df, id_col, bm25_col),
                 self._cosine_ranked(
                     scope, df, base, id_col, text_col, query, 2 * limit, filtered,
                 ),

@@ -217,13 +217,46 @@ def retrieve_episodes(
     episodes: DataFrame,
     reference_time: str,
     last_n: int = config.EPISODE_WINDOW_LEN,
+    group_ids: list[str] | None = None,
+    source: str | None = None,
+    saga: str | None = None,
+    saga_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Last-n episode context window before a reference time, per group
-    (graph_data_operations.py:67-140, EPISODE_WINDOW_LEN=3)."""
+    (graph_data_operations.py:67-140, EPISODE_WINDOW_LEN=3), with the
+    reference's full filter signature:
+
+    - ``group_ids``: restrict to the listed graph partitions;
+    - ``source``: episode source type equality (text/message/json);
+    - ``saga``: only episodes belonging to the named saga — via a
+      semi-join through HAS_EPISODE ``saga_edges`` when provided
+      (the reference's Saga-[:HAS_EPISODE]->Episodic match,
+      graph_data_operations.py:99-125); without the edge table, saga
+      membership falls back to the derivation invariant saga name ==
+      group_id (operators/saga.build_saga_nodes).
+
+    Windowing stays PER GROUP (rn per group) — the scalable shape; the
+    reference's single global LIMIT is the n=1-group special case."""
+    ts = F.lit(reference_time).cast("timestamp")
+    df = episodes.where(F.col("valid_at") <= ts)
+    if group_ids:
+        df = df.where(F.col("group_id").isin(*group_ids))
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    if saga is not None:
+        if saga_edges is not None:
+            # HAS_EPISODE rows: source = saga uuid, target = episode uuid,
+            # saga name == group_id in this derivation — filter by saga
+            # name then semi-join episode membership
+            member = saga_edges.where(F.col("group_id") == saga).select(
+                F.col("target_node_uuid").alias("uuid")
+            )
+            df = df.join(member, "uuid", "left_semi")
+        else:
+            df = df.where(F.col("group_id") == saga)
     w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.asc("uuid"))
     return (
-        episodes.where(F.col("valid_at") <= F.lit(reference_time).cast("timestamp"))
-        .withColumn("rn", F.row_number().over(w))
+        df.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= last_n)
         .select("group_id", "uuid", "name", "valid_at", "rn")
     )
@@ -415,4 +448,28 @@ def bfs_edges(
         out.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") == 1)
         .drop("_r")
+    )
+
+
+def bfs_nodes(
+    edges: DataFrame,
+    nodes: DataFrame,
+    origin_uuids: list[str],
+    max_depth: int = config.MAX_SEARCH_DEPTH,
+) -> DataFrame:
+    """Node-returning BFS (node_bfs_search, search_utils.py:774-868):
+    entities reachable from the origins within 1..max_depth directed hops,
+    each at its MINIMUM discovery depth, joined to the node table for
+    attributes. Origins themselves are excluded (the reference matches
+    ``(origin)-[*1..d]->(n)``). Reuses the frontier loop of
+    :func:`bfs_edges` — node depth = min over reached edges of
+    (edge depth, at the edge's target)."""
+    reached = bfs_edges(edges, origin_uuids, max_depth)
+    node_depth = (
+        reached.groupBy(F.col("target_node_uuid").alias("uuid"))
+        .agg(F.min("depth").alias("depth"))
+        .where(~F.col("uuid").isin(*origin_uuids))
+    )
+    return nodes.join(node_depth, "uuid").select(
+        "uuid", "name", "group_id", "depth"
     )

@@ -189,6 +189,88 @@ def test_sessionmode_search_embeds_once_per_session(spark, sf_dir):
     assert g._emb_cache == {}
 
 
+def test_retrieve_episodes_full_filter_signature(spark, sf_dir, tmp_path_factory):
+    """retrieve_episodes now honors the reference's group_ids AND source
+    AND saga params (graph_data_operations.py:67-140)."""
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("eps")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src, fuzzy=False)
+
+    base = g.retrieve_episodes(EPISODE_REF_TIME)
+    assert base.count() > 0
+    grp = base.limit(1).collect()[0]["group_id"]
+    only = g.retrieve_episodes(EPISODE_REF_TIME, group_ids=[grp])
+    assert only.select("group_id").distinct().collect()[0][0] == grp
+    # source filter: every returned episode has the requested source
+    eps = store.read("episodes")
+    some_source = eps.limit(1).collect()[0]["source"]
+    by_src = g.retrieve_episodes(EPISODE_REF_TIME, source=some_source)
+    got_uuids = [r["uuid"] for r in by_src.collect()]
+    assert got_uuids
+    bad = eps.where(
+        F.col("uuid").isin(got_uuids) & (F.col("source") != some_source)
+    ).count()
+    assert bad == 0
+    # saga filter resolves through stored HAS_EPISODE edges; saga name ==
+    # group_id in this derivation, so it must match the group_ids variant
+    via_saga = {
+        (r["uuid"], r["rn"]) for r in g.retrieve_episodes(
+            EPISODE_REF_TIME, saga=grp
+        ).collect()
+    }
+    via_group = {
+        (r["uuid"], r["rn"]) for r in only.collect()
+    }
+    assert via_saga == via_group
+
+
+def test_node_bfs_min_depth_excludes_origin(spark, sf_dir):
+    from graphiti_spark.operators.search import bfs_edges, bfs_nodes
+
+    g = GraphitiSpark(spark)
+    gt = g.add_episode_bulk(synth_source_files(spark, sf_dir), fuzzy=False)
+    origin = [
+        r["uuid"] for r in gt.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).collect()
+    ]
+    nodes_out = bfs_nodes(gt.edges, gt.nodes, origin, max_depth=2).collect()
+    assert nodes_out
+    assert all(r["uuid"] not in origin for r in nodes_out)
+    assert {r["depth"] for r in nodes_out} <= {1, 2}
+    # node depth == min depth over reached edges targeting it
+    ed = bfs_edges(gt.edges, origin, max_depth=2)
+    want = {
+        r["uuid"]: r["d"] for r in ed.groupBy(
+            F.col("target_node_uuid").alias("uuid")
+        ).agg(F.min("depth").alias("d")).collect() if r["uuid"] not in origin
+    }
+    got = {r["uuid"]: r["depth"] for r in nodes_out}
+    assert got == want
+    # facade wiring
+    assert g.node_bfs(origin, max_depth=2).count() == len(nodes_out)
+
+
+def test_edge_bm25_indexes_relation_name(spark):
+    """The edge fulltext arm must index fact AND relation name
+    (search_utils.py:185-288 indexes both fields): a query hitting only
+    the edge NAME still scores."""
+    from graphiti_spark.operators.search import bm25_scores
+
+    edges = spark.createDataFrame(
+        [("e1", "alpha beta", "LINKS"), ("e2", "gamma delta", "OWNS")],
+        "uuid string, fact string, name string",
+    ).withColumn("_ft", F.concat_ws(" ", "fact", "name"))
+    hits = bm25_scores(edges, ["links"], id_col="uuid", text_col="_ft").collect()
+    assert [r["uuid"] for r in hits] == ["e1"]
+    # and the fact field still scores too
+    hits2 = bm25_scores(edges, ["gamma"], id_col="uuid", text_col="_ft").collect()
+    assert [r["uuid"] for r in hits2] == ["e2"]
+
+
 def test_label_propagation_oscillation_breaks_deterministically(spark):
     """Plurality LPA on a 2-cycle flips labels every round; after max_iter
     the min-rule tiebreak round must yield the same assignment regardless
