@@ -354,6 +354,30 @@ def _q_kg_edge_embeddings(spark, sf_dir):
     )
 
 
+def _q_kg_node_attributes(spark, sf_dir):
+    """Typed-attribute extraction end-to-end (attribute_utils.py:27-254 +
+    node_operations.py:726-1004): the rule filler proposes 4 attributes
+    through the mapInPandas boundary; apply_capped_attributes must drop
+    the over-cap 'padded' value, leaving 3 — the map is compared as a
+    key-sorted k=v CSV against the DuckDB derivation."""
+    from graphiti_spark.operators.attributes import (
+        extract_attributes_with_client,
+        rule_attribute_client,
+    )
+
+    n = extract_attributes_with_client(
+        _graph(spark, sf_dir).nodes, client=rule_attribute_client
+    )
+    attrs_csv = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries("attributes")),
+            lambda e: F.concat(e.key, F.lit("="), e.value),
+        ),
+    )
+    return n.select("uuid", "name", attrs_csv.alias("attrs_csv"))
+
+
 def _q_kg_saga_nodes(spark, sf_dir):
     from graphiti_spark.operators.saga import build_saga_nodes
 
@@ -491,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_previous_episodes": _q_sr_previous_episodes,
         "kg_duplicate_of": _q_kg_duplicate_of,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
+        "kg_node_attributes": _q_kg_node_attributes,
         "kg_node_embeddings": _q_kg_node_embeddings,
         "kg_edge_embeddings": _q_kg_edge_embeddings,
         "kg_saga_nodes": _q_kg_saga_nodes,

@@ -250,10 +250,30 @@ def _rewrite_graph(g: GraphTables, remap: DataFrame) -> GraphTables:
             .drop("_new")
         )
 
-    edges = rw(rw(g.edges, "source_node_uuid"), "target_node_uuid")
+    edges_rw = rw(rw(g.edges, "source_node_uuid"), "target_node_uuid")
     fact_norm = F.lower(F.trim(F.col("fact")))
+    edge_episodes = g.edge_episodes
+    if edge_episodes is not None:
+        # the uuid regrouping below changes edge identities; row-level new
+        # uuid equals the grouped one (the group KEYS on fact_norm), so a
+        # distinct (old -> new) map rewrites the provenance pairs
+        uuid_map = edges_rw.select(
+            F.col("uuid").alias("_old_uuid"),
+            edge_uuid(
+                "group_id", "source_node_uuid", "target_node_uuid",
+                F.col("name"), fact_norm,
+            ).alias("_new_uuid"),
+        ).distinct()
+        edge_episodes = (
+            edge_episodes.join(
+                uuid_map, edge_episodes.edge_uuid == uuid_map._old_uuid, "left"
+            )
+            .withColumn("edge_uuid", F.coalesce("_new_uuid", "edge_uuid"))
+            .drop("_old_uuid", "_new_uuid")
+            .dropDuplicates(["edge_uuid", "episode_uuid"])
+        )
     edges = (
-        edges.groupBy(
+        edges_rw.groupBy(
             "group_id", "source_node_uuid", "target_node_uuid", "name",
             fact_norm.alias("_fn"),
         )
@@ -290,6 +310,7 @@ def _rewrite_graph(g: GraphTables, remap: DataFrame) -> GraphTables:
     return GraphTables(
         episodes=g.episodes, nodes=nodes, edges=edges, mentions=mentions,
         canonical_map=canonical_map, name_map=name_map,
+        edge_episodes=edge_episodes,
     )
 
 
@@ -305,9 +326,20 @@ class GraphitiSpark:
     tables and reads go through them.
     """
 
-    def __init__(self, spark: SparkSession, store: GraphStore | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: GraphStore | None = None,
+        full_provenance: bool = False,
+    ):
+        """``full_provenance=True`` additionally maintains the
+        (edge_uuid, episode_uuid) side table (one ROW per assertion, no
+        capped arrays), making :meth:`remove_episode` exact past
+        EDGE_EPISODE_PROVENANCE_CAP at the cost of one extra keyed
+        aggregation per ingest."""
         self.spark = spark
         self.store = store
+        self.full_provenance = full_provenance
         self._session_graph: GraphTables | None = None
         self._communities: tuple[DataFrame, DataFrame] | None = None
         # session-cached (uuid, embedding) projections per scope — the
@@ -431,7 +463,9 @@ class GraphitiSpark:
         resolve-vs-existing-graph step, graphiti.py:1131-1137 /
         node_operations.py:627-708). Without this, batch-local canonical
         ids would drift across incremental ingests."""
-        g = build_graph(source_files, fuzzy=fuzzy)
+        g = build_graph(
+            source_files, fuzzy=fuzzy, full_provenance=self.full_provenance
+        )
         if self.store is not None:
             existing = self.store.read("name_index")
             if existing is not None:
@@ -481,6 +515,8 @@ class GraphitiSpark:
             )
             self.store.merge_upsert("mentions", g.mentions)
             self.store.merge_upsert("name_index", g.name_map)
+            if g.edge_episodes is not None:
+                self.store.merge_upsert("edge_episodes", g.edge_episodes)
             self._reinvalidate_affected(g)
             self._update_sagas(g)
         self._session_graph = g
@@ -663,14 +699,17 @@ class GraphitiSpark:
         no remaining episode. Returns the retained tables (caller persists
         via store.merge semantics or overwrite).
 
-        Provenance-cap caveat: edge ``episodes`` arrays are capped at
-        EDGE_EPISODE_PROVENANCE_CAP (columnar safety — config.py), so an
-        edge asserted by MORE episodes than the cap whose capped array
-        omits the deleted one keeps its counters unchanged (best-effort
-        deletion); edges under the cap are exact — array entry removed and
-        n_episodes decremented. Full-fidelity deletion at 100 TB keeps a
-        separate (edge_uuid, episode_uuid) provenance table
-        (:meth:`edge_provenance_table`) and anti-joins it instead.
+        Provenance-cap caveat (without ``full_provenance``): edge
+        ``episodes`` arrays are capped at EDGE_EPISODE_PROVENANCE_CAP
+        (columnar safety — config.py), so an edge asserted by MORE
+        episodes than the cap whose capped array omits the deleted one
+        keeps its counters unchanged (best-effort deletion); edges under
+        the cap are exact. With ``full_provenance=True`` and a store, the
+        (edge_uuid, episode_uuid) side table makes deletion EXACT past
+        the cap: affected edges come from the pair rows (not the capped
+        array), n_episodes is recomputed by count, and the retained pair
+        rows of the affected groups are returned under ``edge_episodes``
+        for ``store.replace_groups`` persistence.
 
         Derived tables: saga chains (sagas / saga_edges /
         next_episode_edges) are recomputed from the RETAINED episodes of
@@ -693,14 +732,43 @@ class GraphitiSpark:
         episodes = all_eps.where(F.col("uuid") != episode_uuid)
         edges = self._table("edges")
         had = F.array_contains("episodes", episode_uuid)
-        edges_kept = (
-            edges.where(~had | (F.size("episodes") > 1))
-            .withColumn(
-                "n_episodes",
-                F.when(had, F.col("n_episodes") - 1).otherwise(F.col("n_episodes")),
+        prov = self.store.read("edge_episodes") if self.store is not None else None
+        extra: dict[str, DataFrame] = {}
+        if prov is not None:
+            prov = prov.drop("bucket")
+            remaining = prov.where(F.col("episode_uuid") != episode_uuid)
+            counts = remaining.groupBy(F.col("edge_uuid").alias("uuid")).agg(
+                F.count("*").cast("long").alias("_n_exact")
             )
-            .withColumn("episodes", F.array_remove("episodes", episode_uuid))
-        )
+            touched = (
+                prov.where(F.col("episode_uuid") == episode_uuid)
+                .select(F.col("edge_uuid").alias("uuid"))
+                .withColumn("_touched", F.lit(True))
+            )
+            edges_kept = (
+                edges.join(counts, "uuid", "left")
+                .join(touched, "uuid", "left")
+                .where(F.col("_touched").isNull() | (F.coalesce("_n_exact", F.lit(0)) > 0))
+                .withColumn(
+                    "n_episodes",
+                    F.when(F.col("_touched").isNotNull(), F.col("_n_exact"))
+                    .otherwise(F.col("n_episodes")),
+                )
+                .withColumn("episodes", F.array_remove("episodes", episode_uuid))
+                .drop("_n_exact", "_touched")
+            )
+            extra["edge_episodes"] = remaining.join(
+                affected, "group_id", "left_semi"
+            )
+        else:
+            edges_kept = (
+                edges.where(~had | (F.size("episodes") > 1))
+                .withColumn(
+                    "n_episodes",
+                    F.when(had, F.col("n_episodes") - 1).otherwise(F.col("n_episodes")),
+                )
+                .withColumn("episodes", F.array_remove("episodes", episode_uuid))
+            )
         mentions = self._table("mentions").where(F.col("episode_uuid") != episode_uuid)
         nodes = self._table("nodes").join(
             mentions.select(F.col("node_uuid").alias("uuid")).distinct(),
@@ -714,6 +782,7 @@ class GraphitiSpark:
             sagas=build_saga_nodes(saga_eps),
             saga_edges=has_episode_edges(saga_eps),
             next_episode_edges=next_episode_edges(saga_eps),
+            **extra,
         )
 
     _DERIVED_TABLES = (
@@ -770,6 +839,29 @@ class GraphitiSpark:
             self._table(t).createOrReplaceTempView(f"{prefix}{t}")
             names.append(f"{prefix}{t}")
         return names
+
+    def extract_attributes(self, client=None) -> DataFrame:
+        """Typed-attribute fill over the graph's nodes
+        (extract_attributes_from_nodes, node_operations.py:726-1004):
+        nodes flow through the pluggable batch client (default: the
+        deterministic rule filler) and the capped merge; with a store
+        attached the enriched rows are persisted so property_filters
+        search runs over the stored bags. Returns the enriched nodes."""
+        from graphiti_spark.operators.attributes import (
+            extract_attributes_with_client,
+            rule_attribute_client,
+        )
+
+        nodes = self._table("nodes")
+        filled = extract_attributes_with_client(
+            nodes, client=client or rule_attribute_client
+        )
+        if self.store is not None:
+            self.store.merge_upsert("nodes", filled.drop("bucket"))
+            return self._table("nodes")
+        if self._session_graph is not None:
+            self._session_graph.nodes = filled
+        return filled
 
     def retrieve_episodes(
         self,

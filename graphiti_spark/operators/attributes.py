@@ -117,6 +117,38 @@ def extract_attributes_with_client(
     return apply_capped_attributes(merged, mode="overlay")
 
 
+def rule_attribute_client(b):
+    """Deterministic rule-based typed-attribute filler — the no-model
+    stand-in for the reference's LLM attribute extraction
+    (attribute_utils.py:27-254, node_operations.py:726-1004). Derives
+    SQL-expressible attributes from the node row so the whole
+    mapInPandas → apply_capped_attributes → stored ``attributes`` path is
+    oracle-checkable:
+
+    - token_count / name_length: surface-name statistics
+    - primary_label: the most specific label (first non-Entity)
+    - padded: a DELIBERATELY over-cap (300 > ATTR_VALUE_CAP) value, so
+      the reject-don't-mangle cap rule is exercised end-to-end — it must
+      never reach the stored map."""
+    out = b[["uuid"]].copy()
+
+    def attrs(name, labels):
+        labels = list(labels) if labels is not None else []
+        primary = next((x for x in labels if x != "Entity"), "Entity")
+        pad = (name * (300 // max(len(name), 1) + 1))[:300] if name else ""
+        return {
+            "token_count": str(len(name.split())),
+            "name_length": str(len(name)),
+            "primary_label": primary,
+            "padded": pad,
+        }
+
+    out["proposed_attributes"] = [
+        attrs(n, ls) for n, ls in zip(b["name"], b["labels"])
+    ]
+    return out
+
+
 _SINCE = r"\bsince (\d{4})\b"
 _FROM_TO = r"\bfrom (\d{4}) to (\d{4})\b"
 _UNTIL = r"\buntil (\d{4})\b"

@@ -119,6 +119,74 @@ def dedupe_then_resolve(
     )
 
 
+def edge_episode_pairs(
+    triples_raw: DataFrame, fuzzy_remap: DataFrame | None = None
+) -> DataFrame:
+    """FULL-provenance (edge_uuid, episode_uuid, group_id) pairs — the
+    side table that makes episode deletion exact past the per-row
+    EDGE_EPISODE_PROVENANCE_CAP (api.remove_episode docstring): an edge
+    asserted by millions of episodes yields millions of ROWS here, never
+    one mega-array, so the columnar cap on the edges table can stay.
+
+    Derivation mirrors dedupe_then_resolve's key algebra: the dedup key
+    (group, normalized subj, predicate, normalized obj) determines the
+    edge uuid given the group-level min-fact — computed as a second
+    aggregation over the same stream and joined back to the distinct
+    (key, episode) pairs. Two shuffles on the same key; only computed when
+    full provenance is requested."""
+    from graphiti_spark.functions.text import normalize_exact
+    from graphiti_spark.ids import entity_uuid
+
+    keyed = triples_raw.select(
+        "group_id",
+        normalize_exact(F.col("subj_name")).alias("_subj_norm"),
+        "predicate",
+        normalize_exact(F.col("obj_name")).alias("_obj_norm"),
+        "episode_uuid",
+        "subj_name",
+        "obj_name",
+    )
+    pairs = keyed.select(
+        "group_id", "_subj_norm", "predicate", "_obj_norm", "episode_uuid"
+    ).distinct()
+    rep = (
+        keyed.groupBy("group_id", "_subj_norm", "predicate", "_obj_norm")
+        .agg(
+            F.min(
+                F.struct(F.col("subj_name").alias("s"), F.col("obj_name").alias("o"))
+            ).alias("_rep")
+        )
+    )
+    resolved = (
+        pairs.join(rep, ["group_id", "_subj_norm", "predicate", "_obj_norm"])
+        .withColumn("source_node_uuid", entity_uuid("group_id", F.col("_subj_norm")))
+        .withColumn("target_node_uuid", entity_uuid("group_id", F.col("_obj_norm")))
+    )
+    if fuzzy_remap is not None:
+        for col in ("source_node_uuid", "target_node_uuid"):
+            m = fuzzy_remap.select(
+                F.col("_from").alias(col), F.col("_to").alias("_fix")
+            )
+            resolved = (
+                resolved.join(F.broadcast(m), col, "left")
+                .withColumn(col, F.coalesce("_fix", col))
+                .drop("_fix")
+            )
+    fact_norm = F.lower(
+        F.trim(
+            F.concat_ws(" ", F.col("_rep.s"), F.col("predicate"), F.col("_rep.o"))
+        )
+    )
+    return resolved.select(
+        edge_uuid(
+            "group_id", "source_node_uuid", "target_node_uuid",
+            F.col("predicate"), fact_norm,
+        ).alias("edge_uuid"),
+        "episode_uuid",
+        "group_id",
+    ).dropDuplicates(["edge_uuid", "episode_uuid"])
+
+
 def resolve_edge_pointers_by_name(triples_raw: DataFrame, name_map: DataFrame) -> DataFrame:
     """raw triples (by name) → triples with canonical endpoint uuids, via
     the distinct-name-grain map (group_id, norm_name → canonical_uuid).

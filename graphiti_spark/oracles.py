@@ -377,6 +377,21 @@ SELECT coalesce(c.surv, e.uuid) AS uuid, e.group_id,
 FROM ef_tok e LEFT JOIN ef_comp c ON c.node = e.uuid
 GROUP BY coalesce(c.surv, e.uuid), e.group_id,
          e.source_node_uuid, e.target_node_uuid""",
+        # typed-attribute extraction contract (attribute_utils.py:27-254):
+        # the rule filler's 4 proposed attributes minus the over-cap
+        # 'padded' one (len 300 > 250 cap) = 3 stored keys, emitted in
+        # key-sorted order. token_count uses the whitespace-split rule.
+        "kg_node_attributes": p
+        + """
+SELECT uuid, name,
+       concat('name_length=', length(name),
+              ',primary_label=',
+              CASE WHEN len(string_split(labels_csv, ',')) > 1
+                   THEN string_split(labels_csv, ',')[2] ELSE 'Entity' END,
+              ',token_count=',
+              len(list_filter(string_split_regex(name, '\\s+'),
+                              x -> length(x) > 0))) AS attrs_csv
+FROM nodes""",
         # materialized-embedding contract (save-time fill,
         # bulk_utils.py:128-260): digest = sha256(source text), vector a
         # pure unit-norm function of it — the digest hash-match proves the

@@ -42,6 +42,10 @@ class GraphTables:
     # mentions against the live graph (the reference's
     # resolve_extracted_nodes-vs-existing-graph step)
     name_map: DataFrame | None = None
+    # (edge_uuid, episode_uuid, group_id) FULL provenance pairs — only
+    # populated when build_graph(full_provenance=True); makes episode
+    # deletion exact past EDGE_EPISODE_PROVENANCE_CAP
+    edge_episodes: DataFrame | None = None
 
 
 def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
@@ -59,6 +63,7 @@ def build_graph(
     invalidate: bool = True,
     chunk: bool = True,
     persist_episodes: bool = True,
+    full_provenance: bool = False,
 ) -> GraphTables:
     """Run the full construction pipeline (lazily — nothing executes until
     the returned DataFrames are acted on, so Catalyst sees whole plans).
@@ -97,6 +102,13 @@ def build_graph(
         edges = invalidate_contradictions(edges)
 
     mentions = build_episodic_edges(mentions_raw, canonical_map)
+    edge_eps = None
+    if full_provenance:
+        from graphiti_spark.operators.edges import edge_episode_pairs
+
+        edge_eps = edge_episode_pairs(
+            triples_raw, fuzzy_remap if fuzzy else None
+        )
     return GraphTables(
         episodes=episodes,
         nodes=nodes,
@@ -104,6 +116,7 @@ def build_graph(
         mentions=mentions,
         canonical_map=canonical_map,
         name_map=name_map,
+        edge_episodes=edge_eps,
     )
 
 

@@ -33,7 +33,7 @@ N_BUCKETS_DEFAULT = 64
 TABLES = (
     "episodes", "nodes", "edges", "mentions", "name_index",
     "communities", "community_edges", "sagas", "saga_edges",
-    "next_episode_edges",
+    "next_episode_edges", "edge_episodes",
 )
 KEYS = {
     "episodes": ["uuid"],
@@ -50,6 +50,9 @@ KEYS = {
     # an episode has exactly ONE next: keying by source lets a mid-chain
     # insert REPLACE the stale a->c row with a->b (upsert-only store)
     "next_episode_edges": ["source_node_uuid"],
+    # full-fidelity edge provenance (one row per assertion) — exact
+    # deletion past EDGE_EPISODE_PROVENANCE_CAP
+    "edge_episodes": ["edge_uuid", "episode_uuid"],
 }
 
 

@@ -271,6 +271,128 @@ def test_edge_bm25_indexes_relation_name(spark):
     assert [r["uuid"] for r in hits2] == ["e2"]
 
 
+def test_attribute_fill_end_to_end_with_property_filter_search(
+    spark, sf_dir, tmp_path_factory
+):
+    """Rule attributes flow through mapInPandas + apply_capped_attributes
+    into the STORED attribute bags; the over-cap 'padded' value never
+    lands; property_filters search runs over the stored maps."""
+    from graphiti_spark.api import PropertyFilter, SearchFilters
+
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("attrs")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src, fuzzy=False)
+    enriched = g.extract_attributes()
+    row = enriched.limit(1).collect()[0]
+    assert set(row["attributes"].keys()) == {
+        "token_count", "name_length", "primary_label"
+    }  # 'padded' (300 chars > 250 cap) rejected, not truncated
+    # persisted: a fresh read sees the bags
+    stored = store.read("nodes").where(F.size(F.map_keys("attributes")) == 0).count()
+    assert stored == 0
+    # property_filters over the stored bag
+    keep = SearchFilters(
+        property_filters=[[PropertyFilter("token_count", "=", "1")]]
+    )
+    drop = SearchFilters(
+        property_filters=[[PropertyFilter("padded", "IS NOT NULL")]]
+    )
+    assert g.search("spark merge", limit=3, filters=keep)["nodes"].count() > 0
+    assert g.search("spark merge", limit=3, filters=drop)["nodes"].count() == 0
+
+
+def _mass_asserted_source_files(spark, n: int = 70):
+    """n files in one group, identical content -> ONE edge asserted by n
+    episodes (> EDGE_EPISODE_PROVENANCE_CAP = 64)."""
+    text = "alphaword mergejoin betaword"
+    rows = [
+        (
+            "megacorp/monorepo", f"src/pkg/mass_{i}.py", f"c{i}", "en",
+            text, str(i), i,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string, file_seq long",
+    )
+    return df.withColumn("content_sha256", F.sha2("content", 256))
+
+
+def test_full_provenance_exact_deletion_past_cap(spark, tmp_path_factory):
+    """With full_provenance, deleting an episode whose uuid is NOT in the
+    capped 64-entry array still decrements the edge exactly (the
+    (edge_uuid, episode_uuid) side table is the truth); without the flag
+    the documented best-effort behavior leaves the counter unchanged."""
+    from graphiti_spark import config
+
+    src = _mass_asserted_source_files(spark, n=70)
+
+    def ingest(flag, tag):
+        store = GraphStore(spark, str(tmp_path_factory.mktemp(tag)), n_buckets=4)
+        g = GraphitiSpark(spark, store=store, full_provenance=flag)
+        g.add_episode_bulk(src, fuzzy=False)
+        return g, store
+
+    g, store = ingest(True, "provA")
+    edges = store.read("edges").drop("bucket")
+    big = edges.where(F.col("n_episodes") > config.EDGE_EPISODE_PROVENANCE_CAP)
+    row = big.limit(1).collect()[0]
+    assert row["n_episodes"] == 70 and len(row["episodes"]) == 64
+    prov = store.read("edge_episodes").drop("bucket")
+    assert prov.where(F.col("edge_uuid") == row["uuid"]).count() == 70
+    # victim: an asserting episode OUTSIDE the capped array
+    in_array = set(row["episodes"])
+    victim = (
+        prov.where(
+            (F.col("edge_uuid") == row["uuid"])
+            & ~F.col("episode_uuid").isin(*in_array)
+        )
+        .limit(1).collect()[0]["episode_uuid"]
+    )
+    out = g.remove_episode(victim)
+    new_row = out["edges"].where(F.col("uuid") == row["uuid"]).collect()[0]
+    assert new_row["n_episodes"] == 69  # exact, despite the capped array
+    assert "edge_episodes" in out
+    assert (
+        out["edge_episodes"].where(F.col("episode_uuid") == victim).count() == 0
+    )
+    assert (
+        out["edge_episodes"].where(F.col("edge_uuid") == row["uuid"]).count() == 69
+    )
+    # without the flag: documented best-effort (capped array omits victim
+    # -> counters unchanged)
+    g2, store2 = ingest(False, "provB")
+    assert store2.read("edge_episodes") is None
+    out2 = g2.remove_episode(victim)
+    row2 = out2["edges"].where(F.col("uuid") == row["uuid"]).collect()[0]
+    assert row2["n_episodes"] == 70
+
+
+def test_full_provenance_incremental_matches_bulk(spark, sf_dir, tmp_path_factory):
+    """The pair table converges across incremental batches (including the
+    live-graph remap rewrite) to the bulk result."""
+    src = synth_source_files(spark, sf_dir)
+
+    def pairs_of(tag, batches):
+        store = GraphStore(spark, str(tmp_path_factory.mktemp(tag)), n_buckets=4)
+        g = GraphitiSpark(spark, store=store, full_provenance=True)
+        for b in batches:
+            g.add_episode_bulk(b, fuzzy=False)
+        return {
+            (r["edge_uuid"], r["episode_uuid"])
+            for r in store.read("edge_episodes").collect()
+        }
+
+    bulk = pairs_of("pbulk", [src])
+    incr = pairs_of(
+        "pincr", [src.where("file_seq % 2 = 0"), src.where("file_seq % 2 = 1")]
+    )
+    assert bulk == incr and bulk
+
+
 def test_label_propagation_oscillation_breaks_deterministically(spark):
     """Plurality LPA on a 2-cycle flips labels every round; after max_iter
     the min-rule tiebreak round must yield the same assignment regardless
