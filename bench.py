@@ -106,10 +106,16 @@ def main() -> None:
         )
         n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "500000"))
         base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "1"))
+        # per-executor heap MB — SAME at both cluster sizes (a real cluster
+        # scales executor COUNT, not size). The single-executor side must
+        # hold the whole working set, so large inputs need more than the
+        # old 12288 default (2M files OOMed one 12 GB executor — an input
+        # ceiling of the N=1 cell, not a plan property).
+        exec_mem = int(os.environ.get("SPARK_GRAFT_EXEC_MEM", "20480"))
         results = {}
         for n in (base, base * 4):
             spark = (
-                SparkSession.builder.master(f"local-cluster[{n},1,12288]")
+                SparkSession.builder.master(f"local-cluster[{n},1,{exec_mem}]")
                 .appName(f"bench-exec{n}")
                 .config("spark.sql.shuffle.partitions", "8")
                 .config("spark.sql.adaptive.enabled", "true")

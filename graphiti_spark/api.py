@@ -818,12 +818,14 @@ class GraphitiSpark:
         self, group_ids: list[str], limit: int | None = None, cursor: str | None = None
     ) -> DataFrame:
         """Cursor pagination exactly like the reference: uuid < cursor,
-        ORDER BY uuid DESC LIMIT n (edges.py:465-473)."""
+        ORDER BY uuid DESC LIMIT n (edges.py:465-473). Without a limit the
+        result is UNSORTED — ordering a corpus-sized unlimited scan would
+        plan a global sort for no pagination benefit; with a limit the
+        plan is TakeOrderedAndProject (per-partition partial top-k)."""
         df = self._table("edges").where(F.col("group_id").isin(*group_ids))
         if cursor is not None:
             df = df.where(F.col("uuid") < cursor)
-        df = df.orderBy(F.desc("uuid"))
-        return df.limit(limit) if limit else df
+        return df.orderBy(F.desc("uuid")).limit(limit) if limit else df
 
     def create_views(self, prefix: str = "kg_") -> list[str]:
         """Register the graph tables as temp views so the graph is
