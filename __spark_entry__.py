@@ -198,6 +198,14 @@ def _q_td_ann_ivf(spark, sf_dir):
     return ann_ivf(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
 
 
+def _q_td_ann_ivf_kmeans(spark, sf_dir):
+    # trained coarse quantizer: 2 deterministic Lloyd rounds (oracle
+    # unrolls the identical rounds as CTEs)
+    from graphiti_spark.operators.similarity import ann_ivf_kmeans
+
+    return ann_ivf_kmeans(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
 def _q_td_token_stats(spark, sf_dir):
     from graphiti_spark.operators.textstats import token_stats
 
@@ -502,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_bruteforce": _q_td_ann_bruteforce,
         "td_ann_lsh": _q_td_ann_lsh,
         "td_ann_ivf": _q_td_ann_ivf,
+        "td_ann_ivf_kmeans": _q_td_ann_ivf_kmeans,
         "td_token_stats": _q_td_token_stats,
         "td_quality_score": _q_td_quality_score,
         "td_lang_id": _q_td_lang_id,

@@ -362,7 +362,11 @@ class GraphitiSpark:
         sessions hash-embed once and persist. The returned frame is
         UNFILTERED — callers semi-join their (possibly filtered) candidate
         ids."""
-        emb_col = {"nodes": "name_embedding", "edges": "fact_embedding"}.get(scope)
+        emb_col = {
+            "nodes": "name_embedding",
+            "edges": "fact_embedding",
+            "communities": "name_embedding",
+        }.get(scope)
         if (
             self.store is not None
             and emb_col is not None
@@ -434,6 +438,15 @@ class GraphitiSpark:
             # previous structure's rows alive (reference deletes existing
             # communities before rebuild, graphiti.py:1504
             # remove_communities)
+            from graphiti_spark.functions.embeddings import hash_embed
+
+            comm = comm.withColumn(
+                "name_embedding",
+                F.coalesce(
+                    F.col("name_embedding"),
+                    hash_embed(F.concat_ws(" ", "name", "summary")),
+                ),
+            )
             self.store.replace_groups("communities", comm)
             self.store.replace_groups("community_edges", member_edges)
             comm = self.store.read("communities").drop("bucket")

@@ -230,6 +230,12 @@ def build_communities(
                 1, config.MAX_SUMMARY_CHARS,
             ).alias("summary"),
             "n_members",
+            # materialized search vector over the text the community
+            # search arm scores (name + summary) — the community analog
+            # of the reference's CommunityNode.name_embedding
+            # (community_operations.py generate_embedding); filled here
+            # so store-backed community search reads stored vectors
+            F.lit(None).cast("array<float>").alias("name_embedding"),
         )
     )
     member_edges = assign.select(

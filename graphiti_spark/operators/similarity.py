@@ -107,6 +107,78 @@ def ann_hyperplane_lsh(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Lloyd iterations for IVF coarse
+    quantization: seed = the first ``n_centroids`` vectors by vec_id, then
+    ``iterations`` rounds of (assign to nearest centroid by ROUNDED
+    cosine, centroid := per-dimension mean of assignees, rounded to 6).
+    Every argmax input is rounded (ties -> smaller cent_id) so the
+    trajectory is engine-independent — the DuckDB oracle unrolls the same
+    rounds as CTEs (oracles_td.ann_ivf_kmeans_sql).
+
+    Plan shape per round: one broadcast of the (tiny) centroid table
+    against the corpus scan + one groupBy(cent_id) mean — no corpus
+    self-join, no driver-side loops over data (only the k-centroid
+    aggregate is collected into the next broadcast). Empty clusters keep
+    their previous centroid. Output: (cent_id, cvec)."""
+    cent = (
+        embeddings.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    for _ in range(iterations):
+        assigned = (
+            embeddings.join(F.broadcast(cent))
+            .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("cvec")), 4))
+            .withColumn("_r", F.row_number().over(assign_w))
+            .where(F.col("_r") == 1)
+            .select("cent_id", "embedding")
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.array(
+                *[
+                    F.round(
+                        F.avg(F.element_at("embedding", i + 1).cast("double")), 6
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("_mean")
+        )
+        cent = (
+            cent.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("_mean"), F.col("cvec").cast("array<double>"))
+                .alias("cvec"),
+            )
+            .localCheckpoint()  # cut lineage: each round builds on the last
+        )
+    return cent
+
+
+def ann_ivf_kmeans(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF with TRAINED coarse centroids (:func:`kmeans_centroids`) — the
+    deployable variant of :func:`ann_ivf`: balanced inverted lists from
+    Lloyd rounds instead of the raw first-n sample, same probe/scan shape.
+    Output schema matches knn_bruteforce for recall measurement."""
+    cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    return _ivf_scan(embeddings, probes, cent, k, n_probe)
+
+
 def ann_ivf(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -115,7 +187,8 @@ def ann_ivf(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF: centroids = the first ``n_centroids`` corpus vectors by vec_id
-    (deterministic coarse sample; swap in k-means output on a real corpus).
+    (deterministic coarse sample; :func:`ann_ivf_kmeans` is the trained
+    variant).
     Vectors index to their nearest centroid; probes scan the ``n_probe``
     nearest inverted lists only. Assignment/probe-list cosines are rounded
     to 4 decimals (ties broken on cent_id) so the argmax is deterministic
@@ -125,6 +198,19 @@ def ann_ivf(
         embeddings.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("_cent"))
     )
+    return _ivf_scan(embeddings, probes, cent, k, n_probe)
+
+
+def _ivf_scan(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    cent: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF scan: assign corpus vectors to nearest centroid, probes
+    pick their ``n_probe`` nearest lists, exact cosine over the probed
+    lists, window top-k. ``cent``: (cent_id, _cent)."""
     assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     assigned = (
         embeddings.join(F.broadcast(cent))

@@ -305,6 +305,75 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= {k}"""
 
 
+def ann_ivf_kmeans_sql(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    iterations: int = 2, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_ivf_kmeans: the Lloyd
+    rounds are UNROLLED as CTE pairs (assign -> per-dimension mean),
+    every argmax on cosine ROUNDED to 4 (ties -> smaller cent_id) and
+    every mean rounded to 6 — the same determinism contract as the other
+    trained-structure oracles, so centroid trajectories match
+    bit-for-bit."""
+    mean_list = ", ".join(
+        f"round(avg(embedding[{i + 1}]), 6)" for i in range(dim)
+    )
+    ctes = [f"""cent0 AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+)"""]
+    for r in range(1, iterations + 1):
+        ctes.append(f"""a{r} AS (
+  SELECT cent_id, embedding FROM (
+    SELECT e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 4) DESC,
+                      c.cent_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent{r - 1} c
+  ) WHERE r = 1
+),
+m{r} AS (SELECT cent_id, [{mean_list}] AS mean FROM a{r} GROUP BY cent_id),
+cent{r} AS (
+  SELECT c.cent_id, coalesce(m.mean, c.cvec) AS cvec
+  FROM cent{r - 1} c LEFT JOIN m{r} m USING (cent_id)
+)""")
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    fin = f"cent{iterations}"
+    return f"""
+WITH {", ".join(ctes)},
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 4) DESC,
+                      c.cent_id ASC) AS r
+    FROM embeddings e CROSS JOIN {fin} c
+  ) WHERE r = 1
+),
+plists AS (
+  SELECT probe_id, pvec, cent_id FROM (
+    SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cent_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY round(list_cosine_similarity(p.embedding, c.cvec), 4) DESC,
+                      c.cent_id ASC) AS r
+    FROM embeddings p CROSS JOIN {fin} c WHERE p.vec_id IN ({probe_list})
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT pl.probe_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding, pl.pvec), 4) AS cos_sim
+  FROM assigned a JOIN plists pl ON a.cent_id = pl.cent_id
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def mmr_sql(k: int = 10, lambda_: float = 0.5, n_cand: int = 20) -> str:
     """DuckDB twin of operators/search.mmr_rerank: the greedy argmax loop
     is UNROLLED into k chained CTEs. Pairwise cosines are rounded to 4 and
@@ -416,6 +485,7 @@ WHERE round(list_cosine_similarity(ea, eb), 4) >= 0.35"""
     o["td_dedup_simhash"] = simhash_sql(max_hamming=8)
     o["td_ann_lsh"] = ann_lsh_sql(k=10)
     o["td_ann_ivf"] = ann_ivf_sql(k=10)
+    o["td_ann_ivf_kmeans"] = ann_ivf_kmeans_sql(k=10)
     o["sr_mmr"] = mmr_sql(k=10)
 
     probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)

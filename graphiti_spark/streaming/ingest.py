@@ -72,6 +72,29 @@ def stream_ingest(
     return writer.start()
 
 
+def streaming_dedup_exact(
+    doc_stream: DataFrame,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.dedup_exact: drop re-arrivals of
+    identical content, keeping the first-seen row per content hash.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time — a duplicate arriving within ``watermark`` of the original is
+    dropped; state for older hashes is evicted, so memory is proportional
+    to the watermark window, not the stream history (the only shape that
+    survives an unbounded 100 TB ingest stream). Exactly-once refinement
+    beyond the watermark belongs to the batch dedup over the landed
+    table (dedup_exact), which this operator feeds."""
+    return (
+        doc_stream.withColumn("_text_hash", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+    )
+
+
 def streaming_mention_counts(
     episode_stream: DataFrame,
     watermark: str = "2 days",

@@ -159,8 +159,9 @@ def test_store_backed_search_reads_stored_vectors(spark, sf_dir, tmp_path_factor
     for table, col in (("nodes", "name_embedding"), ("edges", "fact_embedding")):
         nulls = store.read(table).where(F.col(col).isNull()).count()
         assert nulls == 0, (table, nulls)
+    g.communities_tables(refresh=True)  # materialize (+ stored vectors)
     res = g.search("spark merge query", limit=5)
-    for scope in ("edges", "nodes"):
+    for scope in ("edges", "nodes", "communities"):
         df = res[scope]
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "PythonUDF" not in plan, (scope, plan[:500])

@@ -10,6 +10,43 @@ from graphiti_spark.streaming.ingest import read_source_stream
 from graphiti_spark.streaming.stateful import saga_watermarks
 
 
+def test_streaming_dedup_exact_drops_rearrivals(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark keeps one row per content hash
+    across micro-batches within the watermark — the streaming twin of
+    dedup_exact (state bounded by event time)."""
+    from graphiti_spark.streaming.ingest import streaming_dedup_exact
+
+    in_dir = str(tmp_path_factory.mktemp("sdx_in"))
+    rows = [
+        (i, ["alpha text", "beta text", "gamma text"][i % 3],
+         f"2024-01-01 00:{i:02d}:00")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, event_time string"
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    df.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sdx_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT text, count(*) c FROM sdx_out GROUP BY text").collect()
+    got = {r["text"]: r["c"] for r in out}
+    # 12 arrivals over 3 distinct contents -> exactly one survivor each
+    assert got == {"alpha text": 1, "beta text": 1, "gamma text": 1}
+
+
 def test_saga_watermarks_accumulate_across_batches(spark, sf_dir, tmp_path_factory):
     in_dir = str(tmp_path_factory.mktemp("saga_in"))
     src = synth_source_files(spark, sf_dir).limit(80)

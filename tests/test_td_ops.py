@@ -182,13 +182,62 @@ def test_ann_ivf_recall(spark, clustered_vectors):
     assert recall >= 0.8, recall
 
 
+def test_ann_ivf_kmeans_recall_and_balance(spark, clustered_vectors):
+    """The trained coarse quantizer must match or beat the raw first-n
+    sample's recall on a clustered corpus, and Lloyd rounds must not
+    leave the inverted lists degenerate (no list holding the whole
+    corpus)."""
+    from graphiti_spark.operators.similarity import (
+        ann_ivf_kmeans,
+        kmeans_centroids,
+    )
+    from graphiti_spark.functions.embeddings import cosine
+    from pyspark.sql import Window
+
+    probes = clustered_vectors.where("vec_id in (5, 45, 85)").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = {
+        (r["probe_id"], r["vec_id"])
+        for r in knn_bruteforce(clustered_vectors, probes, k=10).collect()
+    }
+    raw = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann_ivf(
+            clustered_vectors, probes, k=10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    trained = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann_ivf_kmeans(
+            clustered_vectors, probes, k=10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert len(trained & truth) >= len(raw & truth)
+    assert len(trained & truth) / len(truth) >= 0.8
+    # list balance: no inverted list swallows the corpus
+    cent = kmeans_centroids(clustered_vectors, n_centroids=16).select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    sizes = (
+        clustered_vectors.join(F.broadcast(cent))
+        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
+        .withColumn("_r", F.row_number().over(w))
+        .where("_r = 1")
+        .groupBy("cent_id").count()
+    )
+    n = clustered_vectors.count()
+    assert sizes.agg(F.max("count")).collect()[0][0] < n
+
+
 def test_embedding_cosine_lsh_recall_vs_exact(spark, clustered_vectors):
     """The hyperplane-bucketed method='lsh' scale path must keep >= 0.9
     recall vs the exact all-pairs twin at the same threshold."""
     from graphiti_spark.operators.dedup import dedup_embedding_cosine
 
     truth = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(
-        clustered_vectors, threshold=0.8).collect()}
+        clustered_vectors, threshold=0.8, method="exact").collect()}
     got = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(
         clustered_vectors, threshold=0.8, method="lsh").collect()}
     assert truth
