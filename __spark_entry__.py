@@ -102,6 +102,33 @@ def _q_current_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_triples(_graph(spark, sf_dir))
 
 
+def _q_kg_triples_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time slice: (subject, predicate, object) true at the
+    EPISODE_REF_TIME event instant (operators/temporal.valid_as_of)."""
+    from graphiti_spark.operators.temporal import valid_as_of
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes.select(F.col("uuid").alias("_nid"), F.col("name").alias("_nname"))
+    e = valid_as_of(g.edges, EPISODE_REF_TIME)
+    return (
+        e.join(
+            nodes.withColumnRenamed("_nid", "source_node_uuid")
+            .withColumnRenamed("_nname", "subject"),
+            "source_node_uuid",
+        )
+        .join(
+            nodes.withColumnRenamed("_nid", "target_node_uuid")
+            .withColumnRenamed("_nname", "object"),
+            "target_node_uuid",
+        )
+        .select(
+            "group_id", "subject", F.col("name").alias("predicate"), "object",
+            "valid_at", "invalid_at",
+        )
+    )
+
+
 def _q_invalidated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _graph(spark, sf_dir).edges
     return e.where(F.col("invalid_at").isNotNull()).select(
@@ -487,6 +514,12 @@ def _q_td_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_td_dedup_keep_list(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_keep_list
+
+    return dedup_keep_list(_docs(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_source_files": _q_source_files,
@@ -497,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
+        "kg_triples_asof": _q_kg_triples_asof,
         "kg_invalidated_edges": _q_invalidated_edges,
         "kg_mention_edges": _q_mention_edges,
         # training-data pipeline ops
@@ -504,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
         "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,
         "td_dedup_clusters": _q_td_dedup_clusters,
+        "td_dedup_keep_list": _q_td_dedup_keep_list,
         "td_dedup_simhash": _q_td_dedup_simhash,
         "td_dedup_embedding_cosine": _q_td_dedup_embedding_cosine,
         "td_dedup_embedding_lsh": _q_td_dedup_embedding_lsh,

@@ -153,6 +153,51 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_keep_list(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """THE emitter a training-data pipeline feeds its writer: one keep
+    list per document over the UNION of exact-duplicate pairs and
+    verified MinHash/LSH near-dup pairs, closed under connected
+    components (keeper = min doc_id per component).
+
+    Why the union and not near-dup alone: exact duplicates are found by
+    a cap-free hash groupBy, so identical documents can NEVER escape
+    dedup — not even when they form a mega-bucket the LSH band cap drops
+    (the cap protects candidate generation from quadratic blowup, and
+    exact-dup mega-groups are precisely the rows that hit it at 100 TB).
+    Output: (doc_id, keeper_doc_id, is_duplicate)."""
+    from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
+
+    exact_pairs = (
+        dedup_exact(docs)
+        .where(F.col("is_duplicate"))
+        .select(
+            F.col("keeper_doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    near_pairs = dedup_minhash_lsh(docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    pairs = exact_pairs.unionByName(near_pairs).selectExpr(
+        "lpad(cast(doc_a as string), 12, '0') as a",
+        "lpad(cast(doc_b as string), 12, '0') as b",
+    )
+    cmap = canonical_map_from_pairs(pairs).select(
+        F.col("alias_uuid").cast("long").alias("doc_id"),
+        F.col("canonical_uuid").cast("long").alias("_keeper"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(cmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_keeper", "doc_id").alias("keeper_doc_id"),
+            (F.coalesce("_keeper", F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint per doc, banded
     multi-table blocking, verify with full Hamming distance.

@@ -148,3 +148,21 @@ def currently_valid(edges: DataFrame) -> DataFrame:
     """The "as of now" slice: not expired and no closed validity window —
     the filter behind the flagship 'all currently-valid triples' query."""
     return edges.where(F.col("expired_at").isNull() & F.col("invalid_at").isNull())
+
+
+def valid_as_of(edges: DataFrame, event_time: str) -> DataFrame:
+    """Point-in-time EVENT-TIME slice: facts true AT ``event_time`` —
+    ``valid_at <= T AND (invalid_at IS NULL OR invalid_at > T)``. This is
+    the query the bi-temporal model exists for ("what did the world look
+    like at T" — the reference filters the same two fields through
+    SearchFilters date predicates, search_filters.py:86-273; README's
+    'query the graph at a point in time'). System-time (expired_at) is
+    deliberately NOT filtered: as-of asks about the modeled world, not
+    about when the engine learned of it — pass the result through
+    ``currently_valid``-style expired_at checks for a full bi-temporal
+    slice."""
+    ts = F.lit(event_time).cast("timestamp")
+    return edges.where(
+        (F.col("valid_at") <= ts)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > ts))
+    )

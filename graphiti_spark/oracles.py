@@ -322,6 +322,18 @@ FROM edges e
 JOIN nodes ns ON ns.uuid = e.source_node_uuid
 JOIN nodes nt ON nt.uuid = e.target_node_uuid
 WHERE e.invalid_at IS NULL AND e.expired_at IS NULL""",
+        # point-in-time event-time slice (operators/temporal.valid_as_of):
+        # facts true AT the reference instant — valid_at <= T and the
+        # validity window not yet closed at T
+        "kg_triples_asof": p
+        + """
+SELECT e.group_id AS group_id, ns.name AS subject, e.name AS predicate,
+       nt.name AS object, e.valid_at AS valid_at, e.invalid_at AS invalid_at
+FROM edges e
+JOIN nodes ns ON ns.uuid = e.source_node_uuid
+JOIN nodes nt ON nt.uuid = e.target_node_uuid
+WHERE e.valid_at <= TIMESTAMP '2024-06-01 00:00:00'
+  AND (e.invalid_at IS NULL OR e.invalid_at > TIMESTAMP '2024-06-01 00:00:00')""",
         "kg_invalidated_edges": p
         + """
 SELECT uuid, group_id, source_node_uuid, target_node_uuid, name,

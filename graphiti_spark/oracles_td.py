@@ -127,6 +127,37 @@ FROM documents d LEFT JOIN dcomp c ON c.node = d.doc_id"""
     )
 
 
+def dedup_keep_list_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of operators/dedup.dedup_keep_list: exact-dup pairs
+    (cap-free md5 groupBy) unioned with the verified MinHash/LSH pairs,
+    recursive min-label closure, keeper = numeric min per component."""
+    return (
+        "WITH RECURSIVE " + _minhash_pair_ctes(threshold)
+        + """,
+xpairs AS (
+  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a, doc_id AS doc_b
+  FROM documents
+  QUALIFY doc_id <> doc_a
+),
+ku AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+  UNION SELECT doc_a, doc_b FROM xpairs
+  UNION SELECT doc_b, doc_a FROM xpairs
+),
+kreach AS (
+  SELECT a AS node, b AS lbl FROM ku
+  UNION
+  SELECT r.node, u.b AS lbl FROM kreach r JOIN ku u ON u.a = r.lbl
+),
+kcomp AS (SELECT node, least(node, min(lbl)) AS keeper FROM kreach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.keeper, d.doc_id) AS keeper_doc_id,
+       coalesce(c.keeper, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN kcomp c ON c.node = d.doc_id"""
+    )
+
+
 def simhash_sql(max_hamming: int = 8, cap: int | None = None) -> str:
     """DuckDB twin of operators/dedup.dedup_simhash: reconstructs the
     64-bit sha256-based SimHash nibble-by-nibble (hashing.simhash64_sha),
@@ -482,6 +513,7 @@ WHERE round(list_cosine_similarity(ea, eb), 4) >= 0.35"""
 
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
     o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)
+    o["td_dedup_keep_list"] = dedup_keep_list_sql(threshold=0.5)
     o["td_dedup_simhash"] = simhash_sql(max_hamming=8)
     o["td_ann_lsh"] = ann_lsh_sql(k=10)
     o["td_ann_ivf"] = ann_ivf_sql(k=10)

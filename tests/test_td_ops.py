@@ -100,6 +100,26 @@ def test_resize_plan_invariants(spark, dup_docs):
                        - r["width"] / r["height"]) < 0.1
 
 
+def test_keep_list_exact_dups_survive_bucket_cap(spark):
+    """dedup_keep_list's union rationale: a mega-group of IDENTICAL docs
+    wider than LSH_BUCKET_CAP is dropped from LSH candidate generation
+    (the skew guard), but the cap-free exact path still collapses it —
+    identical documents can never escape dedup."""
+    from graphiti_spark import config
+    from graphiti_spark.operators.dedup import dedup_keep_list, dedup_minhash_lsh
+
+    n = config.LSH_BUCKET_CAP + 6
+    rows = [(i, "identical mega duplicated content words here", "en") for i in range(n)]
+    rows.append((n, "a completely different singleton document", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # the capped LSH path alone finds nothing for the mega-group
+    assert dedup_minhash_lsh(docs, threshold=0.5).count() == 0
+    out = {r["doc_id"]: r for r in dedup_keep_list(docs, threshold=0.5).collect()}
+    assert all(out[i]["keeper_doc_id"] == 0 for i in range(n))
+    assert sum(1 for i in range(n) if out[i]["is_duplicate"]) == n - 1
+    assert out[n]["keeper_doc_id"] == n and not out[n]["is_duplicate"]
+
+
 def test_simhash_full_recall_vs_bruteforce_hamming(spark, sf_dir):
     """Pigeonhole guarantee of the 9-block banding (hashing.SIMHASH_BLOCKS):
     at max_hamming=8 every qualifying pair shares >= 1 untouched block, so

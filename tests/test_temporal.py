@@ -91,3 +91,29 @@ def test_different_subject_or_group_is_disjoint(spark):
     )
     out = invalidate_contradictions(df).collect()
     assert all(r["invalid_at"] is None for r in out)
+
+
+def test_valid_as_of_boundaries(spark):
+    """Inclusive start, exclusive end: a fact becoming valid AT T is
+    visible; one invalidated AT T is not; open windows stay visible."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.temporal import valid_as_of
+
+    T = "2024-06-01 00:00:00"
+    rows = [
+        ("starts_at_T", "2024-06-01 00:00:00", None),
+        ("ends_at_T", "2024-01-01 00:00:00", "2024-06-01 00:00:00"),
+        ("spans_T", "2024-01-01 00:00:00", "2024-07-01 00:00:00"),
+        ("future", "2024-08-01 00:00:00", None),
+        ("open_past", "2023-01-01 00:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, valid_at string, invalid_at string"
+    ).select(
+        "uuid",
+        F.col("valid_at").cast("timestamp").alias("valid_at"),
+        F.col("invalid_at").cast("timestamp").alias("invalid_at"),
+    )
+    got = {r["uuid"] for r in valid_as_of(df, T).collect()}
+    assert got == {"starts_at_T", "spans_T", "open_past"}
