@@ -447,8 +447,20 @@ class GraphitiSpark:
                     hash_embed(F.concat_ws(" ", "name", "summary")),
                 ),
             )
-            self.store.replace_groups("communities", comm)
-            self.store.replace_groups("community_edges", member_edges)
+            # replace OLD ∪ NEW groups explicitly: a group whose graph
+            # emptied has no rows in the rebuild, and a group absent from
+            # updates would otherwise keep its dead communities
+            old = self.store.read("communities")
+            affected = comm.select("group_id").distinct()
+            if old is not None:
+                affected = affected.unionByName(
+                    old.select("group_id").distinct()
+                ).distinct()
+            gids = [r["group_id"] for r in affected.collect()]
+            self.store.replace_groups("communities", comm, group_ids=gids)
+            self.store.replace_groups(
+                "community_edges", member_edges, group_ids=gids
+            )
             comm = self.store.read("communities").drop("bucket")
             member_edges = self.store.read("community_edges").drop("bucket")
         self._communities = (comm, member_edges)
@@ -722,7 +734,12 @@ class GraphitiSpark:
         the cap: affected edges come from the pair rows (not the capped
         array), n_episodes is recomputed by count, and the retained pair
         rows of the affected groups are returned under ``edge_episodes``
-        for ``store.replace_groups`` persistence.
+        for ``store.replace_groups("edge_episodes", rows,
+        group_ids=[affected groups])`` persistence (pass the group ids
+        explicitly — a deletion can drain a group's pair rows to zero).
+        The flag must have been on for EVERY ingest into the store; a
+        mixed-mode pair table is incomplete and the exact path is
+        disabled when the facade flag is off.
 
         Derived tables: saga chains (sagas / saga_edges /
         next_episode_edges) are recomputed from the RETAINED episodes of
@@ -745,18 +762,33 @@ class GraphitiSpark:
         episodes = all_eps.where(F.col("uuid") != episode_uuid)
         edges = self._table("edges")
         had = F.array_contains("episodes", episode_uuid)
-        prov = self.store.read("edge_episodes") if self.store is not None else None
+        # the exact path requires the pair table to be COMPLETE, i.e. the
+        # facade flag was on for every ingest into this store — a table
+        # written by a mixed-mode history would drop/keep edges wrongly
+        prov = (
+            self.store.read("edge_episodes")
+            if (self.store is not None and self.full_provenance)
+            else None
+        )
         extra: dict[str, DataFrame] = {}
         if prov is not None:
             prov = prov.drop("bucket")
-            remaining = prov.where(F.col("episode_uuid") != episode_uuid)
-            counts = remaining.groupBy(F.col("edge_uuid").alias("uuid")).agg(
-                F.count("*").cast("long").alias("_n_exact")
-            )
             touched = (
                 prov.where(F.col("episode_uuid") == episode_uuid)
                 .select(F.col("edge_uuid").alias("uuid"))
                 .withColumn("_touched", F.lit(True))
+            )
+            remaining = prov.where(F.col("episode_uuid") != episode_uuid)
+            # count only the AFFECTED edges' remaining provenance — a
+            # single deletion must not aggregate the corpus-scale pair
+            # table
+            counts = (
+                remaining.join(
+                    touched.select(F.col("uuid").alias("edge_uuid")),
+                    "edge_uuid", "left_semi",
+                )
+                .groupBy(F.col("edge_uuid").alias("uuid"))
+                .agg(F.count("*").cast("long").alias("_n_exact"))
             )
             edges_kept = (
                 edges.join(counts, "uuid", "left")
@@ -800,7 +832,7 @@ class GraphitiSpark:
 
     _DERIVED_TABLES = (
         "sagas", "saga_edges", "next_episode_edges",
-        "communities", "community_edges",
+        "communities", "community_edges", "edge_episodes",
     )
 
     def clear_group(self, group_ids: list[str]) -> dict[str, DataFrame]:

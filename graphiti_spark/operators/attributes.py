@@ -135,7 +135,9 @@ def rule_attribute_client(b):
     def attrs(name, labels):
         labels = list(labels) if labels is not None else []
         primary = next((x for x in labels if x != "Entity"), "Entity")
-        pad = (name * (300 // max(len(name), 1) + 1))[:300] if name else ""
+        # unconditionally 300 chars (> cap) — an empty name must not
+        # shrink the probe under the cap and leak it into the stored map
+        pad = ((name or "") + "x" * 300)[:300]
         return {
             "token_count": str(len(name.split())),
             "name_length": str(len(name)),

@@ -122,21 +122,18 @@ def dedup_minhash_lsh(
     return pairs
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate CLUSTERS — what a real 100 TB dedup pipeline emits:
-    connected components over the verified MinHash/LSH pair set, keeper =
-    min doc_id per component (docs in no pair keep themselves). Output:
-    (doc_id, keeper_doc_id, is_duplicate) at document grain — feed
-    ``where(~is_duplicate)`` to the training-data writer."""
+def _keep_list_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) duplicate pairs → document-grain keep list via CC:
+    keeper = min doc_id per component; docs in no pair keep themselves.
+    CC canonical = lexicographic min; doc ids are zero-padded so string
+    order matches numeric order."""
     from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
 
-    # CC canonical = lexicographic min; zero-pad so string order matches
-    # numeric doc_id order
-    pairs = dedup_minhash_lsh(docs, threshold=threshold).selectExpr(
+    padded = pairs.selectExpr(
         "lpad(cast(doc_a as string), 12, '0') as a",
         "lpad(cast(doc_b as string), 12, '0') as b",
     )
-    cmap = canonical_map_from_pairs(pairs).select(
+    cmap = canonical_map_from_pairs(padded).select(
         F.col("alias_uuid").cast("long").alias("doc_id"),
         F.col("canonical_uuid").cast("long").alias("_keeper"),
     )
@@ -150,6 +147,17 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 "is_duplicate"
             ),
         )
+    )
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate CLUSTERS — what a real 100 TB dedup pipeline emits:
+    connected components over the verified MinHash/LSH pair set, keeper =
+    min doc_id per component (docs in no pair keep themselves). Output:
+    (doc_id, keeper_doc_id, is_duplicate) at document grain — feed
+    ``where(~is_duplicate)`` to the training-data writer."""
+    return _keep_list_from_pairs(
+        docs, dedup_minhash_lsh(docs, threshold=threshold).select("doc_a", "doc_b")
     )
 
 
@@ -165,8 +173,6 @@ def dedup_keep_list(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (the cap protects candidate generation from quadratic blowup, and
     exact-dup mega-groups are precisely the rows that hit it at 100 TB).
     Output: (doc_id, keeper_doc_id, is_duplicate)."""
-    from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
-
     exact_pairs = (
         dedup_exact(docs)
         .where(F.col("is_duplicate"))
@@ -177,25 +183,7 @@ def dedup_keep_list(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     near_pairs = dedup_minhash_lsh(docs, threshold=threshold).select(
         "doc_a", "doc_b"
     )
-    pairs = exact_pairs.unionByName(near_pairs).selectExpr(
-        "lpad(cast(doc_a as string), 12, '0') as a",
-        "lpad(cast(doc_b as string), 12, '0') as b",
-    )
-    cmap = canonical_map_from_pairs(pairs).select(
-        F.col("alias_uuid").cast("long").alias("doc_id"),
-        F.col("canonical_uuid").cast("long").alias("_keeper"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(cmap, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_keeper", "doc_id").alias("keeper_doc_id"),
-            (F.coalesce("_keeper", F.col("doc_id")) != F.col("doc_id")).alias(
-                "is_duplicate"
-            ),
-        )
-    )
+    return _keep_list_from_pairs(docs, exact_pairs.unionByName(near_pairs))
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -256,7 +244,8 @@ def dedup_embedding_cosine(
     ``method='exact'`` (the recall baseline, oracle-checked as
     td_dedup_embedding_cosine): all pairs within a label block — O(block²),
     acceptable only when blocks are bounded. LSH recall vs the exact twin
-    is asserted >= 0.9 in tests/test_community_extras.py."""
+    is asserted >= 0.9 in tests/test_td_ops.py
+    (test_embedding_cosine_lsh_recall_vs_exact)."""
     from graphiti_spark.functions.embeddings import cosine
 
     d = embeddings.select("vec_id", "embedding", "label")

@@ -103,16 +103,10 @@ def minhash_lsh_sql(
     )
 
 
-def dedup_clusters_sql(threshold: float = 0.5) -> str:
-    """DuckDB twin of operators/dedup.dedup_clusters: recursive min-label
-    closure over the verified pair set, keeper = min doc_id per component
-    (numeric min == the Spark side's zero-padded lexicographic min)."""
-    return (
-        "WITH RECURSIVE " + _minhash_pair_ctes(threshold)
-        + """,
+_KEEP_LIST_CLOSURE = """,
 du AS (
-  SELECT doc_a AS a, doc_b AS b FROM vpairs
-  UNION SELECT doc_b, doc_a FROM vpairs
+  SELECT doc_a AS a, doc_b AS b FROM kp
+  UNION SELECT doc_b, doc_a FROM kp
 ),
 dreach AS (
   SELECT a AS node, b AS lbl FROM du
@@ -124,6 +118,16 @@ SELECT d.doc_id,
        coalesce(c.keeper, d.doc_id) AS keeper_doc_id,
        coalesce(c.keeper, d.doc_id) <> d.doc_id AS is_duplicate
 FROM documents d LEFT JOIN dcomp c ON c.node = d.doc_id"""
+
+
+def dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of operators/dedup.dedup_clusters: recursive min-label
+    closure over the verified pair set, keeper = min doc_id per component
+    (numeric min == the Spark side's zero-padded lexicographic min)."""
+    return (
+        "WITH RECURSIVE " + _minhash_pair_ctes(threshold)
+        + ",\nkp AS (SELECT doc_a, doc_b FROM vpairs)"
+        + _KEEP_LIST_CLOSURE
     )
 
 
@@ -139,22 +143,11 @@ xpairs AS (
   FROM documents
   QUALIFY doc_id <> doc_a
 ),
-ku AS (
-  SELECT doc_a AS a, doc_b AS b FROM vpairs
-  UNION SELECT doc_b, doc_a FROM vpairs
+kp AS (
+  SELECT doc_a, doc_b FROM vpairs
   UNION SELECT doc_a, doc_b FROM xpairs
-  UNION SELECT doc_b, doc_a FROM xpairs
-),
-kreach AS (
-  SELECT a AS node, b AS lbl FROM ku
-  UNION
-  SELECT r.node, u.b AS lbl FROM kreach r JOIN ku u ON u.a = r.lbl
-),
-kcomp AS (SELECT node, least(node, min(lbl)) AS keeper FROM kreach GROUP BY node)
-SELECT d.doc_id,
-       coalesce(c.keeper, d.doc_id) AS keeper_doc_id,
-       coalesce(c.keeper, d.doc_id) <> d.doc_id AS is_duplicate
-FROM documents d LEFT JOIN kcomp c ON c.node = d.doc_id"""
+)"""
+        + _KEEP_LIST_CLOSURE
     )
 
 

@@ -119,36 +119,60 @@ class GraphStore:
         finally:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    def replace_groups(self, table: str, updates: DataFrame) -> None:
+    def replace_groups(
+        self, table: str, updates: DataFrame,
+        group_ids: list[str] | None = None,
+    ) -> None:
         """Group-scoped REPLACE: delete every stored row whose group_id
-        appears in ``updates``, then insert ``updates`` — the parquet
-        analog of ``DELETE FROM t WHERE group_id IN (...)`` + INSERT
-        (Iceberg: ``MERGE ... WHEN NOT MATCHED BY SOURCE AND group_id IN
-        (...) THEN DELETE``). Needed for derived tables whose KEYS change
-        when the derivation re-runs (communities: uuid = hash(group, min
+        is being replaced, then insert ``updates`` — the parquet analog
+        of ``DELETE FROM t WHERE group_id IN (...)`` + INSERT (Iceberg:
+        ``MERGE ... WHEN NOT MATCHED BY SOURCE AND group_id IN (...)
+        THEN DELETE``). Needed for derived tables whose KEYS change when
+        the derivation re-runs (communities: uuid = hash(group, min
         member) — an upsert would leave stale rows from the previous
         component structure, the reference's remove_communities-before-
         rebuild, graphiti.py:1504). Rows of a group share one bucket
-        (bucket = hash(group_id)), so only affected buckets rewrite."""
+        (bucket = hash(group_id)), so only affected buckets rewrite.
+
+        ``group_ids``: the replaced group set. Defaults to the groups
+        present in ``updates`` — pass it EXPLICITLY when a group's
+        re-derivation can come back empty (a group whose communities all
+        dissolved, a deletion draining a group's pair rows): a group
+        absent from ``updates`` is otherwise left untouched, not
+        emptied."""
         updates = updates.withColumn("bucket", bucket_col(n_buckets=self.n_buckets))
         existing = self.read(table)
         p = self._path(table)
+        if group_ids is None:
+            groups = updates.select("group_id").distinct()
+            bucket_src = updates.select("bucket").distinct()
+        else:
+            groups = self.spark.createDataFrame(
+                [(g,) for g in group_ids], "group_id string"
+            )
+            bucket_src = groups.select(
+                bucket_col(n_buckets=self.n_buckets).alias("bucket")
+            ).distinct()
         if existing is None:
             updates.write.mode("overwrite").partitionBy("bucket").parquet(p)
             return
-        groups = updates.select("group_id").distinct()
-        buckets = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
+        buckets = [r["bucket"] for r in bucket_src.collect()]
+        if not buckets:
+            return
         old = existing.where(F.col("bucket").isin(buckets)).join(
             groups, "group_id", "left_anti"
         )
         merged = updates.unionByName(old.select(updates.columns)).localCheckpoint()
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(p)
-        finally:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # delete-then-append, NOT dynamic partition overwrite: a replaced
+        # group whose bucket ends up with ZERO rows writes no partition,
+        # and dynamic overwrite only clears partitions it writes — the
+        # emptied bucket would keep its stale files. (Iceberg's MERGE
+        # DELETE has no such gap; this is the parquet-side equivalent.)
+        import shutil
+
+        for b in buckets:
+            shutil.rmtree(os.path.join(p, f"bucket={b}"), ignore_errors=True)
+        merged.write.mode("append").partitionBy("bucket").parquet(p)
 
     # ---- checkpoint / lineage ------------------------------------------
 

@@ -212,7 +212,8 @@ def test_oracle_lsh_recall_assumption(spark):
         return {d[i: i + 3] for i in range(max(len(d) - 2, 1))} or {d}
 
     near_threshold_seen = False
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "

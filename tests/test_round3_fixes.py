@@ -54,6 +54,31 @@ def test_communities_refresh_replaces_stale_rows(spark, sf_dir, tmp_path_factory
     assert orphan == 0
 
 
+def test_replace_groups_clears_emptied_group(spark, tmp_path_factory):
+    """A replaced group whose re-derivation is EMPTY must still be
+    deleted (dynamic partition overwrite can't express this — the writer
+    deletes affected buckets then appends), including when the emptied
+    group's bucket receives no new rows at all."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("rg")), n_buckets=4)
+    rows = spark.createDataFrame(
+        [("gA", "u1"), ("gA", "u2"), ("gB", "u3")], "group_id string, uuid string"
+    )
+    store.replace_groups("communities", rows)
+    # rebuild: gA keeps one row, gB dissolved entirely
+    upd = spark.createDataFrame([("gA", "u9")], "group_id string, uuid string")
+    store.replace_groups("communities", upd, group_ids=["gA", "gB"])
+    left = {(r["group_id"], r["uuid"]) for r in store.read("communities").collect()}
+    assert left == {("gA", "u9")}
+    # without the explicit list, absent groups are (documented) untouched
+    store.replace_groups("communities", rows)
+    store.replace_groups(
+        "communities",
+        spark.createDataFrame([], "group_id string, uuid string"),
+        group_ids=None,
+    )
+    assert store.read("communities").count() == 3
+
+
 def test_episode_mentions_reranker_edges_rank_by_edge_provenance(spark, sf_dir):
     """EDGE_HYBRID_SEARCH_EPISODE_MENTIONS must order by the EDGE's own
     episode provenance count (len(edge.episodes), search/search.py:449-450),
