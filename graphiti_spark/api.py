@@ -707,6 +707,135 @@ class GraphitiSpark:
         retrieval, graphiti.py:980-1228)."""
         return self.add_episode_bulk(source_file_row)
 
+    def add_triplet(
+        self,
+        group_id: str,
+        subject: str,
+        predicate: str,
+        obj: str,
+        fact: str | None = None,
+        valid_at: str | None = None,
+        labels: tuple[str, ...] = ("Entity",),
+    ) -> DataFrame:
+        """Manual fact insertion (add_triplet, graphiti.py:1645-1760):
+        build the two entity nodes and the edge directly, resolving
+        against the LIVE graph — content-derived ids make the exact
+        resolution a pure expression (same name ⇒ same uuid), and the
+        stored ``name_index`` supplies the canonical id when the name was
+        fuzzy-merged by an earlier batch. The store merge then applies
+        the same machinery as episodic ingest: label/attr merge on node
+        hit, exact-match provenance short circuit on edge hit, embedding
+        fill, contradiction re-invalidation for the touched key. Returns
+        the merged edge row(s)."""
+        from types import SimpleNamespace
+
+        from graphiti_spark.functions.embeddings import (
+            fill_edge_embeddings,
+            fill_node_embeddings,
+        )
+        from graphiti_spark.functions.text import normalize_exact
+        from graphiti_spark.ids import edge_uuid, entity_uuid
+        from graphiti_spark.sources.episodes import EPOCH_VALID_AT, FIXED_CREATED_AT
+
+        valid_at = valid_at or EPOCH_VALID_AT
+        names = self.spark.createDataFrame(
+            [(group_id, subject), (group_id, obj)], "group_id string, name string"
+        ).withColumn("_norm", normalize_exact(F.col("name")))
+        # live-graph resolution: stored fuzzy canonical wins, else the
+        # content-derived id (which IS the exact-block canonical)
+        derived = entity_uuid("group_id", F.col("_norm"))
+        resolved = names.withColumn("_derived", derived)
+        if self.store is not None:
+            idx = self.store.read("name_index")
+            if idx is not None:
+                resolved = (
+                    resolved.join(
+                        idx.select(
+                            "group_id",
+                            F.col("norm_name").alias("_norm"),
+                            F.col("canonical_uuid").alias("_canon"),
+                        ),
+                        ["group_id", "_norm"],
+                        "left",
+                    )
+                    .withColumn("_derived", F.coalesce("_canon", "_derived"))
+                    .drop("_canon")
+                )
+        nodes = resolved.select(
+            F.col("_derived").alias("uuid"),
+            "name",
+            "group_id",
+            F.array(*[F.lit(x) for x in dict.fromkeys(("Entity", *labels))]).alias(
+                "labels"
+            ),
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+            F.concat(F.lit("Entity "), F.col("name")).alias("summary"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+            F.lit(None).cast("array<float>").alias("name_embedding"),
+        )
+        ids = {r["name"]: r["uuid"] for r in nodes.select("name", "uuid").collect()}
+        fact = fact or f"{subject} {predicate} {obj}"
+        fact_norm = fact.lower().strip()
+        edge = self.spark.createDataFrame(
+            [(group_id, ids[subject], ids[obj], predicate, fact)],
+            "group_id string, source_node_uuid string, target_node_uuid string, "
+            "name string, fact string",
+        ).select(
+            edge_uuid(
+                "group_id", "source_node_uuid", "target_node_uuid",
+                F.col("name"), F.lit(fact_norm),
+            ).alias("uuid"),
+            "group_id", "source_node_uuid", "target_node_uuid", "name", "fact",
+            F.lit(None).cast("array<float>").alias("fact_embedding"),
+            F.array().cast("array<string>").alias("episodes"),
+            F.lit(0).cast("long").alias("n_episodes"),
+            F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+            F.lit(valid_at).cast("timestamp").alias("valid_at"),
+            F.lit(None).cast("timestamp").alias("invalid_at"),
+            F.lit(None).cast("timestamp").alias("expired_at"),
+            F.lit(valid_at).cast("timestamp").alias("reference_time"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+        )
+        if self.store is not None:
+            self.store.merge_upsert(
+                "nodes", fill_node_embeddings(self._merge_node_attrs(nodes))
+            )
+            self.store.merge_upsert(
+                "edges", fill_edge_embeddings(self._merge_edge_provenance(edge))
+            )
+            self._reinvalidate_affected(SimpleNamespace(edges=edge))
+            out = self.store.read("edges").drop("bucket")
+        elif self._session_graph is not None:
+            g = self._session_graph
+            g.nodes = g.nodes.unionByName(
+                nodes.join(g.nodes.select("uuid"), "uuid", "left_anti")
+            )
+            from graphiti_spark.operators.temporal import invalidate_contradictions
+
+            key = edge.select("group_id", "source_node_uuid", "name")
+            untouched = g.edges.join(
+                key, ["group_id", "source_node_uuid", "name"], "left_anti"
+            )
+            touched = (
+                g.edges.join(key, ["group_id", "source_node_uuid", "name"], "left_semi")
+                .unionByName(edge)
+                .dropDuplicates(["uuid"])
+                .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+                .withColumn("expired_at", F.lit(None).cast("timestamp"))
+            )
+            g.edges = untouched.unionByName(
+                invalidate_contradictions(touched)
+            ).localCheckpoint()
+            out = g.edges
+        else:
+            raise ValueError("no graph to add the triplet to")
+        self._invalidate_caches()
+        return out.where(
+            (F.col("group_id") == group_id)
+            & (F.col("source_node_uuid") == ids[subject])
+            & (F.col("target_node_uuid") == ids[obj])
+        )
+
     # ---- maintenance ----------------------------------------------------
 
     def _table(self, name: str) -> DataFrame:

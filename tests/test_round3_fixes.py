@@ -419,6 +419,66 @@ def test_full_provenance_incremental_matches_bulk(spark, sf_dir, tmp_path_factor
     assert bulk == incr and bulk
 
 
+def test_add_triplet_resolves_dedups_and_invalidates(
+    spark, sf_dir, tmp_path_factory
+):
+    """add_triplet (graphiti.py:1645-1760): manual facts resolve against
+    the live graph (existing names reuse node uuids, fuzzy-merged names
+    adopt the stored canonical), re-adding is idempotent, and an
+    exclusive-predicate triple invalidates the older same-key fact."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("trip")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src)
+    n_nodes0 = store.read("nodes").count()
+    # existing entity name -> node reused; one brand-new node
+    existing = store.read("nodes").where("group_id = 'megacorp/monorepo'").limit(
+        1
+    ).collect()[0]
+    out = g.add_triplet(
+        "megacorp/monorepo", existing["name"], "OPERATES_ON", "brand-new-entity",
+        valid_at="2024-03-01 00:00:00",
+    )
+    assert out.count() == 1
+    row = out.collect()[0]
+    assert row["source_node_uuid"] == existing["uuid"]
+    assert store.read("nodes").count() == n_nodes0 + 1
+    assert row["fact_embedding"] is not None  # save-time fill applies
+    # idempotent re-add: no new rows, provenance unchanged
+    n_edges = store.read("edges").count()
+    g.add_triplet(
+        "megacorp/monorepo", existing["name"], "OPERATES_ON", "brand-new-entity",
+        valid_at="2024-03-01 00:00:00",
+    )
+    assert store.read("edges").count() == n_edges
+    # exclusive predicate: a NEWER object invalidates the older fact
+    newer = g.add_triplet(
+        "megacorp/monorepo", existing["name"], "OPERATES_ON", "even-newer-entity",
+        valid_at="2024-09-01 00:00:00",
+    ).collect()[0]
+    assert newer["invalid_at"] is None
+    older = store.read("edges").where(F.col("uuid") == row["uuid"]).collect()[0]
+    assert older["invalid_at"] is not None  # contradicted by the newer fact
+    # fuzzy-merged surface form adopts the stored canonical
+    from graphiti_spark.ids import entity_uuid
+
+    nm = store.read("name_index")
+    merged = (
+        nm.where(
+            F.col("canonical_uuid")
+            != entity_uuid(F.col("group_id"), F.col("norm_name"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if merged:  # corpus guarantees fuzzy merges exist
+        m = merged[0]
+        via = g.add_triplet(
+            m["group_id"], m["norm_name"], "RELATES_TO", "anchor-entity-x"
+        ).collect()[0]
+        assert via["source_node_uuid"] == m["canonical_uuid"]
+
+
 def test_label_propagation_oscillation_breaks_deterministically(spark):
     """Plurality LPA on a 2-cycle flips labels every round; after max_iter
     the min-rule tiebreak round must yield the same assignment regardless
