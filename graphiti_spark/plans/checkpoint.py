@@ -28,6 +28,7 @@ def run_with_checkpoint(
     commit_batches: int = 4,
     fail_after_batches: int | None = None,
     fuzzy: bool = True,
+    full_provenance: bool = False,
 ) -> dict[str, int]:
     """Process all uncommitted buckets in ``commit_batches`` commit units.
 
@@ -56,12 +57,14 @@ def run_with_checkpoint(
     ran = 0
     for batch in batches:
         part = src.where(F.col("_bucket").isin([int(b) for b in batch])).drop("_bucket")
-        g = build_graph(part, fuzzy=fuzzy)
+        g = build_graph(part, fuzzy=fuzzy, full_provenance=full_provenance)
         edges = g.edges.persist()
         store.merge_upsert("episodes", g.episodes)
         store.merge_upsert("nodes", g.nodes)
         store.merge_upsert("edges", edges)
         store.merge_upsert("mentions", g.mentions)
+        if g.edge_episodes is not None:
+            store.merge_upsert("edge_episodes", g.edge_episodes)
         stats = lineage_stats(part, edges, n_buckets)
         store.commit_buckets(job_id, stats)
         edges.unpersist()

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--no-fuzzy", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="run cross-batch fuzzy compaction after ingest")
+    ap.add_argument("--full-provenance", action="store_true",
+                    help="maintain the (edge_uuid, episode_uuid) pair table "
+                         "for exact deletion past the provenance cap")
     args = ap.parse_args()
 
     from graphiti_spark.session import get_spark
@@ -59,6 +62,7 @@ def main() -> None:
     res = run_with_checkpoint(
         src, store, job_id=args.job_id,
         commit_batches=args.commit_batches, fuzzy=not args.no_fuzzy,
+        full_provenance=args.full_provenance,
     )
     out = dict(res)
     if args.compact:
