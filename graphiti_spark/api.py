@@ -456,10 +456,10 @@ class GraphitiSpark:
                 affected = affected.unionByName(
                     old.select("group_id").distinct()
                 ).distinct()
-            gids = [r["group_id"] for r in affected.collect()]
-            self.store.replace_groups("communities", comm, group_ids=gids)
+            affected = affected.localCheckpoint()  # old-table lineage dies
+            self.store.replace_groups("communities", comm, group_ids=affected)
             self.store.replace_groups(
-                "community_edges", member_edges, group_ids=gids
+                "community_edges", member_edges, group_ids=affected
             )
             comm = self.store.read("communities").drop("bucket")
             member_edges = self.store.read("community_edges").drop("bucket")

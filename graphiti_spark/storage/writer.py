@@ -121,7 +121,7 @@ class GraphStore:
 
     def replace_groups(
         self, table: str, updates: DataFrame,
-        group_ids: list[str] | None = None,
+        group_ids: "list[str] | DataFrame | None" = None,
     ) -> None:
         """Group-scoped REPLACE: delete every stored row whose group_id
         is being replaced, then insert ``updates`` — the parquet analog
@@ -134,12 +134,15 @@ class GraphStore:
         rebuild, graphiti.py:1504). Rows of a group share one bucket
         (bucket = hash(group_id)), so only affected buckets rewrite.
 
-        ``group_ids``: the replaced group set. Defaults to the groups
-        present in ``updates`` — pass it EXPLICITLY when a group's
-        re-derivation can come back empty (a group whose communities all
-        dissolved, a deletion draining a group's pair rows): a group
-        absent from ``updates`` is otherwise left untouched, not
-        emptied."""
+        ``group_ids``: the replaced group set — a list or a single-column
+        ``group_id`` DataFrame (pass the DataFrame at scale: the group
+        universe can be millions of repos, and only the ≤ n_buckets
+        DISTINCT BUCKET ids ever reach the driver). Defaults to the
+        groups present in ``updates`` — pass it EXPLICITLY when a
+        group's re-derivation can come back empty (a group whose
+        communities all dissolved, a deletion draining a group's pair
+        rows): a group absent from ``updates`` is otherwise left
+        untouched, not emptied."""
         updates = updates.withColumn("bucket", bucket_col(n_buckets=self.n_buckets))
         existing = self.read(table)
         p = self._path(table)
@@ -147,9 +150,12 @@ class GraphStore:
             groups = updates.select("group_id").distinct()
             bucket_src = updates.select("bucket").distinct()
         else:
-            groups = self.spark.createDataFrame(
-                [(g,) for g in group_ids], "group_id string"
-            )
+            if isinstance(group_ids, DataFrame):
+                groups = group_ids.select("group_id").distinct()
+            else:
+                groups = self.spark.createDataFrame(
+                    [(g,) for g in group_ids], "group_id string"
+                )
             bucket_src = groups.select(
                 bucket_col(n_buckets=self.n_buckets).alias("bucket")
             ).distinct()
