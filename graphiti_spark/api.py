@@ -803,6 +803,16 @@ class GraphitiSpark:
             self.store.merge_upsert(
                 "edges", fill_edge_embeddings(self._merge_edge_provenance(edge))
             )
+            # register the names so later batches resolve against them
+            # (first-writer-owns-the-canonical, same as episodic ingest)
+            self.store.merge_upsert(
+                "name_index",
+                resolved.select(
+                    "group_id",
+                    F.col("_norm").alias("norm_name"),
+                    F.col("_derived").alias("canonical_uuid"),
+                ),
+            )
             self._reinvalidate_affected(SimpleNamespace(edges=edge))
             out = self.store.read("edges").drop("bucket")
         elif self._session_graph is not None:
