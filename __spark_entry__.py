@@ -282,6 +282,30 @@ def _q_sr_rrf(spark, sf_dir):
     return rrf([bm_ranked.select("doc_id", "rank"), cos_ranked], "doc_id")
 
 
+def _q_sr_node_fulltext(spark, sf_dir):
+    """node_fulltext_search (search_utils.py:560-680): BM25 over entity
+    surface names."""
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.oracles_td import BM25_TERMS
+
+    return bm25_scores(
+        _graph(spark, sf_dir).nodes, list(BM25_TERMS),
+        id_col="uuid", text_col="name",
+    )
+
+
+def _q_sr_episode_fulltext(spark, sf_dir):
+    """episode_fulltext_search (search_utils.py:683-771): BM25 over
+    episode content."""
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.oracles_td import BM25_TERMS
+
+    return bm25_scores(
+        _graph(spark, sf_dir).episodes, list(BM25_TERMS),
+        id_col="uuid", text_col="content",
+    )
+
+
 def _q_sr_episode_window(spark, sf_dir):
     from graphiti_spark.operators.search import retrieve_episodes
     from graphiti_spark.oracles_td import EPISODE_REF_TIME
@@ -553,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval / search ops
         "sr_bm25": _q_sr_bm25,
         "sr_rrf": _q_sr_rrf,
+        "sr_node_fulltext": _q_sr_node_fulltext,
+        "sr_episode_fulltext": _q_sr_episode_fulltext,
         "sr_episode_window": _q_sr_episode_window,
         "sr_mentions_rerank": _q_sr_mentions_rerank,
         "sr_bfs2": _q_sr_bfs2,

@@ -655,7 +655,32 @@ SELECT doc_id, round(sum(c), 6) AS rrf_score FROM (
   SELECT doc_id, 1.0 / (rank + 1) AS c FROM cos_ranked
 ) GROUP BY doc_id"""
 
+    def bm25_over(corpus: str, id_col: str, text_expr: str) -> str:
+        """Appended-CTE BM25 (same Okapi shape as sr_bm25) over an
+        arbitrary corpus CTE; output (id_col, bm25)."""
+        t = ", ".join(f"'{x}'" for x in BM25_TERMS)
+        return f"""
+, bmt AS (SELECT {id_col} AS _id, {_toks(text_expr)} AS t FROM {corpus}),
+bmstats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM bmt),
+bmtf AS (
+  SELECT _id, len(t)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT _id, t, unnest(t) AS term FROM bmt)
+  WHERE term IN ({t})
+  GROUP BY _id, len(t), term
+),
+bmdf AS (SELECT term, count(DISTINCT _id)::DOUBLE AS df FROM bmtf GROUP BY term)
+SELECT bmtf._id AS {id_col},
+  round(sum(ln(1 + (s.n - bmdf.df + 0.5) / (bmdf.df + 0.5))
+    * (bmtf.tf * 2.2) / (bmtf.tf + 1.2 * (0.25 + 0.75 * bmtf.dl / s.avgdl))), 4)
+    AS bm25
+FROM bmtf JOIN bmdf USING (term) CROSS JOIN bmstats s
+GROUP BY bmtf._id"""
+
     p = kg_cte_prefix("documents")
+    # fulltext arms over the graph's own tables (node_fulltext_search /
+    # episode_fulltext_search, search_utils.py:560-771)
+    o["sr_node_fulltext"] = p + bm25_over("nodes", "uuid", "name")
+    o["sr_episode_fulltext"] = p + bm25_over("episodes", "uuid", "content")
     o["sr_episode_window"] = p + f"""
 SELECT group_id, uuid, name, valid_at, rn FROM (
   SELECT group_id, uuid, name, valid_at,
