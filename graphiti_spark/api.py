@@ -461,8 +461,13 @@ class GraphitiSpark:
             self.store.replace_groups(
                 "community_edges", member_edges, group_ids=affected
             )
-            comm = self.store.read("communities").drop("bucket")
-            member_edges = self.store.read("community_edges").drop("bucket")
+            # a rebuild that emptied the table leaves nothing to read
+            c = self.store.read("communities")
+            m = self.store.read("community_edges")
+            comm = c.drop("bucket") if c is not None else comm.limit(0)
+            member_edges = (
+                m.drop("bucket") if m is not None else member_edges.limit(0)
+            )
         self._communities = (comm, member_edges)
         return self._communities
 
@@ -542,6 +547,15 @@ class GraphitiSpark:
             self.store.merge_upsert("name_index", g.name_map)
             if g.edge_episodes is not None:
                 self.store.merge_upsert("edge_episodes", g.edge_episodes)
+            elif self.store.read("edge_episodes") is not None:
+                # an ingest WITHOUT the flag makes any existing pair table
+                # incomplete — delete it (it is derived data) rather than
+                # let a later exact-deletion trust a partial history
+                import shutil
+
+                shutil.rmtree(
+                    self.store._path("edge_episodes"), ignore_errors=True
+                )
             self._reinvalidate_affected(g)
             self._update_sagas(g)
         self._session_graph = g
@@ -595,6 +609,8 @@ class GraphitiSpark:
             F.col("labels").alias("_old_labels"),
             F.col("created_at").alias("_old_ca"),
             F.col("name_embedding").alias("_old_emb"),
+            F.col("attributes").alias("_old_attrs"),
+            F.col("summary").alias("_old_summary"),
         )
         union = F.array_sort(
             F.array_distinct(
@@ -611,7 +627,34 @@ class GraphitiSpark:
                 "labels", F.array_union(F.array(F.lit("Entity")), promoted)
             )
             .withColumn("name", merged_name)
-            .withColumn("summary", F.concat(F.lit("Entity "), F.col("name")))
+            # keep an enriched stored summary when the representative name
+            # is unchanged (append_fact_summaries output would otherwise
+            # be wiped back to the default); a renamed node re-derives
+            .withColumn(
+                "summary",
+                F.coalesce(
+                    F.when(merged_name == F.col("_old_name"), F.col("_old_summary")),
+                    F.concat(F.lit("Entity "), F.col("name")),
+                ),
+            )
+            # attribute bags merge with overlay semantics (stored keys
+            # survive, incoming keys win — apply_capped_attributes'
+            # node rule); a blank incoming map must not wipe extracted
+            # attributes
+            .withColumn(
+                "attributes",
+                F.map_zip_with(
+                    F.coalesce(
+                        F.col("_old_attrs"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    F.coalesce(
+                        F.col("attributes"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda _k, old, new: F.coalesce(new, old),
+                ),
+            )
             .withColumn(
                 "created_at", F.least("created_at", F.coalesce("_old_ca", "created_at"))
             )
@@ -625,7 +668,10 @@ class GraphitiSpark:
                     F.when(merged_name == F.col("_old_name"), F.col("_old_emb")),
                 ),
             )
-            .drop("_old_name", "_old_labels", "_old_ca", "_old_emb")
+            .drop(
+                "_old_name", "_old_labels", "_old_ca", "_old_emb",
+                "_old_attrs", "_old_summary",
+            )
         )
 
     def _merge_edge_provenance(self, edges: DataFrame) -> DataFrame:
@@ -745,22 +791,25 @@ class GraphitiSpark:
         # content-derived id (which IS the exact-block canonical)
         derived = entity_uuid("group_id", F.col("_norm"))
         resolved = names.withColumn("_derived", derived)
+        idx = None
         if self.store is not None:
             idx = self.store.read("name_index")
-            if idx is not None:
-                resolved = (
-                    resolved.join(
-                        idx.select(
-                            "group_id",
-                            F.col("norm_name").alias("_norm"),
-                            F.col("canonical_uuid").alias("_canon"),
-                        ),
-                        ["group_id", "_norm"],
-                        "left",
-                    )
-                    .withColumn("_derived", F.coalesce("_canon", "_derived"))
-                    .drop("_canon")
+        elif self._session_graph is not None:
+            idx = self._session_graph.name_map  # same schema as name_index
+        if idx is not None:
+            resolved = (
+                resolved.join(
+                    idx.select(
+                        "group_id",
+                        F.col("norm_name").alias("_norm"),
+                        F.col("canonical_uuid").alias("_canon"),
+                    ),
+                    ["group_id", "_norm"],
+                    "left",
                 )
+                .withColumn("_derived", F.coalesce("_canon", "_derived"))
+                .drop("_canon")
+            )
         nodes = resolved.select(
             F.col("_derived").alias("uuid"),
             "name",
@@ -775,7 +824,6 @@ class GraphitiSpark:
         )
         ids = {r["name"]: r["uuid"] for r in nodes.select("name", "uuid").collect()}
         fact = fact or f"{subject} {predicate} {obj}"
-        fact_norm = fact.lower().strip()
         edge = self.spark.createDataFrame(
             [(group_id, ids[subject], ids[obj], predicate, fact)],
             "group_id string, source_node_uuid string, target_node_uuid string, "
@@ -783,7 +831,11 @@ class GraphitiSpark:
         ).select(
             edge_uuid(
                 "group_id", "source_node_uuid", "target_node_uuid",
-                F.col("name"), F.lit(fact_norm),
+                # normalize with the SAME Spark expression episodic dedup
+                # uses — a driver-side str.lower()/.strip() diverges on
+                # whitespace classes and Unicode case folds and would mint
+                # a different uuid for the identical fact
+                F.col("name"), F.lower(F.trim(F.col("fact"))),
             ).alias("uuid"),
             "group_id", "source_node_uuid", "target_node_uuid", "name", "fact",
             F.lit(None).cast("array<float>").alias("fact_embedding"),
@@ -826,10 +878,28 @@ class GraphitiSpark:
             untouched = g.edges.join(
                 key, ["group_id", "source_node_uuid", "name"], "left_anti"
             )
+            # exact-match short circuit, deterministically: on a uuid hit
+            # the EXISTING row (with its provenance and temporal fields)
+            # wins over the blank manual row — the session analog of
+            # _merge_edge_provenance
+            u = (
+                g.edges.join(
+                    key, ["group_id", "source_node_uuid", "name"], "left_semi"
+                )
+                .withColumn("_pri", F.lit(1))
+                .unionByName(edge.withColumn("_pri", F.lit(0)))
+            )
+            from pyspark.sql import Window as _W
+
             touched = (
-                g.edges.join(key, ["group_id", "source_node_uuid", "name"], "left_semi")
-                .unionByName(edge)
-                .dropDuplicates(["uuid"])
+                u.withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        _W.partitionBy("uuid").orderBy(F.desc("_pri"))
+                    ),
+                )
+                .where(F.col("_rk") == 1)
+                .drop("_pri", "_rk")
                 .withColumn("invalid_at", F.lit(None).cast("timestamp"))
                 .withColumn("expired_at", F.lit(None).cast("timestamp"))
             )

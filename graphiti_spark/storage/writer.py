@@ -162,23 +162,48 @@ class GraphStore:
         if existing is None:
             updates.write.mode("overwrite").partitionBy("bucket").parquet(p)
             return
+        if group_ids is not None:
+            # every updates row must belong to a replaced group — an
+            # outside row would be appended NEXT TO its surviving old rows
+            # (duplicate keys) instead of replacing them
+            stray = updates.join(groups, "group_id", "left_anti").limit(1).count()
+            if stray:
+                raise ValueError(
+                    f"replace_groups({table}): updates contain rows whose "
+                    "group_id is not in the replaced group set"
+                )
         buckets = [r["bucket"] for r in bucket_src.collect()]
         if not buckets:
             return
         old = existing.where(F.col("bucket").isin(buckets)).join(
             groups, "group_id", "left_anti"
         )
-        merged = updates.unionByName(old.select(updates.columns)).localCheckpoint()
-        # delete-then-append, NOT dynamic partition overwrite: a replaced
-        # group whose bucket ends up with ZERO rows writes no partition,
-        # and dynamic overwrite only clears partitions it writes — the
-        # emptied bucket would keep its stale files. (Iceberg's MERGE
-        # DELETE has no such gap; this is the parquet-side equivalent.)
+        merged = updates.unionByName(old.select(updates.columns))
+        # Stage-then-swap, NOT dynamic partition overwrite and NOT
+        # delete-then-write: (a) a replaced group whose bucket ends up
+        # with ZERO rows writes no partition, and dynamic overwrite only
+        # clears partitions it writes — the emptied bucket would keep its
+        # stale files; (b) deleting before the write would lose the
+        # RETAINED rows of shared buckets if the write failed. So the
+        # merged buckets are fully written to a staging dir first (old
+        # files still on disk and readable), then swapped in per bucket.
+        # On Iceberg, MERGE's snapshot commit replaces all of this.
         import shutil
+        import uuid as _uuid
 
-        for b in buckets:
-            shutil.rmtree(os.path.join(p, f"bucket={b}"), ignore_errors=True)
-        merged.write.mode("append").partitionBy("bucket").parquet(p)
+        tmp = os.path.join(
+            self.base_path, f"_staging_{table}_{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            for b in buckets:
+                tgt = os.path.join(p, f"bucket={b}")
+                shutil.rmtree(tgt, ignore_errors=True)
+                src = os.path.join(tmp, f"bucket={b}")
+                if os.path.isdir(src):
+                    shutil.move(src, tgt)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- checkpoint / lineage ------------------------------------------
 

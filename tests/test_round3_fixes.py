@@ -397,6 +397,23 @@ def test_full_provenance_exact_deletion_past_cap(spark, tmp_path_factory):
     assert row2["n_episodes"] == 70
 
 
+def test_mixed_mode_ingest_drops_incomplete_pair_table(
+    spark, sf_dir, tmp_path_factory
+):
+    """An ingest WITHOUT full_provenance deletes any existing pair table:
+    a partial history must never feed the exact-deletion path."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("mixed")), n_buckets=4)
+    GraphitiSpark(spark, store=store, full_provenance=True).add_episode_bulk(
+        src.where("file_seq % 2 = 0"), fuzzy=False
+    )
+    assert store.read("edge_episodes") is not None
+    GraphitiSpark(spark, store=store, full_provenance=False).add_episode_bulk(
+        src.where("file_seq % 2 = 1"), fuzzy=False
+    )
+    assert store.read("edge_episodes") is None
+
+
 def test_full_provenance_incremental_matches_bulk(spark, sf_dir, tmp_path_factory):
     """The pair table converges across incremental batches (including the
     live-graph remap rewrite) to the bulk result."""
