@@ -117,3 +117,43 @@ def test_valid_as_of_boundaries(spark):
     )
     got = {r["uuid"] for r in valid_as_of(df, T).collect()}
     assert got == {"starts_at_T", "spans_T", "open_past"}
+
+
+def test_asof_exclusivity_invariant(spark, sf_dir):
+    """THE bi-temporal contract: after invalidate_contradictions, the
+    facts of an exclusive predicate that are valid at ANY event instant T
+    all carry ONE AND THE SAME valid_at per (group, subject) — every
+    strictly-earlier assertion is invalidated by the next one; only
+    exact-tie simultaneous facts coexist (the reference's equal-valid_at
+    rule: neither side invalidates the other). Checked at sampled corpus
+    instants, a midpoint, and beyond the horizon."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from graphiti_spark import config
+    from graphiti_spark.operators.temporal import valid_as_of
+    from graphiti_spark.plans.pipeline import build_graph
+    from graphiti_spark.sources import synth_source_files
+
+    g = build_graph(synth_source_files(spark, sf_dir))
+    excl = g.edges.where(
+        F.col("name").isin(*config.EXCLUSIVE_PREDICATES)
+    ).persist()
+    instants = sorted(
+        r["valid_at"] for r in excl.select("valid_at").distinct().collect()
+    )
+    probes = instants[:: max(len(instants) // 8, 1)] + [
+        instants[0] + (instants[-1] - instants[0]) / 2,
+        instants[-1] + dt.timedelta(days=1),
+    ]
+    for t in probes:
+        dup = (
+            valid_as_of(excl, str(t))
+            .groupBy("group_id", "source_node_uuid", "name")
+            .agg(F.count_distinct("valid_at").alias("n_va"))
+            .where("n_va > 1")
+            .count()
+        )
+        assert dup == 0, f"exclusivity violated at {t}"
+    excl.unpersist()
