@@ -200,6 +200,25 @@ def test_store_backed_search_reads_stored_vectors(spark, sf_dir, tmp_path_factor
     assert cand.count() > 0
 
 
+def test_search_results_identical_store_vs_session(spark, sf_dir, tmp_path_factory):
+    """Serving cosine from MATERIALIZED vectors must not change search
+    semantics: store-backed and session-mode search return the same
+    ranked ids for the same graph (same hash embedder on both paths)."""
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("par")), n_buckets=4)
+    gs = GraphitiSpark(spark, store=store)
+    gs.add_episode_bulk(src, fuzzy=False)
+    gm = GraphitiSpark(spark)
+    gm.add_episode_bulk(src, fuzzy=False)
+    for q in ("spark merge query", "vector batch stream"):
+        rs = gs.search(q, limit=7)
+        rm = gm.search(q, limit=7)
+        for scope in ("edges", "nodes"):
+            a = [r["uuid"] for r in rs[scope].collect()]
+            b = [r["uuid"] for r in rm[scope].collect()]
+            assert a == b, (q, scope, a, b)
+
+
 def test_sessionmode_search_embeds_once_per_session(spark, sf_dir):
     """Store-less sessions embed each scope's corpus ONCE (persisted
     projection), not once per search() call."""
