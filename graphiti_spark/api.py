@@ -692,7 +692,14 @@ class GraphitiSpark:
             F.col("n_episodes").alias("_old_n"),
             F.col("valid_at").alias("_old_va"),
             F.col("created_at").alias("_old_ca"),
-            # fact is uuid-key-derived, so the stored vector stays valid
+            # the uuid keys on lower(trim(fact)), so an incoming row can
+            # carry a case/whitespace VARIANT of the stored fact under the
+            # same uuid. The reference's exact-match short circuit reuses
+            # the existing edge wholesale (edge_operations.py:684-695), so
+            # the stored fact wins too — which keeps the retained stored
+            # vector derived from the fact actually kept (the
+            # kg_edge_embeddings digest contract: vector ~ sha256(fact))
+            F.col("fact").alias("_old_fact"),
             F.col("fact_embedding").alias("_old_fe"),
         )
         merged_eps = F.array_sort(
@@ -717,10 +724,11 @@ class GraphitiSpark:
                 "episodes",
                 F.slice("episodes", 1, config.EDGE_EPISODE_PROVENANCE_CAP),
             )
+            .withColumn("fact", F.coalesce("_old_fact", "fact"))
             .withColumn(
-                "fact_embedding", F.coalesce("fact_embedding", "_old_fe")
+                "fact_embedding", F.coalesce("_old_fe", "fact_embedding")
             )
-            .drop("_old_eps", "_old_n", "_old_va", "_old_ca", "_old_fe")
+            .drop("_old_eps", "_old_n", "_old_va", "_old_ca", "_old_fact", "_old_fe")
         )
         return out
 
@@ -784,9 +792,17 @@ class GraphitiSpark:
         from graphiti_spark.sources.episodes import EPOCH_VALID_AT, FIXED_CREATED_AT
 
         valid_at = valid_at or EPOCH_VALID_AT
-        names = self.spark.createDataFrame(
-            [(group_id, subject), (group_id, obj)], "group_id string, name string"
-        ).withColumn("_norm", normalize_exact(F.col("name")))
+        names = (
+            self.spark.createDataFrame(
+                [(group_id, subject), (group_id, obj)],
+                "group_id string, name string",
+            )
+            # a self-loop fact (subject == obj) builds the same row twice;
+            # without this the session path's left_anti keeps both and
+            # inserts duplicate node rows with one uuid
+            .dropDuplicates(["group_id", "name"])
+            .withColumn("_norm", normalize_exact(F.col("name")))
+        )
         # live-graph resolution: stored fuzzy canonical wins, else the
         # content-derived id (which IS the exact-block canonical)
         derived = entity_uuid("group_id", F.col("_norm"))

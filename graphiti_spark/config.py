@@ -69,6 +69,13 @@ LSH_BUCKET_CAP = 64
 SIMHASH_BUCKET_CAP = 1024
 # salt buckets for skewed repartitioning of mega-repos
 SKEW_SALT_BUCKETS = 16
+# hard cap on block size for the DECLARED O(block²) recall baselines
+# (dedup_ngram_jaccard, semantic_duplicate_pairs_exact). The bounded-block
+# contract was previously documentation-only; at 100 TB the 'en' language
+# block IS the corpus, and a misused baseline should fail loudly up front
+# (one cheap count) instead of running a week. The deployable paths
+# (MinHash/LSH, hyperplane LSH) have no such bound.
+QUADRATIC_BLOCK_CAP = 65_536
 # cap on per-edge episode-provenance arrays: an edge asserted by millions of
 # episodes must not materialize a multi-MB array cell (the reference appends
 # unboundedly, edge_operations.py:684-695 — safe row-at-a-time, fatal

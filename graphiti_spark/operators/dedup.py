@@ -52,12 +52,42 @@ def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     return F.array_distinct(F.when(cnt > 0, grams).otherwise(F.array()))
 
 
+def assert_block_cap(
+    df: DataFrame, block_cols: list[str], cap: int, op: str
+) -> None:
+    """Guard for DECLARED quadratic baselines: raise when any block exceeds
+    ``cap`` rows, so O(block²) code fails loudly instead of silently going
+    quadratic on an unbounded block (one cheap count aggregation)."""
+    over = (
+        df.groupBy(*block_cols)
+        .count()
+        .where(F.col("count") > cap)
+        .limit(1)
+        .collect()
+    )
+    if over:
+        blk = {c: over[0][c] for c in block_cols}
+        raise ValueError(
+            f"{op}: block {blk} has {over[0]['count']} rows > "
+            f"QUADRATIC_BLOCK_CAP={cap}; this operator is the O(block²) "
+            "recall baseline — use the LSH variant at this scale, or raise "
+            "the cap explicitly"
+        )
+
+
 def dedup_ngram_jaccard(
-    docs: DataFrame, threshold: float = 0.5, block: str = "lang"
+    docs: DataFrame, threshold: float = 0.5, block: str = "lang",
+    max_block: int = config.QUADRATIC_BLOCK_CAP,
 ) -> DataFrame:
     """Brute-force word-3gram Jaccard pairs within a blocking key — the
-    exact baseline the LSH variant approximates. O(block²); use only when
-    blocks are bounded (here: language)."""
+    exact baseline the LSH variant approximates. O(block²); blocks are
+    ENFORCED bounded (``max_block``) so a misuse on an unbounded block
+    (at 100 TB, one language is the corpus) raises instead of running
+    quadratic. The deployable path is :func:`dedup_minhash_lsh`."""
+    assert_block_cap(
+        docs.select(F.col(block).alias("_blk")), ["_blk"], max_block,
+        "dedup_ngram_jaccard",
+    )
     d = docs.select("doc_id", F.col(block).alias("_blk"), word_shingles(F.col("text")).alias("_sh"))
     a, b = d.alias("a"), d.alias("b")
     return (
@@ -119,6 +149,11 @@ def dedup_minhash_lsh(
         .where(F.col("jaccard_sim") >= threshold)
         .drop("_sa", "_sb")
     )
+    # materialize the (small) verified-pair set, then RELEASE the banded
+    # cache — returning a lazy plan over the persisted frame leaked one
+    # cached corpus copy per call across repeated invocations
+    pairs = pairs.localCheckpoint()
+    d.unpersist()
     return pairs
 
 
@@ -215,7 +250,7 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         F.col("_bw") <= config.SIMHASH_BUCKET_CAP
     ).persist()  # both self-join sides consume the UDF+window subtree
     a, b = d.alias("a"), d.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -229,6 +264,11 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .drop("_sa", "_sb")
     )
+    # same persist-release contract as dedup_minhash_lsh: materialize the
+    # pair set, free the banded fingerprint cache
+    pairs = pairs.localCheckpoint()
+    d.unpersist()
+    return pairs
 
 
 def dedup_embedding_cosine(

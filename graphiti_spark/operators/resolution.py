@@ -122,12 +122,21 @@ def semantic_duplicate_pairs_exact(
     candidates: DataFrame,
     min_score: float = config.SEMANTIC_MIN_SCORE,
     limit: int = config.SEMANTIC_CANDIDATE_LIMIT,
+    max_block: int = config.QUADRATIC_BLOCK_CAP,
 ) -> DataFrame:
     """All-pairs brute-force twin of :func:`semantic_duplicate_pairs` —
     O(n²) per group. Kept ONLY as the recall baseline for tests and for
     small candidate sets; the default stage routes through LSH buckets.
+    Per-group block size is ENFORCED (< ``max_block``) so a misuse on a
+    corpus-scale group raises up front instead of going quadratic.
     """
     from graphiti_spark.functions.embeddings import dot
+    from graphiti_spark.operators.dedup import assert_block_cap
+
+    assert_block_cap(
+        candidates.select("group_id"), ["group_id"], max_block,
+        "semantic_duplicate_pairs_exact",
+    )
 
     a, b = candidates.alias("a"), candidates.alias("b")
     scored = (

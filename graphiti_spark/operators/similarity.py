@@ -111,6 +111,7 @@ def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iterations: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd iterations for IVF coarse
     quantization: seed = the first ``n_centroids`` vectors by vec_id, then
@@ -129,15 +130,31 @@ def kmeans_centroids(
         embeddings.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    if dim is None:
+        probe = embeddings.select(F.size("embedding").alias("_d")).first()
+        if probe is None:
+            raise ValueError(
+                "kmeans_centroids: empty embeddings input (no vectors to "
+                "train on) — pass a non-empty corpus or skip training"
+            )
+        dim = probe["_d"]
     for _ in range(iterations):
+        # nearest-centroid argmax as a map-side-combinable aggregate (not a
+        # row_number window over the corpus×centroids product, which would
+        # shuffle N×k rows per Lloyd round): max_by over (rounded cosine,
+        # -cent_id) keeps the identical determinism contract — rounded _cs
+        # decides, ties go to the smaller cent_id
         assigned = (
             embeddings.join(F.broadcast(cent))
             .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("cvec")), 4))
-            .withColumn("_r", F.row_number().over(assign_w))
-            .where(F.col("_r") == 1)
-            .select("cent_id", "embedding")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col("embedding")),
+                    F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
+                ).alias("_a")
+            )
+            .select(F.col("_a.cent_id").alias("cent_id"), F.col("_a.embedding").alias("embedding"))
         )
         means = assigned.groupBy("cent_id").agg(
             F.array(
@@ -211,13 +228,26 @@ def _ivf_scan(
     """Shared IVF scan: assign corpus vectors to nearest centroid, probes
     pick their ``n_probe`` nearest lists, exact cosine over the probed
     lists, window top-k. ``cent``: (cent_id, _cent)."""
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    # corpus→list assignment as a partial-aggregable argmax (max_by), NOT a
+    # per-vec_id row_number window: the window formulation shuffles the full
+    # corpus×centroids join product (N×k rows) where the aggregate combines
+    # map-side to one row per vector — ~k× less shuffle I/O, identical
+    # determinism (rounded cosine decides, ties → smaller cent_id)
     assigned = (
         embeddings.join(F.broadcast(cent))
         .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
-        .withColumn("_r", F.row_number().over(assign_w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("embedding")),
+                F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_a")
+        )
+        .select(
+            "vec_id",
+            F.col("_a.embedding").alias("embedding"),
+            F.col("_a.cent_id").alias("cent_id"),
+        )
     )
     probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     probe_lists = (

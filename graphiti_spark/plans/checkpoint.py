@@ -60,8 +60,18 @@ def run_with_checkpoint(
         g = build_graph(part, fuzzy=fuzzy, full_provenance=full_provenance)
         edges = g.edges.persist()
         store.merge_upsert("episodes", g.episodes)
-        store.merge_upsert("nodes", g.nodes)
-        store.merge_upsert("edges", edges)
+        # save-time embedding fill, same as the facade ingest: every store
+        # write path materializes vectors, so a facade attached to a
+        # checkpoint-written store serves cosine search from stored columns
+        # (api._scope_embeddings filters to non-null stored vectors and has
+        # no per-query re-embed fallback by design)
+        from graphiti_spark.functions.embeddings import (
+            fill_edge_embeddings,
+            fill_node_embeddings,
+        )
+
+        store.merge_upsert("nodes", fill_node_embeddings(g.nodes))
+        store.merge_upsert("edges", fill_edge_embeddings(edges))
         store.merge_upsert("mentions", g.mentions)
         if g.edge_episodes is not None:
             store.merge_upsert("edge_episodes", g.edge_episodes)

@@ -198,10 +198,22 @@ class GraphStore:
             merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
             for b in buckets:
                 tgt = os.path.join(p, f"bucket={b}")
-                shutil.rmtree(tgt, ignore_errors=True)
                 src = os.path.join(tmp, f"bucket={b}")
+                # rename the live bucket ASIDE (outside the table dir so a
+                # concurrent reader never sees a bogus partition value),
+                # move the staged dir in, then drop the aside copy — the
+                # retained rows of a shared bucket exist on disk at every
+                # step, so a crash or failed move loses nothing (recovery:
+                # restore the _bak dir)
+                bak = os.path.join(
+                    self.base_path, f"_bak_{table}_bucket_{b}"
+                )
+                shutil.rmtree(bak, ignore_errors=True)
+                if os.path.isdir(tgt):
+                    os.rename(tgt, bak)
                 if os.path.isdir(src):
                     shutil.move(src, tgt)
+                shutil.rmtree(bak, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1,0 +1,114 @@
+"""Round-4 ADVICE regressions: the edge-uuid-hit fact/embedding contract,
+checkpoint-written stores serving search, crash-safe bucket swap leftovers,
+self-loop add_triplet, empty-input k-means, and the quadratic-baseline
+block-cap guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import GraphitiSpark
+from graphiti_spark.sources import synth_source_files
+from graphiti_spark.storage.writer import GraphStore
+
+
+def test_edge_uuid_hit_keeps_stored_fact_and_vector(spark, tmp_path_factory):
+    """An incoming row with a case-variant fact under the SAME edge uuid
+    must not replace the stored fact while keeping the stored embedding
+    (the vector would then derive from a different text, violating the
+    kg_edge_embeddings digest contract). The reference's exact-match short
+    circuit reuses the existing edge wholesale."""
+    from graphiti_spark.functions.embeddings import embed_text_local
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("uuidhit")), n_buckets=2)
+    g = GraphitiSpark(spark, store=store)
+    g.add_triplet("grp", "Alpha", "REL", "Beta", fact="Alpha REL Beta")
+    # same uuid (lower(trim(fact)) identical), different surface fact
+    g.add_triplet("grp", "Alpha", "REL", "Beta", fact="ALPHA REL BETA")
+    rows = store.read("edges").where(F.col("name") == "REL").collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["fact"] == "Alpha REL Beta"  # stored fact wins on uuid hit
+    # the retained vector derives from the retained fact
+    assert row["fact_embedding"] == embed_text_local(row["fact"])
+
+
+def test_checkpoint_written_store_serves_search(spark, sf_dir, tmp_path_factory):
+    """A facade attached to a store written by run_with_checkpoint must
+    serve cosine search (including rerank='mmr') — the job path now applies
+    the save-time embedding fills like facade ingest does."""
+    from graphiti_spark.plans.checkpoint import run_with_checkpoint
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("ckpt")), n_buckets=4)
+    src = synth_source_files(spark, sf_dir)
+    run_with_checkpoint(src, store, job_id="r4", commit_batches=2, fuzzy=False)
+    for table, col in (("nodes", "name_embedding"), ("edges", "fact_embedding")):
+        assert store.read(table).where(F.col(col).isNull()).count() == 0
+    g = GraphitiSpark(spark, store=store)
+    res = g.search("spark merge query", limit=5, rerank="mmr")
+    assert res["nodes"].count() > 0
+    assert res["edges"].count() > 0
+
+
+def test_replace_groups_leaves_no_bak_dirs(spark, tmp_path_factory):
+    """The staged swap (rename-aside, move, delete) must leave neither
+    _bak dirs nor stray bucket=*.bak partitions behind, and shared-bucket
+    retained rows must survive the swap."""
+    base = str(tmp_path_factory.mktemp("swap"))
+    store = GraphStore(spark, base, n_buckets=1)  # force a shared bucket
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g2", "b")], "group_id string, val string"
+    )
+    store.replace_groups("communities", df.withColumnRenamed("val", "uuid"))
+    upd = spark.createDataFrame([("g1", "a2")], "group_id string, uuid string")
+    store.replace_groups("communities", upd, group_ids=["g1"])
+    got = {
+        (r["group_id"], r["uuid"])
+        for r in store.read("communities").select("group_id", "uuid").collect()
+    }
+    assert got == {("g1", "a2"), ("g2", "b")}  # g2 retained through the swap
+    leftovers = [d for d in os.listdir(base) if "_bak_" in d or d.endswith(".bak")]
+    assert leftovers == []
+    table_dirs = os.listdir(os.path.join(base, "communities"))
+    assert all(not d.endswith(".bak") for d in table_dirs)
+
+
+def test_add_triplet_self_loop_no_duplicate_nodes(spark, sf_dir):
+    """subject == obj must not insert two node rows with one uuid in the
+    session (store-less) path."""
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir).limit(5), fuzzy=False)
+    g.add_triplet("megacorp/monorepo", "Selfsame", "REL", "Selfsame")
+    dup = (
+        g._session_graph.nodes.groupBy("uuid").count().where("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_kmeans_empty_input_raises(spark):
+    from graphiti_spark.operators.similarity import kmeans_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embeddings"):
+        kmeans_centroids(empty)
+
+
+def test_quadratic_block_cap_guards(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_ngram_jaccard
+    from graphiti_spark.operators.resolution import semantic_duplicate_pairs_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="QUADRATIC_BLOCK_CAP"):
+        dedup_ngram_jaccard(docs, max_block=5)
+    # under the cap the baseline still runs
+    assert dedup_ngram_jaccard(docs.limit(8), threshold=0.0, max_block=100).count() >= 0
+    cands = docs.limit(10).select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.lit("g").alias("group_id"),
+        F.expr("array(1.0f, 0.0f)").alias("name_embedding"),
+    )
+    with pytest.raises(ValueError, match="QUADRATIC_BLOCK_CAP"):
+        semantic_duplicate_pairs_exact(cands, max_block=5)
