@@ -437,6 +437,18 @@ def _q_kg_node_attributes(spark, sf_dir):
     return n.select("uuid", "name", attrs_csv.alias("attrs_csv"))
 
 
+def _q_kg_node_summaries(spark, sf_dir):
+    """Fact-enriched node summaries (append_fact_summaries — the no-LLM
+    summary fast path, node_operations.py:868-886, wired into facade
+    ingest via GraphitiSpark._enrich_summaries): sorted distinct facts
+    append to the base summary under the 2×MAX_SUMMARY_CHARS gate,
+    truncated at MAX_SUMMARY_CHARS."""
+    from graphiti_spark.operators.attributes import append_fact_summaries
+
+    g = _graph(spark, sf_dir)
+    return append_fact_summaries(g.nodes, g.edges).select("uuid", "name", "summary")
+
+
 def _q_kg_saga_nodes(spark, sf_dir):
     from graphiti_spark.operators.saga import build_saga_nodes
 
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_duplicate_of": _q_kg_duplicate_of,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_node_attributes": _q_kg_node_attributes,
+        "kg_node_summaries": _q_kg_node_summaries,
         "kg_node_embeddings": _q_kg_node_embeddings,
         "kg_edge_embeddings": _q_kg_edge_embeddings,
         "kg_saga_nodes": _q_kg_saga_nodes,

@@ -537,11 +537,16 @@ class GraphitiSpark:
             )
 
             self.store.merge_upsert("episodes", g.episodes)
-            self.store.merge_upsert(
-                "nodes", fill_node_embeddings(self._merge_node_attrs(g.nodes))
-            )
+            # edges BEFORE nodes: node summaries are recomputed from the
+            # POST-merge stored edge set (append_fact_summaries wiring)
             self.store.merge_upsert(
                 "edges", fill_edge_embeddings(self._merge_edge_provenance(g.edges))
+            )
+            self.store.merge_upsert(
+                "nodes",
+                fill_node_embeddings(
+                    self._enrich_summaries(self._merge_node_attrs(g.nodes))
+                ),
             )
             self.store.merge_upsert("mentions", g.mentions)
             self.store.merge_upsert("name_index", g.name_map)
@@ -583,9 +588,14 @@ class GraphitiSpark:
             affected, ["group_id", "source_node_uuid", "name"], "left_semi"
         )
         cols = [c for c in aff.columns]
+        # reset to the TEXT-PARSED window, not to null: a fact whose text
+        # closes it ("from 2015 to 2019") stays closed across re-runs; the
+        # parse is a pure function of fact so this is idempotent
+        from graphiti_spark.operators.attributes import parsed_invalid_at
+
         refreshed = (
             invalidate_contradictions(
-                aff.withColumn("invalid_at", F.lit(None).cast("timestamp"))
+                aff.withColumn("invalid_at", parsed_invalid_at(F.col("fact")))
                 .withColumn("expired_at", F.lit(None).cast("timestamp"))
             ).select(cols)
         )
@@ -673,6 +683,39 @@ class GraphitiSpark:
                 "_old_attrs", "_old_summary",
             )
         )
+
+    def _enrich_summaries(self, nodes: DataFrame) -> DataFrame:
+        """Fact-derived node summaries at ingest (append_fact_summaries,
+        node_operations.py:868-886 — the no-LLM summary fast path): each
+        batch node's summary is recomputed from its LIVE post-merge edge
+        set, base-reset first, so the result is a pure function of
+        (merged name, current facts) — idempotent, and incremental ingest
+        converges to the bulk answer. Cost is bounded by batch spread:
+        stored edges are semi-join-scoped to the batch's node ids before
+        the aggregation. Known staleness window: a FUZZY-remap target node
+        (live row adopted by this batch's rewrite) is not in the batch
+        nodes frame, so its summary refreshes on its next direct touch or
+        at compaction — bounded, documented drift."""
+        from graphiti_spark.operators.attributes import append_fact_summaries
+
+        stored = self.store.read("edges")
+        if stored is None:
+            return nodes
+        e = stored.drop("bucket")
+        ids = nodes.select("uuid")
+        touching = e.join(
+            ids.withColumnRenamed("uuid", "source_node_uuid"),
+            "source_node_uuid", "left_semi",
+        ).unionByName(
+            e.join(
+                ids.withColumnRenamed("uuid", "target_node_uuid"),
+                "target_node_uuid", "left_semi",
+            )
+        )
+        reset = nodes.withColumn(
+            "summary", F.concat(F.lit("Entity "), F.col("name"))
+        )
+        return append_fact_summaries(reset, touching)
 
     def _merge_edge_provenance(self, edges: DataFrame) -> DataFrame:
         """The exact-match short circuit against the LIVE graph
@@ -888,6 +931,9 @@ class GraphitiSpark:
             g.nodes = g.nodes.unionByName(
                 nodes.join(g.nodes.select("uuid"), "uuid", "left_anti")
             )
+            from graphiti_spark.operators.attributes import (
+                parsed_invalid_at as _parsed_iv,
+            )
             from graphiti_spark.operators.temporal import invalidate_contradictions
 
             key = edge.select("group_id", "source_node_uuid", "name")
@@ -916,7 +962,7 @@ class GraphitiSpark:
                 )
                 .where(F.col("_rk") == 1)
                 .drop("_pri", "_rk")
-                .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+                .withColumn("invalid_at", _parsed_iv(F.col("fact")))
                 .withColumn("expired_at", F.lit(None).cast("timestamp"))
             )
             g.edges = untouched.unionByName(

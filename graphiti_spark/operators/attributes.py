@@ -151,30 +151,49 @@ def rule_attribute_client(b):
     return out
 
 
-_SINCE = r"\bsince (\d{4})\b"
-_FROM_TO = r"\bfrom (\d{4}) to (\d{4})\b"
-_UNTIL = r"\buntil (\d{4})\b"
+# Temporal phrases accepted with a space OR hyphen separator: rule-extractor
+# facts are "<token> PREDICATE <token>", so real-world temporal markers
+# reach the fact as single hyphenated tokens ('since-2020',
+# 'from-2015-to-2019', 'until-2023' — common in code identifiers), while
+# free-text extractors produce the spaced forms the reference's prompt
+# rules describe (prompts/extract_edges.py:242-301).
+_SINCE = r"\bsince[- ](\d{4})\b"
+_FROM_TO = r"\bfrom[- ](\d{4})[- ]to[- ](\d{4})\b"
+_UNTIL = r"\buntil[- ](\d{4})\b"
 _ISO = r"\b(\d{4}-\d{2}-\d{2})\b"
+
+
+def parsed_valid_at(fact) -> "F.Column":
+    """Explicit validity START parsed from the fact text, else null.
+    Coalesce order (since → from-to → ISO) is the defined precedence,
+    mirrored by the DuckDB oracle (oracles.py edges CTE)."""
+    y = lambda pat, g: F.regexp_extract(fact, pat, g)  # noqa: E731
+    return F.coalesce(
+        F.when(y(_SINCE, 1) != "", F.to_timestamp(F.concat(y(_SINCE, 1), F.lit("-01-01")))),
+        F.when(y(_FROM_TO, 1) != "", F.to_timestamp(F.concat(y(_FROM_TO, 1), F.lit("-01-01")))),
+        F.when(y(_ISO, 1) != "", F.to_timestamp(y(_ISO, 1))),
+    )
+
+
+def parsed_invalid_at(fact) -> "F.Column":
+    """Explicit validity END parsed from the fact text, else null."""
+    y = lambda pat, g: F.regexp_extract(fact, pat, g)  # noqa: E731
+    return F.coalesce(
+        F.when(y(_FROM_TO, 2) != "", F.to_timestamp(F.concat(y(_FROM_TO, 2), F.lit("-01-01")))),
+        F.when(y(_UNTIL, 1) != "", F.to_timestamp(F.concat(y(_UNTIL, 1), F.lit("-01-01")))),
+    )
 
 
 def parse_edge_timestamps(edges: DataFrame) -> DataFrame:
     """Fill null valid_at/invalid_at from explicit phrases in ``fact``;
     valid_at falls back to reference_time (the reference's rule when the
-    text carries no time information)."""
+    text carries no time information). Wired into the pipeline by
+    dedupe_then_resolve (operators/edges.py) — every edge's temporal
+    window gets the second chance before contradiction invalidation."""
     fact = F.col("fact")
-    y = lambda pat, g: F.regexp_extract(fact, pat, g)  # noqa: E731
-    valid_parsed = F.coalesce(
-        F.when(y(_SINCE, 1) != "", F.to_timestamp(F.concat(y(_SINCE, 1), F.lit("-01-01")))),
-        F.when(y(_FROM_TO, 1) != "", F.to_timestamp(F.concat(y(_FROM_TO, 1), F.lit("-01-01")))),
-        F.when(y(_ISO, 1) != "", F.to_timestamp(y(_ISO, 1))),
-    )
-    invalid_parsed = F.coalesce(
-        F.when(y(_FROM_TO, 2) != "", F.to_timestamp(F.concat(y(_FROM_TO, 2), F.lit("-01-01")))),
-        F.when(y(_UNTIL, 1) != "", F.to_timestamp(F.concat(y(_UNTIL, 1), F.lit("-01-01")))),
-    )
     return edges.withColumn(
         "valid_at",
-        F.coalesce(F.col("valid_at"), valid_parsed, F.col("reference_time")),
+        F.coalesce(F.col("valid_at"), parsed_valid_at(fact), F.col("reference_time")),
     ).withColumn(
-        "invalid_at", F.coalesce(F.col("invalid_at"), invalid_parsed)
+        "invalid_at", F.coalesce(F.col("invalid_at"), parsed_invalid_at(fact))
     )

@@ -97,7 +97,7 @@ def dedupe_then_resolve(
             )
     fact = F.col("fact")
     fact_norm = F.lower(F.trim(fact))
-    return resolved.select(
+    out = resolved.select(
         edge_uuid(
             "group_id", "source_node_uuid", "target_node_uuid",
             F.col("predicate"), fact_norm,
@@ -111,12 +111,22 @@ def dedupe_then_resolve(
         "episodes",
         "n_episodes",
         F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
-        "valid_at",
+        # valid_at left null for the second-chance parse below; the
+        # earliest asserting episode's time is the fallback reference
+        F.lit(None).cast("timestamp").alias("valid_at"),
         F.lit(None).cast("timestamp").alias("invalid_at"),
         F.lit(None).cast("timestamp").alias("expired_at"),
         F.col("valid_at").alias("reference_time"),
         F.create_map().cast("map<string,string>").alias("attributes"),
     )
+    # second-chance timestamps (edge_operations.py:576-620 +
+    # prompts/extract_edges.py:242-301): explicit temporal phrases in the
+    # fact text set the validity window — a parsed invalid_at closes the
+    # fact without any contradiction; everything else falls back to the
+    # episode reference time. Pure column expressions, no extra shuffle.
+    from graphiti_spark.operators.attributes import parse_edge_timestamps
+
+    return parse_edge_timestamps(out)
 
 
 def edge_episode_pairs(

@@ -13,13 +13,18 @@ Reference semantics being reproduced (not ported):
 - Saga bookkeeping on ingest (graphiti.py:1411-1459): first episode is
   kept, last episode and the event-time watermark advance with each batch.
 
-Deterministic mapping: one saga per ``group_id`` (the reference threads an
-explicit ``saga`` name through add_episode; the graph partition is our
-batch-mode analog and keeps every derivation a pure column expression).
+NAMED sagas (graphiti.py:980-1228 threads an explicit ``saga`` through
+add_episode — multiple sagas can exist per group): the episode mapping
+derives ``saga`` from the source path's package directory
+(sources/episodes.py; default 'main'), and every derivation here keys by
+(group_id, saga). Episode frames WITHOUT a saga column fall back to
+saga == group_id (the round-1..3 mapping) via :func:`with_saga`, so
+pre-existing stores and hand-built frames keep working.
+
 Ordering inside a saga is (valid_at, uuid) — total and deterministic.
 
-Plans: everything is one window pass per output, partitioned by group_id —
-no self-joins, no shuffles beyond the per-group sort.
+Plans: everything is one window pass per output, partitioned by
+(group_id, saga) — no self-joins, no shuffles beyond the per-saga sort.
 """
 
 from __future__ import annotations
@@ -30,17 +35,30 @@ from graphiti_spark.ids import _hash_id
 from graphiti_spark.sources.episodes import FIXED_CREATED_AT
 
 
-def saga_uuid(group_id: Column | str = "group_id") -> Column:
-    """Saga identity = the graph partition (deterministic, idempotent)."""
-    return _hash_id(F.lit("saga"), group_id)
+def saga_uuid(
+    group_id: Column | str = "group_id", saga: Column | str = "saga"
+) -> Column:
+    """Saga identity = (graph partition, saga name) — deterministic,
+    idempotent."""
+    return _hash_id(F.lit("saga"), group_id, saga)
+
+
+def with_saga(episodes: DataFrame) -> DataFrame:
+    """Back-compat shim: frames lacking the ``saga`` column get
+    saga == group_id (one saga per group — the pre-named-saga mapping)."""
+    if "saga" in episodes.columns:
+        return episodes
+    return episodes.withColumn("saga", F.col("group_id"))
 
 
 def build_saga_nodes(episodes: DataFrame) -> DataFrame:
-    """One SagaNode row per group: first/last episode by (valid_at, uuid),
-    episode count, and the event-time watermark = max valid_at seen
-    (monotone under incremental MERGE because max() only advances)."""
+    """One SagaNode row per (group, saga): first/last episode by
+    (valid_at, uuid), episode count, and the event-time watermark =
+    max valid_at seen (monotone under incremental MERGE because max()
+    only advances)."""
     return (
-        episodes.groupBy("group_id")
+        with_saga(episodes)
+        .groupBy("group_id", "saga")
         .agg(
             F.min_by("uuid", F.struct("valid_at", "uuid")).alias("first_episode_uuid"),
             F.max_by("uuid", F.struct("valid_at", "uuid")).alias("last_episode_uuid"),
@@ -48,8 +66,8 @@ def build_saga_nodes(episodes: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_episodes"),
         )
         .select(
-            saga_uuid("group_id").alias("uuid"),
-            F.col("group_id").alias("name"),
+            saga_uuid("group_id", "saga").alias("uuid"),
+            F.col("saga").alias("name"),
             "group_id",
             "first_episode_uuid",
             "last_episode_uuid",
@@ -62,11 +80,14 @@ def build_saga_nodes(episodes: DataFrame) -> DataFrame:
 
 
 def has_episode_edges(episodes: DataFrame) -> DataFrame:
-    """(:Saga)-[:HAS_EPISODE]->(:Episodic), one row per episode."""
-    return episodes.select(
-        saga_uuid("group_id").alias("source_node_uuid"),
+    """(:Saga)-[:HAS_EPISODE]->(:Episodic), one row per episode. Carries
+    the saga NAME so retrieve_episodes(saga=...) can filter membership
+    through the stored edge table."""
+    return with_saga(episodes).select(
+        saga_uuid("group_id", "saga").alias("source_node_uuid"),
         F.col("uuid").alias("target_node_uuid"),
         "group_id",
+        "saga",
         F.lit("HAS_EPISODE").alias("name"),
         F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
     )
@@ -74,11 +95,14 @@ def has_episode_edges(episodes: DataFrame) -> DataFrame:
 
 def next_episode_edges(episodes: DataFrame) -> DataFrame:
     """(:Episodic)-[:NEXT_EPISODE]->(:Episodic): the saga's strict episode
-    chain — one lead() window per group, no self-join."""
-    w = Window.partitionBy("group_id").orderBy(F.asc("valid_at"), F.asc("uuid"))
+    chain — one lead() window per (group, saga), no self-join."""
+    eps = with_saga(episodes)
+    w = Window.partitionBy("group_id", "saga").orderBy(
+        F.asc("valid_at"), F.asc("uuid")
+    )
     nxt = F.lead("uuid").over(w)
     return (
-        episodes.select("group_id", "uuid", "valid_at")
+        eps.select("group_id", "saga", "uuid", "valid_at")
         .withColumn("_next", nxt)
         .where(F.col("_next").isNotNull())
         .select(

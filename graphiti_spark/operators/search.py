@@ -228,12 +228,15 @@ def retrieve_episodes(
 
     - ``group_ids``: restrict to the listed graph partitions;
     - ``source``: episode source type equality (text/message/json);
-    - ``saga``: only episodes belonging to the named saga — via a
-      semi-join through HAS_EPISODE ``saga_edges`` when provided
-      (the reference's Saga-[:HAS_EPISODE]->Episodic match,
-      graph_data_operations.py:99-125); without the edge table, saga
-      membership falls back to the derivation invariant saga name ==
-      group_id (operators/saga.build_saga_nodes).
+    - ``saga``: only episodes belonging to the NAMED saga
+      (graphiti.py:980-1228 threads an explicit saga; multiple sagas per
+      group). Episodes carry their saga column (sources/episodes.py), so
+      the filter is a plain predicate; for stores written before the
+      column existed, membership resolves through the HAS_EPISODE
+      ``saga_edges`` table (the reference's
+      Saga-[:HAS_EPISODE]->Episodic match,
+      graph_data_operations.py:99-125), falling back to the legacy
+      saga == group_id derivation last.
 
     Windowing stays PER GROUP (rn per group) — the scalable shape; the
     reference's single global LIMIT is the n=1-group special case."""
@@ -244,14 +247,18 @@ def retrieve_episodes(
     if source is not None:
         df = df.where(F.col("source") == source)
     if saga is not None:
-        if saga_edges is not None:
-            # HAS_EPISODE rows: source = saga uuid, target = episode uuid,
-            # saga name == group_id in this derivation — filter by saga
-            # name then semi-join episode membership
-            member = saga_edges.where(F.col("group_id") == saga).select(
-                F.col("target_node_uuid").alias("uuid")
+        if "saga" in df.columns:
+            df = df.where(F.col("saga") == saga)
+        elif saga_edges is not None:
+            member = saga_edges
+            if "saga" in member.columns:
+                member = member.where(F.col("saga") == saga)
+            else:  # legacy table: saga name == group_id
+                member = member.where(F.col("group_id") == saga)
+            df = df.join(
+                member.select(F.col("target_node_uuid").alias("uuid")),
+                "uuid", "left_semi",
             )
-            df = df.join(member, "uuid", "left_semi")
         else:
             df = df.where(F.col("group_id") == saga)
     w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.asc("uuid"))

@@ -45,10 +45,16 @@ def invalidate_contradictions(
     exclusive_predicates: tuple[str, ...] = config.EXCLUSIVE_PREDICATES,
     system_time: str = SYSTEM_TIME,
 ) -> DataFrame:
-    """edges (EDGES schema, invalid_at/expired_at still null) → same schema
-    with the contradiction rules applied. Single-pass: the window is
-    computed for every row (partitions are per-predicate anyway) and masked
-    to the exclusive predicates."""
+    """edges (EDGES schema) → same schema with the contradiction rules
+    applied. A PRE-SET invalid_at (the text-parsed validity end from
+    parse_edge_timestamps — the fact closed itself) is PRESERVED: the
+    window only fills nulls, and expired_at (system time of engine-side
+    invalidation) is stamped only when the window did the closing — a
+    text-closed fact was never "invalidated by the engine". Callers that
+    re-run invalidation on stored rows must reset invalid_at to the
+    parsed value (operators.attributes.parsed_invalid_at), not to null.
+    Single-pass: the window is computed for every row (partitions are
+    per-predicate anyway) and masked to the exclusive predicates."""
     epoch = F.unix_micros(F.col("valid_at"))
     w = (
         Window.partitionBy("group_id", "source_node_uuid", "name")
@@ -62,10 +68,17 @@ def invalidate_contradictions(
     nxt = F.col("_nxt")
     return (
         edges.withColumn("_nxt", F.timestamp_micros(F.min(epoch).over(w)))
-        .withColumn("invalid_at", F.when(is_excl, nxt))
+        .withColumn("_had_iv", F.col("invalid_at").isNotNull())
+        .withColumn("invalid_at", F.coalesce(F.col("invalid_at"), F.when(is_excl, nxt)))
         .withColumn(
             "expired_at",
-            F.when(is_excl & nxt.isNotNull(), F.lit(system_time).cast("timestamp")),
+            F.coalesce(
+                F.col("expired_at"),
+                F.when(
+                    is_excl & ~F.col("_had_iv") & nxt.isNotNull(),
+                    F.lit(system_time).cast("timestamp"),
+                ),
+            ),
         )
         .select(edges.columns)
     )

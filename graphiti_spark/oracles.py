@@ -22,7 +22,7 @@ from graphiti_spark.operators.extraction import (
     OPERATION_VOCAB,
     PREDICATES,
 )
-from graphiti_spark.sources.episodes import FIXED_CREATED_AT, episodes_sql
+from graphiti_spark.sources.episodes import FIXED_CREATED_AT, episodes_oracle_ctes
 from graphiti_spark.sources.source_files import source_files_oracle_sql
 from graphiti_spark.operators.temporal import SYSTEM_TIME
 from graphiti_spark import config
@@ -62,6 +62,31 @@ def _uuid(prefix: str, *exprs: str) -> str:
     return f"substring(sha256(concat_ws('|', {parts})), 1, 32)"
 
 
+def _parsed_ts_sql(fact: str) -> tuple[str, str]:
+    """DuckDB twins of operators.attributes.parsed_valid_at /
+    parsed_invalid_at: explicit temporal phrases in the fact text →
+    (validity start, validity end) expressions, same regexes and the same
+    coalesce precedence as the Spark columns."""
+    y = lambda pat, g: f"regexp_extract({fact}, '{pat}', {g})"  # noqa: E731
+    since = y(r"\bsince[- ](\d{4})\b", 1)
+    ft1 = y(r"\bfrom[- ](\d{4})[- ]to[- ](\d{4})\b", 1)
+    ft2 = y(r"\bfrom[- ](\d{4})[- ]to[- ](\d{4})\b", 2)
+    until = y(r"\buntil[- ](\d{4})\b", 1)
+    iso = y(r"\b(\d{4}-\d{2}-\d{2})\b", 1)
+    pv = (
+        "coalesce("
+        f"CASE WHEN {since} <> '' THEN CAST(concat({since}, '-01-01') AS TIMESTAMP) END, "
+        f"CASE WHEN {ft1} <> '' THEN CAST(concat({ft1}, '-01-01') AS TIMESTAMP) END, "
+        f"CASE WHEN {iso} <> '' THEN CAST({iso} AS TIMESTAMP) END)"
+    )
+    piv = (
+        "coalesce("
+        f"CASE WHEN {ft2} <> '' THEN CAST(concat({ft2}, '-01-01') AS TIMESTAMP) END, "
+        f"CASE WHEN {until} <> '' THEN CAST(concat({until}, '-01-01') AS TIMESTAMP) END)"
+    )
+    return pv, piv
+
+
 def _norm(col: str) -> str:
     """lowercase + collapse whitespace (dedup_helpers.py:39-43)."""
     return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
@@ -87,6 +112,7 @@ def kg_cte_prefix(documents: str = "documents") -> str:
     (UnionFind/compress, bulk_utils.py:584-621).
     """
     excl = _in_list(config.EXCLUSIVE_PREDICATES)
+    pv_sql, piv_sql = _parsed_ts_sql("fact")
     norm_name = _norm("name")
     entity_id = _uuid("entity", "group_id", norm_name)
     entity_id_m = _uuid("entity", "m.group_id", _norm("m.name"))
@@ -98,9 +124,7 @@ def kg_cte_prefix(documents: str = "documents") -> str:
 WITH RECURSIVE source_files AS (
   {source_files_oracle_sql(documents)}
 ),
-episodes AS (
-  {episodes_sql('duckdb', 'source_files')}
-),
+{episodes_oracle_ctes('source_files')},
 mentions AS (
   SELECT
     {_uuid('mention', 'episode_uuid', 'name')} AS mention_uuid,
@@ -265,6 +289,14 @@ edges_dedup AS (
   GROUP BY group_id, source_node_uuid, target_node_uuid, predicate,
            lower(trim(fact))
 ),
+edges_ts AS (
+  -- second-chance timestamps (parse_edge_timestamps): explicit phrases in
+  -- the fact text win over the episode reference time; the parsed
+  -- validity END closes the fact without any contradiction window
+  SELECT * REPLACE (coalesce({pv_sql}, valid_at) AS valid_at),
+         {piv_sql} AS _piv
+  FROM edges_dedup
+),
 edges_nxt AS (
   SELECT *,
          min(epoch_us(valid_at)) OVER (
@@ -272,14 +304,16 @@ edges_nxt AS (
            ORDER BY epoch_us(valid_at)
            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
          ) AS nxt_us
-  FROM edges_dedup
+  FROM edges_ts
 ),
 edges AS (
   SELECT {_uuid('edge', 'group_id', 'source_node_uuid', 'target_node_uuid', 'name', 'fact_norm')} AS uuid,
          group_id, source_node_uuid, target_node_uuid, name, fact,
          valid_at,
-         CASE WHEN name IN ({excl}) THEN make_timestamp(nxt_us) END AS invalid_at,
-         CASE WHEN name IN ({excl}) AND nxt_us IS NOT NULL
+         coalesce(_piv,
+                  CASE WHEN name IN ({excl}) THEN make_timestamp(nxt_us) END
+         ) AS invalid_at,
+         CASE WHEN _piv IS NULL AND name IN ({excl}) AND nxt_us IS NOT NULL
               THEN TIMESTAMP '{SYSTEM_TIME}' END AS expired_at,
          episodes_csv, n_episodes
   FROM edges_nxt
@@ -404,6 +438,30 @@ SELECT uuid, name,
               len(list_filter(string_split_regex(name, '\\s+'),
                               x -> length(x) > 0))) AS attrs_csv
 FROM nodes""",
+        # fact-enriched node summaries (append_fact_summaries — the no-LLM
+        # summary fast path, node_operations.py:868-886 + text_utils.py:26):
+        # sorted distinct facts append to the base summary while the grown
+        # text stays under 2×MAX_SUMMARY_CHARS, truncated at
+        # MAX_SUMMARY_CHARS; over-gate (high-degree) nodes keep the base —
+        # both branches occur in this corpus
+        "kg_node_summaries": p
+        + f"""
+, nsum AS (
+  SELECT uuid, array_to_string(list_sort(list(DISTINCT fact)), '; ') AS facts
+  FROM (
+    SELECT source_node_uuid AS uuid, fact FROM edges
+    UNION ALL
+    SELECT target_node_uuid AS uuid, fact FROM edges
+  ) GROUP BY uuid
+)
+SELECT n.uuid, n.name,
+       CASE WHEN f.facts IS NOT NULL
+                 AND length(concat('Entity ', n.name, '. ', f.facts))
+                     <= {2 * config.MAX_SUMMARY_CHARS}
+            THEN substring(concat('Entity ', n.name, '. ', f.facts),
+                           1, {config.MAX_SUMMARY_CHARS})
+            ELSE concat('Entity ', n.name) END AS summary
+FROM nodes n LEFT JOIN nsum f ON f.uuid = n.uuid""",
         # materialized-embedding contract (save-time fill,
         # bulk_utils.py:128-260): digest = sha256(source text), vector a
         # pure unit-norm function of it — the digest hash-match proves the
@@ -420,27 +478,29 @@ SELECT uuid, fact, sha256(fact) AS embedding_digest,
 FROM edges""",
         # saga chain (SagaNode nodes.py:867-876; HAS_EPISODE edges.py:689;
         # NEXT_EPISODE edges.py:822; bookkeeping graphiti.py:1411-1459):
-        # one saga per group, ordering = (valid_at, uuid)
+        # NAMED sagas — keyed (group_id, saga), saga derived from the
+        # source path's package dir (episodes CTE); ordering =
+        # (valid_at, uuid) within a saga
         "kg_saga_nodes": p
         + f"""
-SELECT {_uuid('saga', 'group_id')} AS uuid, group_id AS name, group_id,
+SELECT {_uuid('saga', 'group_id', 'saga')} AS uuid, saga AS name, group_id,
        min(CASE WHEN rn_a = 1 THEN uuid END) AS first_episode_uuid,
        min(CASE WHEN rn_d = 1 THEN uuid END) AS last_episode_uuid,
        TIMESTAMP '{FIXED_CREATED_AT}' AS last_summarized_at,
        max(valid_at) AS last_summarized_episode_valid_at,
        count(*) AS n_episodes
 FROM (
-  SELECT group_id, uuid, valid_at,
-         row_number() OVER (PARTITION BY group_id
+  SELECT group_id, saga, uuid, valid_at,
+         row_number() OVER (PARTITION BY group_id, saga
                             ORDER BY valid_at ASC, uuid ASC) AS rn_a,
-         row_number() OVER (PARTITION BY group_id
+         row_number() OVER (PARTITION BY group_id, saga
                             ORDER BY valid_at DESC, uuid DESC) AS rn_d
   FROM episodes
-) GROUP BY group_id""",
+) GROUP BY group_id, saga""",
         "kg_next_episode_edges": p
         + """
 SELECT uuid AS source_node_uuid,
-       lead(uuid) OVER (PARTITION BY group_id
+       lead(uuid) OVER (PARTITION BY group_id, saga
                         ORDER BY valid_at ASC, uuid ASC) AS target_node_uuid,
        group_id, 'NEXT_EPISODE' AS name
 FROM episodes

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphiti_spark.functions.text import normalize_exact
+from graphiti_spark.operators.attributes import parsed_invalid_at
 from graphiti_spark.operators.canonicalize import canonical_map_from_pairs
 from graphiti_spark.operators.resolution import fuzzy_duplicate_pairs
 from graphiti_spark.operators.temporal import invalidate_contradictions
@@ -87,7 +88,7 @@ def compact_store(store: GraphStore) -> dict[str, int]:
             edge_uuid("group_id", "source_node_uuid", "target_node_uuid",
                       F.col("name"), F.col("_fn")),
         )
-        .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+        .withColumn("invalid_at", parsed_invalid_at(F.col("fact")))
         .withColumn("expired_at", F.lit(None).cast("timestamp"))
         .drop("_fn")
     )

@@ -35,6 +35,9 @@ EPISODES = T.StructType(
         T.StructField("uuid", T.StringType(), False),
         T.StructField("name", T.StringType(), False),
         T.StructField("group_id", T.StringType(), False),
+        # named saga (graphiti.py:980-1228): derived from the source
+        # path's package dir, default 'main'; keys the saga chain tables
+        T.StructField("saga", T.StringType(), False),
         T.StructField("source", T.StringType(), False),  # text|message|json
         T.StructField("source_description", T.StringType(), True),
         T.StructField("content", T.StringType(), False),

@@ -34,6 +34,8 @@ SELECT
         concat(path, '@', substring(commit, 1, 8))){sha_close}, 1, 32) AS uuid,
   concat(path, '@', substring(commit, 1, 8))                  AS name,
   repo                                                        AS group_id,
+  coalesce(nullif(regexp_extract(path, '^[^/]+/([^/]+)/', 1), ''), 'main')
+                                                              AS saga,
   CASE WHEN lang = 'en' THEN 'text'
        WHEN lang = 'zh' THEN 'json'
        ELSE 'message' END                                     AS source,
@@ -133,16 +135,65 @@ def chunk_episodes(episodes: DataFrame) -> DataFrame:
 
 
 def episodes_oracle_sql(source_files_cte: str) -> str:
-    """DuckDB equivalent of the (non-chunking) episode mapping, given a CTE
-    name holding source_files. Test-scale content never trips the chunk
-    gate (len < 4000 chars), so the oracle covers the identity path."""
+    """DuckDB equivalent of the NON-chunking episode mapping (identity
+    path only); the oracle suite uses :func:`episodes_oracle_ctes`, which
+    adds the full chunk derivation."""
     return episodes_sql("duckdb", source_files_cte)
+
+
+def episodes_oracle_ctes(source_files_cte: str) -> str:
+    """DuckDB CTE fragment ``ep_base AS (...), ep_gate AS (...),
+    episodes AS (...)`` — the FULL episode mapping INCLUDING the chunk
+    derivation (content_chunking.py:39-143), mirroring
+    :func:`chunk_episodes` expression by expression:
+
+    - gate: ``floor(len/4) >= CHUNK_MIN_TOKENS`` AND capitalized-token
+      density (one regex count over the space-padded content / the
+      whitespace token count, unfiltered — Spark's ``split`` keeps the
+      empty token of an empty string, so no ``list_filter`` here)
+      ``> CHUNK_DENSITY_THRESHOLD``;
+    - ``n_chunks = ceil(greatest(len - size, 0)/stride) + 1`` when gated,
+      else 1;
+    - chunk k = ``substring(content, k*stride + 1, size)``; k > 0 rows get
+      the ``#k`` uuid / ``#chunkk`` name provenance suffixes.
+
+    The corpus injects a ~30 KB dense variant (source_files.py
+    ``doc_id % 41 = 13``) so this path produces real chunk rows in the
+    oracle suite."""
+    size_chars = config.CHUNK_TOKEN_SIZE * 4
+    stride = (config.CHUNK_TOKEN_SIZE - config.CHUNK_OVERLAP_TOKENS) * 4
+    return f"""
+ep_base AS (
+  {episodes_sql('duckdb', source_files_cte)}
+),
+ep_gate AS (
+  SELECT *,
+    CASE WHEN cast(floor(length(content) / 4) AS INT) >= {config.CHUNK_MIN_TOKENS}
+              AND len(regexp_extract_all(concat(' ', trim(content)), '\\s["{{\\[A-Z]'))::DOUBLE
+                  / greatest(len(string_split_regex(trim(content), '\\s+')), 1)
+                  > {config.CHUNK_DENSITY_THRESHOLD}
+         THEN cast(ceil(greatest(length(content) - {size_chars}, 0) / {stride}.0) AS INT) + 1
+         ELSE 1 END AS n_chunks
+  FROM ep_base
+),
+episodes AS (
+  SELECT
+    CASE WHEN ck = 0 THEN uuid
+         ELSE concat(uuid, '#', CAST(ck AS VARCHAR)) END        AS uuid,
+    CASE WHEN ck = 0 THEN name
+         ELSE concat(name, '#chunk', CAST(ck AS VARCHAR)) END   AS name,
+    group_id, saga, source, source_description,
+    substring(content, ck * {stride} + 1, {size_chars})         AS content,
+    valid_at, created_at, content_sha256
+  FROM (SELECT *, unnest(range(0, n_chunks)) AS ck FROM ep_gate)
+)"""
 
 
 __all__ = [
     "episodes_from_source_files",
     "episodes_sql",
     "episodes_oracle_sql",
+    "episodes_oracle_ctes",
     "chunk_episodes",
     "should_chunk",
     "estimate_tokens",

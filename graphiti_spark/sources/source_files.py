@@ -56,14 +56,40 @@ _DIALECT = {
 #   - 'Pipeline-Orchestrated': REJECT boundary — J = 0.8 vs
 #     'Pipeline-Orchestrator' (and ≈ 0.818 for Data-Pipeline-* vs
 #     Pipeline-*), both engines must NOT merge it.
+#   - doc_id % 41 = 13 (FIRST case — the content must stay pure synthetic):
+#     a ~30 KB dense document that TRIPS the chunking gate
+#     (content_chunking.py:59-143: est. tokens 7502 >= 1000, capitalized
+#     density 0.8 > 0.15) and splits into 3 overlapping chunks — so the
+#     default-on chunk path (gate, stride slicing, '#k' provenance
+#     suffixes) flows hash-checked through the whole kg oracle suite
+#     instead of only unit tests. 968 repeats * 31 chars = 30008 chars →
+#     ceil((30008-12000)/11200)+1 = 3 chunks.
+#   - doc_id % 43 = 17 / % 47 = 19 / % 53 = 23 (appended last, lowest
+#     precedence): facts carrying EXPLICIT temporal phrases as hyphenated
+#     tokens ('since-2020', 'from-2015-to-2019', 'until-2023'), so the
+#     second-chance timestamp parse (edge_operations.py:576-620) runs
+#     end-to-end: a parsed invalid_at — not the contradiction window —
+#     closes the 'from-to' fact and the as-of slice reflects it.
 _VARIANT_CONTENT = (
-    "CASE WHEN doc_id % 11 = 3 THEN concat(text, ' Pipeline-Orchestrator')"
+    "CASE WHEN doc_id % 41 = 13 THEN repeat('Alpha Beta Gamma Delta service ', 968)"
+    " WHEN doc_id % 11 = 3 THEN concat(text, ' Pipeline-Orchestrator')"
     " WHEN doc_id % 11 = 7 THEN concat(text, ' pipeline.orchestrator')"
     " WHEN doc_id % 13 = 4 THEN concat(text, ' Kubernetes Deployment')"
     " WHEN doc_id % 13 = 9 THEN concat(text, ' kubernetes deployment')"
     " WHEN doc_id % 17 = 5 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrators')"
     " WHEN doc_id % 19 = 6 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrator')"
     " WHEN doc_id % 23 = 7 THEN concat(text, ' Pipeline-Orchestrated')"
+    " WHEN doc_id % 43 = 17 THEN concat(text, ' Feature-Flags enabled since-2020')"
+    " WHEN doc_id % 47 = 19 THEN concat(text, ' Monolith-Era active from-2015-to-2019')"
+    " WHEN doc_id % 53 = 23 THEN concat(text, ' Legacy-Auth deprecated until-2023')"
+    # Central-Hub chain (doc_id % 55 = 50 ⇒ always megacorp/monorepo): one
+    # entity adjacent to 40 distinct link tokens → ~79 distinct facts →
+    # grown summary > 2×MAX_SUMMARY_CHARS, so the append_fact_summaries
+    # gate REJECT branch (keep base summary) is exercised by the oracle
+    # corpus, not only the accept/truncate branch.
+    " WHEN doc_id % 55 = 50 THEN concat(text, ' ', '"
+    + " ".join(f"Central-Hub link-{i:02d}" for i in range(40))
+    + "')"
     " ELSE text END"
 )
 

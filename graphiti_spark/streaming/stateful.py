@@ -24,7 +24,7 @@ if TYPE_CHECKING:
     import pandas as pd
 
 OUTPUT_SCHEMA = (
-    "group_id string, n_episodes bigint, "
+    "group_id string, saga string, n_episodes bigint, "
     "last_summarized_episode_valid_at timestamp, first_episode_uuid string, "
     "last_episode_uuid string"
 )
@@ -58,6 +58,7 @@ def _update_saga(
         [
             {
                 "group_id": key[0],
+                "saga": key[1],
                 "n_episodes": n,
                 "last_summarized_episode_valid_at": max_va,
                 "first_episode_uuid": first_u,
@@ -68,11 +69,18 @@ def _update_saga(
 
 
 def saga_watermarks(episode_stream: DataFrame) -> DataFrame:
-    """episode stream (uuid, group_id, valid_at, ...) → per-group saga
-    state, emitted each trigger with updated watermarks/counters."""
+    """episode stream (uuid, group_id, [saga,] valid_at, ...) → per-saga
+    state, emitted each trigger with updated watermarks/counters. Keyed by
+    (group_id, saga) — the NAMED-saga grain of the batch twin
+    (operators/saga.build_saga_nodes); streams lacking the saga column
+    fall back to saga == group_id."""
+    from pyspark.sql import functions as F
+
+    if "saga" not in episode_stream.columns:
+        episode_stream = episode_stream.withColumn("saga", F.col("group_id"))
     return (
-        episode_stream.select("group_id", "uuid", "valid_at")
-        .groupBy("group_id")
+        episode_stream.select("group_id", "saga", "uuid", "valid_at")
+        .groupBy("group_id", "saga")
         .applyInPandasWithState(
             _update_saga,
             outputStructType=OUTPUT_SCHEMA,

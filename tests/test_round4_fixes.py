@@ -88,6 +88,85 @@ def test_add_triplet_self_loop_no_duplicate_nodes(spark, sf_dir):
     assert dup == 0
 
 
+def test_ingest_enriches_summaries_and_converges(spark, sf_dir, tmp_path_factory):
+    """append_fact_summaries is wired into store ingest: node summaries
+    grow from their facts; incremental ingest converges to the bulk
+    result (summary = pure function of merged name + live fact set); the
+    2×MAX_SUMMARY_CHARS gate keeps high-degree nodes at the base."""
+    src = synth_source_files(spark, sf_dir)
+    sb = GraphStore(spark, str(tmp_path_factory.mktemp("sumb")), n_buckets=4)
+    gb = GraphitiSpark(spark, store=sb)
+    gb.add_episode_bulk(src, fuzzy=False)
+    bulk = {
+        r["uuid"]: r["summary"]
+        for r in sb.read("nodes").select("uuid", "summary").collect()
+    }
+    assert any(". " in s for s in bulk.values())  # enriched rows exist
+    # (the over-gate KEEP-BASE branch needs the Central-Hub corpus variant,
+    # present from sf0.01 up — covered by the kg_node_summaries oracle row)
+    si = GraphStore(spark, str(tmp_path_factory.mktemp("sumi")), n_buckets=4)
+    gi = GraphitiSpark(spark, store=si)
+    gi.add_episode_bulk(src.where("file_seq % 2 = 0"), fuzzy=False)
+    gi.add_episode_bulk(src.where("file_seq % 2 = 1"), fuzzy=False)
+    inc = {
+        r["uuid"]: r["summary"]
+        for r in si.read("nodes").select("uuid", "summary").collect()
+    }
+    assert inc == bulk
+
+
+def test_named_sagas(spark, sf_dir, tmp_path_factory):
+    """Named sagas (graphiti.py:980-1228): multiple sagas per group, saga
+    chain tables keyed (group_id, saga), retrieve_episodes(saga=...)
+    filters genuinely by saga name."""
+    from graphiti_spark.operators.saga import build_saga_nodes
+
+    src = synth_source_files(spark, sf_dir)
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("nsaga")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(src, fuzzy=False)
+    sagas = store.read("sagas").drop("bucket")
+    per_group = sagas.groupBy("group_id").count().where("count >= 2")
+    assert per_group.count() > 0  # >= 2 named sagas in one group
+    # saga names come from the path package dir, not the group
+    names = {r["name"] for r in sagas.select("name").distinct().collect()}
+    assert any(n.startswith("pkg") for n in names)
+    # retrieve_episodes(saga=...) returns only that saga's episodes
+    row = sagas.where(F.col("name").startswith("pkg")).limit(1).collect()[0]
+    eps = g.retrieve_episodes(
+        "2026-01-01 00:00:00", last_n=100,
+        group_ids=[row["group_id"]], saga=row["name"],
+    )
+    got = {r["uuid"] for r in eps.collect()}
+    assert got  # non-empty
+    member = {
+        r["uuid"]
+        for r in store.read("episodes")
+        .where((F.col("group_id") == row["group_id"]) & (F.col("saga") == row["name"]))
+        .select("uuid").collect()
+    }
+    assert got <= member
+    # NEXT_EPISODE chains never cross a saga boundary
+    nxt = store.read("next_episode_edges").drop("bucket")
+    ep_saga = store.read("episodes").select(
+        F.col("uuid").alias("source_node_uuid"), F.col("saga").alias("_s_src")
+    )
+    ep_saga2 = store.read("episodes").select(
+        F.col("uuid").alias("target_node_uuid"), F.col("saga").alias("_s_dst")
+    )
+    crossing = (
+        nxt.join(ep_saga, "source_node_uuid")
+        .join(ep_saga2, "target_node_uuid")
+        .where(F.col("_s_src") != F.col("_s_dst"))
+        .count()
+    )
+    assert crossing == 0
+    # legacy frames without a saga column still derive (saga == group_id)
+    legacy = store.read("episodes").drop("bucket", "saga")
+    legacy_sagas = build_saga_nodes(legacy)
+    assert legacy_sagas.where(F.col("name") != F.col("group_id")).count() == 0
+
+
 def test_kmeans_empty_input_raises(spark):
     from graphiti_spark.operators.similarity import kmeans_centroids
 

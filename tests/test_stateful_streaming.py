@@ -64,20 +64,20 @@ def test_saga_watermarks_accumulate_across_batches(spark, sf_dir, tmp_path_facto
     )
     q.awaitTermination(180)
 
-    # final state per group: counters equal the batch-mode truth
+    # final state per (group, saga): counters equal the batch-mode truth
     out = spark.sql(
-        """SELECT group_id, max(n_episodes) AS n,
+        """SELECT group_id, saga, max(n_episodes) AS n,
                   max(last_summarized_episode_valid_at) AS wm
-           FROM saga_out GROUP BY group_id"""
+           FROM saga_out GROUP BY group_id, saga"""
     ).collect()
     truth = {
-        r["group_id"]: (r["n"], r["wm"])
+        (r["group_id"], r["saga"]): (r["n"], r["wm"])
         for r in episodes_from_source_files(
             synth_source_files(spark, "/root/testdata/sf0.001").limit(80), chunk=False
         )
-        .groupBy("group_id")
+        .groupBy("group_id", "saga")
         .agg(F.count("*").alias("n"), F.max("valid_at").alias("wm"))
         .collect()
     }
-    got = {r["group_id"]: (r["n"], r["wm"]) for r in out}
+    got = {(r["group_id"], r["saga"]): (r["n"], r["wm"]) for r in out}
     assert got == truth

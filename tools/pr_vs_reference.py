@@ -49,6 +49,8 @@ def label(t: str) -> str:
 def variant_content(doc_id: int, text: str) -> str:
     """The synthesis-time variant injection (sources/source_files.py
     _VARIANT_CONTENT), reproduced independently."""
+    if doc_id % 41 == 13:  # the dense ~30 KB chunk-gate variant
+        return "Alpha Beta Gamma Delta service " * 968
     if doc_id % 11 == 3:
         return text + " Pipeline-Orchestrator"
     if doc_id % 11 == 7:
@@ -63,7 +65,34 @@ def variant_content(doc_id: int, text: str) -> str:
         return text + " Scheduler invokes Data-Pipeline-Orchestrator"
     if doc_id % 23 == 7:
         return text + " Pipeline-Orchestrated"
+    if doc_id % 43 == 17:
+        return text + " Feature-Flags enabled since-2020"
+    if doc_id % 47 == 19:
+        return text + " Monolith-Era active from-2015-to-2019"
+    if doc_id % 53 == 23:
+        return text + " Legacy-Auth deprecated until-2023"
+    if doc_id % 55 == 50:  # Central-Hub high-degree chain (megacorp)
+        chain = " ".join(f"Central-Hub link-{i:02d}" for i in range(40))
+        return text + " " + chain
     return text
+
+
+def chunk_pieces(content: str) -> list[str]:
+    """The chunk derivation (utils/content_chunking.py:39-143 as ported in
+    sources/episodes.py): token-estimate + capitalized-density gate, then
+    overlapping character-stride slices."""
+    import math
+    import re
+
+    size, stride = 12000, 11200  # CHUNK_TOKEN_SIZE*4 / (SIZE-OVERLAP)*4
+    est_tokens = len(content) // 4
+    n_toks = max(len(re.split(r"\s+", content.strip())), 1)
+    dense = len(re.findall(r'\s["{\[A-Z]', " " + content.strip()))
+    gate = est_tokens >= 1000 and dense / n_toks > 0.15
+    if not gate:
+        return [content]
+    k = math.ceil(max(len(content) - size, 0) / stride) + 1
+    return [content[i * stride: i * stride + size] for i in range(k)]
 
 
 def fuzzy_form(norm: str) -> str:
@@ -100,9 +129,12 @@ def reference_skeleton(rows):
     for r in rows:
         valid_at = dt.datetime(2024, 1, 1) + dt.timedelta(days=int(r["doc_id"]) % 365)
         source = "text" if r["lang"] == "en" else ("json" if r["lang"] == "zh" else "message")
-        episodes.append(dict(group=r["repo"],
-                             content=variant_content(int(r["doc_id"]), r["text"]),
-                             valid_at=valid_at, source=source))
+        content = variant_content(int(r["doc_id"]), r["text"])
+        # default-on chunking (graphiti.py:1319-1343 chunks RawEpisodes
+        # before extraction): each chunk is its own episode
+        for piece in chunk_pieces(content):
+            episodes.append(dict(group=r["repo"], content=piece,
+                                 valid_at=valid_at, source=source))
 
     # --- per-episode extraction + sequential cross-episode canonical pool
     # (bulk_utils.py:374-486: iterate episodes, resolve each batch of
@@ -202,6 +234,38 @@ def reference_skeleton(rows):
             renamed[k] = e
     edges = renamed
 
+    # --- second-chance timestamps (edge_operations.py:576-620): explicit
+    # temporal phrases in the fact text set the validity window; a parsed
+    # end closes the fact without any contradiction
+    import datetime as dt
+    import re
+
+    def parse_ts(fact: str):
+        pv = piv = None
+        m = re.search(r"\bfrom[- ](\d{4})[- ]to[- ](\d{4})\b", fact)
+        ms = re.search(r"\bsince[- ](\d{4})\b", fact)
+        miso = re.search(r"\b(\d{4})-(\d{2})-(\d{2})\b", fact)
+        if ms:
+            pv = dt.datetime(int(ms.group(1)), 1, 1)
+        elif m:
+            pv = dt.datetime(int(m.group(1)), 1, 1)
+        elif miso:
+            pv = dt.datetime(*map(int, miso.groups()))
+        mu = re.search(r"\buntil[- ](\d{4})\b", fact)
+        if m:
+            piv = dt.datetime(int(m.group(2)), 1, 1)
+        elif mu:
+            piv = dt.datetime(int(mu.group(1)), 1, 1)
+        return pv, piv
+
+    for (g, s, p, o), e in edges.items():
+        pv, piv = parse_ts(f"{s} {p} {o}")
+        if pv is not None:
+            e["valid_at"] = pv
+        e["_piv"] = piv
+        if piv is not None:
+            e["invalid_at"] = piv
+
     # --- bi-temporal invalidation (edge_operations.py:538-573, 825-839):
     # per (group, subject, exclusive predicate), candidates in ascending
     # valid_at order; each edge expires at the earliest strictly-later one
@@ -217,7 +281,8 @@ def reference_skeleton(rows):
         for i, v in enumerate(times):
             nxt[v] = times[i + 1] if i + 1 < len(times) else None
         for v, k in lst:
-            edges[k]["invalid_at"] = nxt[v]
+            if edges[k]["_piv"] is None:  # text-closed facts stay closed
+                edges[k]["invalid_at"] = nxt[v]
     return edges
 
 
