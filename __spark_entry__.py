@@ -75,6 +75,30 @@ def _q_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_mentions_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-type exclusion in extraction (excluded_entity_types,
+    node_operations.py:70-149): mentions of the excluded label are absent
+    from the extraction result."""
+    from graphiti_spark.operators.extraction import extract_mentions
+
+    return extract_mentions(
+        _graph(spark, sf_dir).episodes, excluded_entity_types=("Operation",)
+    ).select("mention_uuid", "episode_uuid", "group_id", "name", "label")
+
+
+def _q_kg_triples_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge validation against exclusions (edge_operations.py:217-230):
+    triples with an excluded-label endpoint are dropped."""
+    from graphiti_spark.operators.extraction import extract_triples
+
+    return extract_triples(
+        _graph(spark, sf_dir).episodes, excluded_entity_types=("Operation",)
+    ).select(
+        "episode_uuid", "group_id", "subj_name", "predicate", "obj_name",
+        "fact", "valid_at",
+    )
+
+
 def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph(spark, sf_dir).canonical_map.select(
         "alias_uuid", "canonical_uuid", "group_id"
@@ -562,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episodes": _q_episodes,
         "kg_mentions": _q_mentions,
         "kg_triples_raw": _q_triples_raw,
+        "kg_mentions_excluded": _q_kg_mentions_excluded,
+        "kg_triples_excluded": _q_kg_triples_excluded,
         "kg_canonical_map": _q_canonical_map,
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,

@@ -27,6 +27,22 @@ def _materialize(df) -> int:
     return 0
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this box has measured
+    hypervisor CPU steal up to ~7% under tenant load (BASELINE.md), so
+    every scaling run annotates the steal it observed."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.plans.pipeline import build_graph, current_triples
     from graphiti_spark.sources import synth_source_files
@@ -112,27 +128,39 @@ def main() -> None:
         # old 12288 default (2M files OOMed one 12 GB executor — an input
         # ceiling of the N=1 cell, not a plan property).
         exec_mem = int(os.environ.get("SPARK_GRAFT_EXEC_MEM", "20480"))
-        results = {}
+        # min-of-N protocol, codified (BASELINE.md: walls vary ±35% under
+        # tenant load): each cluster size runs SPARK_GRAFT_SCALING_RUNS
+        # times, the MIN wall is the measurement, and per-run /proc/stat
+        # steal%% is recorded so a steal-inflated run is visible inline.
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
+        results: dict[int, tuple[float, int]] = {}
+        steals: dict[int, list[float]] = {}
         for n in (base, base * 4):
-            spark = (
-                SparkSession.builder.master(f"local-cluster[{n},1,{exec_mem}]")
-                .appName(f"bench-exec{n}")
-                .config("spark.sql.shuffle.partitions", "8")
-                .config("spark.sql.adaptive.enabled", "true")
-                .config("spark.sql.session.timeZone", "UTC")
-                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-                .config("spark.submit.pyFiles", zip_path)
-                .config("spark.ui.enabled", "false")
-                .getOrCreate()
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            spark.sparkContext.addPyFile(zip_path)
-            src = generate_source_files(spark, n_files)
-            t0 = _t.perf_counter()
-            g = build_graph(src)
-            n_edges = g.edges.count()
-            results[n] = (_t.perf_counter() - t0, n_edges)
-            spark.stop()
+            walls, n_edges = [], 0
+            steals[n] = []
+            for _ in range(n_runs):
+                spark = (
+                    SparkSession.builder.master(f"local-cluster[{n},1,{exec_mem}]")
+                    .appName(f"bench-exec{n}")
+                    .config("spark.sql.shuffle.partitions", "8")
+                    .config("spark.sql.adaptive.enabled", "true")
+                    .config("spark.sql.session.timeZone", "UTC")
+                    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                    .config("spark.submit.pyFiles", zip_path)
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate()
+                )
+                spark.sparkContext.setLogLevel("ERROR")
+                spark.sparkContext.addPyFile(zip_path)
+                src = generate_source_files(spark, n_files)
+                j0 = _cpu_jiffies()
+                t0 = _t.perf_counter()
+                g = build_graph(src)
+                n_edges = g.edges.count()
+                walls.append(_t.perf_counter() - t0)
+                steals[n].append(_steal_pct(j0, _cpu_jiffies()))
+                spark.stop()
+            results[n] = (min(walls), n_edges)
         lo, hi = base, base * 4
         tp_lo = results[lo][1] / results[lo][0]
         tp_hi = results[hi][1] / results[hi][0]
@@ -145,7 +173,10 @@ def main() -> None:
                 f"triples_per_sec_n{hi}": round(tp_hi, 1),
                 f"wall_sec_n{lo}": round(results[lo][0], 1),
                 f"wall_sec_n{hi}": round(results[hi][0], 1),
+                f"steal_pct_n{lo}": max(steals[lo]),
+                f"steal_pct_n{hi}": max(steals[hi]),
             },
+            "runs_per_level": n_runs,
             "sf": float(n_files),
             "triples": results[hi][1],
         }))

@@ -485,6 +485,8 @@ class GraphitiSpark:
     def add_episode_bulk(
         self, source_files: DataFrame, fuzzy: bool = True,
         update_communities: bool = False,
+        catalog: "dict[str, tuple[str, ...]] | None" = None,
+        excluded_entity_types: tuple[str, ...] = (),
     ) -> GraphTables:
         """Batch ingest. With a store attached, new mentions are resolved
         against the LIVE graph first via the persistent name_index — the
@@ -494,7 +496,8 @@ class GraphitiSpark:
         node_operations.py:627-708). Without this, batch-local canonical
         ids would drift across incremental ingests."""
         g = build_graph(
-            source_files, fuzzy=fuzzy, full_provenance=self.full_provenance
+            source_files, fuzzy=fuzzy, full_provenance=self.full_provenance,
+            catalog=catalog, excluded_entity_types=excluded_entity_types,
         )
         if self.store is not None:
             existing = self.store.read("name_index")
@@ -1216,6 +1219,44 @@ class GraphitiSpark:
         return bfs_nodes(
             self._table("edges"), self._table("nodes"), origin_uuids, max_depth
         )
+
+    def get_between_nodes(self, node1_uuid: str, node2_uuid: str) -> DataFrame:
+        """Edges between two entities, both orientations — the reference's
+        point query (namespaces/edges.py:92, used by add_episode step 6d,
+        edge_operations.py:365-370)."""
+        e = self._table("edges")
+        n1, n2 = F.lit(node1_uuid), F.lit(node2_uuid)
+        return e.where(
+            ((F.col("source_node_uuid") == n1) & (F.col("target_node_uuid") == n2))
+            | ((F.col("source_node_uuid") == n2) & (F.col("target_node_uuid") == n1))
+        )
+
+    def episodes_with_entity_edges(
+        self, episode_uuids: list[str] | None = None
+    ) -> DataFrame:
+        """The episode's ``entity_edges`` back-pointer projection
+        (nodes.py:318-332): one row per (episode_uuid, edge_uuid,
+        group_id). EXACT from the full-provenance pair table when the
+        facade runs with ``full_provenance=True`` (same completeness gate
+        as remove_episode); otherwise derived from the capped per-edge
+        provenance arrays — complete for edges under
+        EDGE_EPISODE_PROVENANCE_CAP, best-effort above it."""
+        prov = (
+            self.store.read("edge_episodes")
+            if (self.store is not None and self.full_provenance)
+            else None
+        )
+        if prov is not None:
+            out = prov.drop("bucket").select("episode_uuid", "edge_uuid", "group_id")
+        else:
+            out = self._table("edges").select(
+                F.col("uuid").alias("edge_uuid"),
+                "group_id",
+                F.explode("episodes").alias("episode_uuid"),
+            ).select("episode_uuid", "edge_uuid", "group_id")
+        if episode_uuids:
+            out = out.where(F.col("episode_uuid").isin(*episode_uuids))
+        return out
 
     def get_mentioned_nodes(self, episode_uuids: list[str]) -> DataFrame:
         """Entities mentioned by the given episodes (search_utils.py:116)."""

@@ -64,12 +64,25 @@ PREDICATES = {
 DEFAULT_PREDICATE = "MENTIONED_WITH"
 
 
-def _label_col(name: Column) -> Column:
-    return (
-        F.when(name.isin(*OPERATION_VOCAB), F.lit("Operation"))
-        .when(name.isin(*OBJECT_VOCAB), F.lit("Object"))
-        .otherwise(F.lit("Concept"))
-    )
+# the default entity-type catalog: label -> membership vocabulary, with
+# 'Concept' the open fallback class. The reference passes an entity-type
+# catalog (Pydantic models) into extract_nodes (node_operations.py:70-149);
+# here a catalog is an ordered {label: vocab} dict with the same role.
+DEFAULT_CATALOG: dict[str, tuple[str, ...]] = {
+    "Operation": OPERATION_VOCAB,
+    "Object": OBJECT_VOCAB,
+}
+FALLBACK_LABEL = "Concept"
+
+
+def _label_col(
+    name: Column, catalog: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    expr = None
+    for label, vocab in (catalog or DEFAULT_CATALOG).items():
+        clause = F.when(name.isin(*vocab), F.lit(label))
+        expr = clause if expr is None else expr.when(name.isin(*vocab), F.lit(label))
+    return expr.otherwise(F.lit(FALLBACK_LABEL))
 
 
 def _min_len_col(source: Column) -> Column:
@@ -87,15 +100,25 @@ def _qualifying_tokens(content: Column, min_len: Column | None = None) -> Column
     return F.filter(F.split(content, " "), lambda t: F.length(t) >= ml)
 
 
-def extract_mentions(episodes: DataFrame) -> DataFrame:
+def extract_mentions(
+    episodes: DataFrame,
+    catalog: dict[str, tuple[str, ...]] | None = None,
+    excluded_entity_types: tuple[str, ...] = (),
+) -> DataFrame:
     """episodes → per-episode entity mentions (MENTIONS_RAW schema).
 
     Distinct names per episode = the reference's same-batch exact-duplicate
     collapse (node_operations.py:336-384). No shuffle: explode + project.
+
+    ``catalog`` swaps the entity-type vocabulary (the deterministic analog
+    of the reference's entity-type model catalog, node_operations.py:70-
+    149); ``excluded_entity_types`` drops mentions whose label is excluded
+    (the ``excluded_entity_types`` parameter of graphiti.add_episode —
+    node_operations.py:135-149 filters them out of the extraction result).
     """
     name = F.col("name")
     toks = _qualifying_tokens(F.col("content"), _min_len_col(F.col("source")))
-    return (
+    out = (
         episodes.select(
             F.col("uuid").alias("episode_uuid"),
             "group_id",
@@ -107,10 +130,13 @@ def extract_mentions(episodes: DataFrame) -> DataFrame:
             "episode_uuid",
             "group_id",
             "name",
-            _label_col(name).alias("label"),
+            _label_col(name, catalog).alias("label"),
             "valid_at",
         )
     )
+    if excluded_entity_types:
+        out = out.where(~F.col("label").isin(*excluded_entity_types))
+    return out
 
 
 def _predicate_col(subj_label: Column, obj_label: Column) -> Column:
@@ -120,7 +146,12 @@ def _predicate_col(subj_label: Column, obj_label: Column) -> Column:
     return expr
 
 
-def extract_triples(episodes: DataFrame, distinct: bool = True) -> DataFrame:
+def extract_triples(
+    episodes: DataFrame,
+    distinct: bool = True,
+    catalog: dict[str, tuple[str, ...]] | None = None,
+    excluded_entity_types: tuple[str, ...] = (),
+) -> DataFrame:
     """episodes → raw triples (pre-resolution), one row per distinct
     (episode, subj, pred, obj).
 
@@ -128,6 +159,13 @@ def extract_triples(episodes: DataFrame, distinct: bool = True) -> DataFrame:
     construction members of the episode's mention set (the reference
     validates this by name, edge_operations.py:217-230). valid_at = the
     episode's reference time (fallback semantics).
+
+    ``excluded_entity_types``: edge validation against exclusions — a
+    triple either of whose endpoints carries an excluded label is dropped
+    (edge_operations.py:217-230 drops edges referencing entities the
+    extraction excluded); adjacency is NOT re-spliced, matching the
+    reference. ``catalog`` swaps the label vocabulary consistently with
+    :func:`extract_mentions`.
 
     ``distinct=False`` skips the per-episode dedup shuffle — correct when
     the consumer is an aggregation whose key subsumes (episode, subj,
@@ -151,14 +189,21 @@ def extract_triples(episodes: DataFrame, distinct: bool = True) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     subj = F.element_at("_toks", F.col("_i"))
     obj = F.element_at("_toks", F.col("_i") + 1)
-    sl, ol = _label_col(subj), _label_col(obj)
+    sl, ol = _label_col(subj, catalog), _label_col(obj, catalog)
     pred = _predicate_col(sl, ol)
+    keep = subj != obj  # self-edge drop
+    if excluded_entity_types:
+        keep = (
+            keep
+            & ~sl.isin(*excluded_entity_types)
+            & ~ol.isin(*excluded_entity_types)
+        )
     out = (
         toked.select(
             "episode_uuid", "group_id", "valid_at", "_toks",
             F.explode(idx).alias("_i"),
         )
-        .where(subj != obj)  # self-edge drop
+        .where(keep)
         .select(
             "episode_uuid",
             "group_id",

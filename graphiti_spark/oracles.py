@@ -337,6 +337,33 @@ SELECT mention_uuid, episode_uuid, group_id, name, label FROM mentions""",
         + """
 SELECT episode_uuid, group_id, subj_name, predicate, obj_name, fact, valid_at
 FROM triples_raw""",
+        # entity-type exclusion (excluded_entity_types,
+        # node_operations.py:70-149 / graphiti.add_episode signature):
+        # excluded-label mentions are absent, and edge validation drops
+        # triples either of whose endpoints carried the excluded label
+        # (edge_operations.py:217-230) — adjacency is not re-spliced
+        "kg_mentions_excluded": p
+        + """
+SELECT mention_uuid, episode_uuid, group_id, name, label
+FROM mentions WHERE label <> 'Operation'""",
+        "kg_triples_excluded": p
+        + f"""
+SELECT DISTINCT episode_uuid, group_id, subj_name, predicate, obj_name,
+       fact, valid_at
+FROM (
+  SELECT a.episode_uuid, a.group_id, a.valid_at,
+         a.tok AS subj_name, b.tok AS obj_name,
+         {_predicate_case(_label_case('a.tok'), _label_case('b.tok'))} AS predicate,
+         concat_ws(' ', a.tok,
+                   {_predicate_case(_label_case('a.tok'), _label_case('b.tok'))},
+                   b.tok) AS fact
+  FROM tok_pos a
+  JOIN tok_pos b
+    ON a.episode_uuid = b.episode_uuid AND b.pos = a.pos + 1
+  WHERE a.tok <> b.tok
+    AND {_label_case('a.tok')} <> 'Operation'
+    AND {_label_case('b.tok')} <> 'Operation'
+)""",
         "kg_canonical_map": p
         + """
 SELECT alias_uuid, canonical_uuid, group_id FROM canonical_map""",

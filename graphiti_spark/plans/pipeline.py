@@ -64,6 +64,8 @@ def build_graph(
     chunk: bool = True,
     persist_episodes: bool = True,
     full_provenance: bool = False,
+    catalog: "dict[str, tuple[str, ...]] | None" = None,
+    excluded_entity_types: tuple[str, ...] = (),
 ) -> GraphTables:
     """Run the full construction pipeline (lazily — nothing executes until
     the returned DataFrames are acted on, so Catalyst sees whole plans).
@@ -88,10 +90,15 @@ def build_graph(
             "uuid", "group_id", "valid_at", "source", "content"
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    mentions_raw = extract_mentions(ex_input)
+    mentions_raw = extract_mentions(
+        ex_input, catalog=catalog, excluded_entity_types=excluded_entity_types
+    )
     # distinct=False: dedupe_then_resolve's aggregation subsumes the
     # per-episode distinct — saves one full shuffle of the triple stream
-    triples_raw = extract_triples(ex_input, distinct=False)
+    triples_raw = extract_triples(
+        ex_input, distinct=False, catalog=catalog,
+        excluded_entity_types=excluded_entity_types,
+    )
 
     nodes, canonical_map, name_map, fuzzy_remap = resolve_nodes(
         mentions_raw, fuzzy=fuzzy

@@ -70,8 +70,10 @@ _DIALECT = {
 #     second-chance timestamp parse (edge_operations.py:576-620) runs
 #     end-to-end: a parsed invalid_at — not the contradiction window —
 #     closes the 'from-to' fact and the as-of slice reflects it.
-_VARIANT_CONTENT = (
-    "CASE WHEN doc_id % 41 = 13 THEN repeat('Alpha Beta Gamma Delta service ', 968)"
+# the round-1..3 fuzzy-boundary cases — shared by the oracle corpus AND
+# the generated benchmark corpus (kept identical across rounds so scaling
+# measurements stay comparable)
+_VARIANT_CASES_BASE = (
     " WHEN doc_id % 11 = 3 THEN concat(text, ' Pipeline-Orchestrator')"
     " WHEN doc_id % 11 = 7 THEN concat(text, ' pipeline.orchestrator')"
     " WHEN doc_id % 13 = 4 THEN concat(text, ' Kubernetes Deployment')"
@@ -79,6 +81,11 @@ _VARIANT_CONTENT = (
     " WHEN doc_id % 17 = 5 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrators')"
     " WHEN doc_id % 19 = 6 THEN concat(text, ' Scheduler invokes Data-Pipeline-Orchestrator')"
     " WHEN doc_id % 23 = 7 THEN concat(text, ' Pipeline-Orchestrated')"
+)
+
+_VARIANT_CONTENT = (
+    "CASE WHEN doc_id % 41 = 13 THEN repeat('Alpha Beta Gamma Delta service ', 968)"
+    + _VARIANT_CASES_BASE +
     " WHEN doc_id % 43 = 17 THEN concat(text, ' Feature-Flags enabled since-2020')"
     " WHEN doc_id % 47 = 19 THEN concat(text, ' Monolith-Era active from-2015-to-2019')"
     " WHEN doc_id % 53 = 23 THEN concat(text, ' Legacy-Auth deprecated until-2023')"
@@ -92,6 +99,15 @@ _VARIANT_CONTENT = (
     + "')"
     " ELSE text END"
 )
+
+# generated BENCHMARK corpus variant: the base boundary cases only. The
+# round-4 additions (30 KB chunk-gate docs, temporal phrases, the
+# Central-Hub chain) are ORACLE-COVERAGE injections for the test corpus;
+# putting 2.4% 30 KB documents into the generated corpus would multiply
+# its raw-triple volume ~17x and break wall-clock comparability of the
+# scaling evidence against rounds 1-3 (BASELINE.md protocol: same job,
+# same input composition, two cluster sizes).
+_VARIANT_CONTENT_BENCH = "CASE" + _VARIANT_CASES_BASE + " ELSE text END"
 
 # documents(doc_id, text, lang, source, n_chars) -> source_files
 # Skew knob: every 5th document lands in one mega-repo (~20% of rows), the
@@ -191,7 +207,7 @@ def generate_source_files(
     df.createOrReplaceTempView("gs_documents_gen")
     sql = _SRC_TEMPLATE.format(
         str="STRING", sha_open="sha2(", sha_close=", 256)",
-        documents="gs_documents_gen", variant=_VARIANT_CONTENT,
+        documents="gs_documents_gen", variant=_VARIANT_CONTENT_BENCH,
     )
     # widen repo space beyond the test mapping when asked
     if n_repos != 100 or mega_repo_share != 5:

@@ -175,6 +175,75 @@ def test_kmeans_empty_input_raises(spark):
         kmeans_centroids(empty)
 
 
+def test_entity_type_catalog_and_exclusions(spark, sf_dir):
+    """Custom label catalog + excluded_entity_types flow through
+    extraction (node_operations.py:70-149): excluded-label mentions are
+    absent, and edge validation drops triples whose endpoint was excluded
+    (edge_operations.py:217-230)."""
+    from graphiti_spark.operators.extraction import (
+        extract_mentions,
+        extract_triples,
+    )
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    eps = episodes_from_source_files(synth_source_files(spark, sf_dir).limit(30))
+    # custom catalog: new label vocabulary drives labeling
+    cat = {"Tooling": ("spark", "kafka"), "Object": ("table", "query")}
+    m = extract_mentions(eps, catalog=cat)
+    labels = {r["label"] for r in m.select("label").distinct().collect()}
+    assert "Tooling" in labels and "Operation" not in labels
+    # exclusion: no excluded-label mention survives
+    mx = extract_mentions(eps, excluded_entity_types=("Operation",))
+    assert mx.where(F.col("label") == "Operation").count() == 0
+    # edge validation: no triple endpoint carries the excluded label
+    tx = extract_triples(eps, excluded_entity_types=("Operation",))
+    from graphiti_spark.operators.extraction import OPERATION_VOCAB
+
+    bad = tx.where(
+        F.col("subj_name").isin(*OPERATION_VOCAB)
+        | F.col("obj_name").isin(*OPERATION_VOCAB)
+    ).count()
+    assert bad == 0
+    # exclusion drops rows relative to the unfiltered extraction
+    assert tx.count() < extract_triples(eps).count()
+    # facade passthrough builds a graph with no excluded-label nodes
+    g = GraphitiSpark(spark)
+    tables = g.add_episode_bulk(
+        synth_source_files(spark, sf_dir).limit(10),
+        fuzzy=False, excluded_entity_types=("Operation",),
+    )
+    assert (
+        tables.nodes.where(F.array_contains("labels", "Operation")).count() == 0
+    )
+
+
+def test_between_nodes_and_entity_edges(spark, sf_dir, tmp_path_factory):
+    """get_between_nodes point query (namespaces/edges.py:92) and the
+    episode entity_edges back-pointer projection (nodes.py:318-332)."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("btw")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store, full_provenance=True)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir), fuzzy=False)
+    e = store.read("edges").limit(1).collect()[0]
+    both = g.get_between_nodes(e["source_node_uuid"], e["target_node_uuid"])
+    assert both.where(F.col("uuid") == e["uuid"]).count() == 1
+    # every returned edge connects exactly the two nodes (either direction)
+    pairs = {
+        (r["source_node_uuid"], r["target_node_uuid"]) for r in both.collect()
+    }
+    assert pairs <= {
+        (e["source_node_uuid"], e["target_node_uuid"]),
+        (e["target_node_uuid"], e["source_node_uuid"]),
+    }
+    # entity_edges: exact (full-provenance) projection matches the pair table
+    ep = e["episodes"][0]
+    proj = g.episodes_with_entity_edges([ep])
+    assert proj.where(F.col("edge_uuid") == e["uuid"]).count() == 1
+    # capped-array fallback agrees for under-cap edges
+    g2 = GraphitiSpark(spark, store=store, full_provenance=False)
+    proj2 = g2.episodes_with_entity_edges([ep])
+    assert proj2.where(F.col("edge_uuid") == e["uuid"]).count() == 1
+
+
 def test_quadratic_block_cap_guards(spark, sf_dir):
     from graphiti_spark.operators.dedup import dedup_ngram_jaccard
     from graphiti_spark.operators.resolution import semantic_duplicate_pairs_exact
