@@ -373,6 +373,24 @@ def _q_sr_communities(spark, sf_dir):
     )
 
 
+def _q_sr_communities_plurality(spark, sf_dir):
+    """Plurality label propagation, exactly-K synchronous rounds
+    (community_operations.py:93-138) — the DuckDB twin unrolls the
+    identical rounds as CTEs, so the reference's actual vote rule
+    (plurality weighted by edge count, tie → larger id) is hash-checked,
+    complementing the CC fixpoint variant in sr_communities."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        label_propagation_rounds,
+    )
+
+    g = _graph(spark, sf_dir)
+    adj = build_adjacency(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+    return label_propagation_rounds(adj, rounds=6)
+
+
 def _q_sr_mmr(spark, sf_dir):
     from graphiti_spark.operators.search import mmr_rerank
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -484,6 +502,52 @@ def _q_kg_next_episode_edges(spark, sf_dir):
 
     return next_episode_edges(_graph(spark, sf_dir).episodes).select(
         "source_node_uuid", "target_node_uuid", "group_id", "name"
+    )
+
+
+def _q_sr_between_nodes(spark, sf_dir):
+    """Point query: edges between two entities, both orientations
+    (get_between_nodes, namespaces/edges.py:92)."""
+    g = _graph(spark, sf_dir)
+
+    def uuid_of(name):
+        return [
+            r["uuid"] for r in g.nodes.where(
+                (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == name)
+            ).select("uuid").collect()
+        ][0]
+
+    a, b = uuid_of("spark"), uuid_of("query")
+    e = g.edges
+    return e.where(
+        ((F.col("source_node_uuid") == a) & (F.col("target_node_uuid") == b))
+        | ((F.col("source_node_uuid") == b) & (F.col("target_node_uuid") == a))
+    ).select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name", "fact"
+    )
+
+
+def _q_kg_entity_edges(spark, sf_dir):
+    """Episode → entity-edge back-pointers (the episode entity_edges
+    field, nodes.py:318-332), capped-array derivation — the same
+    projection GraphitiSpark.episodes_with_entity_edges serves without
+    full provenance."""
+    e = _graph(spark, sf_dir).edges
+    return e.select(
+        F.col("uuid").alias("edge_uuid"), "group_id",
+        F.explode("episodes").alias("episode_uuid"),
+    ).select("episode_uuid", "edge_uuid", "group_id")
+
+
+def _q_sr_saga_episodes(spark, sf_dir):
+    """Named-saga episode retrieval: retrieve_episodes(saga='pkg3') over
+    megacorp — the saga filter is a genuine per-saga predicate."""
+    from graphiti_spark.operators.search import retrieve_episodes
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    return retrieve_episodes(
+        _graph(spark, sf_dir).episodes, EPISODE_REF_TIME,
+        group_ids=["megacorp/monorepo"], saga="pkg3",
     )
 
 
@@ -631,7 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_next_episode_edges": _q_kg_next_episode_edges,
         "kg_invalidation_candidates": _q_kg_invalidation_candidates,
         "sr_communities": _q_sr_communities,
+        "sr_communities_plurality": _q_sr_communities_plurality,
         "sr_community_search": _q_sr_community_search,
+        "sr_between_nodes": _q_sr_between_nodes,
+        "kg_entity_edges": _q_kg_entity_edges,
+        "sr_saga_episodes": _q_sr_saga_episodes,
         "sr_relevant_edges": _q_sr_relevant_edges,
         "sr_node_distance": _q_sr_node_distance,
         "sr_mmr": _q_sr_mmr,

@@ -109,6 +109,41 @@ def label_propagation(
     return labels.join(canon, "label").select("group_id", "uuid", "community")
 
 
+def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame:
+    """Exactly-``rounds`` synchronous plurality rounds with NO early stop
+    and no oscillation-break round — the ORACLE-CHECKABLE form of
+    :func:`label_propagation` (identical vote rule: plurality weighted by
+    edge_count, tie → larger label, community_operations.py:93-138).
+
+    A fixed round count makes the trajectory engine-independent: the
+    DuckDB twin unrolls the same K rounds as chained CTEs
+    (oracles.plurality_lpa_sql). Past the fixpoint extra rounds are
+    no-ops, and on an oscillating bipartite core the exact-K state is
+    parity-consistent across engines — so the plurality semantics are
+    hash-checked, not only unit-tested. Output matches
+    label_propagation: (group_id, uuid, community = min member uuid)."""
+    labels = (
+        adjacency.select("group_id", F.col("a").alias("uuid"))
+        .distinct()
+        .withColumn("label", F.col("uuid"))
+    )
+    for _ in range(rounds):
+        best = _plurality_votes(adjacency, labels)
+        labels = (
+            labels.join(
+                best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
+            )
+            .select(
+                "group_id",
+                "uuid",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
+    return labels.join(canon, "label").select("group_id", "uuid", "community")
+
+
 def summarize_communities(
     assignments: DataFrame, nodes: DataFrame, max_chars: int = 1000
 ) -> DataFrame:

@@ -92,6 +92,60 @@ def _norm(col: str) -> str:
     return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
 
 
+def plurality_lpa_sql(rounds: int = 6, group: str = "megacorp/monorepo") -> str:
+    """DuckDB twin of operators.community.label_propagation_rounds:
+    ``rounds`` synchronous plurality-vote rounds unrolled as chained CTEs
+    (the same unroll technique as the Lloyd k-means oracle). Vote rule per
+    round: plurality of neighbor labels weighted by edge_count, tie →
+    larger label (community_operations.py:93-138); final communities
+    canonicalize to the min member uuid. Appended after the kg CTE prefix
+    (reads the ``edges`` CTE)."""
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
+    # and every unrolled round references the previous label CTE twice —
+    # without materialization each round would re-derive the ENTIRE
+    # pipeline prefix (the sr_mmr lesson, round 2)
+    sql = f"""
+, lpa_pairs AS MATERIALIZED (
+  SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+  FROM edges
+  WHERE group_id = '{group}' AND source_node_uuid <> target_node_uuid
+),
+lpa_adj AS MATERIALIZED (
+  SELECT group_id, a, b, count(*)::BIGINT AS edge_count FROM (
+    SELECT group_id, a, b FROM lpa_pairs
+    UNION ALL SELECT group_id, b AS a, a AS b FROM lpa_pairs
+  ) GROUP BY group_id, a, b
+),
+lpa_l0 AS MATERIALIZED (
+  SELECT DISTINCT group_id, a AS uuid, a AS label FROM lpa_adj)"""
+    prev = "lpa_l0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+lpa_v{i} AS (
+  SELECT adj.group_id, adj.a, l.label AS nbr_label,
+         sum(adj.edge_count) AS w
+  FROM lpa_adj adj JOIN {prev} l ON l.uuid = adj.b
+  GROUP BY adj.group_id, adj.a, l.label
+),
+lpa_b{i} AS (
+  SELECT group_id, a, nbr_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY group_id, a
+                                 ORDER BY w DESC, nbr_label DESC) AS rn
+    FROM lpa_v{i}
+  ) WHERE rn = 1
+),
+lpa_l{i} AS MATERIALIZED (
+  SELECT l.group_id, l.uuid, coalesce(b.nbr_label, l.label) AS label
+  FROM {prev} l LEFT JOIN lpa_b{i} b ON b.a = l.uuid
+)"""
+        prev = f"lpa_l{i}"
+    sql += f"""
+SELECT l.group_id, l.uuid, c.community FROM {prev} l
+JOIN (SELECT label, min(uuid) AS community FROM {prev} GROUP BY label) c
+  ON c.label = l.label"""
+    return sql
+
+
 def kg_cte_prefix(documents: str = "documents") -> str:
     """The shared WITH-chain mirroring plans/pipeline.build_graph — the
     entire pipeline (synthesis → episodes → extraction → exact + FUZZY
@@ -532,6 +586,51 @@ SELECT uuid AS source_node_uuid,
        group_id, 'NEXT_EPISODE' AS name
 FROM episodes
 QUALIFY target_node_uuid IS NOT NULL""",
+        # plurality label propagation, exactly-K rounds (the reference's
+        # actual community vote rule, community_operations.py:93-138 —
+        # the CC variant sr_communities checks the min-rule fixpoint;
+        # this row hash-checks the PLURALITY trajectory itself)
+        "sr_communities_plurality": p + plurality_lpa_sql(rounds=6),
+        # point query: edges between two entities, both orientations
+        # (get_between_nodes, namespaces/edges.py:92 — used by add_episode
+        # step 6d, edge_operations.py:365-370); probes = megacorp's
+        # 'spark' and 'query' entities
+        "sr_between_nodes": p
+        + """
+, bn_a AS (SELECT uuid FROM nodes
+           WHERE group_id = 'megacorp/monorepo' AND name = 'spark'),
+bn_b AS (SELECT uuid FROM nodes
+         WHERE group_id = 'megacorp/monorepo' AND name = 'query')
+SELECT e.uuid, e.group_id, e.source_node_uuid, e.target_node_uuid,
+       e.name, e.fact
+FROM edges e
+WHERE (e.source_node_uuid = (SELECT uuid FROM bn_a)
+       AND e.target_node_uuid = (SELECT uuid FROM bn_b))
+   OR (e.source_node_uuid = (SELECT uuid FROM bn_b)
+       AND e.target_node_uuid = (SELECT uuid FROM bn_a))""",
+        # episode -> entity-edge back-pointers (the episode's entity_edges
+        # field, nodes.py:318-332), capped-array derivation
+        "kg_entity_edges": p
+        + """
+SELECT episode_uuid, edge_uuid, group_id FROM (
+  SELECT unnest(string_split(episodes_csv, ',')) AS episode_uuid,
+         uuid AS edge_uuid, group_id
+  FROM edges WHERE episodes_csv <> ''
+)""",
+        # named-saga episode retrieval (retrieve_episodes(saga=...),
+        # graph_data_operations.py:67-140 + the saga threading of
+        # graphiti.py:980-1228): last-3 window over ONLY the named saga's
+        # episodes in the group
+        "sr_saga_episodes": p
+        + """
+SELECT group_id, uuid, name, valid_at, rn FROM (
+  SELECT group_id, uuid, name, valid_at,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY valid_at DESC, uuid ASC) AS rn
+  FROM episodes
+  WHERE valid_at <= TIMESTAMP '2024-06-01 00:00:00'
+    AND group_id = 'megacorp/monorepo' AND saga = 'pkg3'
+) WHERE rn <= 3""",
         # batched same-endpoint candidates (get_relevant_edges,
         # search_utils.py:1391-1574): two orientation equi-joins + token
         # Jaccard, probes = megacorp OPERATES_ON edges

@@ -259,17 +259,23 @@ def test_retrieve_episodes_full_filter_signature(spark, sf_dir, tmp_path_factory
         F.col("uuid").isin(got_uuids) & (F.col("source") != some_source)
     ).count()
     assert bad == 0
-    # saga filter resolves through stored HAS_EPISODE edges; saga name ==
-    # group_id in this derivation, so it must match the group_ids variant
+    # saga filter is genuinely by saga NAME (named sagas, round 4): the
+    # returned episodes are exactly members of that saga in the group
+    first_ep = eps.orderBy("valid_at").limit(1).collect()[0]
     via_saga = {
-        (r["uuid"], r["rn"]) for r in g.retrieve_episodes(
-            EPISODE_REF_TIME, saga=grp
+        r["uuid"] for r in g.retrieve_episodes(
+            EPISODE_REF_TIME, last_n=1000,
+            group_ids=[first_ep["group_id"]], saga=first_ep["saga"],
         ).collect()
     }
-    via_group = {
-        (r["uuid"], r["rn"]) for r in only.collect()
+    member = {
+        r["uuid"] for r in eps.where(
+            (F.col("group_id") == first_ep["group_id"])
+            & (F.col("saga") == first_ep["saga"])
+            & (F.col("valid_at") <= F.lit(EPISODE_REF_TIME).cast("timestamp"))
+        ).select("uuid").collect()
     }
-    assert via_saga == via_group
+    assert via_saga == member and via_saga
 
 
 def test_node_bfs_min_depth_excludes_origin(spark, sf_dir):
