@@ -138,17 +138,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 def canonical_map_from_pairs(pairs: DataFrame, n: int | None = None) -> DataFrame:
     """pairs(a, b[, group_id]) → (alias_uuid, canonical_uuid) covering every
     uuid that appears in any pair. Auto-selects driver union-find vs
-    distributed CC by pair count (pass ``n`` if already counted)."""
+    distributed CC by pair count (pass ``n`` if already counted).
+
+    When this function owns the count, the pair frame is persisted across
+    count + consume: pair sets typically come from expensive candidate
+    self-joins (LSH buckets, same-endpoint blocks), and evaluating that
+    subtree twice — once for the count, once for the collect/CC — was
+    measured at ~2x the operator wall (kg_edges_fuzzy_dedup)."""
+    owned = False
     if n is None:
+        pairs = pairs.persist()
+        owned = True
         n = pairs.count()
     if n <= config.UNION_FIND_DRIVER_MAX_PAIRS:
         local = [(r["a"], r["b"]) for r in pairs.select("a", "b").collect()]
+        if owned:
+            pairs.unpersist()
         mapping = union_find_driver(local)
         spark = pairs.sparkSession
         return spark.createDataFrame(
             [(k, v) for k, v in mapping.items()],
             "alias_uuid string, canonical_uuid string",
         )
-    return connected_components(pairs).selectExpr(
+    out = connected_components(pairs).selectExpr(
         "uuid as alias_uuid", "canonical_uuid"
     )
+    if owned:
+        # the CC loop has consumed (and checkpointed past) the pair frame;
+        # materialize the (node-sized) map, then release the pair cache
+        out = out.localCheckpoint()
+        pairs.unpersist()
+    return out
