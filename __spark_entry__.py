@@ -373,6 +373,28 @@ def _q_sr_communities(spark, sf_dir):
     )
 
 
+def _q_kg_episode_pack(spark, sf_dir):
+    """Multi-episode prompt packing (concatenate_episodes,
+    text_utils.py:62-75) over the last-3 episode window per group."""
+    from pyspark.sql import Window
+
+    from graphiti_spark.functions.text import concatenate_episodes
+
+    w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.asc("uuid"))
+    eps = _graph(spark, sf_dir).episodes
+    return (
+        eps.withColumn("idx", F.row_number().over(w))
+        .where(F.col("idx") <= 3)
+        .groupBy("group_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("idx"), F.col("valid_at"), F.col("content"))
+            ).alias("_s")
+        )
+        .select("group_id", concatenate_episodes(F.col("_s")).alias("packed"))
+    )
+
+
 def _q_sr_communities_plurality(spark, sf_dir):
     """Plurality label propagation, exactly-K synchronous rounds
     (community_operations.py:93-138) — the DuckDB twin unrolls the
@@ -682,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_node_fulltext": _q_sr_node_fulltext,
         "sr_episode_fulltext": _q_sr_episode_fulltext,
         "sr_episode_window": _q_sr_episode_window,
+        "kg_episode_pack": _q_kg_episode_pack,
         "sr_mentions_rerank": _q_sr_mentions_rerank,
         "sr_bfs2": _q_sr_bfs2,
         "sr_previous_episodes": _q_sr_previous_episodes,

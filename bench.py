@@ -165,6 +165,9 @@ def main() -> None:
                 steals[n].append(_steal_pct(j0, _cpu_jiffies()))
                 spark.stop()
             results[n] = (min(walls), n_edges)
+            # the reported steal must describe the MEASURED (min-wall)
+            # run, not the worst other run
+            steals[n] = [steals[n][walls.index(min(walls))]]
         lo, hi = base, base * 4
         tp_lo = results[lo][1] / results[lo][0]
         tp_hi = results[hi][1] / results[hi][0]
@@ -177,8 +180,8 @@ def main() -> None:
                 f"triples_per_sec_n{hi}": round(tp_hi, 1),
                 f"wall_sec_n{lo}": round(results[lo][0], 1),
                 f"wall_sec_n{hi}": round(results[hi][0], 1),
-                f"steal_pct_n{lo}": max(steals[lo]),
-                f"steal_pct_n{hi}": max(steals[hi]),
+                f"steal_pct_n{lo}": steals[lo][0],
+                f"steal_pct_n{hi}": steals[hi][0],
             },
             "runs_per_level": n_runs,
             "sf": float(n_files),

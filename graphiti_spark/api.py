@@ -715,6 +715,13 @@ class GraphitiSpark:
                 "target_node_uuid", "left_semi",
             )
         )
+        # materialize the (batch-bounded) scoped edge set ONCE:
+        # append_fact_summaries consumes it twice (source + target
+        # branches), which would otherwise re-run both semi-join scans of
+        # the freshly written edges table — 4 scans instead of 2
+        touching = touching.select(
+            "source_node_uuid", "target_node_uuid", "fact"
+        ).localCheckpoint()
         reset = nodes.withColumn(
             "summary", F.concat(F.lit("Entity "), F.col("name"))
         )
@@ -1254,7 +1261,11 @@ class GraphitiSpark:
                 "group_id",
                 F.explode("episodes").alias("episode_uuid"),
             ).select("episode_uuid", "edge_uuid", "group_id")
-        if episode_uuids:
+        if episode_uuids is not None:
+            # an EMPTY filter list means "these zero episodes" → zero rows
+            # (matching get_mentioned_nodes), never the whole projection
+            if not episode_uuids:
+                return out.limit(0)
             out = out.where(F.col("episode_uuid").isin(*episode_uuids))
         return out
 

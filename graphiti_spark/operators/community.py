@@ -50,29 +50,48 @@ def _plurality_votes(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _seed_labels(adjacency: DataFrame) -> DataFrame:
+    """Initial state: every node labels itself."""
+    return (
+        adjacency.select("group_id", F.col("a").alias("uuid"))
+        .distinct()
+        .withColumn("label", F.col("uuid"))
+    )
+
+
+def _apply_vote_round(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous update: plurality vote + join/coalesce, lineage cut
+    per round. Shared by the fixpoint loop (label_propagation) and the
+    exactly-K oracle form (label_propagation_rounds) so the two variants
+    cannot silently diverge."""
+    best = _plurality_votes(adjacency, labels)
+    return (
+        labels.join(
+            best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
+        )
+        .select(
+            "group_id",
+            "uuid",
+            F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _canonicalize_labels(labels: DataFrame) -> DataFrame:
+    """Final communities = min member uuid per propagated label."""
+    canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
+    return labels.join(canon, "label").select("group_id", "uuid", "community")
+
+
 def label_propagation(
     adjacency: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """(group_id, uuid, community) — community = final propagated label,
     canonicalized to the min member uuid for stable output."""
-    labels = (
-        adjacency.select("group_id", F.col("a").alias("uuid"))
-        .distinct()
-        .withColumn("label", F.col("uuid"))
-    )
+    labels = _seed_labels(adjacency)
     for _ in range(max_iter):
-        best = _plurality_votes(adjacency, labels)
-        new_labels = (
-            labels.join(
-                best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
-            )
-            .select(
-                "group_id",
-                "uuid",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _apply_vote_round(adjacency, labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "uuid")
@@ -104,9 +123,7 @@ def label_propagation(
             )
             .localCheckpoint()
         )
-    # canonicalize community ids to min member uuid
-    canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
-    return labels.join(canon, "label").select("group_id", "uuid", "community")
+    return _canonicalize_labels(labels)
 
 
 def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame:
@@ -121,27 +138,13 @@ def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame
     no-ops, and on an oscillating bipartite core the exact-K state is
     parity-consistent across engines — so the plurality semantics are
     hash-checked, not only unit-tested. Output matches
-    label_propagation: (group_id, uuid, community = min member uuid)."""
-    labels = (
-        adjacency.select("group_id", F.col("a").alias("uuid"))
-        .distinct()
-        .withColumn("label", F.col("uuid"))
-    )
+    label_propagation: (group_id, uuid, community = min member uuid).
+    Shares _seed_labels/_apply_vote_round/_canonicalize_labels with the
+    fixpoint variant — one vote implementation, two stopping rules."""
+    labels = _seed_labels(adjacency)
     for _ in range(rounds):
-        best = _plurality_votes(adjacency, labels)
-        labels = (
-            labels.join(
-                best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
-            )
-            .select(
-                "group_id",
-                "uuid",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-    canon = labels.groupBy("label").agg(F.min("uuid").alias("community"))
-    return labels.join(canon, "label").select("group_id", "uuid", "community")
+        labels = _apply_vote_round(adjacency, labels)
+    return _canonicalize_labels(labels)
 
 
 def summarize_communities(

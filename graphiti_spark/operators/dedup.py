@@ -57,7 +57,10 @@ def assert_block_cap(
 ) -> None:
     """Guard for DECLARED quadratic baselines: raise when any block exceeds
     ``cap`` rows, so O(block²) code fails loudly instead of silently going
-    quadratic on an unbounded block (one cheap count aggregation)."""
+    quadratic on an unbounded block. Callers pass a SINGLE-COLUMN block
+    projection so Catalyst prunes everything else out of this extra pass —
+    the guard costs one key-only scan, not a re-evaluation of the
+    operator's full (shingle/embedding) subtree."""
     over = (
         df.groupBy(*block_cols)
         .count()

@@ -586,6 +586,22 @@ SELECT uuid AS source_node_uuid,
        group_id, 'NEXT_EPISODE' AS name
 FROM episodes
 QUALIFY target_node_uuid IS NOT NULL""",
+        # multi-episode prompt packing (concatenate_episodes,
+        # text_utils.py:62-75): the last-3 window per group packed into
+        # ordered '[Episode N] (timestamp: ...) content' blocks
+        "kg_episode_pack": p
+        + """
+SELECT group_id,
+       string_agg(concat('[Episode ', idx, '] (timestamp: ',
+                         valid_at::VARCHAR, ') ', content),
+                  chr(10) ORDER BY idx) AS packed
+FROM (
+  SELECT group_id, content, valid_at,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY valid_at DESC, uuid ASC) AS idx
+  FROM episodes
+) WHERE idx <= 3
+GROUP BY group_id""",
         # plurality label propagation, exactly-K rounds (the reference's
         # actual community vote rule, community_operations.py:93-138 —
         # the CC variant sr_communities checks the min-rule fixpoint;

@@ -76,6 +76,10 @@ class GraphStore:
         return os.path.join(self.base_path, table)
 
     def read(self, table: str) -> DataFrame | None:
+        # heal any crashed staged swap before serving the table (a missing
+        # bucket whose data sits in a _bak dir must come back BEFORE a
+        # reader sees the partial table); one listdir, no-op normally
+        self._recover_baks(table)
         p = self._path(table)
         try:
             return self.spark.read.parquet(p)
@@ -143,6 +147,14 @@ class GraphStore:
         communities all dissolved, a deletion draining a group's pair
         rows): a group absent from ``updates`` is otherwise left
         untouched, not emptied."""
+        # crash recovery FIRST: a previous replace_groups may have died
+        # mid-swap, leaving a bucket's only copy in its _bak dir. Restore
+        # any orphaned bak whose live bucket is missing (crash between
+        # rename-aside and move-in); drop baks whose live bucket exists
+        # (crash between move-in and cleanup — the live dir is the NEW
+        # data). Without this, re-running the call would read the table
+        # minus the bucket and then delete the backup.
+        self._recover_baks(table)
         updates = updates.withColumn("bucket", bucket_col(n_buckets=self.n_buckets))
         existing = self.read(table)
         p = self._path(table)
@@ -216,6 +228,29 @@ class GraphStore:
                 shutil.rmtree(bak, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def _recover_baks(self, table: str) -> None:
+        """Repair a crashed staged swap (see replace_groups): restore
+        _bak_<table>_bucket_<b> dirs whose live bucket vanished, delete
+        those whose live bucket exists."""
+        import shutil
+
+        prefix = f"_bak_{table}_bucket_"
+        try:
+            names = os.listdir(self.base_path)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.startswith(prefix):
+                continue
+            b = name[len(prefix):]
+            bak = os.path.join(self.base_path, name)
+            tgt = os.path.join(self._path(table), f"bucket={b}")
+            if os.path.isdir(tgt):
+                shutil.rmtree(bak, ignore_errors=True)
+            else:
+                os.makedirs(os.path.dirname(tgt), exist_ok=True)
+                os.rename(bak, tgt)
 
     # ---- checkpoint / lineage ------------------------------------------
 

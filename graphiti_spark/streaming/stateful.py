@@ -74,12 +74,10 @@ def saga_watermarks(episode_stream: DataFrame) -> DataFrame:
     (group_id, saga) — the NAMED-saga grain of the batch twin
     (operators/saga.build_saga_nodes); streams lacking the saga column
     fall back to saga == group_id."""
-    from pyspark.sql import functions as F
+    from graphiti_spark.operators.saga import with_saga
 
-    if "saga" not in episode_stream.columns:
-        episode_stream = episode_stream.withColumn("saga", F.col("group_id"))
     return (
-        episode_stream.select("group_id", "saga", "uuid", "valid_at")
+        with_saga(episode_stream).select("group_id", "saga", "uuid", "valid_at")
         .groupBy("group_id", "saga")
         .applyInPandasWithState(
             _update_saga,

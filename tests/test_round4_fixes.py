@@ -76,6 +76,50 @@ def test_replace_groups_leaves_no_bak_dirs(spark, tmp_path_factory):
     assert all(not d.endswith(".bak") for d in table_dirs)
 
 
+def test_replace_groups_crash_recovery(spark, tmp_path_factory):
+    """A staged swap that died mid-flight must be healed, not finished off:
+    crash BETWEEN rename-aside and move-in leaves the bucket's only copy
+    in its _bak dir — the next read()/replace_groups restores it; crash
+    AFTER move-in leaves a stale _bak next to the NEW live bucket — it is
+    dropped, never restored over the new data."""
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("crash"))
+    store = GraphStore(spark, base, n_buckets=1)
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g2", "b")], "group_id string, uuid string"
+    )
+    store.replace_groups("communities", df)
+    tbl = os.path.join(base, "communities")
+    bucket = [d for d in os.listdir(tbl) if d.startswith("bucket=")][0]
+    b = bucket.split("=")[1]
+    # simulate crash between rename-aside and move-in
+    bak = os.path.join(base, f"_bak_communities_bucket_{b}")
+    os.rename(os.path.join(tbl, bucket), bak)
+    healed = store.read("communities")
+    assert healed is not None and healed.count() == 2  # restored, not lost
+    assert not os.path.isdir(bak)
+    # simulate crash after move-in: stale bak beside the live bucket
+    shutil.copytree(os.path.join(tbl, bucket), bak)
+    upd = spark.createDataFrame([("g1", "a2")], "group_id string, uuid string")
+    store.replace_groups("communities", upd, group_ids=["g1"])
+    got = {
+        (r["group_id"], r["uuid"])
+        for r in store.read("communities").select("group_id", "uuid").collect()
+    }
+    assert got == {("g1", "a2"), ("g2", "b")}  # stale bak never resurrected
+    assert not any("_bak_" in d for d in os.listdir(base))
+
+
+def test_entity_edges_empty_filter_returns_empty(spark, sf_dir):
+    """episodes_with_entity_edges([]) means 'these zero episodes' — zero
+    rows, never the whole projection."""
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir).limit(5), fuzzy=False)
+    assert g.episodes_with_entity_edges([]).count() == 0
+    assert g.episodes_with_entity_edges(None).count() > 0
+
+
 def test_add_triplet_self_loop_no_duplicate_nodes(spark, sf_dir):
     """subject == obj must not insert two node rows with one uuid in the
     session (store-less) path."""
