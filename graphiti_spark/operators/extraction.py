@@ -139,9 +139,18 @@ def extract_mentions(
     return out
 
 
-def _predicate_col(subj_label: Column, obj_label: Column) -> Column:
-    expr = F.lit(DEFAULT_PREDICATE)
-    for (sl, ol), pred in reversed(list(PREDICATES.items())):
+def _predicate_col(
+    subj_label: Column,
+    obj_label: Column,
+    edge_type_map: dict[tuple[str, str], str] | None = None,
+    default_predicate: str = DEFAULT_PREDICATE,
+) -> Column:
+    """Relation type from the endpoint-label pair — the deterministic
+    analog of the reference's ``edge_type_map`` (graphiti.add_episode:
+    {(source_label, target_label): allowed edge types},
+    edge_operations.py:117-206 routes extraction through it)."""
+    expr = F.lit(default_predicate)
+    for (sl, ol), pred in reversed(list((edge_type_map or PREDICATES).items())):
         expr = F.when((subj_label == sl) & (obj_label == ol), F.lit(pred)).otherwise(expr)
     return expr
 
@@ -151,6 +160,7 @@ def extract_triples(
     distinct: bool = True,
     catalog: dict[str, tuple[str, ...]] | None = None,
     excluded_entity_types: tuple[str, ...] = (),
+    edge_type_map: dict[tuple[str, str], str] | None = None,
 ) -> DataFrame:
     """episodes → raw triples (pre-resolution), one row per distinct
     (episode, subj, pred, obj).
@@ -165,7 +175,9 @@ def extract_triples(
     (edge_operations.py:217-230 drops edges referencing entities the
     extraction excluded); adjacency is NOT re-spliced, matching the
     reference. ``catalog`` swaps the label vocabulary consistently with
-    :func:`extract_mentions`.
+    :func:`extract_mentions`; ``edge_type_map`` swaps the
+    (subj_label, obj_label) → relation-type routing (the reference's
+    edge_types/edge_type_map parameters of add_episode).
 
     ``distinct=False`` skips the per-episode dedup shuffle — correct when
     the consumer is an aggregation whose key subsumes (episode, subj,
@@ -190,7 +202,7 @@ def extract_triples(
     subj = F.element_at("_toks", F.col("_i"))
     obj = F.element_at("_toks", F.col("_i") + 1)
     sl, ol = _label_col(subj, catalog), _label_col(obj, catalog)
-    pred = _predicate_col(sl, ol)
+    pred = _predicate_col(sl, ol, edge_type_map)
     keep = subj != obj  # self-edge drop
     if excluded_entity_types:
         keep = (

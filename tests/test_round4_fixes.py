@@ -261,6 +261,21 @@ def test_entity_type_catalog_and_exclusions(spark, sf_dir):
     )
 
 
+def test_edge_type_map_routes_predicates(spark, sf_dir):
+    """Custom edge_type_map swaps the (label, label) → relation routing
+    (the reference's edge_types/edge_type_map add_episode params)."""
+    from graphiti_spark.operators.extraction import extract_triples
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    eps = episodes_from_source_files(synth_source_files(spark, sf_dir).limit(20))
+    custom = {("Operation", "Object"): "TRANSFORMS"}
+    t = extract_triples(eps, edge_type_map=custom)
+    preds = {r["predicate"] for r in t.select("predicate").distinct().collect()}
+    assert "TRANSFORMS" in preds and "OPERATES_ON" not in preds
+    # unrouted label pairs fall back to the default predicate
+    assert "MENTIONED_WITH" in preds
+
+
 def test_between_nodes_and_entity_edges(spark, sf_dir, tmp_path_factory):
     """get_between_nodes point query (namespaces/edges.py:92) and the
     episode entity_edges back-pointer projection (nodes.py:318-332)."""
