@@ -1293,14 +1293,19 @@ class GraphitiSpark:
         rerank: str = "rrf",
         search_config: "SearchConfig | None" = None,
         center_node_uuid: str | None = None,
+        bfs_origin_node_uuids: list[str] | None = None,
     ) -> dict[str, DataFrame]:
         """Hybrid search fan-out (search.py:98-250): per scope, BM25 and
-        cosine candidates at 2x limit, fused with RRF, then the configured
-        reranker (rrf | mmr | cross_encoder | node_distance |
-        episode_mentions — search.py:253-460) cuts to limit. Deterministic
-        hash embedder stands in for the query embedding client;
-        ``center_node_uuid`` feeds the node-distance reranker (falls back
-        to RRF order when absent, like the reference's guard)."""
+        cosine candidates at 2x limit — plus a graph-proximity BFS arm for
+        the edges/nodes scopes when ``bfs_origin_node_uuids`` is given
+        (EdgeSearchMethod.bfs / NodeSearchMethod.bfs, search_config.py:
+        35-41; candidates ranked by discovery depth, search.py:301-312) —
+        fused with RRF, then the configured reranker (rrf | mmr |
+        cross_encoder | node_distance | episode_mentions —
+        search.py:253-460) cuts to limit. Deterministic hash embedder
+        stands in for the query embedding client; ``center_node_uuid``
+        feeds the node-distance reranker (falls back to RRF order when
+        absent, like the reference's guard)."""
         from graphiti_spark.functions.embeddings import (
             cosine,
             probe_vector_column,
@@ -1344,6 +1349,36 @@ class GraphitiSpark:
             return (
                 ranked_top_k(s, "bm25", id_col, 2 * limit)
                 .select(F.col(id_col).alias("uuid"), "rank")
+            )
+
+        def ranked_bfs(scope: str, df: DataFrame, id_col: str,
+                       filtered: bool) -> DataFrame | None:
+            """Graph-proximity arm: candidates within MAX_SEARCH_DEPTH of
+            the origins, ranked shallower-first (edge_bfs_search /
+            node_bfs_search feeding the fused list, search.py:301-312)."""
+            if bfs_origin_node_uuids is None or scope not in ("edges", "nodes"):
+                return None
+            from graphiti_spark.operators.search import bfs_edges, bfs_nodes
+
+            if scope == "edges":
+                cand = bfs_edges(
+                    self._table("edges"), bfs_origin_node_uuids,
+                    config.MAX_SEARCH_DEPTH,
+                ).select("uuid", "depth")
+            else:
+                cand = bfs_nodes(
+                    self._table("edges"), self._table("nodes"),
+                    bfs_origin_node_uuids, config.MAX_SEARCH_DEPTH,
+                ).select("uuid", "depth")
+            if filtered:  # respect SearchFilters like the other arms
+                cand = cand.join(
+                    df.select(F.col(id_col).alias("uuid")), "uuid", "left_semi"
+                )
+            return (
+                ranked_top_k(
+                    cand.withColumn("_prox", -F.col("depth")),
+                    "_prox", "uuid", 2 * limit,
+                ).select("uuid", "rank")
             )
 
         # scope -> (filtered df, UNFILTERED base for the embedding
@@ -1445,6 +1480,9 @@ class GraphitiSpark:
                     scope, df, base, id_col, text_col, query, 2 * limit, filtered,
                 ),
             ]
+            bfs_list = ranked_bfs(scope, df, id_col, filtered)
+            if bfs_list is not None:
+                lists.append(bfs_list)
             fused = rrf(lists, "uuid")
             out[scope] = apply_rerank(scope, df, base, id_col, text_col, fused)
         return out

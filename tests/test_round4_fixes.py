@@ -303,6 +303,90 @@ def test_between_nodes_and_entity_edges(spark, sf_dir, tmp_path_factory):
     assert proj2.where(F.col("edge_uuid") == e["uuid"]).count() == 1
 
 
+def test_search_bfs_arm(spark, sf_dir):
+    """bfs_origin_node_uuids adds the graph-proximity candidate arm
+    (EdgeSearchMethod.bfs / NodeSearchMethod.bfs, search_config.py:35-41):
+    results shift toward the origin's neighborhood, and the arm is only
+    active when origins are given."""
+    g = GraphitiSpark(spark)
+    tables = g.add_episode_bulk(
+        synth_source_files(spark, sf_dir), fuzzy=False
+    )
+    origin = [
+        r["uuid"] for r in tables.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    base = {r["uuid"] for r in g.search("stream batch", limit=5)["edges"].collect()}
+    with_bfs = {
+        r["uuid"]
+        for r in g.search(
+            "stream batch", limit=5, bfs_origin_node_uuids=origin
+        )["edges"].collect()
+    }
+    assert with_bfs  # arm composes, search still returns results
+    assert with_bfs != base  # proximity arm influenced the fusion
+    # every newly surfaced edge is reachable from the origin (depth <= 3)
+    from graphiti_spark.operators.search import bfs_edges
+
+    reachable = {
+        r["uuid"] for r in bfs_edges(tables.edges, origin, 3).select("uuid").collect()
+    }
+    assert (with_bfs - base) <= reachable
+    # nodes scope gets the arm too
+    nres = g.search("stream batch", limit=5, bfs_origin_node_uuids=origin)["nodes"]
+    assert nres.count() > 0
+
+
+def test_parse_edge_timestamps_property(spark):
+    """Property: for random facts with optional temporal phrases, the
+    Spark parse matches an independent python derivation (regex family +
+    coalesce precedence)."""
+    import datetime as dt
+    import random
+    import re
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Delta-Svc", "until-2021", "since-2019",
+             "from-2010-to-2012", "2020-05-06", "plain", "x2020", "to-2015"]
+    rows = []
+    for i in range(60):
+        fact = " ".join(rng.choice(words) for _ in range(rng.randint(1, 6)))
+        rows.append((str(i), fact, "2024-03-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows, "uuid string, fact string, reference_time string"
+    ).withColumn("reference_time", F.col("reference_time").cast("timestamp")) \
+     .withColumn("valid_at", F.lit(None).cast("timestamp")) \
+     .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+    from graphiti_spark.operators.attributes import parse_edge_timestamps
+
+    got = {r["uuid"]: (r["valid_at"], r["invalid_at"])
+           for r in parse_edge_timestamps(df).collect()}
+
+    def py_parse(fact):
+        pv = piv = None
+        ms = re.search(r"\bsince[- ](\d{4})\b", fact)
+        mf = re.search(r"\bfrom[- ](\d{4})[- ]to[- ](\d{4})\b", fact)
+        miso = re.search(r"\b(\d{4})-(\d{2})-(\d{2})\b", fact)
+        if ms:
+            pv = dt.datetime(int(ms.group(1)), 1, 1)
+        elif mf:
+            pv = dt.datetime(int(mf.group(1)), 1, 1)
+        elif miso:
+            pv = dt.datetime(*map(int, miso.groups()))
+        mu = re.search(r"\buntil[- ](\d{4})\b", fact)
+        if mf:
+            piv = dt.datetime(int(mf.group(2)), 1, 1)
+        elif mu:
+            piv = dt.datetime(int(mu.group(1)), 1, 1)
+        return pv, piv
+
+    ref_time = dt.datetime(2024, 3, 1)
+    for uuid, fact, _ in rows:
+        pv, piv = py_parse(fact)
+        assert got[uuid] == (pv or ref_time, piv), (fact, got[uuid], pv, piv)
+
+
 def test_quadratic_block_cap_guards(spark, sf_dir):
     from graphiti_spark.operators.dedup import dedup_ngram_jaccard
     from graphiti_spark.operators.resolution import semantic_duplicate_pairs_exact
