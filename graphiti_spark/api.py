@@ -143,12 +143,19 @@ class SearchConfig:
     scopes: tuple[str, ...] = ("edges", "nodes", "episodes", "communities")
     limit: int = config.DEFAULT_SEARCH_LIMIT
     rerank: str = "rrf"  # rrf | mmr | cross_encoder | node_distance | episode_mentions
+    # include the graph-proximity BFS method in the edges/nodes fan-out
+    # (EdgeSearchMethod.bfs / NodeSearchMethod.bfs — only the combined
+    # cross-encoder recipe enables it, search_config_recipes.py:80-99);
+    # requires bfs_origin_node_uuids at call time
+    use_bfs: bool = False
 
 
 # the reference's 17 recipes (search_config_recipes.py:34-223), 1:1
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(rerank="mmr")
-COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(rerank="cross_encoder")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    rerank="cross_encoder", use_bfs=True
+)
 EDGE_HYBRID_SEARCH_RRF = SearchConfig(scopes=("edges",))
 EDGE_HYBRID_SEARCH_MMR = SearchConfig(scopes=("edges",), rerank="mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(scopes=("edges",), rerank="node_distance")
@@ -1356,7 +1363,14 @@ class GraphitiSpark:
             """Graph-proximity arm: candidates within MAX_SEARCH_DEPTH of
             the origins, ranked shallower-first (edge_bfs_search /
             node_bfs_search feeding the fused list, search.py:301-312)."""
-            if bfs_origin_node_uuids is None or scope not in ("edges", "nodes"):
+            # the arm requires origins AND (for recipes) the bfs method
+            # configured; ad-hoc calls (no recipe) get it with origins
+            enabled = search_config.use_bfs if search_config is not None else True
+            if (
+                bfs_origin_node_uuids is None
+                or not enabled
+                or scope not in ("edges", "nodes")
+            ):
                 return None
             from graphiti_spark.operators.search import bfs_edges, bfs_nodes
 
