@@ -494,6 +494,7 @@ class GraphitiSpark:
         update_communities: bool = False,
         catalog: "dict[str, tuple[str, ...]] | None" = None,
         excluded_entity_types: tuple[str, ...] = (),
+        edge_type_map: "dict[tuple[str, str], str] | None" = None,
     ) -> GraphTables:
         """Batch ingest. With a store attached, new mentions are resolved
         against the LIVE graph first via the persistent name_index — the
@@ -505,6 +506,7 @@ class GraphitiSpark:
         g = build_graph(
             source_files, fuzzy=fuzzy, full_provenance=self.full_provenance,
             catalog=catalog, excluded_entity_types=excluded_entity_types,
+            edge_type_map=edge_type_map,
         )
         if self.store is not None:
             existing = self.store.read("name_index")
@@ -1358,6 +1360,23 @@ class GraphitiSpark:
                 .select(F.col(id_col).alias("uuid"), "rank")
             )
 
+        # one traversal serves BOTH scope arms: bfs_nodes would otherwise
+        # re-run the identical multi-round frontier loop bfs_edges just
+        # ran — the most expensive part of the arm, twice per search call
+        _bfs_reached: list[DataFrame] = []
+
+        def _reached_edges() -> DataFrame:
+            if not _bfs_reached:
+                from graphiti_spark.operators.search import bfs_edges
+
+                _bfs_reached.append(
+                    bfs_edges(
+                        self._table("edges"), bfs_origin_node_uuids,
+                        config.MAX_SEARCH_DEPTH,
+                    ).select("uuid", "target_node_uuid", "depth").localCheckpoint()
+                )
+            return _bfs_reached[0]
+
         def ranked_bfs(scope: str, df: DataFrame, id_col: str,
                        filtered: bool) -> DataFrame | None:
             """Graph-proximity arm: candidates within MAX_SEARCH_DEPTH of
@@ -1372,18 +1391,18 @@ class GraphitiSpark:
                 or scope not in ("edges", "nodes")
             ):
                 return None
-            from graphiti_spark.operators.search import bfs_edges, bfs_nodes
-
             if scope == "edges":
-                cand = bfs_edges(
-                    self._table("edges"), bfs_origin_node_uuids,
-                    config.MAX_SEARCH_DEPTH,
-                ).select("uuid", "depth")
+                cand = _reached_edges().select("uuid", "depth")
             else:
-                cand = bfs_nodes(
-                    self._table("edges"), self._table("nodes"),
-                    bfs_origin_node_uuids, config.MAX_SEARCH_DEPTH,
-                ).select("uuid", "depth")
+                # node depth = min discovery depth over reached edges,
+                # origins excluded — bfs_nodes' derivation over the SHARED
+                # traversal (candidates need no node-table attributes)
+                cand = (
+                    _reached_edges()
+                    .groupBy(F.col("target_node_uuid").alias("uuid"))
+                    .agg(F.min("depth").alias("depth"))
+                    .where(~F.col("uuid").isin(*bfs_origin_node_uuids))
+                )
             if filtered:  # respect SearchFilters like the other arms
                 cand = cand.join(
                     df.select(F.col(id_col).alias("uuid")), "uuid", "left_semi"

@@ -95,7 +95,12 @@ def concatenate_episodes(episodes_struct: Column) -> Column:
         "\n",
         F.transform(
             F.array_sort(episodes_struct),
-            lambda e: F.concat(
+            # concat_ws (null-SKIPPING) not concat (null-PROPAGATING): a
+            # null valid_at/content must drop only that field from the
+            # block, never the whole episode — DuckDB's concat skips null
+            # args, and the kg_episode_pack oracle compares the strings
+            lambda e: F.concat_ws(
+                "",
                 F.lit("[Episode "), e["idx"].cast("string"),
                 F.lit("] (timestamp: "), e["valid_at"].cast("string"),
                 F.lit(") "), e["content"],

@@ -90,6 +90,7 @@ def label_propagation(
     """(group_id, uuid, community) — community = final propagated label,
     canonicalized to the min member uuid for stable output."""
     labels = _seed_labels(adjacency)
+    changed = 0  # max_iter=0 → seed labels are trivially converged
     for _ in range(max_iter):
         new_labels = _apply_vote_round(adjacency, labels)
         changed = (

@@ -149,8 +149,12 @@ def _predicate_col(
     analog of the reference's ``edge_type_map`` (graphiti.add_episode:
     {(source_label, target_label): allowed edge types},
     edge_operations.py:117-206 routes extraction through it)."""
+    # None = default routing; an EMPTY map means "route nothing" (every
+    # pair falls back to default_predicate), matching the reference's
+    # edge_type_map={} call semantics
+    routing = PREDICATES if edge_type_map is None else edge_type_map
     expr = F.lit(default_predicate)
-    for (sl, ol), pred in reversed(list((edge_type_map or PREDICATES).items())):
+    for (sl, ol), pred in reversed(list(routing.items())):
         expr = F.when((subj_label == sl) & (obj_label == ol), F.lit(pred)).otherwise(expr)
     return expr
 

@@ -66,6 +66,7 @@ def build_graph(
     full_provenance: bool = False,
     catalog: "dict[str, tuple[str, ...]] | None" = None,
     excluded_entity_types: tuple[str, ...] = (),
+    edge_type_map: "dict[tuple[str, str], str] | None" = None,
 ) -> GraphTables:
     """Run the full construction pipeline (lazily — nothing executes until
     the returned DataFrames are acted on, so Catalyst sees whole plans).
@@ -98,6 +99,7 @@ def build_graph(
     triples_raw = extract_triples(
         ex_input, distinct=False, catalog=catalog,
         excluded_entity_types=excluded_entity_types,
+        edge_type_map=edge_type_map,
     )
 
     nodes, canonical_map, name_map, fuzzy_remap = resolve_nodes(

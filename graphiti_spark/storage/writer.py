@@ -76,10 +76,15 @@ class GraphStore:
         return os.path.join(self.base_path, table)
 
     def read(self, table: str) -> DataFrame | None:
-        # heal any crashed staged swap before serving the table (a missing
-        # bucket whose data sits in a _bak dir must come back BEFORE a
-        # reader sees the partial table); one listdir, no-op normally
-        self._recover_baks(table)
+        # NOTE: no recovery sweep here — read() must stay a pure reader.
+        # A read-side heal would race an in-flight replace_groups swap
+        # (restoring the aside dir between its rename and move corrupts
+        # the swap) and two concurrent reads would race each other. The
+        # store contract is SINGLE WRITER: crashed-swap healing runs at
+        # the start of the next replace_groups (the write path, where the
+        # caller already serializes). Until then a post-crash reader sees
+        # the table minus the in-flight bucket — the same visibility an
+        # uncommitted Iceberg snapshot would give.
         p = self._path(table)
         try:
             return self.spark.read.parquet(p)
@@ -230,17 +235,26 @@ class GraphStore:
             shutil.rmtree(tmp, ignore_errors=True)
 
     def _recover_baks(self, table: str) -> None:
-        """Repair a crashed staged swap (see replace_groups): restore
-        _bak_<table>_bucket_<b> dirs whose live bucket vanished, delete
-        those whose live bucket exists."""
+        """Repair a crashed staged swap (see replace_groups; runs ONLY
+        from the single-writer path): restore _bak_<table>_bucket_<b>
+        dirs whose live bucket vanished, delete those whose live bucket
+        exists, and drop orphaned _staging_<table>_* dirs a hard crash
+        left behind (their contents were never swapped in and would
+        otherwise accumulate unboundedly)."""
         import shutil
 
         prefix = f"_bak_{table}_bucket_"
+        staging_prefix = f"_staging_{table}_"
         try:
             names = os.listdir(self.base_path)
         except FileNotFoundError:
             return
         for name in names:
+            if name.startswith(staging_prefix):
+                shutil.rmtree(
+                    os.path.join(self.base_path, name), ignore_errors=True
+                )
+                continue
             if not name.startswith(prefix):
                 continue
             b = name[len(prefix):]

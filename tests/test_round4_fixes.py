@@ -96,18 +96,32 @@ def test_replace_groups_crash_recovery(spark, tmp_path_factory):
     # simulate crash between rename-aside and move-in
     bak = os.path.join(base, f"_bak_communities_bucket_{b}")
     os.rename(os.path.join(tbl, bucket), bak)
-    healed = store.read("communities")
-    assert healed is not None and healed.count() == 2  # restored, not lost
-    assert not os.path.isdir(bak)
-    # simulate crash after move-in: stale bak beside the live bucket
-    shutil.copytree(os.path.join(tbl, bucket), bak)
+    # orphaned staging dir from the same hypothetical crash
+    os.makedirs(os.path.join(base, "_staging_communities_deadbeef"))
+    # the NEXT WRITE heals first (single-writer contract: read() stays a
+    # pure reader so it can never race an in-flight swap), so this
+    # replace must see the restored g2 rows and retain them
     upd = spark.createDataFrame([("g1", "a2")], "group_id string, uuid string")
     store.replace_groups("communities", upd, group_ids=["g1"])
     got = {
         (r["group_id"], r["uuid"])
         for r in store.read("communities").select("group_id", "uuid").collect()
     }
-    assert got == {("g1", "a2"), ("g2", "b")}  # stale bak never resurrected
+    assert got == {("g1", "a2"), ("g2", "b")}  # g2 survived via the bak restore
+    leftovers = [
+        d for d in os.listdir(base) if "_bak_" in d or "_staging_" in d
+    ]
+    assert leftovers == []
+    # simulate crash after move-in: stale bak beside the live bucket must
+    # be dropped, never restored over the new data
+    shutil.copytree(os.path.join(tbl, bucket), bak)
+    upd2 = spark.createDataFrame([("g1", "a3")], "group_id string, uuid string")
+    store.replace_groups("communities", upd2, group_ids=["g1"])
+    got2 = {
+        (r["group_id"], r["uuid"])
+        for r in store.read("communities").select("group_id", "uuid").collect()
+    }
+    assert got2 == {("g1", "a3"), ("g2", "b")}
     assert not any("_bak_" in d for d in os.listdir(base))
 
 
