@@ -238,18 +238,93 @@ def main() -> None:
         }))
         return
 
+    if "--stages" in sys.argv:
+        # pipeline_full attribution: cumulative materialization of each
+        # pipeline prefix; the per-stage cost is the delta between rows.
+        # Used to attribute wall deltas across rounds (BASELINE.md).
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from graphiti_spark.operators.edges import dedupe_then_resolve
+        from graphiti_spark.operators.extraction import (
+            extract_mentions, extract_triples,
+        )
+        from graphiti_spark.operators.resolution import resolve_nodes
+        from graphiti_spark.operators.temporal import invalidate_contradictions
+        from graphiti_spark.plans.pipeline import salted_repartition
+        from graphiti_spark.sources import synth_source_files
+        from graphiti_spark.sources.episodes import episodes_from_source_files
+
+        spark = get_spark("bench-stages")
+        src = synth_source_files(spark, sf_dir)
+        stages: dict[str, float] = {}
+
+        def timed(name, thunk):
+            j0 = _cpu_jiffies()
+            t0 = time.perf_counter()
+            out = thunk()
+            stages[name] = round(time.perf_counter() - t0, 3)
+            stages[name + "_steal_pct"] = _steal_pct(j0, _cpu_jiffies())
+            return out
+
+        eps = episodes_from_source_files(salted_repartition(src))
+        timed("episodes_chunking", lambda: _materialize(eps))
+        from pyspark import StorageLevel
+
+        ex = eps.select(
+            "uuid", "group_id", "valid_at", "source", "content"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        mentions_raw = extract_mentions(ex)
+        timed("extract_mentions", lambda: _materialize(mentions_raw))
+        triples_raw = extract_triples(ex, distinct=False)
+        timed("extract_triples", lambda: _materialize(triples_raw))
+        res = timed("resolve_nodes", lambda: resolve_nodes(mentions_raw, fuzzy=True))
+        nodes, canonical_map, name_map, fuzzy_remap = res
+        timed("resolve_nodes_materialize", lambda: _materialize(nodes))
+        edges_raw = dedupe_then_resolve(triples_raw, fuzzy_remap)
+        timed("dedupe_then_resolve", lambda: _materialize(edges_raw))
+        timed("invalidate_contradictions",
+              lambda: _materialize(invalidate_contradictions(edges_raw)))
+        spark.stop()
+        print(json.dumps({
+            "metric": "pipeline_stage_walls", "unit": "sec",
+            "queries": stages, "sf": float(sf),
+        }))
+        return
+
+    # min-of-N protocol for the suite (same rationale as
+    # --scaling-executors: this box shows ±35% wall noise under tenant
+    # load and up to ~7% hypervisor steal). Per-query wall = min over
+    # runs; steal% of the min-TOTAL run is reported inline so a
+    # steal-inflated measurement is visible in the output itself.
+    n_runs = int(os.environ.get("SPARK_GRAFT_SUITE_RUNS", "3"))
     spark = get_spark("bench")
-    times, counts = run_suite(spark, sf_dir)
+    all_times: list[dict[str, float]] = []
+    steals: list[float] = []
+    counts: dict[str, int] = {}
+    for _ in range(n_runs):
+        j0 = _cpu_jiffies()
+        times, counts = run_suite(spark, sf_dir)
+        steals.append(_steal_pct(j0, _cpu_jiffies()))
+        all_times.append(times)
     spark.stop()
-    total = sum(times.values())
+    totals = [sum(t.values()) for t in all_times]
+    best = totals.index(min(totals))
+    min_times = {
+        k: min(t[k] for t in all_times) for k in all_times[0]
+    }
     print(json.dumps({
         "metric": "kg_construction_suite_seconds",
-        "value": round(total, 3),
+        "value": round(totals[best], 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in times.items()},
+        "queries": {k: round(v, 3) for k, v in min_times.items()},
+        "runs": n_runs,
+        "totals_per_run": [round(t, 2) for t in totals],
+        "steal_pct_best_run": steals[best],
         "sf": float(sf),
         "triples": counts["edges"],
-        "triples_per_sec": round(counts["edges"] / times["pipeline_full"], 1),
+        "triples_per_sec": round(
+            counts["edges"] / min_times["pipeline_full"], 1
+        ),
     }))
 
 

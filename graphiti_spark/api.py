@@ -420,10 +420,20 @@ class GraphitiSpark:
 
     # ---- communities -----------------------------------------------------
 
-    def communities_tables(self, refresh: bool = False) -> tuple[DataFrame, DataFrame]:
+    def communities_tables(
+        self, refresh: bool = False, groups: "DataFrame | None" = None
+    ) -> tuple[DataFrame, DataFrame]:
         """(communities, HAS_MEMBER edges) — materialized into the store
-        when one is attached (the reference's update_communities path,
-        graphiti.py:1184-1191 → community_operations), else session-cached."""
+        when one is attached (the reference's build_communities path,
+        graphiti.py:1184-1191 → community_operations), else session-cached.
+
+        ``groups`` (a single-column ``group_id`` frame) scopes a refresh
+        to those groups only: the rebuild reads exactly their edges and
+        the group-scoped REPLACE touches exactly their buckets — the
+        100 TB contract for ingest-time maintenance (the reference's
+        remove-before-rebuild is likewise per managed scope,
+        graphiti.py:1504). Unscoped refresh remains the explicit
+        whole-store rebuild API."""
         from graphiti_spark.operators.community import build_communities
 
         if not refresh:
@@ -435,9 +445,11 @@ class GraphitiSpark:
                 if c is not None and m is not None:
                     self._communities = (c.drop("bucket"), m.drop("bucket"))
                     return self._communities
-        comm, member_edges = build_communities(
-            self._table("edges"), self._table("nodes")
-        )
+        edges_in, nodes_in = self._table("edges"), self._table("nodes")
+        if groups is not None:
+            edges_in = edges_in.join(groups, "group_id", "left_semi")
+            nodes_in = nodes_in.join(groups, "group_id", "left_semi")
+        comm, member_edges = build_communities(edges_in, nodes_in)
         if self.store is not None:
             # group-scoped REPLACE, not upsert: community uuid =
             # hash(group, min member), so a rebuild after incremental
@@ -456,13 +468,18 @@ class GraphitiSpark:
             )
             # replace OLD ∪ NEW groups explicitly: a group whose graph
             # emptied has no rows in the rebuild, and a group absent from
-            # updates would otherwise keep its dead communities
-            old = self.store.read("communities")
-            affected = comm.select("group_id").distinct()
-            if old is not None:
-                affected = affected.unionByName(
-                    old.select("group_id").distinct()
-                ).distinct()
+            # updates would otherwise keep its dead communities. A SCOPED
+            # refresh replaces exactly the requested groups (their
+            # re-derivation may legitimately come back empty).
+            if groups is not None:
+                affected = groups.select("group_id").distinct()
+            else:
+                old = self.store.read("communities")
+                affected = comm.select("group_id").distinct()
+                if old is not None:
+                    affected = affected.unionByName(
+                        old.select("group_id").distinct()
+                    ).distinct()
             affected = affected.localCheckpoint()  # old-table lineage dies
             self.store.replace_groups("communities", comm, group_ids=affected)
             self.store.replace_groups(
@@ -475,6 +492,10 @@ class GraphitiSpark:
             member_edges = (
                 m.drop("bucket") if m is not None else member_edges.limit(0)
             )
+        elif groups is not None:
+            # session mode can't merge a scoped rebuild into anything —
+            # return the scoped tables but don't poison the full cache
+            return comm, member_edges
         self._communities = (comm, member_edges)
         return self._communities
 
@@ -495,6 +516,7 @@ class GraphitiSpark:
         catalog: "dict[str, tuple[str, ...]] | None" = None,
         excluded_entity_types: tuple[str, ...] = (),
         edge_type_map: "dict[tuple[str, str], str] | None" = None,
+        custom_extraction_instructions: str | None = None,
     ) -> GraphTables:
         """Batch ingest. With a store attached, new mentions are resolved
         against the LIVE graph first via the persistent name_index — the
@@ -507,6 +529,7 @@ class GraphitiSpark:
             source_files, fuzzy=fuzzy, full_provenance=self.full_provenance,
             catalog=catalog, excluded_entity_types=excluded_entity_types,
             edge_type_map=edge_type_map,
+            custom_extraction_instructions=custom_extraction_instructions,
         )
         if self.store is not None:
             existing = self.store.read("name_index")
@@ -578,8 +601,82 @@ class GraphitiSpark:
         self._session_graph = g
         self._invalidate_caches()  # graph changed; rebuild lazily
         if update_communities:
-            self.communities_tables(refresh=True)
+            self._update_communities_ingest(g)
         return g
+
+    def _update_communities_ingest(self, g: GraphTables) -> None:
+        """Ingest-time community maintenance, bounded by batch spread
+        (the reference's update_communities path runs the INCREMENTAL
+        update_community per touched entity, community_operations.py:
+        274-367 — never a whole-store rebuild per batch):
+
+        - touched groups WITHOUT stored assignments → scoped full build
+          (the reference's create-community branch at first contact);
+        - touched groups WITH assignments → modal-neighbor assignment of
+          this batch's entities + re-summarize of affected communities
+          (operators.community.incremental_member_updates);
+        - untouched groups: no read scoped to them, no write — their
+          stored bytes do not move.
+
+        Whole-store structural rebuild stays the EXPLICIT
+        ``communities_tables(refresh=True)`` API (reference:
+        build_communities), which also heals the documented drift of
+        long incremental chains."""
+        if self.store is None:
+            self.communities_tables(refresh=True)
+            return
+        touched = g.episodes.select("group_id").distinct().localCheckpoint()
+        stored_comm = self.store.read("communities")
+        if stored_comm is None:
+            self.communities_tables(refresh=True, groups=touched)
+            return
+        # materialize BOTH group sets before any write: the scoped
+        # refresh below swaps bucket files a lazy scan over stored_comm
+        # would still reference
+        have = (
+            stored_comm.select("group_id").distinct()
+            .join(touched, "group_id", "left_semi")
+            .localCheckpoint()
+        )
+        missing = touched.join(have, "group_id", "left_anti").localCheckpoint()
+        if missing.limit(1).count() > 0:
+            self.communities_tables(refresh=True, groups=missing)
+        if have.limit(1).count() == 0:
+            self._invalidate_caches()
+            return
+        from graphiti_spark.functions.embeddings import hash_embed
+        from graphiti_spark.operators.community import (
+            incremental_member_updates,
+        )
+
+        membership = self.store.read("community_edges")
+        if membership is None:
+            # membership table drained/absent: assignments can't be
+            # trusted — rebuild the touched groups from scratch instead
+            self.communities_tables(refresh=True, groups=have)
+            self._invalidate_caches()
+            return
+
+        scoped = lambda t: (  # noqa: E731
+            self.store.read(t).drop("bucket").join(have, "group_id", "left_semi")
+        )
+        updated, new_member_edges = incremental_member_updates(
+            scoped("edges"),
+            membership.drop("bucket").join(have, "group_id", "left_semi"),
+            scoped("communities"),
+            g.nodes.select("group_id", "uuid").join(
+                have, "group_id", "left_semi"
+            ),
+            scoped("nodes"),
+        )
+        updated = updated.withColumn(
+            "name_embedding",
+            hash_embed(F.concat_ws(" ", "name", "summary")),
+        ).localCheckpoint()  # severs lineage from the tables we now rewrite
+        new_member_edges = new_member_edges.localCheckpoint()
+        self.store.merge_upsert("communities", updated)
+        self.store.merge_upsert("community_edges", new_member_edges)
+        self._invalidate_caches()
 
     def _reinvalidate_affected(self, g: GraphTables) -> None:
         """Incremental bi-temporal maintenance: new facts can contradict
@@ -797,23 +894,46 @@ class GraphitiSpark:
     def _update_sagas(self, g: GraphTables) -> None:
         """Saga chain bookkeeping (graphiti.py:1411-1459): saga nodes,
         HAS_EPISODE membership, NEXT_EPISODE ordering — recomputed from the
-        STORED episodes of exactly the groups this batch touched, so the
-        chain stays correct when a batch inserts mid-saga and the
-        derivation is idempotent (the event-time watermark is a max(),
-        monotone by construction). At 100 TB the same recompute runs per
-        affected group — bounded by batch spread, not corpus size."""
+        STORED episodes of exactly the (group, saga) chains this batch
+        touched, so the chain stays correct when a batch inserts mid-saga
+        and the derivation is idempotent (the event-time watermark is a
+        max(), monotone by construction). At 100 TB the same recompute
+        runs per affected saga — bounded by batch spread, not corpus size.
+
+        Summarization gate (graphiti.py:438-568 — the watermark
+        bookkeeping exists to gate saga summarization): a recomputed saga
+        row is written ONLY when its episode set actually changed (event
+        watermark advanced, count changed, or the head window shifted —
+        the content-derived row differs). Unchanged sagas keep their
+        stored row byte-identical and ``last_summarized_at`` does not
+        move, which is exactly the reference's skip-when-watermark-
+        already-covers behavior."""
         from graphiti_spark.operators.saga import (
             build_saga_nodes,
             has_episode_edges,
             next_episode_edges,
+            with_saga,
         )
 
         eps = self.store.read("episodes")
         if eps is None:
             return
-        affected = g.episodes.select("group_id").distinct()
-        eps = eps.drop("bucket").join(affected, "group_id", "left_semi")
-        self.store.merge_upsert("sagas", build_saga_nodes(eps))
+        affected = (
+            with_saga(g.episodes).select("group_id", "saga").distinct()
+        )
+        eps = eps.drop("bucket").join(
+            affected, ["group_id", "saga"], "left_semi"
+        )
+        new_sagas = build_saga_nodes(eps)
+        stored = self.store.read("sagas")
+        if stored is not None and "summary" in stored.columns:
+            # anti-join on the FULL row: only changed sagas re-write (the
+            # summarization gate) — an identical recomputation must not
+            # touch the bucket
+            new_sagas = new_sagas.join(
+                stored.drop("bucket"), new_sagas.columns, "left_anti"
+            )
+        self.store.merge_upsert("sagas", new_sagas)
         self.store.merge_upsert("saga_edges", has_episode_edges(eps))
         self.store.merge_upsert("next_episode_edges", next_episode_edges(eps))
 
@@ -1146,8 +1266,31 @@ class GraphitiSpark:
 
     # ---- point CRUD ------------------------------------------------------
 
-    def nodes_by_uuids(self, uuids: list[str]) -> DataFrame:
-        return self._table("nodes").where(F.col("uuid").isin(*uuids))
+    def _group_pruned(
+        self, df: DataFrame, group_ids: "list[str] | None"
+    ) -> DataFrame:
+        """Apply a group hint to a point query: group_id predicate plus the
+        derived bucket predicate, which reaches the store scan as a
+        PARTITION filter (the store partitions by bucket = hash(group)).
+        Every reference point query carries group_id (e.g.
+        nodes.py:663-675) for exactly this reason; without the hint a
+        uuid-only lookup FULL-SCANS the table — documented, allowed, slow
+        at 100 TB."""
+        if not group_ids:
+            return df
+        df = df.where(F.col("group_id").isin(*group_ids))
+        if self.store is not None and "bucket" in df.columns:
+            df = df.where(
+                F.col("bucket").isin(self.store.buckets_for(group_ids))
+            )
+        return df
+
+    def nodes_by_uuids(
+        self, uuids: list[str], group_ids: "list[str] | None" = None
+    ) -> DataFrame:
+        return self._group_pruned(
+            self._table("nodes"), group_ids
+        ).where(F.col("uuid").isin(*uuids))
 
     def edges_by_group(
         self, group_ids: list[str], limit: int | None = None, cursor: str | None = None
@@ -1236,11 +1379,17 @@ class GraphitiSpark:
             self._table("edges"), self._table("nodes"), origin_uuids, max_depth
         )
 
-    def get_between_nodes(self, node1_uuid: str, node2_uuid: str) -> DataFrame:
+    def get_between_nodes(
+        self, node1_uuid: str, node2_uuid: str, group_id: str | None = None
+    ) -> DataFrame:
         """Edges between two entities, both orientations — the reference's
         point query (namespaces/edges.py:92, used by add_episode step 6d,
-        edge_operations.py:365-370)."""
-        e = self._table("edges")
+        edge_operations.py:365-370). ``group_id`` makes the stored scan
+        partition-pruned (the reference's equivalents always carry it,
+        nodes.py:663-675); without it the lookup full-scans."""
+        e = self._group_pruned(
+            self._table("edges"), [group_id] if group_id else None
+        )
         n1, n2 = F.lit(node1_uuid), F.lit(node2_uuid)
         return e.where(
             ((F.col("source_node_uuid") == n1) & (F.col("target_node_uuid") == n2))

@@ -43,6 +43,10 @@ CHUNK_DENSITY_THRESHOLD = 0.15
 
 # --- text (graphiti_core/utils/text_utils.py:26)
 MAX_SUMMARY_CHARS = 1000
+# saga summary member window (graphiti.py:438-568 summarizes episode
+# content into SagaNode.summary; the deterministic analog packs the first
+# K episode names in chain order — K mirrors build_communities' top_names)
+SAGA_SUMMARY_EPISODES = 8
 
 # --- embeddings (graphiti_core/embedder/client.py:23; tests use 384)
 EMBEDDING_DIM = 384

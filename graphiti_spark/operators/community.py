@@ -219,6 +219,125 @@ def assign_new_members(
     )
 
 
+def incremental_member_updates(
+    edges: DataFrame,
+    membership: DataFrame,
+    communities: DataFrame,
+    new_nodes: DataFrame,
+    nodes: DataFrame,
+    top_names: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time community maintenance for groups that ALREADY have
+    assignments (the reference's update_community path,
+    community_operations.py:274-367): each not-yet-assigned entity joins
+    the modal community among its already-assigned neighbors (weight =
+    edge count, tie → larger community uuid); an entity with no assigned
+    neighbor opens a new singleton community — exactly the reference's
+    create-if-no-neighbor-community branch. Affected communities get
+    n_members and the deterministic summary recomputed from their full
+    member set (the re-summarize step); their uuid and name are KEPT
+    (the reference assigns into the existing community object — structural
+    drift vs a from-scratch rebuild is deferred to the scoped full
+    rebuild, same as the reference defers to build_communities).
+
+    Inputs: ``edges`` / ``membership`` (HAS_MEMBER) / ``communities`` /
+    ``nodes`` already scoped to the touched groups; ``new_nodes`` =
+    (group_id, uuid) of this batch's entities. Returns
+    (updated_community_rows, new_member_edges) — both bounded by batch
+    spread, nothing rescans untouched groups."""
+    from graphiti_spark.ids import community_uuid
+    from graphiti_spark.sources.episodes import FIXED_CREATED_AT
+
+    adjacency = build_adjacency(edges)
+    assigned = membership.select(
+        F.col("target_node_uuid").alias("uuid"),
+        F.col("source_node_uuid").alias("community_uuid"),
+    )
+    unassigned = new_nodes.select("group_id", "uuid").join(
+        assigned, "uuid", "left_anti"
+    )
+    votes = (
+        adjacency.join(
+            unassigned.select(F.col("uuid").alias("a")), "a", "left_semi"
+        )
+        .join(
+            assigned.select(F.col("uuid").alias("b"), "community_uuid"), "b"
+        )
+        .groupBy("group_id", "a", "community_uuid")
+        .agg(F.sum("edge_count").alias("w"))
+        .groupBy("group_id", "a")
+        .agg(
+            F.max_by(
+                "community_uuid", F.struct(F.col("w"), F.col("community_uuid"))
+            ).alias("community_uuid")
+        )
+        .select("group_id", F.col("a").alias("uuid"), "community_uuid")
+    )
+    singles = unassigned.join(votes.select("uuid"), "uuid", "left_anti").select(
+        "group_id",
+        "uuid",
+        community_uuid("group_id", F.col("uuid")).alias("community_uuid"),
+    )
+    new_members = votes.unionByName(singles)
+    new_member_edges = new_members.select(
+        F.col("community_uuid").alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+        "group_id",
+        F.lit("HAS_MEMBER").alias("name"),
+        F.lit(FIXED_CREATED_AT).cast("timestamp").alias("created_at"),
+    )
+    # re-summarize AFFECTED communities from their full (old ∪ new)
+    # member set; singleton communities materialize a fresh row
+    affected = new_member_edges.select(
+        F.col("source_node_uuid").alias("community_uuid")
+    ).distinct()
+    all_members = (
+        membership.select(
+            F.col("source_node_uuid").alias("community_uuid"),
+            F.col("target_node_uuid").alias("uuid"),
+            "group_id",
+        )
+        .unionByName(
+            new_member_edges.select(
+                F.col("source_node_uuid").alias("community_uuid"),
+                F.col("target_node_uuid").alias("uuid"),
+                "group_id",
+            )
+        )
+        .join(affected, "community_uuid", "left_semi")
+        .join(nodes.select("uuid", F.col("name").alias("_mname")), "uuid")
+    )
+    from graphiti_spark import config
+
+    stats = all_members.groupBy("group_id", "community_uuid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min_by("_mname", "uuid").alias("_cname"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("_mname")), 1, top_names), ", "
+        ).alias("_members"),
+    )
+    existing_names = communities.select(
+        F.col("uuid").alias("community_uuid"), F.col("name").alias("_kept_name")
+    )
+    updated = (
+        stats.join(existing_names, "community_uuid", "left")
+        .select(
+            F.col("community_uuid").alias("uuid"),
+            # existing community keeps its name (reference keeps the
+            # community object); new singletons name from min member
+            F.coalesce("_kept_name", "_cname").alias("name"),
+            "group_id",
+            F.substring(
+                F.concat(F.lit("Community: "), F.col("_members")),
+                1, config.MAX_SUMMARY_CHARS,
+            ).alias("summary"),
+            "n_members",
+            F.lit(None).cast("array<float>").alias("name_embedding"),
+        )
+    )
+    return updated, new_member_edges
+
+
 def community_nodes(edges: DataFrame) -> DataFrame:
     """End-to-end: edges → adjacency → label propagation → community
     assignments + member counts (CommunityNode analog, nodes.py:687-689)."""

@@ -74,6 +74,80 @@ DEFAULT_CATALOG: dict[str, tuple[str, ...]] = {
 }
 FALLBACK_LABEL = "Concept"
 
+# reserved label the `ignore <token>` instruction assigns; always excluded
+IGNORED_LABEL = "__Ignored"
+
+
+def apply_instructions(
+    instructions: str | None,
+    catalog: dict[str, tuple[str, ...]] | None = None,
+    excluded_entity_types: tuple[str, ...] = (),
+    edge_type_map: dict[tuple[str, str], str] | None = None,
+) -> tuple[
+    "dict[str, tuple[str, ...]] | None",
+    tuple[str, ...],
+    "dict[tuple[str, str], str] | None",
+]:
+    """Deterministic analog of ``custom_extraction_instructions``
+    (graphiti.add_episode / add_episode_bulk signature — free text
+    appended to the extraction prompt). In deterministic mode the
+    instruction channel is a statement list (';' or newline separated)
+    compiled into the structured extraction parameters:
+
+    - ``treat <token> as <Label>``   — (re)classify a token; instruction
+      classes are checked BEFORE the base catalog, so this also overrides
+      base-vocabulary membership (first match wins in the label chain)
+    - ``ignore <token>``             — drop the token from extraction
+      entirely (mentions and any triple touching it; adjacency is NOT
+      re-spliced — the same drop semantics as excluded_entity_types)
+    - ``relate <SubjLabel> <ObjLabel> as <PREDICATE>`` — route the label
+      pair to a relation type (an edge_type_map entry)
+
+    Unknown statements raise — a silent no-op instruction would be the
+    prompt-engineering equivalent of a typo'd config key. Returns the
+    adjusted (catalog, excluded_entity_types, edge_type_map)."""
+    if not instructions or not instructions.strip():
+        return catalog, excluded_entity_types, edge_type_map
+    import re
+
+    treat: dict[str, list[str]] = {}
+    ignored: list[str] = []
+    relate: dict[tuple[str, str], str] = {}
+    for stmt in re.split(r"[;\n]", instructions):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        if m := re.fullmatch(r"treat\s+(\S+)\s+as\s+(\S+)", stmt):
+            treat.setdefault(m.group(2), []).append(m.group(1))
+        elif m := re.fullmatch(r"ignore\s+(\S+)", stmt):
+            ignored.append(m.group(1))
+        elif m := re.fullmatch(r"relate\s+(\S+)\s+(\S+)\s+as\s+(\S+)", stmt):
+            relate[(m.group(1), m.group(2))] = m.group(3)
+        else:
+            raise ValueError(f"unrecognized extraction instruction: {stmt!r}")
+    base = dict(catalog if catalog is not None else DEFAULT_CATALOG)
+    out_catalog: dict[str, tuple[str, ...]] = {}
+    if ignored:
+        out_catalog[IGNORED_LABEL] = tuple(dict.fromkeys(ignored))
+    for label, toks in treat.items():
+        out_catalog[label] = tuple(dict.fromkeys(toks))
+    for label, vocab in base.items():
+        # instruction tokens stay FIRST in the chain; base vocab follows
+        # (first match wins, so reassigned tokens need no removal)
+        out_catalog[label] = out_catalog.get(label, ()) + tuple(
+            v for v in vocab if v not in out_catalog.get(label, ())
+        )
+    out_excluded = tuple(excluded_entity_types)
+    if ignored and IGNORED_LABEL not in out_excluded:
+        out_excluded = out_excluded + (IGNORED_LABEL,)
+    out_map = edge_type_map
+    if relate:
+        out_map = {
+            **(PREDICATES if edge_type_map is None else edge_type_map),
+            **relate,
+        }
+    return out_catalog, out_excluded, out_map
+
 
 def _label_col(
     name: Column, catalog: dict[str, tuple[str, ...]] | None = None

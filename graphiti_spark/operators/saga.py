@@ -53,17 +53,65 @@ def with_saga(episodes: DataFrame) -> DataFrame:
 
 def build_saga_nodes(episodes: DataFrame) -> DataFrame:
     """One SagaNode row per (group, saga): first/last episode by
-    (valid_at, uuid), episode count, and the event-time watermark =
+    (valid_at, uuid), episode count, the event-time watermark =
     max valid_at seen (monotone under incremental MERGE because max()
-    only advances)."""
+    only advances), and the SUMMARY the reference's saga flow produces
+    while advancing the watermarks (graphiti.py:438-568; field
+    nodes.py:872).
+
+    Deterministic summary analog: the first ``SAGA_SUMMARY_EPISODES``
+    episode names in chain order (valid_at, uuid), packed as
+    ``'Saga <name>: e1, e2, ...'`` and capped at MAX_SUMMARY_CHARS —
+    the same SQL-expressible stand-in shape as build_communities'
+    member-name summaries (swap for a model client on a real deployment;
+    :mod:`community` keeps the log-depth reduce shape for that).
+
+    ``last_summarized_at`` advances WITH the summarization: in
+    deterministic mode wall clocks are banned (re-runs must be
+    byte-identical), so the stand-in is the event-time instant the
+    summary covered — i.e. it equals the event watermark whenever the
+    summary is (re)computed, and the incremental gate in
+    GraphitiSpark._update_sagas leaves BOTH untouched for sagas whose
+    episode set did not change."""
+    from graphiti_spark import config
+
+    eps = with_saga(episodes).select("group_id", "saga", "uuid", "name", "valid_at")
+    w_asc = Window.partitionBy("group_id", "saga").orderBy(
+        F.asc("valid_at"), F.asc("uuid")
+    )
+    w_desc = Window.partitionBy("group_id", "saga").orderBy(
+        F.desc("valid_at"), F.desc("uuid")
+    )
+    ranked = eps.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    # collect_list skips the NULLs the when() leaves for rows past the
+    # summary window, so the per-saga array is bounded by
+    # SAGA_SUMMARY_EPISODES regardless of saga size (scale-safe: no
+    # unbounded per-group state)
+    head_names = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn_a") <= config.SAGA_SUMMARY_EPISODES,
+                    F.struct("rn_a", "name"),
+                )
+            )
+        ),
+        lambda s: s["name"],
+    )
     return (
-        with_saga(episodes)
-        .groupBy("group_id", "saga")
+        ranked.groupBy("group_id", "saga")
         .agg(
-            F.min_by("uuid", F.struct("valid_at", "uuid")).alias("first_episode_uuid"),
-            F.max_by("uuid", F.struct("valid_at", "uuid")).alias("last_episode_uuid"),
+            F.min(F.when(F.col("rn_a") == 1, F.col("uuid"))).alias(
+                "first_episode_uuid"
+            ),
+            F.min(F.when(F.col("rn_d") == 1, F.col("uuid"))).alias(
+                "last_episode_uuid"
+            ),
             F.max("valid_at").alias("last_summarized_episode_valid_at"),
             F.count("*").cast("long").alias("n_episodes"),
+            head_names.alias("_head_names"),
         )
         .select(
             saga_uuid("group_id", "saga").alias("uuid"),
@@ -71,8 +119,16 @@ def build_saga_nodes(episodes: DataFrame) -> DataFrame:
             "group_id",
             "first_episode_uuid",
             "last_episode_uuid",
-            F.lit(FIXED_CREATED_AT).cast("timestamp")
-            .alias("last_summarized_at"),  # wall-clock watermark (deterministic stand-in)
+            F.substring(
+                F.concat(
+                    F.lit("Saga "), F.col("saga"), F.lit(": "),
+                    F.array_join("_head_names", ", "),
+                ),
+                1, config.MAX_SUMMARY_CHARS,
+            ).alias("summary"),
+            # wall-clock watermark: deterministic stand-in = the event
+            # time this summarization covered (advances iff it runs)
+            F.col("last_summarized_episode_valid_at").alias("last_summarized_at"),
             "last_summarized_episode_valid_at",
             "n_episodes",
         )

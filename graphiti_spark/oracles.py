@@ -22,7 +22,7 @@ from graphiti_spark.operators.extraction import (
     OPERATION_VOCAB,
     PREDICATES,
 )
-from graphiti_spark.sources.episodes import FIXED_CREATED_AT, episodes_oracle_ctes
+from graphiti_spark.sources.episodes import episodes_oracle_ctes
 from graphiti_spark.sources.source_files import source_files_oracle_sql
 from graphiti_spark.operators.temporal import SYSTEM_TIME
 from graphiti_spark import config
@@ -41,20 +41,33 @@ def _toks_sql(col: str) -> str:
     )
 
 
-def _label_case(col: str) -> str:
-    return (
-        f"CASE WHEN {col} IN ({_in_list(OPERATION_VOCAB)}) THEN 'Operation' "
-        f"WHEN {col} IN ({_in_list(OBJECT_VOCAB)}) THEN 'Object' "
-        f"ELSE 'Concept' END"
+def _label_case(col: str, catalog: "dict[str, tuple[str, ...]] | None" = None) -> str:
+    """Label chain from an ordered {label: vocab} catalog (first match
+    wins — same semantics as extraction._label_col); default = the
+    DEFAULT_CATALOG chain."""
+    if catalog is None:
+        catalog = {"Operation": OPERATION_VOCAB, "Object": OBJECT_VOCAB}
+    whens = " ".join(
+        f"WHEN {col} IN ({_in_list(vocab)}) THEN '{label}'"
+        for label, vocab in catalog.items() if vocab
     )
+    return f"CASE {whens} ELSE 'Concept' END"
 
 
-def _predicate_case(sl: str, ol: str) -> str:
+def _predicate_case(
+    sl: str, ol: str, routing: "dict[tuple[str, str], str] | None" = None
+) -> str:
     whens = " ".join(
         f"WHEN {sl} = '{s}' AND {ol} = '{o}' THEN '{p}'"
-        for (s, o), p in PREDICATES.items()
+        for (s, o), p in (PREDICATES if routing is None else routing).items()
     )
     return f"CASE {whens} ELSE '{DEFAULT_PREDICATE}' END"
+
+
+# fixture instruction string for the custom_extraction_instructions
+# channel (kg_triples_instructed): exercises all three directives — a
+# vocabulary reassignment, a token drop, and an edge-routing override
+DEMO_INSTRUCTIONS = "treat merge as Object; ignore table; relate Object Object as LINKS"
 
 
 def _uuid(prefix: str, *exprs: str) -> str:
@@ -375,6 +388,34 @@ edges AS (
 """
 
 
+def _instructed_triples_sql() -> str:
+    """kg_triples_instructed twin: the DEMO_INSTRUCTIONS statements are
+    compiled by the SAME apply_instructions the Spark side uses, then
+    rendered as an independent DuckDB CASE chain (kg_triples_excluded
+    shape: drop, no adjacency re-splice)."""
+    from graphiti_spark.operators.extraction import apply_instructions
+
+    cat, exc, emap = apply_instructions(DEMO_INSTRUCTIONS)
+    sl = _label_case("a.tok", cat)
+    ol = _label_case("b.tok", cat)
+    pred = _predicate_case(sl, ol, emap)
+    return f"""
+SELECT DISTINCT episode_uuid, group_id, subj_name, predicate, obj_name,
+       fact, valid_at
+FROM (
+  SELECT a.episode_uuid, a.group_id, a.valid_at,
+         a.tok AS subj_name, b.tok AS obj_name,
+         {pred} AS predicate,
+         concat_ws(' ', a.tok, {pred}, b.tok) AS fact
+  FROM tok_pos a
+  JOIN tok_pos b
+    ON a.episode_uuid = b.episode_uuid AND b.pos = a.pos + 1
+  WHERE a.tok <> b.tok
+    AND {sl} NOT IN ({_in_list(exc)})
+    AND {ol} NOT IN ({_in_list(exc)})
+)"""
+
+
 def kg_oracles(documents: str = "documents") -> dict[str, str]:
     p = kg_cte_prefix(documents)
     return {
@@ -383,7 +424,9 @@ def kg_oracles(documents: str = "documents") -> dict[str, str]:
 SELECT repo, path, commit, lang, content_sha256, file_seq FROM source_files""",
         "kg_episodes": p
         + """
-SELECT uuid, name, group_id, source, valid_at, content_sha256 FROM episodes""",
+SELECT uuid, name, group_id, source, valid_at, content_sha256,
+       CAST(NULL AS VARCHAR) AS metadata_json
+FROM episodes""",
         "kg_mentions": p
         + """
 SELECT mention_uuid, episode_uuid, group_id, name, label FROM mentions""",
@@ -418,6 +461,13 @@ FROM (
     AND {_label_case('a.tok')} <> 'Operation'
     AND {_label_case('b.tok')} <> 'Operation'
 )""",
+        # custom_extraction_instructions channel (graphiti.add_episode
+        # signature): the instruction statements compile (via the SAME
+        # apply_instructions the Spark side uses) into a reordered label
+        # chain, an ignored-token class, and an edge-routing override —
+        # this row hash-checks all three against an independently built
+        # CASE chain
+        "kg_triples_instructed": p + _instructed_triples_sql(),
         "kg_canonical_map": p
         + """
 SELECT alias_uuid, canonical_uuid, group_id FROM canonical_map""",
@@ -567,11 +617,15 @@ FROM edges""",
 SELECT {_uuid('saga', 'group_id', 'saga')} AS uuid, saga AS name, group_id,
        min(CASE WHEN rn_a = 1 THEN uuid END) AS first_episode_uuid,
        min(CASE WHEN rn_d = 1 THEN uuid END) AS last_episode_uuid,
-       TIMESTAMP '{FIXED_CREATED_AT}' AS last_summarized_at,
+       substring(concat('Saga ', saga, ': ',
+                        string_agg(CASE WHEN rn_a <= {config.SAGA_SUMMARY_EPISODES}
+                                        THEN ep_name END, ', ' ORDER BY rn_a)),
+                 1, {config.MAX_SUMMARY_CHARS}) AS summary,
+       max(valid_at) AS last_summarized_at,
        max(valid_at) AS last_summarized_episode_valid_at,
        count(*) AS n_episodes
 FROM (
-  SELECT group_id, saga, uuid, valid_at,
+  SELECT group_id, saga, uuid, name AS ep_name, valid_at,
          row_number() OVER (PARTITION BY group_id, saga
                             ORDER BY valid_at ASC, uuid ASC) AS rn_a,
          row_number() OVER (PARTITION BY group_id, saga

@@ -92,7 +92,10 @@ def compact_store(store: GraphStore) -> dict[str, int]:
         .withColumn("expired_at", F.lit(None).cast("timestamp"))
         .drop("_fn")
     )
-    edges2 = invalidate_contradictions(edges2).select(edges.columns)
+    # materialize ONCE: the summary refresh below re-reads edges2 while
+    # building nodes2, and nodes2 is written AFTER _replace("edges") has
+    # deleted the old edge files this lineage would otherwise re-scan
+    edges2 = invalidate_contradictions(edges2).select(edges.columns).localCheckpoint()
 
     # keep the name index pointing at survivors
     name_index = store.read("name_index")
@@ -117,6 +120,36 @@ def compact_store(store: GraphStore) -> dict[str, int]:
     # at name grain; cross-name label union happens via canonical row)
     nodes2 = nodes.join(
         losers.select(F.col("alias_uuid").alias("uuid")), "uuid", "left_anti"
+    )
+
+    # close the ingest-time staleness window (GraphitiSpark._enrich_
+    # summaries documents that fuzzy-remap TARGET nodes keep a stale
+    # summary until their next direct touch): every merge survivor gets
+    # its summary recomputed from the POST-rewrite fact set, so the drift
+    # has a bounded lifetime by construction — one compaction pass.
+    from graphiti_spark.operators.attributes import append_fact_summaries
+
+    survivors = losers.select(
+        F.col("canonical_uuid").alias("uuid")
+    ).distinct()
+    surv_nodes = nodes2.join(survivors, "uuid", "left_semi").withColumn(
+        "summary", F.concat(F.lit("Entity "), F.col("name"))
+    )
+    touching = (
+        edges2.join(
+            survivors.withColumnRenamed("uuid", "source_node_uuid"),
+            "source_node_uuid", "left_semi",
+        )
+        .unionByName(
+            edges2.join(
+                survivors.withColumnRenamed("uuid", "target_node_uuid"),
+                "target_node_uuid", "left_semi",
+            )
+        )
+        .select("source_node_uuid", "target_node_uuid", "fact")
+    )
+    nodes2 = nodes2.join(survivors, "uuid", "left_anti").unionByName(
+        append_fact_summaries(surv_nodes, touching).select(nodes2.columns)
     )
 
     # compaction REWRITES (rows merge away, not just update), so the whole

@@ -67,15 +67,29 @@ def build_graph(
     catalog: "dict[str, tuple[str, ...]] | None" = None,
     excluded_entity_types: tuple[str, ...] = (),
     edge_type_map: "dict[tuple[str, str], str] | None" = None,
+    custom_extraction_instructions: str | None = None,
 ) -> GraphTables:
     """Run the full construction pipeline (lazily — nothing executes until
     the returned DataFrames are acted on, so Catalyst sees whole plans).
+
+    ``custom_extraction_instructions`` is the deterministic analog of the
+    reference's free-text extraction-instruction channel (graphiti.py
+    add_episode signature) — compiled by
+    :func:`operators.extraction.apply_instructions` into catalog /
+    exclusion / edge-routing adjustments before extraction runs.
 
     ``persist_episodes`` caches the chunked episode table so the mention
     and triple extraction branches scan the source once, not twice (at
     cluster scale the equivalent is writing episodes to their Iceberg
     table first — which the reference also does, graphiti.py:1319-1343 —
     and reading back)."""
+    if custom_extraction_instructions:
+        from graphiti_spark.operators.extraction import apply_instructions
+
+        catalog, excluded_entity_types, edge_type_map = apply_instructions(
+            custom_extraction_instructions, catalog,
+            excluded_entity_types, edge_type_map,
+        )
     episodes = episodes_from_source_files(salted_repartition(source_files), chunk=chunk)
     ex_input = episodes
     if persist_episodes:

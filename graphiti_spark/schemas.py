@@ -44,6 +44,15 @@ EPISODES = T.StructType(
         T.StructField("valid_at", T.TimestampType(), False),  # event time
         T.StructField("created_at", T.TimestampType(), False),
         T.StructField("content_sha256", T.StringType(), False),
+        # optional per-episode payload (EpisodicNode.metadata,
+        # nodes.py:331-332) — survives the store round-trip; a string map
+        # (not a JSON blob) so Parquet keeps `episode_metadata['key']`
+        # reads prunable, same rationale as `attributes`
+        T.StructField(
+            "episode_metadata",
+            T.MapType(T.StringType(), T.StringType()),
+            True,
+        ),
     ]
 )
 

@@ -24,8 +24,16 @@ FIXED_CREATED_AT = "2025-01-01 00:00:00"
 EPOCH_VALID_AT = "2024-01-01 00:00:00"
 
 _DIALECT = {
-    "spark": {"day": "INTERVAL '1' DAY", "sha_open": "sha2(", "sha_close": ", 256)"},
-    "duckdb": {"day": "INTERVAL 1 DAY", "sha_open": "sha256(", "sha_close": ")"},
+    "spark": {
+        "day": "INTERVAL '1' DAY", "sha_open": "sha2(", "sha_close": ", 256)",
+        # the Spark-side view is guaranteed the column by
+        # episodes_from_source_files; DuckDB's source CTE has none
+        "null_map": "episode_metadata",
+    },
+    "duckdb": {
+        "day": "INTERVAL 1 DAY", "sha_open": "sha256(", "sha_close": ")",
+        "null_map": "CAST(NULL AS MAP(VARCHAR, VARCHAR))",
+    },
 }
 
 _EP_TEMPLATE = """
@@ -43,7 +51,8 @@ SELECT
   content                                                     AS content,
   TIMESTAMP '{epoch}' + (file_seq % 365) * {day}              AS valid_at,
   TIMESTAMP '{created}'                                       AS created_at,
-  content_sha256                                              AS content_sha256
+  content_sha256                                              AS content_sha256,
+  {null_map}                                                  AS episode_metadata
 FROM {source_files}
 """
 
@@ -52,13 +61,23 @@ def episodes_sql(dialect: str, source_files: str) -> str:
     d = _DIALECT[dialect]
     return _EP_TEMPLATE.format(
         sha_open=d["sha_open"], sha_close=d["sha_close"], day=d["day"],
+        null_map=d["null_map"],
         epoch=EPOCH_VALID_AT, created=FIXED_CREATED_AT, source_files=source_files,
     )
 
 
 def episodes_from_source_files(source_files: DataFrame, chunk: bool = True) -> DataFrame:
-    """Map source_files rows to episode rows, chunking oversized content."""
+    """Map source_files rows to episode rows, chunking oversized content.
+
+    An ``episode_metadata`` map column on the input (the RawEpisode
+    metadata channel, nodes.py:331-332) rides through to the episode rows
+    — chunks of one source row share its metadata; absent, the column is
+    NULL."""
     spark = source_files.sparkSession
+    if "episode_metadata" not in source_files.columns:
+        source_files = source_files.withColumn(
+            "episode_metadata", F.lit(None).cast("map<string,string>")
+        )
     source_files.createOrReplaceTempView("gs_source_files")
     eps = spark.sql(episodes_sql("spark", "gs_source_files"))
     return chunk_episodes(eps) if chunk else eps
@@ -184,7 +203,7 @@ episodes AS (
          ELSE concat(name, '#chunk', CAST(ck AS VARCHAR)) END   AS name,
     group_id, saga, source, source_description,
     substring(content, ck * {stride} + 1, {size_chars})         AS content,
-    valid_at, created_at, content_sha256
+    valid_at, created_at, content_sha256, episode_metadata
   FROM (SELECT *, unnest(range(0, n_chunks)) AS ck FROM ep_gate)
 )"""
 

@@ -91,6 +91,20 @@ class GraphStore:
         except Exception:
             return None
 
+    def buckets_for(self, group_ids: list[str]) -> list[int]:
+        """Bucket ids for a group set — lets point queries turn a group
+        hint into a PARTITION filter on the bucketed store (one tiny
+        local job; the group list of a point query is O(1))."""
+        rows = (
+            self.spark.createDataFrame(
+                [(g,) for g in group_ids], "group_id string"
+            )
+            .select(bucket_col(n_buckets=self.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return [r["b"] for r in rows]
+
     def merge_upsert(self, table: str, updates: DataFrame) -> None:
         """Idempotent keyed upsert limited to the buckets present in
         ``updates`` (partition pruning keeps untouched buckets untouched,

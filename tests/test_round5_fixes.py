@@ -1,0 +1,331 @@
+"""Round-5 verdict items: saga summaries + watermark-advance gating,
+episode_metadata round-trip, the custom_extraction_instructions channel,
+scoped community maintenance, compaction summary refresh, group-pruned
+point queries."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import GraphitiSpark
+from graphiti_spark.storage.writer import GraphStore
+
+
+def _batch(spark, rows, repo="org/r"):
+    """rows: (path, content, file_seq)"""
+    return spark.createDataFrame(
+        [(repo, path, "c" * 40, "en", c,
+          hashlib.sha256(c.encode()).hexdigest(), seq)
+         for path, c, seq in rows],
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string, file_seq long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# saga summaries (reference nodes.py:867-876, graphiti.py:438-568)
+# ---------------------------------------------------------------------------
+
+def test_saga_summary_and_watermark_gate(spark, tmp_path_factory):
+    """SagaNode.summary is materialized from the head of the episode
+    chain; last_summarized_at advances WITH summarization; a saga whose
+    episode set did not change keeps its stored row identical (the
+    watermark gate)."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("sagasum")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(_batch(spark, [
+        ("app/pkg1/a.py", "alpha merge table beta", 10),
+        ("app/pkg1/b.py", "gamma join column delta", 30),
+        ("app/pkg2/c.py", "epsilon sort line zeta", 20),
+    ]))
+    rows1 = {r["name"]: r for r in store.read("sagas").collect()}
+    assert set(rows1) == {"pkg1", "pkg2"}
+    # summary = 'Saga <name>: ' + head episode names in chain order
+    assert rows1["pkg1"]["summary"].startswith("Saga pkg1: ")
+    assert "a.py@" in rows1["pkg1"]["summary"]
+    assert "b.py@" in rows1["pkg1"]["summary"]
+    # chain order: a.py (day 10) before b.py (day 30)
+    s = rows1["pkg1"]["summary"]
+    assert s.index("a.py@") < s.index("b.py@")
+    # deterministic wall-clock stand-in: advanced to the event watermark
+    for r in rows1.values():
+        assert r["last_summarized_at"] == r["last_summarized_episode_valid_at"]
+
+    # second batch touches ONLY pkg1 — pkg2's row must stay identical
+    g.add_episode_bulk(_batch(spark, [
+        ("app/pkg1/z.py", "eta batch value theta", 50),
+    ]))
+    rows2 = {r["name"]: r for r in store.read("sagas").collect()}
+    assert rows2["pkg2"] == rows1["pkg2"]  # gate: untouched saga unchanged
+    assert (rows2["pkg1"]["last_summarized_at"]
+            > rows1["pkg1"]["last_summarized_at"])  # advanced with the run
+    assert "z.py@" in rows2["pkg1"]["summary"]
+    assert rows2["pkg1"]["n_episodes"] == 3
+
+
+def test_saga_summary_head_window_cap(spark):
+    """Summaries pack at most SAGA_SUMMARY_EPISODES names and truncate at
+    MAX_SUMMARY_CHARS — bounded per-saga state at any saga size."""
+    from graphiti_spark import config
+    from graphiti_spark.operators.saga import build_saga_nodes
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    n = config.SAGA_SUMMARY_EPISODES + 5
+    eps = episodes_from_source_files(_batch(spark, [
+        (f"app/pkg/f{i:02d}.py", f"word{i} merge table", i) for i in range(n)
+    ]), chunk=False)
+    row = build_saga_nodes(eps).collect()[0]
+    assert row["n_episodes"] == n
+    assert len(row["summary"]) <= config.MAX_SUMMARY_CHARS
+    # exactly the first K chain episodes are named
+    named = [i for i in range(n) if f"f{i:02d}.py@" in row["summary"]]
+    assert named == list(range(config.SAGA_SUMMARY_EPISODES))
+
+
+# ---------------------------------------------------------------------------
+# episode_metadata (reference nodes.py:331-332)
+# ---------------------------------------------------------------------------
+
+def test_episode_metadata_round_trip(spark, tmp_path_factory):
+    """An episode_metadata map on the input survives mapping, chunking
+    and the store round-trip; absent input yields NULL."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("epmeta")), n_buckets=2)
+    g = GraphitiSpark(spark, store=store)
+    src = _batch(spark, [("app/pkg/m.py", "alpha merge table beta", 1)])
+    src = src.withColumn(
+        "episode_metadata",
+        F.create_map(F.lit("origin"), F.lit("crawler-7"),
+                     F.lit("license"), F.lit("mit")),
+    )
+    g.add_episode_bulk(src)
+    row = store.read("episodes").collect()[0]
+    assert row["episode_metadata"] == {"origin": "crawler-7", "license": "mit"}
+    # second ingest WITHOUT the column: NULL default, no failure — and the
+    # first row's stored metadata survives the merge untouched
+    g.add_episode_bulk(_batch(spark, [("app/pkg/n.py", "gamma join line", 2)]))
+    got = {r["name"]: r["episode_metadata"]
+           for r in store.read("episodes").collect()}
+    assert len(got) == 2
+    by_path = {k.split("@")[0]: v for k, v in got.items()}
+    assert by_path["app/pkg/m.py"] == {"origin": "crawler-7", "license": "mit"}
+    assert by_path["app/pkg/n.py"] is None
+
+
+def test_episode_metadata_chunks_inherit(spark):
+    from graphiti_spark import config
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    # a dense doc long enough to trip the chunk gate (capitalized tokens)
+    dense = " ".join(f"Token{i:04d} Merge Table" for i in range(900))
+    assert len(dense) / 4 >= config.CHUNK_MIN_TOKENS
+    src = _batch(spark, [("app/pkg/big.py", dense, 3)]).withColumn(
+        "episode_metadata", F.create_map(F.lit("k"), F.lit("v"))
+    )
+    eps = episodes_from_source_files(src).collect()
+    assert len(eps) > 1  # chunked
+    assert all(r["episode_metadata"] == {"k": "v"} for r in eps)
+
+
+# ---------------------------------------------------------------------------
+# custom_extraction_instructions (graphiti.add_episode signature)
+# ---------------------------------------------------------------------------
+
+def test_instructions_change_extraction(spark, tmp_path_factory):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("instr")), n_buckets=2)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(
+        _batch(spark, [("app/pkg/i.py", "merge query alpha table", 1)]),
+        custom_extraction_instructions=(
+            "treat merge as Object; ignore table; relate Object Object as LINKS"
+        ),
+    )
+    nodes = {r["name"] for r in store.read("nodes").collect()}
+    assert "table" not in nodes  # ignored token never becomes an entity
+    edges = {(r["source_node_uuid"], r["name"]): r
+             for r in store.read("edges").collect()}
+    preds = {r["name"] for r in store.read("edges").collect()}
+    # merge reclassified to Object => (merge, query) routes Object-Object
+    assert "LINKS" in preds
+    facts = {r["fact"] for r in store.read("edges").collect()}
+    assert "merge LINKS query" in facts
+    assert not any("table" in f.split() for f in facts)
+
+
+# ---------------------------------------------------------------------------
+# scoped/incremental community maintenance (community_operations.py:274-367)
+# ---------------------------------------------------------------------------
+
+def _bucket_of(spark, group, n_buckets):
+    from graphiti_spark.storage.writer import bucket_col
+
+    return (
+        spark.createDataFrame([(group,)], "group_id string")
+        .select(bucket_col(n_buckets=n_buckets).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _dir_snapshot(path):
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_ingest_community_update_is_scoped(spark, tmp_path_factory):
+    """update_communities=True during ingest must not rebuild (or even
+    rewrite) untouched groups: their community bucket files stay
+    byte-identical, while the touched group gets an INCREMENTAL
+    modal-neighbor assignment for its new entities."""
+    n_buckets = 8
+    ga = "org/alpha"
+    gb = next(
+        g for g in ("org/beta", "org/gamma", "org/delta", "org/epsilon")
+        if _bucket_of(spark, g, n_buckets) != _bucket_of(spark, ga, n_buckets)
+    )
+    store = GraphStore(
+        spark, str(tmp_path_factory.mktemp("commscope")), n_buckets=n_buckets
+    )
+    gs = GraphitiSpark(spark, store=store)
+    gs.add_episode_bulk(
+        _batch(spark, [("app/pkg/a.py", "alpha merge table beta", 1)], repo=ga)
+        .unionByName(
+            _batch(spark, [("app/pkg/b.py", "gamma join column delta", 2)], repo=gb)
+        ),
+        update_communities=True,
+    )
+    comm1 = {r["uuid"]: r for r in store.read("communities").collect()}
+    assert any(r["group_id"] == gb for r in comm1.values())
+    b_bucket = _bucket_of(spark, gb, n_buckets)
+    snap_c = _dir_snapshot(store._path("communities") + f"/bucket={b_bucket}")
+    snap_m = _dir_snapshot(store._path("community_edges") + f"/bucket={b_bucket}")
+    assert snap_c  # the untouched group really has stored bytes to protect
+
+    # batch 2 touches ONLY group A, linking a brand-new entity to an
+    # existing one plus an isolated new pair
+    gs.add_episode_bulk(
+        _batch(spark, [("app/pkg/c.py", "alpha widgetx . solo1 solo2", 3)],
+               repo=ga),
+        update_communities=True,
+    )
+    # untouched group: byte-identical files (no read-modify-write)
+    assert _dir_snapshot(store._path("communities") + f"/bucket={b_bucket}") == snap_c
+    assert _dir_snapshot(store._path("community_edges") + f"/bucket={b_bucket}") == snap_m
+
+    comm2 = {r["uuid"]: r for r in store.read("communities").collect()}
+    members = store.read("community_edges")
+    nodes = {r["name"]: r["uuid"] for r in store.read("nodes").collect()}
+    # widgetx joined its neighbor's EXISTING community (modal assignment)
+    alpha_comm = [
+        r["source_node_uuid"] for r in members.collect()
+        if r["target_node_uuid"] == nodes["alpha"]
+    ][0]
+    widget_comm = [
+        r["source_node_uuid"] for r in members.collect()
+        if r["target_node_uuid"] == nodes["widgetx"]
+    ][0]
+    assert widget_comm == alpha_comm
+    assert comm2[alpha_comm]["uuid"] == comm1[alpha_comm]["uuid"]  # kept id
+    assert comm2[alpha_comm]["n_members"] == comm1[alpha_comm]["n_members"] + 1
+    assert "widgetx" in comm2[alpha_comm]["summary"]
+    # isolated new pair: no assigned neighbor -> fresh singleton rows
+    for n in ("solo1", "solo2"):
+        c = [r["source_node_uuid"] for r in members.collect()
+             if r["target_node_uuid"] == nodes[n]]
+        assert len(c) == 1 and c[0] not in comm1
+
+
+def test_first_contact_group_gets_scoped_build(spark, tmp_path_factory):
+    """A group seen for the first time by an update_communities ingest
+    gets a full scoped build, while existing groups' files stay put."""
+    n_buckets = 8
+    ga, gb = "org/alpha", next(
+        g for g in ("org/beta", "org/gamma", "org/delta")
+        if _bucket_of(spark, g, n_buckets) != _bucket_of(spark, "org/alpha", n_buckets)
+    )
+    store = GraphStore(
+        spark, str(tmp_path_factory.mktemp("commfirst")), n_buckets=n_buckets
+    )
+    gs = GraphitiSpark(spark, store=store)
+    gs.add_episode_bulk(
+        _batch(spark, [("app/pkg/a.py", "alpha merge table", 1)], repo=ga),
+        update_communities=True,
+    )
+    a_bucket = _bucket_of(spark, ga, n_buckets)
+    snap = _dir_snapshot(store._path("communities") + f"/bucket={a_bucket}")
+    gs.add_episode_bulk(
+        _batch(spark, [("app/pkg/b.py", "gamma join column", 2)], repo=gb),
+        update_communities=True,
+    )
+    assert _dir_snapshot(store._path("communities") + f"/bucket={a_bucket}") == snap
+    assert store.read("communities").where(F.col("group_id") == gb).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# compaction refreshes fuzzy-merge survivor summaries (the documented
+# _enrich_summaries staleness window)
+# ---------------------------------------------------------------------------
+
+def test_compaction_refreshes_survivor_summary(spark, tmp_path_factory):
+    from graphiti_spark.plans.compaction import compact_store
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("sumfix")), n_buckets=4)
+    gs = GraphitiSpark(spark, store=store)
+    # fuzzy OFF: the punctuation variant lands as a separate node whose
+    # facts the future survivor's summary does not yet reflect
+    gs.add_episode_bulk(
+        _batch(spark, [("a/p/f1.py", "joe-michaels likes table", 1)]), fuzzy=False
+    )
+    gs.add_episode_bulk(
+        _batch(spark, [("a/p/f2.py", "joemichaels hates column", 2)]), fuzzy=False
+    )
+    assert compact_store(store)["merged_nodes"] == 1
+    surv = store.read("nodes").where(
+        F.col("name").isin("joe-michaels", "joemichaels")
+    ).collect()
+    assert len(surv) == 1
+    # summary now reflects the MERGED fact set (facts from both batches)
+    s = surv[0]["summary"]
+    assert "likes" in s and "hates" in s
+
+
+# ---------------------------------------------------------------------------
+# group-pruned point queries
+# ---------------------------------------------------------------------------
+
+def test_point_queries_prune_partitions(spark, tmp_path_factory):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("prune")), n_buckets=8)
+    gs = GraphitiSpark(spark, store=store)
+    gs.add_episode_bulk(_batch(spark, [("a/p/f.py", "alpha merge table", 1)]))
+    nodes = {r["name"]: r["uuid"] for r in store.read("nodes").collect()}
+    q = gs.get_between_nodes(nodes["alpha"], nodes["merge"], group_id="org/r")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the bucket predicate actually reached the scan (non-empty filter)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert q.count() >= 1
+    # uuid-only lookup still works (documented full scan)
+    assert gs.get_between_nodes(nodes["alpha"], nodes["merge"]).count() >= 1
+    got = gs.nodes_by_uuids([nodes["alpha"]], group_ids=["org/r"])
+    assert got.count() == 1
+
+
+def test_instructions_reject_garbage(spark):
+    from graphiti_spark.operators.extraction import apply_instructions
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        apply_instructions("please be thorough")
+    # empty/None are no-ops
+    assert apply_instructions(None) == (None, (), None)
+    cat, exc, emap = apply_instructions("ignore table")
+    assert exc == ("__Ignored",)
+    assert cat["__Ignored"] == ("table",)
