@@ -1,21 +1,29 @@
-"""Custom stateful streaming: per-group saga watermarks via
-``applyInPandasWithState``.
+"""Custom stateful streaming: per-saga watermarks + summary head window
+via ``applyInPandasWithState``.
 
 The reference's SagaNode tracks two monotone watermarks per saga
-(nodes.py:867-876; advanced in graphiti.py:1411-1459):
+(nodes.py:867-876; advanced in graphiti.py:438-568) and summarizes episode
+content while advancing them:
 
 - ``last_summarized_at``            — wall-clock/processing time
 - ``last_summarized_episode_valid_at`` — event time of the newest episode
 
 plus episode counters. This operator maintains exactly that state per
-``group_id`` across streaming micro-batches — the canonical use of Spark's
-arbitrary-stateful API: state survives between triggers, updates are
-monotone, and a GroupStateTimeout could retire idle sagas.
+``(group_id, saga)`` across streaming micro-batches — the canonical use of
+Spark's arbitrary-stateful API: state survives between triggers, updates
+are monotone, and a GroupStateTimeout could retire idle sagas.
+
+State is BOUNDED per saga regardless of saga length: counters, the max
+(valid_at, uuid) entry, and the first ``SAGA_SUMMARY_EPISODES`` chain
+entries (a min-K window — mergeable across batches, so the streaming
+summary converges to the batch twin ``operators.saga.build_saga_nodes``
+exactly). Chain entries are encoded ``'<ts>|<uuid>|<name>'`` with a
+fixed-width timestamp so lexicographic order IS (valid_at, uuid) order.
 """
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Any, Iterable
+from typing import TYPE_CHECKING, Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -26,12 +34,18 @@ if TYPE_CHECKING:
 OUTPUT_SCHEMA = (
     "group_id string, saga string, n_episodes bigint, "
     "last_summarized_episode_valid_at timestamp, first_episode_uuid string, "
-    "last_episode_uuid string"
+    "last_episode_uuid string, summary string"
 )
 STATE_SCHEMA = (
-    "n_episodes bigint, max_valid_at timestamp, first_uuid string, "
-    "last_uuid string"
+    "n_episodes bigint, max_valid_at timestamp, max_entry string, "
+    "head array<string>"
 )
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"  # fixed width → lexicographic == temporal
+
+
+def _encode(valid_at, uuid: str, name: str) -> str:
+    return f"{valid_at.strftime(_TS_FMT)}|{uuid}|{name}"
 
 
 def _update_saga(
@@ -39,45 +53,63 @@ def _update_saga(
 ) -> Iterable["pd.DataFrame"]:
     import pandas as pd
 
-    n, max_va, first_u, last_u = (
-        state.get if state.exists else (0, None, None, None)
+    from graphiti_spark import config
+
+    k = config.SAGA_SUMMARY_EPISODES
+    n, max_va, max_entry, head = (
+        state.get if state.exists else (0, None, None, [])
     )
+    head = list(head)
     for pdf in pdfs:
         if pdf.empty:
             continue
-        pdf = pdf.sort_values(["valid_at", "uuid"])
         n += len(pdf)
-        batch_max = pdf["valid_at"].max().to_pydatetime()
-        if max_va is None or batch_max > max_va:
-            max_va = batch_max
-            last_u = pdf.loc[pdf["valid_at"].idxmax(), "uuid"]
-        if first_u is None:
-            first_u = pdf.iloc[0]["uuid"]
-    state.update((n, max_va, first_u, last_u))
+        entries = [
+            _encode(va, u, nm)
+            for va, u, nm in zip(pdf["valid_at"], pdf["uuid"], pdf["name"])
+        ]
+        # min-K merge: the head window is a pure function of the episode
+        # SET, so arrival order across micro-batches cannot change it
+        head = sorted(head + entries)[:k]
+        batch_max = max(entries)
+        if max_entry is None or batch_max > max_entry:
+            max_entry = batch_max
+            max_va = pdf["valid_at"].max().to_pydatetime()
+    state.update((n, max_va, max_entry, head))
+    saga_name = key[1]
+    names = [e.split("|", 2)[2] for e in head]
+    summary = ("Saga " + saga_name + ": " + ", ".join(names))[
+        : config.MAX_SUMMARY_CHARS
+    ]
     yield pd.DataFrame(
         [
             {
                 "group_id": key[0],
-                "saga": key[1],
+                "saga": saga_name,
                 "n_episodes": n,
                 "last_summarized_episode_valid_at": max_va,
-                "first_episode_uuid": first_u,
-                "last_episode_uuid": last_u,
+                "first_episode_uuid": head[0].split("|", 2)[1] if head else None,
+                "last_episode_uuid": (
+                    max_entry.split("|", 2)[1] if max_entry else None
+                ),
+                "summary": summary,
             }
         ]
     )
 
 
 def saga_watermarks(episode_stream: DataFrame) -> DataFrame:
-    """episode stream (uuid, group_id, [saga,] valid_at, ...) → per-saga
-    state, emitted each trigger with updated watermarks/counters. Keyed by
-    (group_id, saga) — the NAMED-saga grain of the batch twin
-    (operators/saga.build_saga_nodes); streams lacking the saga column
-    fall back to saga == group_id."""
+    """episode stream (uuid, group_id, [saga,] name, valid_at, ...) →
+    per-saga state, emitted each trigger with updated watermarks /
+    counters / summary. Keyed by (group_id, saga) — the NAMED-saga grain
+    of the batch twin (operators/saga.build_saga_nodes, whose summary the
+    streaming state converges to exactly); streams lacking the saga
+    column fall back to saga == group_id."""
     from graphiti_spark.operators.saga import with_saga
 
     return (
-        with_saga(episode_stream).select("group_id", "saga", "uuid", "valid_at")
+        with_saga(episode_stream)
+        .select("group_id", "saga", "uuid", "name", "valid_at")
         .groupBy("group_id", "saga")
         .applyInPandasWithState(
             _update_saga,

@@ -81,3 +81,25 @@ def test_saga_watermarks_accumulate_across_batches(spark, sf_dir, tmp_path_facto
     }
     got = {(r["group_id"], r["saga"]): (r["n"], r["wm"]) for r in out}
     assert got == truth
+
+    # the streaming min-K summary state converges to the batch twin
+    # EXACTLY (summary is a pure function of the episode set)
+    from graphiti_spark.operators.saga import build_saga_nodes
+
+    batch_sum = {
+        (r["group_id"], r["name"]): r["summary"]
+        for r in build_saga_nodes(
+            episodes_from_source_files(
+                synth_source_files(spark, "/root/testdata/sf0.001").limit(80),
+                chunk=False,
+            )
+        ).collect()
+    }
+    stream_sum = {
+        (r["group_id"], r["saga"]): r["summary"]
+        for r in spark.sql(
+            """SELECT group_id, saga, max_by(summary, n_episodes) AS summary
+               FROM saga_out GROUP BY group_id, saga"""
+        ).collect()
+    }
+    assert stream_sum == batch_sum
