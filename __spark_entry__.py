@@ -639,6 +639,181 @@ def _q_sr_community_search(spark, sf_dir):
     return bm25_scores(docs, list(BM25_TERMS), id_col="uuid", text_col="_text")
 
 
+def _q_sr_hybrid(spark, sf_dir):
+    """Hybrid search END-TO-END through the facade (search/search.py:
+    98-250): edges scope, BM25 + BFS candidate arms per the reference's
+    per-scope search_methods lists (SearchConfig.methods,
+    search_config.py:43-77), RRF fusion, cut to limit. The cosine arm is
+    excluded HERE so the whole fan-out → fuse → cut path is
+    SQL-expressible and hash-checked; cosine ranking itself is
+    oracle-checked separately (td_ann_bruteforce, kg_*_embeddings)."""
+    from graphiti_spark.api import GraphitiSpark, SearchConfig
+
+    g = _graph(spark, sf_dir)
+    api = GraphitiSpark(spark)
+    api._session_graph = g
+    origins = [
+        r["uuid"] for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    cfg = SearchConfig(
+        scopes=("edges",), limit=20, rerank="rrf", methods=("bm25", "bfs")
+    )
+    return api.search(
+        "spark merge query", search_config=cfg, bfs_origin_node_uuids=origins
+    )["edges"]
+
+
+def _q_sr_cross_encoder(spark, sf_dir):
+    """Cross-encoder rerank end-to-end (CrossEncoderClient.rank boundary,
+    cross_encoder/client.py, wired at search.py:395-410): RRF pool at 2x
+    limit over the bm25+bfs fan-out, then the deterministic default client
+    scores each candidate's fact by query-term set Jaccard."""
+    from graphiti_spark.api import GraphitiSpark, SearchConfig
+
+    g = _graph(spark, sf_dir)
+    api = GraphitiSpark(spark)
+    api._session_graph = g
+    origins = [
+        r["uuid"] for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    cfg = SearchConfig(
+        scopes=("edges",), limit=20, rerank="cross_encoder",
+        methods=("bm25", "bfs"),
+    )
+    return api.search(
+        "spark merge query", search_config=cfg, bfs_origin_node_uuids=origins
+    )["edges"]
+
+
+def _q_sr_filtered_search(spark, sf_dir):
+    """SearchFilters end-to-end (search_filters.py:86-273): edge_types +
+    date_filters restrict the BM25 corpus and the BFS candidate set; the
+    traversal itself still walks the full graph like the reference."""
+    from graphiti_spark.api import (
+        DateFilter,
+        GraphitiSpark,
+        SearchConfig,
+        SearchFilters,
+    )
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    g = _graph(spark, sf_dir)
+    api = GraphitiSpark(spark)
+    api._session_graph = g
+    origins = [
+        r["uuid"] for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    filters = SearchFilters(
+        edge_types=["OPERATES_ON"],
+        date_filters=[[DateFilter("valid_at", "<=", EPISODE_REF_TIME)]],
+    )
+    cfg = SearchConfig(
+        scopes=("edges",), limit=20, rerank="rrf", methods=("bm25", "bfs")
+    )
+    return api.search(
+        "spark merge query", filters=filters, search_config=cfg,
+        bfs_origin_node_uuids=origins,
+    )["edges"]
+
+
+def _q_sr_node_bfs(spark, sf_dir):
+    """Node-returning BFS (node_bfs_search, search_utils.py:774-868):
+    entities within 2 directed hops of megacorp's 'spark' entity at their
+    MINIMUM discovery depth, origins excluded."""
+    from graphiti_spark.operators.search import bfs_nodes
+
+    g = _graph(spark, sf_dir)
+    origins = [
+        r["uuid"] for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    return bfs_nodes(g.edges, g.nodes, origins, max_depth=2)
+
+
+def _q_kg_communities(spark, sf_dir):
+    """Materialized CommunityNode rows (nodes.py:687-689 +
+    community_operations.py:174-213's deterministic stand-in): CC
+    assignment → uuid/name/summary/n_members, all groups."""
+    from graphiti_spark.operators.community import build_communities
+
+    g = _graph(spark, sf_dir)
+    comm, _ = build_communities(g.edges, g.nodes)
+    return comm.select("uuid", "name", "group_id", "summary", "n_members")
+
+
+def _q_kg_community_members(spark, sf_dir):
+    """(:Community)-[:HAS_MEMBER]->(:Entity) edges (build_community_edges,
+    edge_operations.py:99-114)."""
+    from graphiti_spark.operators.community import build_communities
+
+    g = _graph(spark, sf_dir)
+    _, members = build_communities(g.edges, g.nodes)
+    return members.select(
+        "source_node_uuid", "target_node_uuid", "group_id", "name"
+    )
+
+
+_INCR_SPLIT_TS = "2024-02-01 00:00:00"
+
+
+def _incremental_community_state(spark, sf_dir):
+    """Shared fixture for the incremental community-maintenance rows: the
+    megacorp graph's pre-2024-02 edges seed the stored communities
+    (build_communities), then the remaining entities arrive as 'this
+    batch' and flow through incremental_member_updates — the reference's
+    ingest-time update_community path (community_operations.py:274-367)."""
+    from graphiti_spark.operators.community import (
+        build_communities,
+        incremental_member_updates,
+    )
+
+    g = _graph(spark, sf_dir)
+    split = F.lit(_INCR_SPLIT_TS).cast("timestamp")
+    edges = g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    old_edges = edges.where(F.col("valid_at") < split)
+    communities, membership = build_communities(old_edges, g.nodes)
+    new_edges = edges.where(F.col("valid_at") >= split)
+    new_entities = (
+        new_edges.select("group_id", F.col("source_node_uuid").alias("uuid"))
+        .unionByName(
+            new_edges.select("group_id", F.col("target_node_uuid").alias("uuid"))
+        )
+        .distinct()
+    )
+    return incremental_member_updates(
+        edges, membership, communities, new_entities,
+        g.nodes.where(F.col("group_id") == "megacorp/monorepo"),
+    )
+
+
+def _q_sr_incremental_members(spark, sf_dir):
+    """Incremental modal-neighbor assignment (determine_entity_community,
+    community_operations.py:274-367): each newly arrived entity joins the
+    plurality community among its already-assigned neighbors (weight =
+    edge count, tie → larger community uuid); no assigned neighbor →
+    fresh singleton community."""
+    _, new_members = _incremental_community_state(spark, sf_dir)
+    return new_members.select(
+        "source_node_uuid", "target_node_uuid", "group_id", "name"
+    )
+
+
+def _q_sr_incremental_communities(spark, sf_dir):
+    """The re-summarize half of the incremental path: AFFECTED communities
+    get n_members and the deterministic summary recomputed from their full
+    (old ∪ new) member set; existing communities keep uuid and name,
+    singletons materialize fresh rows."""
+    updated, _ = _incremental_community_state(spark, sf_dir)
+    return updated.select("uuid", "name", "group_id", "summary", "n_members")
+
+
 def _q_kg_edges_fuzzy_dedup(spark, sf_dir):
     from graphiti_spark.operators.edges import dedupe_edges_fuzzy
 
@@ -727,6 +902,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_saga_episodes": _q_sr_saga_episodes,
         "sr_between_nodes": _q_sr_between_nodes,
         "sr_communities_plurality": _q_sr_communities_plurality,
+        # round-5 additions (newest first within the reported window)
+        "sr_hybrid": _q_sr_hybrid,
+        "sr_cross_encoder": _q_sr_cross_encoder,
+        "sr_filtered_search": _q_sr_filtered_search,
+        "sr_node_bfs": _q_sr_node_bfs,
+        "kg_communities": _q_kg_communities,
+        "kg_community_members": _q_kg_community_members,
+        "sr_incremental_members": _q_sr_incremental_members,
+        "sr_incremental_communities": _q_sr_incremental_communities,
         # training-data pipeline ops
         "td_dedup_exact": _q_td_dedup_exact,
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,

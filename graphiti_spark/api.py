@@ -148,6 +148,11 @@ class SearchConfig:
     # cross-encoder recipe enables it, search_config_recipes.py:80-99);
     # requires bfs_origin_node_uuids at call time
     use_bfs: bool = False
+    # which candidate arms run per scope — the reference's per-scope
+    # ``search_methods`` lists (EdgeSearchConfig/NodeSearchConfig,
+    # search_config.py:43-77: bm25 / cosine_similarity / bfs). "bfs" here
+    # is equivalent to use_bfs=True; at least one method must remain.
+    methods: tuple[str, ...] = ("bm25", "cosine")
 
 
 # the reference's 17 recipes (search_config_recipes.py:34-223), 1:1
@@ -1533,7 +1538,10 @@ class GraphitiSpark:
             node_bfs_search feeding the fused list, search.py:301-312)."""
             # the arm requires origins AND (for recipes) the bfs method
             # configured; ad-hoc calls (no recipe) get it with origins
-            enabled = search_config.use_bfs if search_config is not None else True
+            enabled = (
+                search_config.use_bfs or "bfs" in search_config.methods
+                if search_config is not None else True
+            )
             if (
                 bfs_origin_node_uuids is None
                 or not enabled
@@ -1655,16 +1663,39 @@ class GraphitiSpark:
                 return ranked_top_k(fused, "rrf_score", "uuid", limit)
             raise ValueError(f"unknown reranker {rerank}")
 
+        # per-scope candidate arms (the reference's search_methods lists,
+        # search_config.py:43-77); "bfs" additionally needs origins — the
+        # ranked_bfs guard handles that
+        methods = (
+            tuple(search_config.methods) if search_config is not None
+            else ("bm25", "cosine")
+        )
+        unknown = set(methods) - {"bm25", "cosine", "bfs"}
+        if unknown or not methods:
+            raise ValueError(
+                f"SearchConfig.methods must be a non-empty subset of "
+                f"bm25/cosine/bfs, got {methods!r}"
+            )
         for scope, (df, base, id_col, text_col, bm25_col, filtered) in scopes.items():
-            lists = [
-                ranked_bm25(df, id_col, bm25_col),
-                self._cosine_ranked(
+            lists = []
+            if "bm25" in methods:
+                lists.append(ranked_bm25(df, id_col, bm25_col))
+            if "cosine" in methods:
+                lists.append(self._cosine_ranked(
                     scope, df, base, id_col, text_col, query, 2 * limit, filtered,
-                ),
-            ]
+                ))
             bfs_list = ranked_bfs(scope, df, id_col, filtered)
             if bfs_list is not None:
                 lists.append(bfs_list)
+            if not lists:
+                # bfs-only config on a scope without a bfs arm (episodes/
+                # communities, or no origins given) -> empty result, like
+                # the reference's empty search_methods fan-out
+                out[scope] = (
+                    df.sparkSession.createDataFrame(
+                        [], "uuid string, rrf_score double, rank long")
+                )
+                continue
             fused = rrf(lists, "uuid")
             out[scope] = apply_rerank(scope, df, base, id_col, text_col, fused)
         return out

@@ -884,4 +884,317 @@ FROM (
 )
 WHERE frame_idx * span < total"""
 
+    # ---- round-5 rows: hybrid search, node BFS, community materialize,
+    # incremental community maintenance --------------------------------
+
+    def cc_full_ctes(a: str, edges: str = "edges") -> str:
+        """CC min-label closure over ``edges`` (all groups — node uuids
+        embed the group, so one closure serves every group) →
+        ``{a}full``: (group_id, uuid, community = min member uuid)."""
+        return f"""
+, {a}ge AS (
+  SELECT DISTINCT source_node_uuid AS a, target_node_uuid AS b
+  FROM {edges} WHERE source_node_uuid <> target_node_uuid
+),
+{a}und AS (SELECT a, b FROM {a}ge UNION SELECT b, a FROM {a}ge),
+{a}reach AS (
+  SELECT a AS node, b AS lbl FROM {a}und
+  UNION
+  SELECT r.node, u.b AS lbl FROM {a}reach r JOIN {a}und u ON u.a = r.lbl
+),
+{a}assign AS MATERIALIZED (
+  SELECT node AS uuid, least(node, min(lbl)) AS community
+  FROM {a}reach GROUP BY node
+),
+{a}members AS (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, source_node_uuid AS uuid FROM {edges}
+    UNION ALL SELECT group_id, target_node_uuid FROM {edges}
+  )
+),
+{a}full AS MATERIALIZED (
+  SELECT m.group_id, m.uuid, coalesce(x.community, m.uuid) AS community
+  FROM {a}members m LEFT JOIN {a}assign x ON x.uuid = m.uuid
+)"""
+
+    # hybrid-search fan-out chain (search/search.py:98-250; fusion
+    # search_utils.py:1764-1779): BM25 over concat(fact, name) ranked to
+    # 2x limit, depth-3 BFS from megacorp 'spark' ranked shallower-first
+    # to 2x limit, RRF (k=1) — shared by the three facade rows below
+    hterms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+    def hybrid_fuse_ctes(x: str, corpus: str = "edges") -> str:
+        """Appended-CTE chain ending in ``{x}fused`` (uuid, rrf_score).
+        BM25 corpus + stats come from ``corpus`` (the FILTERED frame when
+        SearchFilters apply); the BFS traversal always walks the full edge
+        table, its candidates then restricted to ``corpus`` — exactly
+        ranked_bfs's semi-join on the filtered scope frame."""
+        bfs_filter = (
+            f"  WHERE uuid IN (SELECT uuid FROM {corpus})\n"
+            if corpus != "edges" else ""
+        )
+        return f"""
+, {x}toks AS (
+  SELECT uuid AS _id, {_toks("concat_ws(' ', fact, name)")} AS t FROM {corpus}
+),
+{x}stats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM {x}toks),
+{x}tf AS (
+  SELECT _id, len(t)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT _id, t, unnest(t) AS term FROM {x}toks)
+  WHERE term IN ({hterms})
+  GROUP BY _id, len(t), term
+),
+{x}df AS (SELECT term, count(DISTINCT _id)::DOUBLE AS df FROM {x}tf GROUP BY term),
+{x}bm AS (
+  SELECT {x}tf._id AS uuid,
+    round(sum(ln(1 + (s.n - {x}df.df + 0.5) / ({x}df.df + 0.5))
+      * ({x}tf.tf * 2.2) / ({x}tf.tf + 1.2 * (0.25 + 0.75 * {x}tf.dl / s.avgdl))), 4)
+      AS bm25
+  FROM {x}tf JOIN {x}df USING (term) CROSS JOIN {x}stats s
+  GROUP BY {x}tf._id
+),
+{x}bm_ranked AS (
+  SELECT uuid, row_number() OVER (ORDER BY bm25 DESC, uuid ASC) AS rank
+  FROM {x}bm QUALIFY rank <= 40
+),
+{x}o AS (
+  SELECT uuid FROM nodes
+  WHERE group_id = 'megacorp/monorepo' AND name = 'spark'
+),
+{x}d1 AS (
+  SELECT e.uuid, e.target_node_uuid, 1 AS depth
+  FROM edges e JOIN {x}o o ON e.source_node_uuid = o.uuid
+),
+{x}f1 AS (
+  SELECT DISTINCT target_node_uuid AS node FROM {x}d1
+  WHERE target_node_uuid NOT IN (SELECT uuid FROM {x}o)
+),
+{x}d2 AS (
+  SELECT e.uuid, e.target_node_uuid, 2 AS depth
+  FROM edges e JOIN {x}f1 f ON e.source_node_uuid = f.node
+),
+{x}f2 AS (
+  SELECT DISTINCT target_node_uuid AS node FROM {x}d2
+  WHERE target_node_uuid NOT IN (SELECT uuid FROM {x}o)
+    AND target_node_uuid NOT IN (SELECT node FROM {x}f1)
+),
+{x}d3 AS (
+  SELECT e.uuid, e.target_node_uuid, 3 AS depth
+  FROM edges e JOIN {x}f2 f ON e.source_node_uuid = f.node
+),
+{x}reach AS (
+  SELECT uuid, min(depth) AS depth FROM (
+    SELECT uuid, depth FROM {x}d1
+    UNION ALL SELECT uuid, depth FROM {x}d2
+    UNION ALL SELECT uuid, depth FROM {x}d3
+  ) GROUP BY uuid
+),
+{x}cand AS (
+  SELECT uuid, depth FROM {x}reach
+{bfs_filter}),
+{x}bfs_ranked AS (
+  SELECT uuid, row_number() OVER (ORDER BY depth ASC, uuid ASC) AS rank
+  FROM {x}cand QUALIFY rank <= 40
+),
+{x}fused AS MATERIALIZED (
+  SELECT uuid, round(sum(c), 6) AS rrf_score FROM (
+    SELECT uuid, 1.0 / (rank + 1) AS c FROM {x}bm_ranked
+    UNION ALL
+    SELECT uuid, 1.0 / (rank + 1) AS c FROM {x}bfs_ranked
+  ) GROUP BY uuid
+)"""
+
+    # methods=(bm25, bfs), rerank=rrf — the whole facade path, hash-checked
+    o["sr_hybrid"] = p + hybrid_fuse_ctes("hb_") + """
+SELECT uuid, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, uuid ASC) AS rank
+FROM hb_fused QUALIFY rank <= 20"""
+
+    # rerank=cross_encoder over the same fan-out: RRF pool at 2x limit,
+    # then the deterministic default client scores each candidate's FACT
+    # by query-term set Jaccard (cross_encoder_rerank, the
+    # CrossEncoderClient.rank boundary, cross_encoder/client.py)
+    qlist = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    o["sr_cross_encoder"] = p + hybrid_fuse_ctes("ce_") + f"""
+, ce_pool AS (
+  SELECT uuid FROM (
+    SELECT uuid, row_number() OVER (ORDER BY rrf_score DESC, uuid ASC) AS rank
+    FROM ce_fused
+  ) WHERE rank <= 40
+),
+ce_scored AS (
+  SELECT c.uuid,
+         round(CASE WHEN len(list_distinct(list_concat(td, {qlist}))) > 0
+               THEN len(list_intersect(td, {qlist}))::DOUBLE
+                    / len(list_distinct(list_concat(td, {qlist})))
+               ELSE 0 END, 6) AS ce_score
+  FROM (
+    SELECT c.uuid, list_distinct({_toks('e.fact')}) AS td
+    FROM ce_pool c JOIN edges e ON e.uuid = c.uuid
+  ) c
+)
+SELECT uuid, ce_score,
+       row_number() OVER (ORDER BY ce_score DESC, uuid ASC) AS rank
+FROM ce_scored QUALIFY rank <= 20"""
+
+    # SearchFilters end-to-end (search_filters.py:86-273): edge_types +
+    # date_filters restrict the BM25 corpus AND the BFS candidates (the
+    # traversal itself still walks the full graph, like the facade)
+    o["sr_filtered_search"] = p + f"""
+, fs_corp AS MATERIALIZED (
+  SELECT * FROM edges
+  WHERE name = 'OPERATES_ON'
+    AND valid_at <= TIMESTAMP '{EPISODE_REF_TIME}'
+)""" + hybrid_fuse_ctes("fs_", corpus="fs_corp") + """
+SELECT uuid, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, uuid ASC) AS rank
+FROM fs_fused QUALIFY rank <= 20"""
+
+    # node-returning BFS (node_bfs_search, search_utils.py:774-868):
+    # min discovery depth over reached edges' targets, origins excluded
+    o["sr_node_bfs"] = p + """
+, nb_o AS (
+  SELECT uuid FROM nodes
+  WHERE group_id = 'megacorp/monorepo' AND name = 'spark'
+),
+nb_d1 AS (
+  SELECT e.target_node_uuid, 1 AS depth
+  FROM edges e JOIN nb_o o ON e.source_node_uuid = o.uuid
+),
+nb_f1 AS (
+  SELECT DISTINCT target_node_uuid AS node FROM nb_d1
+  WHERE target_node_uuid NOT IN (SELECT uuid FROM nb_o)
+),
+nb_d2 AS (
+  SELECT e.target_node_uuid, 2 AS depth
+  FROM edges e JOIN nb_f1 f ON e.source_node_uuid = f.node
+),
+nb_depth AS (
+  SELECT target_node_uuid AS uuid, min(depth) AS depth FROM (
+    SELECT * FROM nb_d1 UNION ALL SELECT * FROM nb_d2
+  ) GROUP BY target_node_uuid
+)
+SELECT n.uuid, n.name, n.group_id, d.depth
+FROM nb_depth d JOIN nodes n ON n.uuid = d.uuid
+WHERE d.uuid NOT IN (SELECT uuid FROM nb_o)"""
+
+    # materialized CommunityNode rows (nodes.py:687-689; deterministic
+    # summary stand-in for community_operations.py:174-213) — same CC +
+    # naming derivation sr_community_search scores, surfaced as the rows
+    o["kg_communities"] = p + cc_full_ctes("cm_") + f"""
+SELECT {oracle_sql_hash('community', 'f.group_id', 'f.community')} AS uuid,
+       arg_min(n.name, f.uuid) AS name,
+       f.group_id AS group_id,
+       substr(concat('Community: ',
+              array_to_string(list_sort(list(n.name))[1:8], ', ')), 1, 1000)
+         AS summary,
+       count(*)::BIGINT AS n_members
+FROM cm_full f JOIN nodes n ON n.uuid = f.uuid
+GROUP BY f.group_id, f.community"""
+
+    # HAS_MEMBER edges (build_community_edges, edge_operations.py:99-114)
+    o["kg_community_members"] = p + cc_full_ctes("cj_") + f"""
+SELECT {oracle_sql_hash('community', 'f.group_id', 'f.community')}
+         AS source_node_uuid,
+       f.uuid AS target_node_uuid,
+       f.group_id AS group_id,
+       'HAS_MEMBER' AS name
+FROM cj_full f"""
+
+    # incremental community maintenance (determine_entity_community /
+    # update_community, community_operations.py:274-367): megacorp's
+    # pre-2024-02 edges seed stored communities; later entities join the
+    # modal community among already-assigned neighbors (weight = edge
+    # count, tie -> larger community uuid), no assigned neighbor -> fresh
+    # singleton; affected communities re-summarize from the full member
+    # set keeping uuid + name
+    ic_prefix = p + """
+, ic_edges AS MATERIALIZED (SELECT * FROM edges WHERE group_id = 'megacorp/monorepo'),
+ic_old AS MATERIALIZED (SELECT * FROM ic_edges
+           WHERE valid_at < TIMESTAMP '2024-02-01 00:00:00'),
+ic_new_e AS MATERIALIZED (SELECT * FROM ic_edges
+             WHERE valid_at >= TIMESTAMP '2024-02-01 00:00:00')""" \
+        + cc_full_ctes("ic_", edges="ic_old") + f"""
+, ic_membership AS MATERIALIZED (
+  SELECT {oracle_sql_hash('community', 'f.group_id', 'f.community')}
+           AS community_uuid,
+         f.uuid AS member_uuid, f.group_id
+  FROM ic_full f
+),
+ic_commname AS MATERIALIZED (
+  SELECT {oracle_sql_hash('community', 'f.group_id', 'f.community')} AS uuid,
+         arg_min(n.name, f.uuid) AS name
+  FROM ic_full f JOIN nodes n ON n.uuid = f.uuid
+  GROUP BY f.group_id, f.community
+),
+ic_batch AS MATERIALIZED (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, source_node_uuid AS uuid FROM ic_new_e
+    UNION ALL SELECT group_id, target_node_uuid FROM ic_new_e
+  )
+),
+ic_unassigned AS MATERIALIZED (
+  SELECT b.group_id, b.uuid FROM ic_batch b
+  WHERE b.uuid NOT IN (SELECT member_uuid FROM ic_membership)
+),
+ic_adj AS MATERIALIZED (
+  SELECT group_id, a, b, count(*)::BIGINT AS edge_count FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM ic_edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM ic_edges WHERE source_node_uuid <> target_node_uuid
+  ) GROUP BY group_id, a, b
+),
+ic_votes AS (
+  SELECT j.group_id, j.a, m.community_uuid, sum(j.edge_count) AS w
+  FROM ic_adj j
+  JOIN ic_membership m ON m.member_uuid = j.b
+  WHERE j.a IN (SELECT uuid FROM ic_unassigned)
+  GROUP BY j.group_id, j.a, m.community_uuid
+),
+ic_modal AS MATERIALIZED (
+  SELECT group_id, a AS uuid, community_uuid FROM (
+    SELECT *, row_number() OVER (PARTITION BY group_id, a
+                                 ORDER BY w DESC, community_uuid DESC) AS rn
+    FROM ic_votes
+  ) WHERE rn = 1
+),
+ic_singles AS MATERIALIZED (
+  SELECT group_id, uuid,
+         {oracle_sql_hash('community', 'group_id', 'uuid')} AS community_uuid
+  FROM ic_unassigned
+  WHERE uuid NOT IN (SELECT uuid FROM ic_modal)
+),
+ic_newmem AS MATERIALIZED (
+  SELECT community_uuid AS source_node_uuid, uuid AS target_node_uuid,
+         group_id, 'HAS_MEMBER' AS name
+  FROM (SELECT * FROM ic_modal UNION ALL SELECT group_id, uuid, community_uuid FROM ic_singles)
+)"""
+    o["sr_incremental_members"] = ic_prefix + """
+SELECT source_node_uuid, target_node_uuid, group_id, name FROM ic_newmem"""
+
+    o["sr_incremental_communities"] = ic_prefix + """
+, ic_affected AS MATERIALIZED (SELECT DISTINCT source_node_uuid AS community_uuid FROM ic_newmem),
+ic_allmem AS MATERIALIZED (
+  SELECT community_uuid, member_uuid AS uuid, group_id FROM ic_membership
+  UNION ALL
+  SELECT source_node_uuid, target_node_uuid, group_id FROM ic_newmem
+),
+ic_stats AS (
+  SELECT am.group_id, am.community_uuid,
+         count(*)::BIGINT AS n_members,
+         arg_min(n.name, am.uuid) AS cname,
+         array_to_string(list_sort(list(n.name))[1:8], ', ') AS members
+  FROM ic_allmem am JOIN nodes n ON n.uuid = am.uuid
+  WHERE am.community_uuid IN (SELECT community_uuid FROM ic_affected)
+  GROUP BY am.group_id, am.community_uuid
+)
+SELECT s.community_uuid AS uuid,
+       coalesce(k.name, s.cname) AS name,
+       s.group_id AS group_id,
+       substr(concat('Community: ', s.members), 1, 1000) AS summary,
+       s.n_members
+FROM ic_stats s LEFT JOIN ic_commname k ON k.uuid = s.community_uuid"""
+
     return o

@@ -1,0 +1,152 @@
+"""Round-5 additions: the SearchConfig.methods axis (the reference's
+per-scope search_methods lists, search_config.py:43-77) and the
+incremental community-maintenance derivation exposed as oracle rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.api import GraphitiSpark, SearchConfig
+from graphiti_spark.sources import synth_source_files
+
+
+@pytest.fixture(scope="module")
+def graph_api(spark, sf_dir):
+    g = GraphitiSpark(spark)
+    tables = g.add_episode_bulk(synth_source_files(spark, sf_dir), fuzzy=False)
+    origin = [
+        r["uuid"] for r in tables.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo") & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    ]
+    return g, tables, origin
+
+
+def test_search_methods_axis(graph_api):
+    """methods selects which candidate arms run: bm25-only differs from
+    the bm25+cosine default, 'bfs' in methods activates the proximity arm
+    without use_bfs, and a scope with no active arm returns empty."""
+    g, tables, origin = graph_api
+    r_def = {
+        r["uuid"] for r in g.search(
+            "stream batch",
+            search_config=SearchConfig(scopes=("edges",), limit=5),
+        )["edges"].collect()
+    }
+    r_bm = {
+        r["uuid"] for r in g.search(
+            "stream batch",
+            search_config=SearchConfig(
+                scopes=("edges",), limit=5, methods=("bm25",)
+            ),
+        )["edges"].collect()
+    }
+    assert r_bm and r_def and r_bm != r_def  # the cosine arm contributes
+
+    # "bfs" in methods ≡ use_bfs=True: both spellings produce the same fusion
+    via_methods = {
+        r["uuid"] for r in g.search(
+            "stream batch",
+            search_config=SearchConfig(
+                scopes=("edges",), limit=5, methods=("bm25", "cosine", "bfs")
+            ),
+            bfs_origin_node_uuids=origin,
+        )["edges"].collect()
+    }
+    via_flag = {
+        r["uuid"] for r in g.search(
+            "stream batch",
+            search_config=SearchConfig(scopes=("edges",), limit=5, use_bfs=True),
+            bfs_origin_node_uuids=origin,
+        )["edges"].collect()
+    }
+    assert via_methods == via_flag
+    assert via_methods != r_def  # the proximity arm influenced the fusion
+
+
+def test_search_methods_empty_and_invalid(graph_api):
+    g, _, origin = graph_api
+    # bfs-only on the episodes scope: no bfs arm exists there -> empty
+    # result with the rrf schema (the reference's empty fan-out)
+    out = g.search(
+        "stream batch",
+        search_config=SearchConfig(
+            scopes=("episodes",), limit=5, methods=("bfs",)
+        ),
+        bfs_origin_node_uuids=origin,
+    )["episodes"]
+    assert out.count() == 0
+    assert set(out.columns) == {"uuid", "rrf_score", "rank"}
+    with pytest.raises(ValueError, match="methods"):
+        g.search(
+            "stream batch",
+            search_config=SearchConfig(scopes=("edges",), methods=("bogus",)),
+        )
+    with pytest.raises(ValueError, match="methods"):
+        g.search(
+            "stream batch",
+            search_config=SearchConfig(scopes=("edges",), methods=()),
+        )
+
+
+def test_incremental_members_match_modal_rule(spark):
+    """incremental_member_updates: modal-neighbor vote weighted by edge
+    count, tie -> larger community uuid; entities with no assigned
+    neighbor open singletons; affected communities re-summarize while
+    keeping uuid and name."""
+    from graphiti_spark.operators.community import incremental_member_updates
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    edges = df(
+        [
+            # n1 has 2 edges into community A's member a1, 1 into B's b1
+            ("g", "n1", "a1"), ("g", "a1", "n1"), ("g", "n1", "b1"),
+            # n2 ties 1-1 between a1 and b1 -> larger community uuid wins
+            ("g", "n2", "a1"), ("g", "n2", "b1"),
+            # n3 touches only unassigned n1 -> singleton
+            ("g", "n3", "n1"),
+        ],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+    membership = df(
+        [("commA", "a1", "g"), ("commB", "b1", "g")],
+        "source_node_uuid string, target_node_uuid string, group_id string",
+    )
+    communities = df(
+        [
+            ("commA", "alpha", "g", "Community: alpha", 1),
+            ("commB", "beta", "g", "Community: beta", 1),
+        ],
+        "uuid string, name string, group_id string, summary string, n_members long",
+    )
+    new_nodes = df(
+        [("g", "n1"), ("g", "n2"), ("g", "n3")], "group_id string, uuid string"
+    )
+    nodes = df(
+        [("a1", "alpha"), ("b1", "beta"), ("n1", "nu1"), ("n2", "nu2"),
+         ("n3", "nu3")],
+        "uuid string, name string",
+    )
+    updated, new_members = incremental_member_updates(
+        edges, membership, communities, new_nodes, nodes
+    )
+    assign = {
+        r["target_node_uuid"]: r["source_node_uuid"]
+        for r in new_members.collect()
+    }
+    assert assign["n1"] == "commA"  # 2-1 plurality
+    assert assign["n2"] == "commB"  # 1-1 tie -> larger community uuid
+    from graphiti_spark.ids import community_uuid
+
+    single = spark.range(1).select(
+        community_uuid(F.lit("g"), F.lit("n3")).alias("u")
+    ).collect()[0]["u"]
+    assert assign["n3"] == single  # no assigned neighbor -> fresh singleton
+    up = {r["uuid"]: r for r in updated.collect()}
+    assert up["commA"]["name"] == "alpha"  # kept name
+    assert up["commA"]["n_members"] == 2
+    assert "nu1" in up["commA"]["summary"]
+    assert up[single]["n_members"] == 1
