@@ -226,21 +226,27 @@ def previous_episodes_bulk(
     bulk_utils.py:110-125): for every episode, the uuids of up to last_n
     STRICTLY EARLIER episodes in its group, most recent first.
 
-    One window pass: collect the ordered (valid_at, uuid) prefix per group
-    and slice — no self-join."""
+    One window pass, CONSTANT window state: last_n ``lag`` columns (most
+    recent first) compacted into one array — lag keeps exactly last_n
+    rows of look-back per partition, where a running
+    collect_list(unboundedPreceding..-1) would buffer every preceding
+    uuid of the group and emit O(position)-sized arrays (quadratic
+    per-group output at scale). Rows near the group head lag out of
+    range → NULL → dropped by array_compact, so short prefixes come out
+    identical to the sliced-prefix shape."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("group_id")
-        .orderBy(F.col("valid_at").asc(), F.col("uuid").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("valid_at").asc(), F.col("uuid").asc()
     )
-    prev = F.reverse(F.collect_list(F.col("uuid")).over(w))
+    prev = F.array_compact(
+        F.array(*[F.lag("uuid", i).over(w) for i in range(1, last_n + 1)])
+    )
     return episodes.select(
         "group_id",
         "uuid",
         "valid_at",
-        F.slice(prev, 1, last_n).alias("previous_episode_uuids"),
+        prev.alias("previous_episode_uuids"),
     )
 
 

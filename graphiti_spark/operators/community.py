@@ -219,6 +219,38 @@ def assign_new_members(
     )
 
 
+def _rank_member_names(members: DataFrame, keys: list, name_col: str) -> DataFrame:
+    """Attach ``_name_rn`` = rank of a member's name within its community
+    (name, uuid order — the same total order ``array_sort`` of the full
+    name list would produce). Callers keep only the top-K names in their
+    aggregation via :func:`_name_head`, so the summary head's buffer is
+    BOUNDED by K instead of materializing every member name of a
+    mega-community in one collect_list buffer. A window sort spills to
+    disk; a per-group array does not."""
+    from pyspark.sql import Window
+
+    return members.withColumn(
+        "_name_rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(name_col, "uuid")),
+    )
+
+
+def _name_head(name_col: str, top_names: int):
+    """Aggregate expression over a :func:`_rank_member_names` frame: the
+    ``top_names`` smallest member names joined with ', '. collect_list
+    skips the NULLs past rank K, so the kept multiset (K smallest names,
+    duplicates included) equals slice(array_sort(collect_list(all)), 1, K)
+    — values and oracle hashes unchanged, buffer bounded at K."""
+    return F.array_join(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_name_rn") <= top_names, F.col(name_col))
+            )
+        ),
+        ", ",
+    )
+
+
 def incremental_member_updates(
     edges: DataFrame,
     membership: DataFrame,
@@ -309,12 +341,14 @@ def incremental_member_updates(
     )
     from graphiti_spark import config
 
-    stats = all_members.groupBy("group_id", "community_uuid").agg(
-        F.count("*").cast("long").alias("n_members"),
-        F.min_by("_mname", "uuid").alias("_cname"),
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("_mname")), 1, top_names), ", "
-        ).alias("_members"),
+    stats = (
+        _rank_member_names(all_members, ["group_id", "community_uuid"], "_mname")
+        .groupBy("group_id", "community_uuid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min_by("_mname", "uuid").alias("_cname"),
+            _name_head("_mname", top_names).alias("_members"),
+        )
     )
     existing_names = communities.select(
         F.col("uuid").alias("community_uuid"), F.col("name").alias("_kept_name")
@@ -370,14 +404,16 @@ def build_communities(
     from graphiti_spark.sources.episodes import FIXED_CREATED_AT
 
     assign = community_nodes_cc(edges)
-    named = assign.join(nodes.select("uuid", "name"), "uuid")
+    named = _rank_member_names(
+        assign.join(nodes.select("uuid", "name"), "uuid"),
+        ["group_id", "community"],
+        "name",
+    )
     communities = (
         named.groupBy("group_id", "community", "n_members")
         .agg(
             F.min_by("name", "uuid").alias("_cname"),
-            F.array_join(
-                F.slice(F.array_sort(F.collect_list("name")), 1, top_names), ", "
-            ).alias("_members"),
+            _name_head("name", top_names).alias("_members"),
         )
         .select(
             community_uuid("group_id", F.col("community")).alias("uuid"),

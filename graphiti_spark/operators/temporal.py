@@ -54,20 +54,37 @@ def invalidate_contradictions(
     re-run invalidation on stored rows must reset invalid_at to the
     parsed value (operators.attributes.parsed_invalid_at), not to null.
     Single-pass: the window is computed for every row (partitions are
-    per-predicate anyway) and masked to the exclusive predicates."""
-    epoch = F.unix_micros(F.col("valid_at"))
-    w = (
-        Window.partitionBy("group_id", "source_node_uuid", "name")
-        .orderBy(epoch)
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
+    per-predicate anyway) and masked to the exclusive predicates.
+
+    The "next strictly-greater valid_at" is two LINEAR window passes over
+    one shuffle+sort — a lead() at each tie-group boundary, then an
+    entire-tie-group max to spread it across ties. The direct form
+    (min(epoch) rangeBetween(1, unboundedFollowing)) plans Spark's
+    shrinking-frame processor, which re-evaluates the aggregate from the
+    frame start for EVERY row — O(n²) in a (group, subject, predicate)
+    partition, a real cost once a hub subject carries millions of
+    versioned facts. The epoch is materialized as a COLUMN (one exprId)
+    referenced by both windows, so the second window's required ordering
+    (keys, _ep) is recognized as already satisfied by the first window's
+    output — Catalyst plans one exchange and one sort for the pair."""
+    keys = ["group_id", "source_node_uuid", "name"]
+    ep = F.col("_ep")
+    w_asc = Window.partitionBy(*keys).orderBy(ep)
+    w_tie = Window.partitionBy(*keys, ep)
     is_excl = F.col("name").isin(*exclusive_predicates)
-    # materialize the window ONCE in its own projection; referencing the
-    # window expression from two withColumns was observed to plan two
-    # stacked Window operators
+    # each window materialized ONCE in its own projection (windows cannot
+    # nest, and referencing a window expression from two withColumns was
+    # observed to plan two stacked Window operators):
+    # only the last row of an epoch tie-group sees a DIFFERENT next epoch;
+    # max() over the tie-group broadcasts it to the whole group (null when
+    # no strictly-greater epoch exists — exactly min-over-following's null)
+    boundary = F.lead(ep).over(w_asc)
     nxt = F.col("_nxt")
     return (
-        edges.withColumn("_nxt", F.timestamp_micros(F.min(epoch).over(w)))
+        edges.withColumn("_ep", F.unix_micros(F.col("valid_at")))
+        .withColumn("_bnd", F.when(boundary != ep, boundary))
+        .withColumn("_nxt", F.timestamp_micros(F.max("_bnd").over(w_tie)))
+        .drop("_bnd", "_ep")
         .withColumn("_had_iv", F.col("invalid_at").isNotNull())
         .withColumn("invalid_at", F.coalesce(F.col("invalid_at"), F.when(is_excl, nxt)))
         .withColumn(

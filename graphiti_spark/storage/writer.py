@@ -323,12 +323,12 @@ def lineage_stats(source_files: DataFrame, edges: DataFrame, n_buckets: int) -> 
         .groupBy("bucket")
         .agg(
             F.count("*").alias("rows_in"),
+            # bit_xor is a partial-aggregable native XOR fold (map-side
+            # combine; same commutative result as the old
+            # aggregate-over-collect_list, which buffered EVERY row hash
+            # of a bucket in one array before folding)
             F.lower(F.conv(
-                F.aggregate(
-                    F.collect_list(F.col("_h").cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc.bitwiseXOR(x),
-                ).cast("string"), 10, 16,
+                F.bit_xor(F.col("_h").cast("long")).cast("string"), 10, 16,
             )).alias("content_sha_xor"),
         )
     )

@@ -329,3 +329,128 @@ def test_instructions_reject_garbage(spark):
     cat, exc, emap = apply_instructions("ignore table")
     assert exc == ("__Ignored",)
     assert cat["__Ignored"] == ("table",)
+
+
+# ---------------------------------------------------------------------------
+# bounded summary-head aggregation (review fix: a mega-community must not
+# materialize every member name in one collect_list buffer)
+# ---------------------------------------------------------------------------
+
+def test_community_name_head_is_bounded_and_equal(spark):
+    """_rank_member_names + _name_head computes the SAME head string as
+    the naive slice(array_sort(collect_list(all)), 1, K) — including
+    duplicate names straddling the cut — while the aggregation buffer
+    holds at most K names (rows past rank K enter collect_list as NULL,
+    which it skips)."""
+    from graphiti_spark.operators.community import (
+        _name_head,
+        _rank_member_names,
+    )
+
+    rows = [
+        ("g", "c1", f"u{i:03d}", name)
+        for i, name in enumerate(
+            ["b", "a", "a", "c", "a", "d", "b", "e", "f", "g", "h", "i", "j"]
+        )
+    ] + [("g", "c2", "u900", "solo")]
+    df = spark.createDataFrame(
+        rows, "group_id string, community string, uuid string, name string"
+    )
+    k = 4
+    bounded = (
+        _rank_member_names(df, ["group_id", "community"], "name")
+        .groupBy("group_id", "community")
+        .agg(_name_head("name", k).alias("head"))
+    )
+    naive = df.groupBy("group_id", "community").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("name")), 1, k), ", "
+        ).alias("head")
+    )
+    got = {r["community"]: r["head"] for r in bounded.collect()}
+    want = {r["community"]: r["head"] for r in naive.collect()}
+    assert got == want == {"c1": "a, a, a, b", "c2": "solo"}
+    # the bounded plan's collect_list input is the when()-guarded column:
+    # past-rank rows contribute NULL, so the buffer cannot exceed K
+    plan = bounded._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in plan and "collect_list" in plan
+
+
+def test_invalidation_next_epoch_linear_window(spark):
+    """The two-linear-pass 'next strictly-greater valid_at' equals the
+    shrinking-frame min(epoch) over rangeBetween(1, unboundedFollowing)
+    — including epoch TIES (every tie-group row closes at the next
+    distinct instant) and open heads (null) — and its physical plan still
+    carries exactly ONE exchange and ONE sort (the second window reuses
+    the first's clustering)."""
+    from pyspark.sql import Window
+
+    from graphiti_spark.operators.temporal import invalidate_contradictions
+
+    rows = [
+        # (group, subj, pred, obj, valid_at): three ties at t1, two at t2,
+        # one open head at t3; a second predicate chain interleaved
+        ("g", "s1", "uses", "a", "2024-01-01 00:00:00"),
+        ("g", "s1", "uses", "b", "2024-01-01 00:00:00"),
+        ("g", "s1", "uses", "c", "2024-01-01 00:00:00"),
+        ("g", "s1", "uses", "d", "2024-02-01 00:00:00"),
+        ("g", "s1", "uses", "e", "2024-02-01 00:00:00"),
+        ("g", "s1", "uses", "f", "2024-03-01 00:00:00"),
+        ("g", "s2", "uses", "x", "2024-05-01 00:00:00"),
+    ]
+    from datetime import datetime
+
+    edges = spark.createDataFrame(
+        [
+            (
+                f"u{i}",
+                s,
+                o,
+                "g",
+                p,
+                f"{s} {p} {o}",
+                datetime.strptime(v, "%Y-%m-%d %H:%M:%S"),
+                None,
+                None,
+                None,
+            )
+            for i, (g, s, p, o, v) in enumerate(rows)
+        ],
+        "uuid string, source_node_uuid string, target_node_uuid string, "
+        "group_id string, name string, fact string, valid_at timestamp, "
+        "invalid_at timestamp, expired_at timestamp, episodes array<string>",
+    ).withColumn("created_at", F.col("valid_at"))
+    out = invalidate_contradictions(edges, exclusive_predicates=("uses",))
+    got = {r["uuid"]: r["invalid_at"] for r in out.collect()}
+    # reference semantics: min valid_at strictly greater, spread over ties
+    epoch = F.unix_micros(F.col("valid_at"))
+    w_ref = (
+        Window.partitionBy("group_id", "source_node_uuid", "name")
+        .orderBy(epoch)
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    ref = {
+        r["uuid"]: r["nxt"]
+        for r in edges.withColumn(
+            "nxt", F.timestamp_micros(F.min(epoch).over(w_ref))
+        ).collect()
+    }
+    assert got == ref
+    assert got["u6"] is None and got["u5"] is None  # open heads
+    assert got["u0"] == got["u1"] == got["u2"]  # tie group closes together
+    # the AQE plan string prints Final + Initial sections; count only the
+    # final physical plan
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+    # no shrinking frame anywhere: the only unbounded frame is the whole-
+    # tie-group max (unboundedpreceding..unboundedfollowing), never a
+    # (1, unboundedFollowing) shrinking frame
+    assert "specifiedwindowframe(RangeFrame, 1," not in plan
