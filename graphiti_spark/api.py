@@ -298,8 +298,15 @@ def _rewrite_graph(g: GraphTables, remap: DataFrame) -> GraphTables:
         .agg(
             F.min("fact").alias("fact"),
             F.first("fact_embedding").alias("fact_embedding"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("episodes")))
+            # inputs are batch rows already capped at the provenance cap;
+            # re-cap so a many-alias collision can't exceed the schema's
+            # columnar-safety contract (schemas.py EDGES comment)
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("episodes")))
+                ),
+                1,
+                config.EDGE_EPISODE_PROVENANCE_CAP,
             ).alias("episodes"),
             F.sum("n_episodes").alias("n_episodes"),
             F.min("created_at").alias("created_at"),

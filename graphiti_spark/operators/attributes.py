@@ -60,25 +60,67 @@ def append_fact_summaries(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Fast-path summary update: concat the node's (sorted, distinct) edge
     facts onto its summary, apply only while the grown summary stays under
     2 x MAX_SUMMARY_CHARS, truncate at MAX_SUMMARY_CHARS
-    (node_operations.py:868-886 + text_utils.py:26)."""
-    facts = (
+    (node_operations.py:868-886 + text_utils.py:26).
+
+    BOUNDED aggregation state: only the 2x-cap length gate and the first
+    MAX_SUMMARY_CHARS characters of the joined fact string can ever reach
+    the output, so buffering every distinct fact of a hub node in one
+    collect_set (string state linear in the node's degree) is wasted
+    memory. Instead: dedup on (uuid, fact) with a map-side-combinable
+    groupBy, a running-length window (a GROWING frame — Spark evaluates
+    it incrementally, unlike shrinking frames) marks the facts that start
+    before the cap, and the final aggregate collects ONLY those (~cap
+    characters), while the gate compares against a plain sum. The window
+    clusters by uuid, so the final groupBy reuses its exchange."""
+    from pyspark.sql import Window
+
+    sep_len = F.length(F.col("fact")) + F.lit(2)  # "; " joiner
+    w_run = (
+        Window.partitionBy("uuid")
+        .orderBy("fact")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    distinct_facts = (
         edges.select(F.col("source_node_uuid").alias("uuid"), "fact")
         .unionByName(edges.select(F.col("target_node_uuid").alias("uuid"), "fact"))
-        .groupBy("uuid")
-        .agg(F.concat_ws("; ", F.array_sort(F.collect_set("fact"))).alias("_facts"))
+        .distinct()
+        .withColumn("_start", F.coalesce(F.sum(sep_len).over(w_run), F.lit(0)))
+    )
+    facts = distinct_facts.groupBy("uuid").agg(
+        # joined length of ALL distinct facts: sum(len + 2) - trailing 2
+        (F.sum(sep_len) - F.lit(2)).alias("_flen"),
+        # the ≤ MAX_SUMMARY_CHARS-start prefix, in joined order; facts
+        # past the cap enter collect_list as NULL, which it skips
+        F.concat_ws(
+            "; ",
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_start") < config.MAX_SUMMARY_CHARS, F.col("fact")
+                    )
+                )
+            ),
+        ).alias("_facts"),
     )
     grown = F.concat_ws(". ", F.col("summary"), F.col("_facts"))
+    # true length of summary + ". " + ALL facts (concat_ws skips a NULL
+    # summary but keeps an empty one, exactly like the grown expression)
+    grown_len = (
+        F.when(F.col("summary").isNull(), F.lit(0))
+        .otherwise(F.length("summary") + F.lit(2))
+        + F.col("_flen")
+    )
     return (
         nodes.join(facts, "uuid", "left")
         .withColumn(
             "summary",
             F.when(
                 F.col("_facts").isNotNull()
-                & (F.length(grown) <= 2 * config.MAX_SUMMARY_CHARS),
+                & (grown_len <= 2 * config.MAX_SUMMARY_CHARS),
                 F.substring(grown, 1, config.MAX_SUMMARY_CHARS),
             ).otherwise(F.col("summary")),
         )
-        .drop("_facts")
+        .drop("_facts", "_flen")
     )
 
 

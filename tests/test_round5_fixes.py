@@ -454,3 +454,138 @@ def test_invalidation_next_epoch_linear_window(spark):
     # tie-group max (unboundedpreceding..unboundedfollowing), never a
     # (1, unboundedFollowing) shrinking frame
     assert "specifiedwindowframe(RangeFrame, 1," not in plan
+
+
+def test_append_fact_summaries_bounded_equals_naive(spark):
+    """The bounded append_fact_summaries (running-length window + prefix
+    collect) returns byte-identical summaries to the naive
+    collect_set-everything form — across a hub node whose joined facts
+    blow the 2x gate, a node just under the gate, a null summary, an
+    empty-string summary, and a node with no edges."""
+    from graphiti_spark import config
+    from graphiti_spark.operators.attributes import append_fact_summaries
+
+    cap = config.MAX_SUMMARY_CHARS
+    # hub: 300 distinct ~40-char facts -> joined length far beyond 2x cap
+    hub_edges = [
+        ("hub", "x", f"hub relates to entity number {i:04d} strongly")
+        for i in range(300)
+    ]
+    # mid: facts sum to just UNDER the 2x gate with a 10-char summary
+    mid_edges = [("mid", "y", f"m{i:02d} " + "f" * 90) for i in range(18)]
+    # tiny: one fact, null summary; empty: one fact, empty-string summary
+    rows = hub_edges + mid_edges + [
+        ("tiny", "z", "single fact"),
+        ("empty", "z", "another fact"),
+        # duplicate fact across both endpoints of the same node: dedup
+        ("dup", "dup", "self loop fact"),
+    ]
+    edges = spark.createDataFrame(
+        [(s, t, f) for s, t, f in rows],
+        "source_node_uuid string, target_node_uuid string, fact string",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("hub", "hub base"),
+            ("mid", "mid base"),
+            ("tiny", None),
+            ("empty", ""),
+            ("lonely", "no edges here"),
+            ("x", "endpoint x"),
+            ("dup", None),
+        ],
+        "uuid string, summary string",
+    )
+
+    def naive(nodes, edges):
+        facts = (
+            edges.select(F.col("source_node_uuid").alias("uuid"), "fact")
+            .unionByName(
+                edges.select(F.col("target_node_uuid").alias("uuid"), "fact")
+            )
+            .groupBy("uuid")
+            .agg(
+                F.concat_ws("; ", F.array_sort(F.collect_set("fact"))).alias(
+                    "_facts"
+                )
+            )
+        )
+        grown = F.concat_ws(". ", F.col("summary"), F.col("_facts"))
+        return (
+            nodes.join(facts, "uuid", "left")
+            .withColumn(
+                "summary",
+                F.when(
+                    F.col("_facts").isNotNull()
+                    & (F.length(grown) <= 2 * cap),
+                    F.substring(grown, 1, cap),
+                ).otherwise(F.col("summary")),
+            )
+            .drop("_facts")
+        )
+
+    got = {
+        r["uuid"]: r["summary"]
+        for r in append_fact_summaries(nodes, edges).collect()
+    }
+    want = {r["uuid"]: r["summary"] for r in naive(nodes, edges).collect()}
+    assert got == want
+    # sanity on the semantics themselves, not just equality:
+    assert got["hub"] == "hub base"  # over the gate -> unchanged
+    assert got["mid"].startswith("mid base. m00") and len(got["mid"]) <= cap
+    assert got["tiny"] == "single fact"  # null summary -> facts alone
+    assert got["lonely"] == "no edges here"  # no facts -> unchanged
+    assert got["dup"] == "self loop fact"  # both-endpoint dup collapses
+
+
+def test_rewrite_graph_merge_recaps_provenance(spark):
+    """_rewrite_graph's collision merge re-caps the merged episodes array
+    at EDGE_EPISODE_PROVENANCE_CAP (two already-capped alias rows merging
+    must not exceed the schema contract)."""
+    from graphiti_spark import config
+    from graphiti_spark.api import GraphTables, _rewrite_graph
+
+    cap = config.EDGE_EPISODE_PROVENANCE_CAP
+    # two alias spellings of one fact, each carrying a full-cap episode
+    # list with disjoint suffixes -> naive merge would be 2*cap-32 long
+    eps_a = [f"e{i:04d}" for i in range(cap)]
+    eps_b = [f"e{i:04d}" for i in range(32, cap + 32)]
+    edges = spark.createDataFrame(
+        [
+            ("ua", "alias1", "t", "g", "uses", "S uses T", eps_a, len(eps_a)),
+            ("ub", "alias2", "t", "g", "uses", "s USES t ", eps_b, len(eps_b)),
+        ],
+        "uuid string, source_node_uuid string, target_node_uuid string, "
+        "group_id string, name string, fact string, episodes array<string>, "
+        "n_episodes long",
+    )
+    for c, t in [
+        ("fact_embedding", "array<float>"),
+        ("created_at", "timestamp"),
+        ("valid_at", "timestamp"),
+        ("invalid_at", "timestamp"),
+        ("expired_at", "timestamp"),
+        ("reference_time", "timestamp"),
+        ("attributes", "map<string,string>"),
+    ]:
+        edges = edges.withColumn(c, F.lit(None).cast(t))
+    # fact normalization collides the two rows once both aliases remap to
+    # the same canonical source
+    remap = spark.createDataFrame(
+        [("alias1", "canon"), ("alias2", "canon")],
+        "alias_uuid string, canonical_uuid string",
+    )
+    empty = edges.sparkSession.createDataFrame([], "uuid string")
+    g = GraphTables(
+        episodes=empty, nodes=spark.createDataFrame([("canon",)], "uuid string"),
+        edges=edges,
+        mentions=spark.createDataFrame([], "episode_uuid string, node_uuid string"),
+        canonical_map=spark.createDataFrame([], "canonical_uuid string"),
+        name_map=spark.createDataFrame([], "canonical_uuid string"),
+    )
+    out = _rewrite_graph(g, remap).edges.collect()
+    assert len(out) == 1
+    merged = out[0]["episodes"]
+    assert len(merged) == cap
+    assert merged == sorted(set(eps_a) | set(eps_b))[:cap]
+    assert out[0]["n_episodes"] == 2 * cap
