@@ -865,6 +865,24 @@ def _q_td_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_td_repetition(spark, sf_dir):
+    from graphiti_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_td_common_spans(spark, sf_dir):
+    from graphiti_spark.operators.dedup import common_spans
+
+    return common_spans(_docs(spark, sf_dir))
+
+
+def _q_td_sample_hash(spark, sf_dir):
+    from graphiti_spark.operators.textstats import sample_by_hash
+
+    return sample_by_hash(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER = evidence value: the driver's correctness sweep caps at 50
     # rows (CORRECTNESS_r03/r04 both reported exactly 50), so the kg
@@ -911,7 +929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_members": _q_kg_community_members,
         "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,
-        # training-data pipeline ops
+        # training-data pipeline ops (round-5 quality/sampling ops first)
+        "td_repetition": _q_td_repetition,
+        "td_common_spans": _q_td_common_spans,
+        "td_sample_hash": _q_td_sample_hash,
         "td_dedup_exact": _q_td_dedup_exact,
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
         "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,

@@ -1452,6 +1452,27 @@ class GraphitiSpark:
             m.select(F.col("node_uuid").alias("uuid")).distinct(), "uuid", "left_semi"
         )
 
+    def get_nodes_and_edges_by_episode(
+        self, episode_uuids: list[str]
+    ) -> dict[str, DataFrame]:
+        """Combined per-episode retrieval (graphiti.py:1631-1644
+        get_nodes_and_edges_by_episode → SearchResults(edges, nodes)):
+        the entity edges referenced by the episodes' ``entity_edges``
+        back-pointers plus the mentioned entity nodes. Returned as two
+        DataFrames keyed ``{"nodes", "edges"}`` — both are semi-joins
+        against uuid lists, so the store's bucket pruning applies when
+        the episodes carry group hints upstream."""
+        edge_ids = (
+            self.episodes_with_entity_edges(episode_uuids)
+            .select(F.col("edge_uuid").alias("uuid")).distinct()
+        )
+        edges = self._table("edges").join(edge_ids, "uuid", "left_semi")
+        nodes = (
+            self.get_mentioned_nodes(episode_uuids)
+            if episode_uuids else self._table("nodes").limit(0)
+        )
+        return {"nodes": nodes, "edges": edges}
+
     def get_episodes_by_mentions(self, node_uuids: list[str]) -> DataFrame:
         """Episodes mentioning the given entities (search_utils.py:150)."""
         m = self._table("mentions").where(F.col("node_uuid").isin(*node_uuids))

@@ -73,6 +73,14 @@ LSH_BUCKET_CAP = 64
 SIMHASH_BUCKET_CAP = 1024
 # salt buckets for skewed repartitioning of mega-repos
 SKEW_SALT_BUCKETS = 16
+# exact-substring (common-span) dedup: span length in tokens, and the
+# document-frequency cap above which a span is treated as boilerplate
+# ("stopword span") and excluded from pair generation — the standard
+# guard that keeps the gram self-join linear in true overlap instead of
+# quadratic in the frequency of a license header shared by half the
+# corpus
+SPAN_GRAM_TOKENS = 8
+SPAN_DOC_FREQ_CAP = 64
 # hard cap on block size for the DECLARED O(block²) recall baselines
 # (dedup_ngram_jaccard, semantic_duplicate_pairs_exact). The bounded-block
 # contract was previously documentation-only; at 100 TB the 'en' language

@@ -321,3 +321,51 @@ def dedup_embedding_cosine(
         .where(F.col("cos_sim") >= threshold)
         .drop("_ea", "_eb")
     )
+
+
+def common_spans(
+    docs: DataFrame, k: int = config.SPAN_GRAM_TOKENS,
+    doc_freq_cap: int = config.SPAN_DOC_FREQ_CAP,
+) -> DataFrame:
+    """Exact-substring overlap at k-token granularity (the signal behind
+    suffix-array dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", expressed as a distributed hash join):
+    doc pairs sharing >= 1 exact k-token span, with the count of distinct
+    shared spans. Output: (doc_a, doc_b, shared_spans).
+
+    Scale shape: per-doc DISTINCT md5(span) arrays (array_distinct before
+    the explode — no extra shuffle), one window count per span hash, then
+    a self-join restricted to hashes with document frequency in
+    [2, doc_freq_cap]. The upper bound is the boilerplate guard: a
+    license header shared by half the corpus must not generate O(n²)
+    pairs — such "stopword spans" are excluded, the same cap contract as
+    LSH_BUCKET_CAP. Join and window share the span-hash partitioning, so
+    the pair stage costs one shuffle beyond the gram explode."""
+    toks = tokenize(F.col("text"))
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+    )
+    w = Window.partitionBy("h")
+    gf = (
+        g.withColumn("_df", F.count("*").over(w))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= doc_freq_cap))
+        .drop("_df")
+    )
+    a, b = gf.alias("a"), gf.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_spans"))
+    )

@@ -9,6 +9,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from graphiti_spark.functions.text import tokenize
 
+# Gopher-style repetition gates (Rae et al. 2021, table A1 family):
+# a doc is `repetitive` when ANY of these is exceeded. Tuned to the
+# word-token grain (the char-fraction variants need byte offsets the
+# token grain doesn't keep).
+REP_DUP_TOKEN_FRAC = 0.6
+REP_TOP_BIGRAM_FRAC = 0.2
+REP_DUP_TRIGRAM_FRAC = 0.3
+
 # function-word markers per language — the classic n-gram/stopword
 # heuristic (deterministic stand-in for fasttext-style lang-id; the
 # corpus vocabulary is English so 'en' wins on real signal and the rest
@@ -87,6 +95,109 @@ def lang_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
         F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def _word_grams(toks: F.Column, n: int) -> F.Column:
+    """ALL word n-grams in order (NOT distinct — repetition needs counts;
+    contrast dedup.word_shingles which distincts for set Jaccard)."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-family repetition filters: duplicate-token fraction,
+    top-bigram fraction (occurrences of the most frequent bigram over all
+    bigram instances), duplicate-trigram fraction, and the composite
+    `repetitive` gate. The scraped-web failure mode these catch (menus,
+    keyword stuffing, template loops) is the #1 quality filter a 100 TB
+    curation pipeline runs after dedup.
+
+    Shape: explode (doc_id, n, gram) → two partial-aggregable groupBys
+    (gram counts, then per-(doc,n) total/max/distinct) → conditional
+    pivot. Both shuffles are map-side combinable on keys whose
+    cardinality is bounded by the corpus token count — no per-doc state
+    ever exceeds one gram row, so a billion-doc corpus never builds a
+    driver-side or executor-side hot spot (contrast a collect_list of
+    grams per doc, which is O(doc length) array state)."""
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    parts = [
+        base.select(
+            "doc_id", F.lit(n).alias("n"),
+            F.explode(_word_grams(F.col("_t"), n)).alias("gram"),
+        )
+        for n in (1, 2, 3)
+    ]
+    exploded = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = (
+        exploded.groupBy("doc_id", "n", "gram").count()
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("count").alias("total"),
+            F.max("count").alias("max_c"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    wide = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("total"))).alias("t1"),
+        F.max(F.when(F.col("n") == 1, F.col("n_distinct"))).alias("d1"),
+        F.max(F.when(F.col("n") == 2, F.col("total"))).alias("t2"),
+        F.max(F.when(F.col("n") == 2, F.col("max_c"))).alias("m2"),
+        F.max(F.when(F.col("n") == 3, F.col("total"))).alias("t3"),
+        F.max(F.when(F.col("n") == 3, F.col("n_distinct"))).alias("d3"),
+    )
+    dup_tok = F.round(
+        F.coalesce((F.col("t1") - F.col("d1"))
+                   / F.greatest(F.col("t1"), F.lit(1)), F.lit(0.0)), 4)
+    top_bg = F.round(
+        F.coalesce(F.col("m2") / F.greatest(F.col("t2"), F.lit(1)),
+                   F.lit(0.0)), 4)
+    dup_tg = F.round(
+        F.coalesce((F.col("t3") - F.col("d3"))
+                   / F.greatest(F.col("t3"), F.lit(1)), F.lit(0.0)), 4)
+    return (
+        docs.select("doc_id").join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("t1"), F.lit(0)).cast("long").alias("n_tokens"),
+            dup_tok.alias("dup_token_frac"),
+            top_bg.alias("top_bigram_frac"),
+            dup_tg.alias("dup_trigram_frac"),
+            (
+                (dup_tok > REP_DUP_TOKEN_FRAC)
+                | (top_bg > REP_TOP_BIGRAM_FRAC)
+                | (dup_tg > REP_DUP_TRIGRAM_FRAC)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def sample_by_hash(
+    docs: DataFrame, rates: dict[str, str] | None = None,
+    default_rate: str = "40",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling for corpus mixing: keep a doc
+    when the first byte of md5(doc_id ':' text) sorts below the per-lang
+    hex threshold ('80' → 50%, '40' → 25%). Reproducible across runs,
+    machines, and engines — the property that matters when a training mix
+    must be re-derivable months later; embarrassingly parallel (pure
+    projection + filter, zero shuffles)."""
+    rates = rates if rates is not None else {"en": "80"}
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.col("text"))), 1, 2)
+    thr = F.lit(default_rate)
+    for lang, hexthr in sorted(rates.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(hexthr)).otherwise(thr)
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"),
+                    thr.alias("_thr"))
+        .where(F.col("sample_key") < F.col("_thr"))
+        .drop("_thr")
     )
 
 

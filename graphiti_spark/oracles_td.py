@@ -599,6 +599,74 @@ fp AS (
 SELECT doc_id, array_to_string(f, ',') AS fingerprint, len(f)::BIGINT AS n_grams
 FROM fp"""
 
+    # Gopher-style repetition gates — thresholds mirror
+    # operators/textstats.REP_* (comparisons on the ROUNDED values in
+    # both dialects so borderline floats can't diverge)
+    o["td_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+  FROM t, unnest(range(1, len(t))) r(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+  FROM t, unnest(range(1, len(t) - 1)) r(i)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, n, sum(c) AS total, max(c) AS max_c, count(*) AS nd
+      FROM c GROUP BY 1, 2),
+w AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 1 THEN total END) AS t1,
+    max(CASE WHEN n = 1 THEN nd END) AS d1,
+    max(CASE WHEN n = 2 THEN total END) AS t2,
+    max(CASE WHEN n = 2 THEN max_c END) AS m2,
+    max(CASE WHEN n = 3 THEN total END) AS t3,
+    max(CASE WHEN n = 3 THEN nd END) AS d3
+  FROM p GROUP BY 1
+),
+m AS (
+  SELECT d.doc_id,
+    COALESCE(w.t1, 0)::BIGINT AS n_tokens,
+    round(COALESCE((w.t1 - w.d1)::DOUBLE / greatest(w.t1, 1), 0), 4) AS dup_token_frac,
+    round(COALESCE(w.m2::DOUBLE / greatest(w.t2, 1), 0), 4) AS top_bigram_frac,
+    round(COALESCE((w.t3 - w.d3)::DOUBLE / greatest(w.t3, 1), 0), 4) AS dup_trigram_frac
+  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+       (dup_token_frac > 0.6 OR top_bigram_frac > 0.2
+        OR dup_trigram_frac > 0.3) AS repetitive
+FROM m"""
+
+    # exact-substring overlap at 8-token spans; doc-frequency window
+    # [2, SPAN_DOC_FREQ_CAP] mirrors operators/dedup.common_spans
+    from graphiti_spark import config as _cfg
+
+    _k, _cap = _cfg.SPAN_GRAM_TOKENS, _cfg.SPAN_DOC_FREQ_CAP
+    o["td_common_spans"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i:i+{_k - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(t) - {_k - 2})) r(i)
+),
+f AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND {_cap}),
+gf AS (SELECT g.doc_id, g.h FROM g JOIN f USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_spans
+FROM gf a JOIN gf b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+    # deterministic hash-threshold sampling (en keeps 50%, rest 25%) —
+    # byte-wise hex-string compare is identical in both dialects
+    o["td_sample_hash"] = """
+SELECT doc_id, lang,
+       substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) AS sample_key
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':' || text), 1, 2)
+      < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)"""
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""
 WITH toks AS (

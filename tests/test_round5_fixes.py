@@ -589,3 +589,28 @@ def test_rewrite_graph_merge_recaps_provenance(spark):
     assert len(merged) == cap
     assert merged == sorted(set(eps_a) | set(eps_b))[:cap]
     assert out[0]["n_episodes"] == 2 * cap
+
+
+def test_get_nodes_and_edges_by_episode(spark, tmp_path_factory):
+    """Combined per-episode retrieval (graphiti.py:1631-1644): edges via
+    the entity_edges back-pointers, nodes via mentions; empty input means
+    'these zero episodes' (empty frames, never a full scan)."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("epsub")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(_batch(spark, [
+        ("a/p/f.py", "alpha merge table beta", 1),
+        ("a/p/g.py", "gamma invoke queue", 2),
+    ]))
+    eps = {r["name"]: r["uuid"]
+           for r in store.read("episodes").select("name", "uuid").collect()}
+    ep_f = next(u for n, u in eps.items() if "f.py" in n)
+    out = g.get_nodes_and_edges_by_episode([ep_f])
+    node_names = {r["name"] for r in out["nodes"].collect()}
+    assert {"alpha", "merge"} <= node_names and "gamma" not in node_names
+    # every returned edge is one the episode's back-pointers reference
+    want = {r["edge_uuid"] for r in
+            g.episodes_with_entity_edges([ep_f]).collect()}
+    got = {r["uuid"] for r in out["edges"].collect()}
+    assert got == want and len(got) >= 1
+    empty = g.get_nodes_and_edges_by_episode([])
+    assert empty["nodes"].count() == 0 and empty["edges"].count() == 0

@@ -296,3 +296,83 @@ def test_frame_sample_covers_payload(spark, dup_docs):
         assert fs[0]["byte_offset"] == 0
         last = fs[-1]
         assert last["byte_offset"] + last["byte_len"] <= lens[mid]
+
+
+# ---- round-5 quality / sampling ops ------------------------------------
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from graphiti_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now", "en"),
+            (2, "a perfectly normal sentence with every word distinct", "en"),
+            (3, "word", "en"),  # 1 token: no bigrams/trigrams
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["repetitive"] and not out[2]["repetitive"]
+    # doc 1: 10 tokens, 2 distinct -> dup_token_frac 0.8; top bigram
+    # "buy now" occurs 5 of 9 bigram instances
+    assert out[1]["dup_token_frac"] == 0.8
+    assert out[1]["top_bigram_frac"] == round(5 / 9, 4)
+    assert out[2]["dup_token_frac"] == 0.0
+    # single-token doc: bigram/trigram fractions degrade to 0, not NULL
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    assert not out[3]["repetitive"]
+
+
+def test_common_spans_counts_shared_8gram_spans(spark):
+    from graphiti_spark.operators.dedup import common_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + shared, "en"),
+            (2, shared + " plus a different tail entirely", "en"),
+            (3, "no overlap with anything else in this corpus at all ok", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = common_spans(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 10 shared tokens -> 3 shared 8-token spans
+    assert (r["doc_a"], r["doc_b"], r["shared_spans"]) == (1, 2, 3)
+
+
+def test_common_spans_boilerplate_cap_excludes_stopword_spans(spark):
+    from graphiti_spark.operators.dedup import common_spans
+
+    header = "standard license header text repeated across many corpus files"
+    docs = spark.createDataFrame(
+        [(i, header + f" body {i}", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    # doc frequency 6 > cap 4: every shared span is boilerplate -> no pairs
+    assert common_spans(docs, doc_freq_cap=4).count() == 0
+    # with the cap lifted all 15 pairs appear
+    assert common_spans(docs, doc_freq_cap=64).count() == 15
+
+
+def test_sample_by_hash_deterministic_and_rate_bounded(spark, sf_dir):
+    from graphiti_spark.operators.textstats import sample_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sample_by_hash(docs).collect()
+    b = sample_by_hash(docs).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    n_en = docs.where("lang = 'en'").count()
+    n_other = docs.count() - n_en
+    kept_en = sum(1 for r in a if r["lang"] == "en")
+    kept_other = len(a) - kept_en
+    # md5 is uniform: binomial(n, 0.5)/(n, 0.25) stay within 5 sigma
+    import math
+
+    assert abs(kept_en - 0.5 * n_en) < 5 * math.sqrt(n_en * 0.25) + 1
+    assert abs(kept_other - 0.25 * n_other) < 5 * math.sqrt(n_other * 0.1875) + 1
+    # zero-shuffle contract: the plan is scan -> project -> filter
+    plan = sample_by_hash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
