@@ -865,6 +865,25 @@ def _q_td_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_td_contamination(spark, sf_dir):
+    from graphiti_spark.operators.dedup import contamination
+
+    return contamination(_docs(spark, sf_dir))
+
+
+def _q_td_redact_secrets(spark, sf_dir):
+    from graphiti_spark.operators.textstats import (
+        REDACT_PROBE_ROWS,
+        redact_secrets,
+    )
+
+    probes = spark.createDataFrame(
+        list(REDACT_PROBE_ROWS), "doc_id long, text string"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(probes)
+    return redact_secrets(docs)
+
+
 def _q_td_repetition(spark, sf_dir):
     from graphiti_spark.operators.textstats import repetition_stats
 
@@ -930,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,
         # training-data pipeline ops (round-5 quality/sampling ops first)
+        "td_contamination": _q_td_contamination,
+        "td_redact_secrets": _q_td_redact_secrets,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         "td_sample_hash": _q_td_sample_hash,

@@ -81,6 +81,11 @@ SKEW_SALT_BUCKETS = 16
 # corpus
 SPAN_GRAM_TOKENS = 8
 SPAN_DOC_FREQ_CAP = 64
+# benchmark decontamination (GPT-3 appendix-C rule): flag a training doc
+# on ANY exact 13-token-gram collision with an eval document. The default
+# benchmark slice for tests is the deterministic doc_id % MOD == 0 subset.
+CONTAM_GRAM_TOKENS = 13
+CONTAM_BENCH_MOD = 97
 # hard cap on block size for the DECLARED O(block²) recall baselines
 # (dedup_ngram_jaccard, semantic_duplicate_pairs_exact). The bounded-block
 # contract was previously documentation-only; at 100 TB the 'en' language

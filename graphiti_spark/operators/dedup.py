@@ -323,6 +323,22 @@ def dedup_embedding_cosine(
     )
 
 
+def _span_hashes(text: F.Column, k: int) -> F.Column:
+    """DISTINCT md5 hashes of the k-token spans of ``text`` — the shared
+    gram builder for common_spans and contamination (array_distinct
+    BEFORE any explode, so per-doc dup spans never multiply rows)."""
+    toks = tokenize(text)
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
 def common_spans(
     docs: DataFrame, k: int = config.SPAN_GRAM_TOKENS,
     doc_freq_cap: int = config.SPAN_DOC_FREQ_CAP,
@@ -341,17 +357,8 @@ def common_spans(
     pairs — such "stopword spans" are excluded, the same cap contract as
     LSH_BUCKET_CAP. Join and window share the span-hash partitioning, so
     the pair stage costs one shuffle beyond the gram explode."""
-    toks = tokenize(F.col("text"))
-    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    grams = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     g = docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+        "doc_id", F.explode(_span_hashes(F.col("text"), k)).alias("h")
     )
     w = Window.partitionBy("h")
     gf = (
@@ -368,4 +375,58 @@ def common_spans(
             F.col("b.doc_id").alias("doc_b"),
         )
         .agg(F.count("*").cast("long").alias("shared_spans"))
+    )
+
+
+def contamination(
+    docs: DataFrame, benchmark: DataFrame | None = None,
+    k: int = config.CONTAM_GRAM_TOKENS,
+) -> DataFrame:
+    """Benchmark decontamination by exact k-token-gram collision (the
+    GPT-3 appendix-C rule, k=13: a training doc is contaminated when it
+    shares ANY k-gram with an evaluation document). Output one row per
+    corpus doc: (doc_id, n_grams, n_matched, contamination_frac,
+    contaminated).
+
+    ``benchmark`` defaults to the deterministic ``doc_id %
+    CONTAM_BENCH_MOD == 0`` slice of the corpus so the operator is
+    self-contained for tests; production passes the real eval set.
+
+    Scale shape: eval sets are tiny relative to a 100 TB corpus, so the
+    benchmark gram set is collected into a broadcast hash join — the
+    corpus side is ONE scan + gram explode with no shuffle before the
+    per-doc groupBy (map-side combinable: at most one partial row per
+    (doc_id) per task). explode_outer keeps zero-gram docs in the
+    output."""
+    if benchmark is None:
+        benchmark = docs.where(F.col("doc_id") % config.CONTAM_BENCH_MOD == 0)
+    bench_grams = (
+        benchmark.select(
+            F.explode(_span_hashes(F.col("text"), k)).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    g = docs.select(
+        "doc_id",
+        _span_hashes(F.col("text"), k).alias("_g"),
+    ).select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.explode_outer("_g").alias("h"),
+    )
+    joined = g.join(F.broadcast(bench_grams), "h", "left")
+    frac = F.round(
+        F.col("n_matched") / F.greatest(F.col("n_grams"), F.lit(1)), 4)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_matched"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_matched",
+            frac.alias("contamination_frac"),
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
     )

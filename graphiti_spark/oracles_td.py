@@ -658,6 +658,70 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM gf a JOIN gf b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
+    # benchmark decontamination: ANY exact 13-token-gram collision with
+    # the deterministic doc_id % CONTAM_BENCH_MOD == 0 eval slice flags
+    # the doc (mirrors operators/dedup.contamination)
+    _ck, _cm = _cfg.CONTAM_GRAM_TOKENS, _cfg.CONTAM_BENCH_MOD
+    o["td_contamination"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_ck} THEN list_distinct(list_transform(
+           range(1, len(t) - {_ck - 2}),
+           i -> md5(array_to_string(t[i:i+{_ck - 1}], ' '))))
+         ELSE [] END AS gs
+  FROM t
+),
+b AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % {_cm} = 0),
+e AS (SELECT doc_id, unnest(gs) AS h FROM g),
+m AS (SELECT e.doc_id, count(b.h)::BIGINT AS n_matched
+      FROM e LEFT JOIN b ON e.h = b.h GROUP BY 1)
+SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
+       COALESCE(m.n_matched, 0)::BIGINT AS n_matched,
+       round(COALESCE(m.n_matched, 0)::DOUBLE
+             / greatest(len(gs), 1), 4) AS contamination_frac,
+       COALESCE(m.n_matched, 0) > 0 AS contaminated
+FROM g LEFT JOIN m ON g.doc_id = m.doc_id"""
+
+    # secret/PII redaction — pattern strings are SHARED with the Spark
+    # operator (textstats.SECRET_PATTERNS): every regex means the same
+    # thing under Java regex and RE2. The corpus contains no secrets, so
+    # both dialects union the same three probe rows to exercise every
+    # pattern through the value hash.
+    from graphiti_spark.operators.textstats import (
+        SECRET_PATTERNS as _SP,
+        REDACT_PROBE_ROWS as _PROBES,
+    )
+
+    _cnt_cols = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in _SP
+    )
+    _red = "text"
+    for _, pat, repl in _SP:
+        _red = f"regexp_replace({_red}, '{pat}', '{repl}', 'g')"
+    _tot = " + ".join(f"n_{name}" for name, _, _ in _SP)
+    _vals = ",\n    ".join(
+        f"({i}::BIGINT, '{t}')" for i, t in _PROBES
+    )
+    o["td_redact_secrets"] = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_vals}
+  ) v(doc_id, text)
+),
+c AS (
+  SELECT doc_id,
+  {_cnt_cols},
+  {_red} AS redacted
+  FROM src
+)
+SELECT doc_id, {", ".join(f"n_{n}" for n, _, _ in _SP)}, redacted,
+       ({_tot})::BIGINT AS n_redactions
+FROM c"""
+
     # deterministic hash-threshold sampling (en keeps 50%, rest 25%) —
     # byte-wise hex-string compare is identical in both dialects
     o["td_sample_hash"] = """

@@ -376,3 +376,56 @@ def test_sample_by_hash_deterministic_and_rate_bounded(spark, sf_dir):
     # zero-shuffle contract: the plan is scan -> project -> filter
     plan = sample_by_hash(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_redact_secrets_counts_and_replacements(spark):
+    from graphiti_spark.operators.textstats import (
+        REDACT_PROBE_ROWS, redact_secrets,
+    )
+
+    docs = spark.createDataFrame(
+        list(REDACT_PROBE_ROWS) + [(9, "no secrets in here at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_secrets(docs).collect()}
+    assert out[-1]["n_emails"] == 2 and out[-1]["n_aws_keys"] == 1
+    assert "<EMAIL>" in out[-1]["redacted"]
+    assert "alice@example.com" not in out[-1]["redacted"]
+    assert out[-2]["n_bearer"] == 1 and out[-2]["n_hex_secrets"] == 1
+    assert out[-3]["n_priv_keys"] == 2
+    assert out[-3]["redacted"].count("<PRIVKEY>") == 2
+    assert out[9]["n_redactions"] == 0
+    assert out[9]["redacted"] == "no secrets in here at all"
+    assert out[-1]["n_redactions"] == 3
+    # scrub pass is embarrassingly parallel: no exchange in the plan
+    plan = (redact_secrets(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_contamination_flags_gram_collisions(spark):
+    from graphiti_spark.operators.dedup import contamination
+
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text, "en"),                     # benchmark member
+            (1, "lead in " + " ".join(f"w{i}" for i in range(13)), "en"),
+            (2, "totally different words " * 5, "en"),
+            (3, "short doc", "en"),                    # < 13 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in contamination(docs).collect()}
+    assert out[0]["contaminated"] and out[0]["contamination_frac"] == 1.0
+    assert out[1]["contaminated"] and out[1]["n_matched"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    # explicit benchmark frame overrides the default slice
+    bench = spark.createDataFrame(
+        [(99, "totally different words " * 5, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out2 = {r["doc_id"]: r
+            for r in contamination(docs, benchmark=bench).collect()}
+    assert out2[2]["contaminated"] and not out2[1]["contaminated"]
