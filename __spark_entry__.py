@@ -865,6 +865,34 @@ def _q_td_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_td_mix_report(spark, sf_dir):
+    from graphiti_spark.operators.textstats import mix_report
+
+    return mix_report(_docs(spark, sf_dir))
+
+
+def _q_ev_windowed(spark, sf_dir):
+    from graphiti_spark.operators.events import windowed_event_stats
+
+    return windowed_event_stats(_events(spark, sf_dir))
+
+
+def _q_ev_sessions(spark, sf_dir):
+    from graphiti_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def _q_ev_props(spark, sf_dir):
+    from graphiti_spark.operators.events import extract_event_props
+
+    return extract_event_props(_events(spark, sf_dir))
+
+
 def _q_td_contamination(spark, sf_dir):
     from graphiti_spark.operators.dedup import contamination
 
@@ -949,8 +977,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,
         # training-data pipeline ops (round-5 quality/sampling ops first)
+        "td_token_stats": _q_td_token_stats,
         "td_contamination": _q_td_contamination,
         "td_redact_secrets": _q_td_redact_secrets,
+        "td_mix_report": _q_td_mix_report,
+        "ev_windowed": _q_ev_windowed,
+        "ev_sessions": _q_ev_sessions,
+        "ev_props": _q_ev_props,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         "td_sample_hash": _q_td_sample_hash,
@@ -966,7 +999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_lsh": _q_td_ann_lsh,
         "td_ann_ivf": _q_td_ann_ivf,
         "td_ann_ivf_kmeans": _q_td_ann_ivf_kmeans,
-        "td_token_stats": _q_td_token_stats,
         "td_quality_score": _q_td_quality_score,
         "td_lang_id": _q_td_lang_id,
         "td_fingerprint": _q_td_fingerprint,

@@ -1,0 +1,97 @@
+"""Event-stream rollups over the ``events`` table: tumbling-window
+aggregation, gap-based sessionization, and JSON property extraction.
+
+These are the BATCH twins of the streaming side (streaming/ingest.py's
+watermarked windowed aggregation): identical grouping semantics, so a
+backfill over landed parquet and the live stream produce merge-compatible
+rows — the lambda-architecture contract a 100 TB event pipeline needs.
+All pure column algebra; the sessionizer uses Spark's native
+``session_window`` (state-store-backed in streaming, sort-based in batch)
+with a lag-islands DuckDB twin proving the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# gap that closes a session — the classic 30-minute web-analytics rule
+SESSION_GAP = "30 minutes"
+EVENT_WINDOW = "hour"
+
+
+def windowed_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling event-time windows per event_type: count, value sum/mean,
+    distinct users. date_trunc keeps the bucketing identical across
+    engines (epoch-aligned hour buckets). One map-side-combinable
+    groupBy — the partial state per task is one row per live
+    (window, type) pair, so a year of events at any rate aggregates
+    without skew (window keys are time-uniform by construction; a hot
+    event_type still fans across tasks until the single shuffle)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(cents).alias("_c"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        # value is 2-decimal: aggregate exact integer cents, then derive
+        # sum/avg by division — no float summation order, no final
+        # rounding, so the doubles are bit-identical across engines
+        # (round-half rules DIFFER between engines at 4-decimal
+        # midpoints like 290.93/8; exact-cent division sidesteps them)
+        .select(
+            "window_start", "event_type", "n_events",
+            (F.col("_c") / 100.0).alias("sum_value"),
+            (F.col("_c") / 100.0 / F.col("n_events")).alias("avg_value"),
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based sessions per user via native ``session_window`` (a new
+    session starts when the inter-event gap exceeds ``gap``): session
+    start (first event ts), n_events, sum_value, span_seconds
+    (last - first event, NOT including the trailing gap — the
+    engine-neutral definition the DuckDB islands twin reproduces).
+
+    In batch Spark plans this as sort-within-user + merge — no window
+    frame grows with session length; in streaming the same expression is
+    state-store-backed with watermark eviction, which is why the op is
+    written against session_window instead of a hand-rolled lag-islands
+    pass (the islands formulation is the ORACLE, not the engine)."""
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long").alias("span_seconds"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value",
+                "span_seconds")
+    )
+
+
+def extract_event_props(events: DataFrame, key: str = "k") -> DataFrame:
+    """Semi-structured property extraction: pull ``key`` out of the JSON
+    ``props`` column and aggregate per event_type. get_json_object stays
+    JVM-side (Jackson) — no Python; the per-type aggregate is one
+    map-side-combinable shuffle over a tiny key domain."""
+    v = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (
+        events.select("event_type", v.alias("_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("_v").cast("long").alias("n_with_key"),
+            F.sum("_v").cast("long").alias("sum_k"),
+            F.min("_v").cast("long").alias("min_k"),
+            F.max("_v").cast("long").alias("max_k"),
+        )
+    )

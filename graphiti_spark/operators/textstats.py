@@ -31,16 +31,27 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
+# GPT-2-style pretokenizer, simplified to the Java-regex ∩ RE2 subset
+# (no lookahead): contraction suffixes, letter runs, digit runs, symbol
+# runs — each optionally preceded by one space. Whitespace itself is not
+# a token; counting matches of this pattern approximates BPE token count
+# far better than chars/4 on code-ish text.
+BPE_TOKEN_REGEX = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, a BPE-ish
     subword estimate (ceil(chars/4) — the reference's own token estimator,
-    content_chunking.py:39-51), chars."""
+    content_chunking.py:39-51), a GPT-2-style pretokenizer regex count
+    (BPE_TOKEN_REGEX), chars."""
     toks = tokenize(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_REGEX))
+        .cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
 
@@ -276,4 +287,35 @@ def redact_secrets(docs: DataFrame) -> DataFrame:
         total = c if total is None else total + c
     return docs.select("doc_id", *counts, red.alias("redacted")).withColumn(
         "n_redactions", total.cast("long")
+    )
+
+
+def mix_report(docs: DataFrame) -> DataFrame:
+    """Corpus-mix report per (lang, source): docs, token/char volume, and
+    share of corpus tokens — the table a training-mix designer reads
+    before setting sample_by_hash rates. The global total joins in as a
+    broadcast scalar (never a global window, which would plan a
+    single-partition exchange); the group aggregate is one
+    map-side-combinable shuffle over a tiny key domain."""
+    per = (
+        docs.select(
+            "lang", "source",
+            F.size(tokenize(F.col("text"))).alias("_nt"),
+            F.length("text").alias("_nc"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens") / F.greatest("_tot", F.lit(1)), 6),
+        )
+        .drop("_tot")
     )

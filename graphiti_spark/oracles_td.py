@@ -528,11 +528,15 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= 10"""
 
+    from graphiti_spark.operators.textstats import BPE_TOKEN_REGEX as _BPE
+
+    _bpe_sql = _BPE.replace("'", "''")
     o["td_token_stats"] = f"""
 SELECT doc_id,
        len(t)::BIGINT AS n_tokens,
        len(list_distinct(t))::BIGINT AS n_distinct_tokens,
        ceil(length(text) / 4)::BIGINT AS n_subwords_est,
+       len(regexp_extract_all(text, '{_bpe_sql}'))::BIGINT AS n_bpe_tokens,
        length(text)::BIGINT AS n_chars
 FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
 
@@ -730,6 +734,66 @@ SELECT doc_id, lang,
 FROM documents
 WHERE substr(md5(doc_id::VARCHAR || ':' || text), 1, 2)
       < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)"""
+
+    # corpus-mix report (operators/textstats.mix_report)
+    o["td_mix_report"] = f"""
+WITH per AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs,
+         sum(len(t))::BIGINT AS n_tokens,
+         sum(length(text))::BIGINT AS n_chars
+  FROM (SELECT lang, source, text, {_toks('text')} AS t FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+       round(n_tokens::DOUBLE / greatest(tot, 1), 6) AS token_share
+FROM per CROSS JOIN (SELECT sum(n_tokens) AS tot FROM per) t"""
+
+    # event-stream rollups (operators/events.py) — date_trunc bucketing
+    # and lag-islands sessionization are the engine-neutral definitions
+    # exact integer-cent aggregation, division shape identical to the
+    # Spark side (c/100.0, then /n) so the doubles match bit-for-bit
+    o["ev_windowed"] = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT))::DOUBLE AS c,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       c / 100.0 AS sum_value,
+       c / 100.0 / n_events AS avg_value,
+       n_users
+FROM w"""
+
+    # islands formulation of session_window: only a gap STRICTLY greater
+    # than 30 min splits (session_window merges an event landing exactly
+    # at last + gap — boundary pinned by test_events)
+    o["ev_sessions"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+i AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       date_diff('second', min(ts), max(ts))::BIGINT AS span_seconds
+FROM i GROUP BY user_id, sid"""
+
+    o["ev_props"] = """
+SELECT event_type,
+       count(json_extract_string(props, '$.k'))::BIGINT AS n_with_key,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY 1"""
 
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""

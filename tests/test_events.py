@@ -1,0 +1,71 @@
+"""Event-stream rollups (operators/events.py): tumbling windows,
+gap sessionization (incl. the exact-gap boundary the oracle mirrors),
+JSON property extraction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from graphiti_spark.operators.events import (
+    extract_event_props,
+    sessionize,
+    windowed_event_stats,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+
+
+def test_windowed_event_stats_buckets_by_hour(spark):
+    ev = _ev(spark, [
+        (1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 55), 2, "click", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 0), 1, "click", 4.0, "{}"),
+        (4, datetime(2024, 1, 1, 10, 30), 1, "view", 8.0, "{}"),
+    ])
+    out = {(r["window_start"], r["event_type"]): r
+           for r in windowed_event_stats(ev).collect()}
+    k10 = (datetime(2024, 1, 1, 10, 0), "click")
+    assert out[k10]["n_events"] == 2 and out[k10]["sum_value"] == 3.0
+    assert out[k10]["n_users"] == 2
+    assert out[(datetime(2024, 1, 1, 11, 0), "click")]["n_events"] == 1
+    assert out[(datetime(2024, 1, 1, 10, 0), "view")]["avg_value"] == 8.0
+
+
+def test_sessionize_gap_splits_and_boundary(spark):
+    ev = _ev(spark, [
+        # user 1: 10:00, 10:10 (same session), 10:50 (40-min gap -> new)
+        (1, datetime(2024, 1, 1, 10, 0), 1, "c", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "c", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 50), 1, "c", 4.0, "{}"),
+        # user 2: EXACTLY a 30-min gap -> MERGES (session_window extends
+        # through an event landing exactly at last + gap; the oracle's
+        # islands rule therefore splits only on a STRICTLY greater gap)
+        (4, datetime(2024, 1, 1, 9, 0), 2, "c", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 9, 30), 2, "c", 1.0, "{}"),
+    ])
+    rows = sessionize(ev).collect()
+    u1 = sorted([r for r in rows if r["user_id"] == 1],
+                key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in u1] == [2, 1]
+    assert u1[0]["session_start"] == datetime(2024, 1, 1, 10, 0)
+    assert u1[0]["span_seconds"] == 600 and u1[0]["sum_value"] == 3.0
+    assert u1[1]["span_seconds"] == 0
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 2  # exact gap merges
+
+
+def test_extract_event_props_json(spark):
+    ev = _ev(spark, [
+        (1, datetime(2024, 1, 1), 1, "click", 1.0, '{"k": 10}'),
+        (2, datetime(2024, 1, 1), 2, "click", 1.0, '{"k": 32}'),
+        (3, datetime(2024, 1, 1), 3, "view", 1.0, '{"other": 5}'),
+    ])
+    out = {r["event_type"]: r for r in extract_event_props(ev).collect()}
+    assert out["click"]["n_with_key"] == 2 and out["click"]["sum_k"] == 42
+    assert out["click"]["min_k"] == 10 and out["click"]["max_k"] == 32
+    assert out["view"]["n_with_key"] == 0 and out["view"]["sum_k"] is None

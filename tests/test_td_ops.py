@@ -429,3 +429,37 @@ def test_contamination_flags_gram_collisions(spark):
     out2 = {r["doc_id"]: r
             for r in contamination(docs, benchmark=bench).collect()}
     assert out2[2]["contaminated"] and not out2[1]["contaminated"]
+
+
+def test_token_stats_bpe_regex_count(spark):
+    from graphiti_spark.operators.textstats import token_stats
+
+    docs = spark.createDataFrame(
+        [
+            # don't -> "don" + "'t"; x=1 -> "x" "=" "1"; camelCase is one
+            # letter run under the simplified pretokenizer
+            (1, "don't stop", "en"),
+            (2, "x=1; y=22", "en"),
+            (3, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert out[1]["n_bpe_tokens"] == 3  # don / 't / stop
+    assert out[2]["n_bpe_tokens"] == 7  # x / = / 1 / ; / y / = / 22
+    assert out[3]["n_bpe_tokens"] == 0
+
+
+def test_mix_report_shares_sum_to_one(spark, sf_dir):
+    from graphiti_spark.operators.textstats import mix_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = mix_report(docs).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == docs.count()
+    # global total enters as a broadcast scalar, not a global window
+    plan = (mix_report(docs)._jdf.queryExecution()
+            .executedPlan().toString().split("== Initial Plan ==")[0])
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
