@@ -926,19 +926,26 @@ class GraphitiSpark:
         stored row byte-identical and ``last_summarized_at`` does not
         move, which is exactly the reference's skip-when-watermark-
         already-covers behavior."""
+        from graphiti_spark.operators.saga import with_saga
+
+        affected = (
+            with_saga(g.episodes).select("group_id", "saga").distinct()
+        )
+        self._refresh_saga_tables(affected)
+
+    def _refresh_saga_tables(self, affected: DataFrame) -> None:
+        """Recompute saga rows + chain edges for the (group_id, saga)
+        keys in ``affected``, writing only rows whose content-derived
+        form changed (the summarization watermark gate)."""
         from graphiti_spark.operators.saga import (
             build_saga_nodes,
             has_episode_edges,
             next_episode_edges,
-            with_saga,
         )
 
         eps = self.store.read("episodes")
         if eps is None:
             return
-        affected = (
-            with_saga(g.episodes).select("group_id", "saga").distinct()
-        )
         eps = eps.drop("bucket").join(
             affected, ["group_id", "saga"], "left_semi"
         )
@@ -954,6 +961,45 @@ class GraphitiSpark:
         self.store.merge_upsert("sagas", new_sagas)
         self.store.merge_upsert("saga_edges", has_episode_edges(eps))
         self.store.merge_upsert("next_episode_edges", next_episode_edges(eps))
+
+    def summarize_saga(
+        self, saga_uuid: str, group_id: str | None = None
+    ) -> DataFrame:
+        """Point twin of the reference's incremental saga summarization
+        (graphiti.py:438-568 summarize_saga): refresh ONE saga's summary
+        and chain from its stored episodes. The watermark gate makes it
+        incremental — a saga whose episode set did not change keeps its
+        stored row byte-identical and ``last_summarized_at`` does not
+        move; new episodes advance both watermarks with the recomputed
+        summary. Returns the (possibly refreshed) saga row.
+
+        ``group_id`` prunes the bucket-partitioned scan like the other
+        point queries; a uuid-only lookup full-scans (documented)."""
+        from graphiti_spark.operators.saga import build_saga_nodes
+
+        stored = self.store.read("sagas") if self.store is not None else None
+        if stored is None:
+            return build_saga_nodes(self._table("episodes").limit(0))
+        scoped = (
+            stored.where(F.col("group_id") == group_id)
+            if group_id is not None else stored
+        )
+        # single-row key lookup — bounded by construction
+        target = (
+            scoped.where(F.col("uuid") == saga_uuid)
+            .select("group_id", F.col("name").alias("saga"))
+            .limit(1).collect()
+        )
+        if target:
+            affected = self.spark.createDataFrame(
+                [(target[0]["group_id"], target[0]["saga"])],
+                "group_id string, saga string",
+            )
+            self._refresh_saga_tables(affected)
+        return (
+            self.store.read("sagas").drop("bucket")
+            .where(F.col("uuid") == saga_uuid)
+        )
 
     def add_episode(self, source_file_row: DataFrame) -> GraphTables:
         """Single-episode ingest = a one-row micro-batch of the same DAG

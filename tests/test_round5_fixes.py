@@ -614,3 +614,34 @@ def test_get_nodes_and_edges_by_episode(spark, tmp_path_factory):
     assert got == want and len(got) >= 1
     empty = g.get_nodes_and_edges_by_episode([])
     assert empty["nodes"].count() == 0 and empty["edges"].count() == 0
+
+
+def test_summarize_saga_point_refresh(spark, tmp_path_factory):
+    """summarize_saga (graphiti.py:438-568): unchanged saga -> stored row
+    byte-identical; an episode merged into the store behind the facade's
+    back is picked up by the point refresh, advancing both watermarks."""
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("sagapt")), n_buckets=4)
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(_batch(spark, [
+        ("app/pkg1/a.py", "alpha merge table beta", 10),
+        ("app/pkg1/b.py", "gamma join column delta", 30),
+    ]))
+    row1 = store.read("sagas").where(F.col("name") == "pkg1").collect()[0]
+    # no-op refresh: identical row back, watermarks untouched
+    got = g.summarize_saga(row1["uuid"], group_id="org/r").collect()[0]
+    assert got == store.read("sagas").drop("bucket").where(
+        F.col("name") == "pkg1").collect()[0]
+    assert got["last_summarized_at"] == row1["last_summarized_at"]
+    # merge a NEW episode directly into the store (bypassing saga
+    # bookkeeping), then point-refresh: summary + watermarks advance
+    from graphiti_spark.sources.episodes import episodes_from_source_files
+
+    extra = episodes_from_source_files(_batch(spark, [
+        ("app/pkg1/z.py", "eta batch value theta", 50),
+    ]), chunk=False)
+    store.merge_upsert("episodes", extra)
+    row2 = g.summarize_saga(row1["uuid"], group_id="org/r").collect()[0]
+    assert row2["n_episodes"] == 3 and "z.py@" in row2["summary"]
+    assert row2["last_summarized_at"] > row1["last_summarized_at"]
+    # unknown uuid: empty frame with the saga schema
+    assert g.summarize_saga("nope").count() == 0
