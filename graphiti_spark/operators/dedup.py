@@ -350,13 +350,18 @@ def common_spans(
     shared spans. Output: (doc_a, doc_b, shared_spans).
 
     Scale shape: per-doc DISTINCT md5(span) arrays (array_distinct before
-    the explode — no extra shuffle), one window count per span hash, then
-    a self-join restricted to hashes with document frequency in
-    [2, doc_freq_cap]. The upper bound is the boilerplate guard: a
-    license header shared by half the corpus must not generate O(n²)
-    pairs — such "stopword spans" are excluded, the same cap contract as
-    LSH_BUCKET_CAP. Join and window share the span-hash partitioning, so
-    the pair stage costs one shuffle beyond the gram explode."""
+    the explode — no extra shuffle), a window count per span hash
+    (constant per-row state — a boilerplate span in half the corpus is
+    COUNTED then dropped, never materialized as an id list), then a
+    bounded collect per surviving hash (≤ doc_freq_cap ids) exploded
+    into ordered pair combinations. The upper bound is the boilerplate
+    guard: a license header shared by half the corpus must not generate
+    O(n²) pairs — such "stopword spans" are excluded, the same cap
+    contract as LSH_BUCKET_CAP. The window's hash partitioning is reused
+    by the per-hash groupBy (no second exchange, and — unlike a
+    self-join, which evaluates the gram subtree once per side — the
+    corpus is scanned ONCE); only the final pair aggregation shuffles
+    again."""
     g = docs.select(
         "doc_id", F.explode(_span_hashes(F.col("text"), k)).alias("h")
     )
@@ -366,13 +371,23 @@ def common_spans(
         .where((F.col("_df") >= 2) & (F.col("_df") <= doc_freq_cap))
         .drop("_df")
     )
-    a, b = gf.alias("a"), gf.alias("b")
+    ids = F.array_sort(F.collect_list("doc_id"))
+    n = F.size(F.col("_ids"))
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        gf.groupBy("h").agg(ids.alias("_ids"))
+        .select(F.explode(combos).alias("_p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
         )
         .agg(F.count("*").cast("long").alias("shared_spans"))
     )

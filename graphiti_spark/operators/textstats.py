@@ -128,22 +128,32 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     keyword stuffing, template loops) is the #1 quality filter a 100 TB
     curation pipeline runs after dedup.
 
-    Shape: explode (doc_id, n, gram) → two partial-aggregable groupBys
-    (gram counts, then per-(doc,n) total/max/distinct) → conditional
-    pivot. Both shuffles are map-side combinable on keys whose
-    cardinality is bounded by the corpus token count — no per-doc state
-    ever exceeds one gram row, so a billion-doc corpus never builds a
-    driver-side or executor-side hot spot (contrast a collect_list of
-    grams per doc, which is O(doc length) array state)."""
+    Shape: ONE corpus scan — the 1/2/3-gram arrays are tagged with n and
+    concatenated BEFORE a single explode (a per-n union would re-scan
+    and re-tokenize the corpus three times) → two partial-aggregable
+    groupBys (gram counts, then per-(doc,n) total/max/distinct) →
+    conditional pivot. Both shuffles are map-side combinable on keys
+    whose cardinality is bounded by the corpus token count — no per-doc
+    state ever exceeds one gram row, so a billion-doc corpus never
+    builds a driver-side or executor-side hot spot (contrast a
+    collect_list of grams per doc, which is O(doc length) array
+    state)."""
     base = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
-    parts = [
-        base.select(
-            "doc_id", F.lit(n).alias("n"),
-            F.explode(_word_grams(F.col("_t"), n)).alias("gram"),
+
+    # NB: the tag must be applied through a helper — a two-argument
+    # lambda would make F.transform pass the array INDEX as the second
+    # parameter
+    def _tag(arr: F.Column, n: int) -> F.Column:
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
         )
-        for n in (1, 2, 3)
-    ]
-    exploded = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    tagged = F.concat(*[
+        _tag(_word_grams(F.col("_t"), n), n) for n in (1, 2, 3)
+    ])
+    exploded = base.select(
+        "doc_id", F.explode(tagged).alias("_g")
+    ).select("doc_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
     per = (
         exploded.groupBy("doc_id", "n", "gram").count()
         .groupBy("doc_id", "n")
@@ -293,10 +303,15 @@ def redact_secrets(docs: DataFrame) -> DataFrame:
 def mix_report(docs: DataFrame) -> DataFrame:
     """Corpus-mix report per (lang, source): docs, token/char volume, and
     share of corpus tokens — the table a training-mix designer reads
-    before setting sample_by_hash rates. The global total joins in as a
-    broadcast scalar (never a global window, which would plan a
-    single-partition exchange); the group aggregate is one
-    map-side-combinable shuffle over a tiny key domain."""
+    before setting sample_by_hash rates. The group aggregate is one
+    map-side-combinable shuffle over a tiny key domain; the share
+    denominator is a global window over the AGGREGATED frame, whose
+    cardinality is the (lang, source) group count — the single-partition
+    exchange it plans moves ~|groups| rows, never corpus rows, and the
+    corpus is scanned ONCE (a crossJoin against a separately-derived
+    total would evaluate the aggregation subtree twice)."""
+    from pyspark.sql import Window
+
     per = (
         docs.select(
             "lang", "source",
@@ -310,12 +325,8 @@ def mix_report(docs: DataFrame) -> DataFrame:
             F.sum("_nc").cast("long").alias("n_chars"),
         )
     )
-    total = per.agg(F.sum("n_tokens").alias("_tot"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .withColumn(
-            "token_share",
-            F.round(F.col("n_tokens") / F.greatest("_tot", F.lit(1)), 6),
-        )
-        .drop("_tot")
+    tot = F.sum("n_tokens").over(Window.partitionBy())
+    return per.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens") / F.greatest(tot, F.lit(1)), 6),
     )
