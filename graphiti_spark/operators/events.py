@@ -19,15 +19,29 @@ SESSION_GAP = "30 minutes"
 EVENT_WINDOW = "hour"
 
 
-def windowed_event_stats(events: DataFrame) -> DataFrame:
+def windowed_event_stats(
+    events: DataFrame, exact_users: bool = True
+) -> DataFrame:
     """Tumbling event-time windows per event_type: count, value sum/mean,
     distinct users. date_trunc keeps the bucketing identical across
     engines (epoch-aligned hour buckets). One map-side-combinable
     groupBy — the partial state per task is one row per live
     (window, type) pair, so a year of events at any rate aggregates
     without skew (window keys are time-uniform by construction; a hot
-    event_type still fans across tasks until the single shuffle)."""
+    event_type still fans across tasks until the single shuffle).
+
+    ``exact_users=False`` swaps the exact distinct-user count for an
+    HLL sketch (approx_count_distinct): constant aggregation state per
+    group, which is BOTH the streaming requirement (exact distinct is
+    unsupported on streams) and the bounded-state answer when a window
+    can hold millions of distinct users — the batch backfill with
+    ``exact_users=True`` refines the same rows later (the lambda
+    contract; parity of every other column is test-asserted)."""
     cents = F.round(F.col("value") * 100).cast("long")
+    n_users = (
+        F.countDistinct("user_id") if exact_users
+        else F.approx_count_distinct("user_id")
+    )
     return (
         events.groupBy(
             F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
@@ -36,7 +50,7 @@ def windowed_event_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum(cents).alias("_c"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
+            n_users.cast("long").alias("n_users"),
         )
         # value is 2-decimal: aggregate exact integer cents, then derive
         # sum/avg by division — no float summation order, no final

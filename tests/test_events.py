@@ -69,3 +69,53 @@ def test_extract_event_props_json(spark):
     assert out["click"]["n_with_key"] == 2 and out["click"]["sum_k"] == 42
     assert out["click"]["min_k"] == 10 and out["click"]["max_k"] == 32
     assert out["view"]["n_with_key"] == 0 and out["view"]["sum_k"] is None
+
+
+def test_windowed_stats_batch_stream_parity(spark, tmp_path_factory):
+    """The SAME windowed_event_stats expression runs under Structured
+    Streaming and lands the batch rows exactly (the lambda-architecture
+    contract: a backfill over landed parquet and the live stream produce
+    merge-compatible results)."""
+    from datetime import timedelta
+
+    base = datetime(2024, 3, 1, 8, 0)
+    rows = [
+        (i, base + timedelta(minutes=17 * i), i % 3, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(24)
+    ]
+    ev = _ev(spark, rows)
+    in_dir = str(tmp_path_factory.mktemp("ev_in"))
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        windowed_event_stats(stream, exact_users=False)
+        .writeStream.format("memory").queryName("ev_par")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"],
+                                               r["avg_value"])
+        for r in spark.sql("select * from ev_par").collect()
+    }
+    batch = windowed_event_stats(ev).collect()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"],
+                                               r["avg_value"])
+        for r in batch
+    }
+    # every column except n_users lands EXACTLY; n_users is the HLL
+    # sketch on the stream (constant state) refined by the batch twin
+    assert got == want and len(want) >= 4
+    approx = {
+        (r["window_start"], r["event_type"]): r["n_users"]
+        for r in spark.sql("select * from ev_par").collect()
+    }
+    for k, r in ((k, x) for k in want for x in batch
+                 if (x["window_start"], x["event_type"]) == k):
+        assert abs(approx[k] - r["n_users"]) <= max(1, r["n_users"] // 4)
