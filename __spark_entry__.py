@@ -930,6 +930,30 @@ def _q_td_sample_hash(spark, sf_dir):
     return sample_by_hash(_docs(spark, sf_dir))
 
 
+def _q_td_dedup_incremental(spark, sf_dir):
+    # daily-increment shape: the store (doc_id % 5 != 0) is already
+    # deduplicated; the batch (doc_id % 5 == 0) checks against store+self
+    from graphiti_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    return dedup_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+
+
+def _q_td_ann_quantized(spark, sf_dir):
+    from graphiti_spark.operators.similarity import ann_quantized
+
+    return ann_quantized(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
+def _q_td_pack_sequences(spark, sf_dir):
+    from graphiti_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER = evidence value: the driver's correctness sweep caps at 50
     # rows (CORRECTNESS_r03/r04 both reported exactly 50), so the kg
@@ -987,6 +1011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         "td_sample_hash": _q_td_sample_hash,
+        # round-5 late additions (incremental dedup, int8 ANN, packing)
+        "td_dedup_incremental": _q_td_dedup_incremental,
+        "td_ann_quantized": _q_td_ann_quantized,
+        "td_pack_sequences": _q_td_pack_sequences,
         "td_dedup_exact": _q_td_dedup_exact,
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
         "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,

@@ -323,6 +323,53 @@ def dedup_embedding_cosine(
     )
 
 
+def dedup_incremental(batch: DataFrame, stored: DataFrame) -> DataFrame:
+    """Cross-snapshot exact dedup — the DAILY shape of a 100 TB pipeline:
+    the accumulated store is already deduplicated; today's batch must be
+    checked against BOTH the store and itself without re-deduplicating
+    the store (the reference's analog is the incremental canonical-pool
+    pass of dedupe_nodes_bulk, bulk_utils.py:416-486, applied at document
+    grain).
+
+    Plan, scale-first (batch ≪ store by construction):
+      1. hash the batch once; within-batch keeper = min doc_id per hash
+         (one window over the SMALL side only);
+      2. semi-join the store scan down to hashes the batch mentions —
+         the distinct batch-hash set broadcasts, so the store is read
+         once with a build-side filter and never shuffles;
+      3. aggregate the few survivors to (hash, min stored doc_id) — tiny;
+      4. broadcast that map back onto the batch.
+    The store-side work is ONE pruned scan regardless of store size; all
+    shuffles touch only batch-sized data.
+
+    Output: one row per BATCH doc — (doc_id, text_hash, status,
+    keeper_doc_id) with status ∈ {'dup_of_stored','dup_in_batch','new'}.
+    The store wins ties: a batch doc identical to a stored doc points at
+    the stored keeper even when an earlier batch doc shares the hash, so
+    re-running a batch after it lands is idempotent (every doc becomes
+    dup_of_stored of the id it kept)."""
+    bh = batch.select("doc_id", F.md5("text").alias("text_hash"))
+    bh = bh.withColumn(
+        "_batch_keeper", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    batch_hashes = bh.select("text_hash").distinct()
+    stored_min = (
+        stored.select(F.md5("text").alias("text_hash"), "doc_id")
+        .join(F.broadcast(batch_hashes), "text_hash", "leftsemi")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("_stored_keeper"))
+    )
+    return bh.join(F.broadcast(stored_min), "text_hash", "left").select(
+        "doc_id",
+        "text_hash",
+        F.when(F.col("_stored_keeper").isNotNull(), F.lit("dup_of_stored"))
+        .when(F.col("_batch_keeper") < F.col("doc_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.coalesce("_stored_keeper", "_batch_keeper").alias("keeper_doc_id"),
+    )
+
+
 def _span_hashes(text: F.Column, k: int) -> F.Column:
     """DISTINCT md5 hashes of the k-token spans of ``text`` — the shared
     gram builder for common_spans and contamination (array_distinct

@@ -218,6 +218,63 @@ def ann_ivf(
     return _ivf_scan(embeddings, probes, cent, k, n_probe)
 
 
+def quantize_int8(emb: F.Column) -> F.Column:
+    """Symmetric int8 scalar quantization of an embedding column:
+    scale = 127 / max(|x|) per vector, q[i] = clamp(⌊x·scale + 0.5⌋,
+    −127, 127) as tinyint — a 4× memory cut vs float32 (the lever that
+    decides whether a 100 TB corpus's vectors fit executor memory).
+    ⌊x+0.5⌋ is used instead of round() because engines disagree on
+    midpoint rounding (Spark HALF_UP vs DuckDB half-even); floor is exact
+    in both, so the oracle reproduces the quantizer bit-for-bit.
+    Returns struct(scale double, q array<tinyint>)."""
+    e = F.transform(emb, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
+    q = F.transform(
+        e,
+        lambda x: F.least(
+            F.greatest(F.floor(x * scale + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def ann_quantized(
+    embeddings: DataFrame, probes: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k by ASYMMETRIC quantized cosine: the corpus is int8-quantized
+    (:func:`quantize_int8` — what a real deployment materializes instead
+    of float32), probes stay full-precision; score = cosine(dequantized
+    corpus vector, probe). Same plan shape as :func:`knn_bruteforce`
+    (broadcast probes × one corpus scan, no corpus shuffle) but the scan
+    reads 1-byte lanes — at 100 TB the scan is memory-bandwidth-bound, so
+    the 4× density is a direct throughput lever, and staying within
+    ~1e-3 of the exact scores is the quality contract (asserted vs
+    knn_bruteforce in tests). Output: (probe_id, vec_id, qcos_sim, rank)."""
+    qc = (
+        embeddings.select("vec_id", quantize_int8(F.col("embedding")).alias("_qs"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_qs.q"), lambda x: x.cast("double") / F.col("_qs.scale")
+            ).alias("_deq"),
+        )
+    )
+    p = probes.select("probe_id", F.col("embedding").alias("_pvec"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
+    return (
+        qc.join(F.broadcast(p))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("_deq"), F.col("_pvec")), 4).alias("qcos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _ivf_scan(
     embeddings: DataFrame,
     probes: DataFrame,

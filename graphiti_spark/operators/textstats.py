@@ -5,7 +5,7 @@ so every operator has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graphiti_spark.functions.text import tokenize
 
@@ -219,6 +219,54 @@ def sample_by_hash(
                     thr.alias("_thr"))
         .where(F.col("sample_key") < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 512, shards: int = 8
+) -> DataFrame:
+    """Concatenative sequence packing — the step between a cleaned corpus
+    and an LLM training run: documents are concatenated and cut into
+    fixed ``seq_len``-token training sequences (GPT-style packing, no
+    padding waste). A single global concatenation order is inherently
+    sequential, so the distributed form shards documents (doc_id mod
+    ``shards``; at 100 TB ``shards`` ≈ the writer-task count) and packs
+    independently WITHIN each shard: placement is one running token sum
+    per shard — a growing-frame window (linear state, unlike shrinking
+    frames), ordered by doc_id for determinism.
+
+    Output per doc: (doc_id, shard, n_tokens, token_offset, bin_id,
+    bin_offset, crosses_boundary) where token_offset is the doc's start
+    position in its shard's token stream, bin_id = token_offset div
+    seq_len is the training sequence that starts the doc, bin_offset its
+    position inside that sequence, and crosses_boundary flags docs split
+    across sequences (the attention-masking consumers care about)."""
+    n = F.size(tokenize(F.col("text"))).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        n.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "token_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    bin_id = F.floor(F.col("token_offset") / F.lit(seq_len))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "token_offset",
+        bin_id.alias("bin_id"),
+        F.pmod(F.col("token_offset"), F.lit(seq_len)).cast("long").alias("bin_offset"),
+        (
+            F.col("token_offset") + F.col("n_tokens")
+            > (bin_id + 1) * F.lit(seq_len)
+        ).alias("crosses_boundary"),
     )
 
 

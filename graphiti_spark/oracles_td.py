@@ -735,6 +735,86 @@ FROM documents
 WHERE substr(md5(doc_id::VARCHAR || ':' || text), 1, 2)
       < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)"""
 
+    # cross-snapshot incremental dedup (operators/dedup.dedup_incremental):
+    # store = doc_id % 5 <> 0 (already deduplicated), batch = doc_id % 5 = 0;
+    # the store wins ties so re-running a landed batch is idempotent
+    o["td_dedup_incremental"] = """
+WITH batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 5 = 0
+),
+stored AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS stored_keeper
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+b AS (
+  SELECT doc_id, text_hash,
+         min(doc_id) OVER (PARTITION BY text_hash) AS batch_keeper
+  FROM batch
+)
+SELECT b.doc_id, b.text_hash,
+       CASE WHEN s.stored_keeper IS NOT NULL THEN 'dup_of_stored'
+            WHEN b.batch_keeper < b.doc_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       coalesce(s.stored_keeper, b.batch_keeper) AS keeper_doc_id
+FROM b LEFT JOIN stored s USING (text_hash)"""
+
+    # asymmetric int8-quantized ANN (operators/similarity.ann_quantized):
+    # quantizer = clamp(floor(x*scale + 0.5), -127, 127), scale =
+    # 127/max|x| — floor(x+0.5) instead of round() because the engines
+    # disagree on midpoint rounding; floor is exact in both
+    probe_list_q = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    o["td_ann_quantized"] = f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+           FROM embeddings WHERE vec_id IN ({probe_list_q})),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM c
+),
+d AS (
+  SELECT vec_id,
+         list_transform(e, x ->
+           least(greatest(floor(x * scale + 0.5), -127.0), 127.0) / scale
+         ) AS deq
+  FROM s
+)
+SELECT probe_id, vec_id, qcos_sim, rank FROM (
+  SELECT p.probe_id, d.vec_id,
+         round(list_cosine_similarity(d.deq, p.pvec), 4) AS qcos_sim,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY round(list_cosine_similarity(d.deq, p.pvec), 4) DESC,
+                    d.vec_id ASC) AS rank
+  FROM d CROSS JOIN p
+) WHERE rank <= 10"""
+
+    # concatenative sequence packing (operators/textstats.pack_sequences):
+    # shard = doc_id % 8, placement = running token sum per shard
+    # (growing frame), bin = seq_len-token training sequence (512)
+    o["td_pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard, len({_toks('text')})::BIGINT AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS token_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, token_offset,
+       CAST(floor(token_offset / 512) AS BIGINT) AS bin_id,
+       token_offset % 512 AS bin_offset,
+       token_offset + n_tokens
+         > (CAST(floor(token_offset / 512) AS BIGINT) + 1) * 512
+         AS crosses_boundary
+FROM o"""
+
     # corpus-mix report (operators/textstats.mix_report)
     o["td_mix_report"] = f"""
 WITH per AS (

@@ -1,0 +1,144 @@
+"""Round-5 late additions: incremental (cross-snapshot) dedup, int8
+scalar-quantized ANN, concatenative sequence packing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.dedup import dedup_incremental
+from graphiti_spark.operators.similarity import ann_quantized, knn_bruteforce
+from graphiti_spark.operators.textstats import pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_incremental_statuses(spark):
+    stored = _docs(spark, [(1, "alpha"), (2, "beta")])
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha"),   # identical to stored doc 1
+            (11, "gamma"),   # first sighting -> new
+            (12, "gamma"),   # dup of 11 within the batch
+            (13, "beta"),    # stored wins even though 13 < 14
+            (14, "beta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["keeper_doc_id"])
+        for r in dedup_incremental(batch, stored).collect()
+    }
+    assert out == {
+        10: ("dup_of_stored", 1),
+        11: ("new", 11),
+        12: ("dup_in_batch", 11),
+        13: ("dup_of_stored", 2),
+        14: ("dup_of_stored", 2),
+    }
+
+
+def test_dedup_incremental_idempotent_after_landing(spark):
+    """Re-checking a batch AFTER its keepers landed in the store must
+    resolve every doc to dup_of_stored with the SAME keeper — the
+    property that makes at-least-once ingest safe."""
+    stored = _docs(spark, [(1, "alpha")])
+    batch = _docs(spark, [(10, "alpha"), (11, "gamma"), (12, "gamma")])
+    first = dedup_incremental(batch, stored)
+    kept = (
+        first.where(F.col("status") == "new")
+        .join(batch, "doc_id")
+        .select("doc_id", "text")
+    )
+    landed = stored.unionByName(kept)
+    second = {
+        r["doc_id"]: (r["status"], r["keeper_doc_id"])
+        for r in dedup_incremental(batch, landed).collect()
+    }
+    keepers_first = {r["doc_id"]: r["keeper_doc_id"] for r in first.collect()}
+    assert all(s == "dup_of_stored" for s, _ in second.values())
+    assert {d: k for d, (_, k) in second.items()} == keepers_first
+
+
+@pytest.fixture(scope="module")
+def qvectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return emb, probes
+
+
+def test_ann_quantized_tracks_exact(spark, qvectors):
+    """int8 asymmetric scoring: top-1 must agree with full precision and
+    every quantized score stays within 1e-2 of the exact cosine (the
+    quantization-noise bound for unit vectors at dim 16); top-10 overlap
+    >= 8/10 per probe."""
+    emb, probes = qvectors
+    exact = knn_bruteforce(emb, probes, k=10).collect()
+    quant = ann_quantized(emb, probes, k=10).collect()
+    ex = {(r["probe_id"], r["rank"]): r for r in exact}
+    qu = {(r["probe_id"], r["rank"]): r for r in quant}
+    escore = {(r["probe_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for p in (0, 1, 2):
+        assert qu[(p, 1)]["vec_id"] == ex[(p, 1)]["vec_id"]
+        etop = {ex[(p, r)]["vec_id"] for r in range(1, 11)}
+        qtop = {qu[(p, r)]["vec_id"] for r in range(1, 11)}
+        assert len(etop & qtop) >= 8
+    for r in quant:
+        key = (r["probe_id"], r["vec_id"])
+        if key in escore:
+            assert abs(r["qcos_sim"] - escore[key]) <= 1e-2
+
+
+def test_ann_quantized_quantizer_range(spark, qvectors):
+    """The materialized code column is genuinely int8 (tinyint lanes in
+    [-127, 127]) — the 4x-density claim rests on the storage type."""
+    from graphiti_spark.operators.similarity import quantize_int8
+
+    emb, _ = qvectors
+    q = emb.select(quantize_int8(F.col("embedding")).alias("qs")).select(
+        "qs.scale", "qs.q"
+    )
+    assert dict(q.dtypes)["q"] == "array<tinyint>"
+    stats = q.select(
+        F.min(F.array_min("q")).alias("lo"),
+        F.max(F.array_max("q")).alias("hi"),
+        F.min("scale").alias("smin"),
+    ).collect()[0]
+    assert -127 <= stats["lo"] and stats["hi"] <= 127
+    assert stats["smin"] > 0
+
+
+def test_pack_sequences_invariants(spark):
+    texts = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate([7, 3, 12, 1, 9, 25, 4, 8, 6, 2, 11, 5])
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(docs, seq_len=10, shards=2).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    n_by_id = {i: n for (i, _), n in zip(texts, [7, 3, 12, 1, 9, 25, 4, 8, 6, 2, 11, 5])}
+    run = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 2
+        assert r["n_tokens"] == n_by_id[r["doc_id"]]
+        # contiguity: each doc starts where the previous one ended
+        assert r["token_offset"] == run.get(r["shard"], 0)
+        run[r["shard"]] = r["token_offset"] + r["n_tokens"]
+        assert r["bin_id"] == r["token_offset"] // 10
+        assert r["bin_offset"] == r["token_offset"] % 10
+        assert r["crosses_boundary"] == (
+            r["token_offset"] + r["n_tokens"] > (r["bin_id"] + 1) * 10
+        )
