@@ -348,14 +348,26 @@ def dedup_incremental(batch: DataFrame, stored: DataFrame) -> DataFrame:
     the stored keeper even when an earlier batch doc shares the hash, so
     re-running a batch after it lands is idempotent (every doc becomes
     dup_of_stored of the id it kept)."""
+    return dedup_incremental_hashed(
+        batch, stored.select(F.md5("text").alias("text_hash"), "doc_id")
+    )
+
+
+def dedup_incremental_hashed(
+    batch: DataFrame, stored_hashes: DataFrame
+) -> DataFrame:
+    """Core of :func:`dedup_incremental` against a PRE-HASHED store
+    (text_hash, doc_id) — what a long-running ingest persists instead of
+    re-hashing the corpus every batch (the streaming twin
+    streaming/ingest.streaming_dedup_incremental lands exactly this
+    table). Same output contract as dedup_incremental."""
     bh = batch.select("doc_id", F.md5("text").alias("text_hash"))
     bh = bh.withColumn(
         "_batch_keeper", F.min("doc_id").over(Window.partitionBy("text_hash"))
     )
     batch_hashes = bh.select("text_hash").distinct()
     stored_min = (
-        stored.select(F.md5("text").alias("text_hash"), "doc_id")
-        .join(F.broadcast(batch_hashes), "text_hash", "leftsemi")
+        stored_hashes.join(F.broadcast(batch_hashes), "text_hash", "leftsemi")
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("_stored_keeper"))
     )

@@ -95,6 +95,63 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_dedup_incremental(
+    doc_stream: DataFrame,
+    hash_store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Micro-batch twin of operators/dedup.dedup_incremental — the shape a
+    production ingest actually runs: every micro-batch dedups against the
+    ACCUMULATED landed hash store (the whole stream history, not just a
+    watermark window, which is where :func:`streaming_dedup_exact` stops),
+    then lands its own new keepers' hashes, at O(batch) incremental cost.
+
+    State is the (text_hash, doc_id) parquet table itself — no executor
+    state store, so it survives restarts, is shared with the batch path
+    (dedup_incremental_hashed), and never needs eviction: at 100 TB the
+    hash table is ~0.05%% of corpus bytes and the per-batch probe of it is
+    a broadcast-semi-joined pruned scan. Re-delivered batches re-resolve
+    to dup_of_stored under the store-wins tie rule, so the appended output
+    is stable under at-least-once delivery."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from graphiti_spark.operators.dedup import dedup_incremental_hashed
+
+    hash_schema = StructType(
+        [
+            StructField("text_hash", StringType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            stored = spark.read.schema(hash_schema).parquet(hash_store_dir)
+        except Exception:
+            stored = spark.createDataFrame([], hash_schema)
+        # materialize BEFORE the appends: the result plan reads the hash
+        # store this batch is about to grow
+        result = dedup_incremental_hashed(batch_df, stored).localCheckpoint()
+        result.write.mode("append").parquet(out_dir)
+        result.where(F.col("status") == "new").select(
+            "text_hash", "doc_id"
+        ).write.mode("append").parquet(hash_store_dir)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_mention_counts(
     episode_stream: DataFrame,
     watermark: str = "2 days",

@@ -63,6 +63,65 @@ def test_dedup_incremental_idempotent_after_landing(spark):
     assert {d: k for d, (_, k) in second.items()} == keepers_first
 
 
+def test_streaming_dedup_incremental_across_batches(spark, tmp_path_factory):
+    """foreachBatch twin: each micro-batch dedups against the ACCUMULATED
+    landed hash store (whole stream history, not a watermark window), and
+    a full replay of the same input against the grown store yields zero
+    'new' rows — at-least-once-safe."""
+    from graphiti_spark.streaming.ingest import streaming_dedup_incremental
+
+    base = tmp_path_factory.mktemp("sdi")
+    in_dir, store = str(base / "in"), str(base / "hashes")
+
+    def run(tag):
+        out, ckpt = str(base / f"out_{tag}"), str(base / f"ckpt_{tag}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming_dedup_incremental(stream, store, out, ckpt)
+        q.awaitTermination(180)
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Z")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(
+        [(11, "X"), (12, "Y"), (13, "W")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    rows = run("a")
+    assert len(rows) == 7
+    by_text_status = {}
+    keeper = {}
+    for r in rows:
+        t = {1: "X", 2: "X", 3: "Y", 4: "Z", 11: "X", 12: "Y", 13: "W"}[r["doc_id"]]
+        by_text_status.setdefault(t, []).append(r["status"])
+        keeper.setdefault(t, set()).add(r["keeper_doc_id"])
+    # exactly one first sighting per distinct text; one keeper per text
+    for t, statuses in by_text_status.items():
+        assert statuses.count("new") == 1, (t, statuses)
+        assert len(keeper[t]) == 1, (t, keeper[t])
+    # the landed hash store holds exactly the four keepers
+    stored = spark.read.parquet(store).collect()
+    assert {r["text_hash"] for r in stored} == {
+        k for k, in spark.createDataFrame(
+            [("X",), ("Y",), ("Z",), ("W",)], "t string"
+        ).select(F.md5("t")).collect()
+    }
+    assert len(stored) == 4
+
+    # replay the full input with a fresh checkpoint: everything resolves
+    # to dup_of_stored with the SAME keepers, store does not grow
+    replay = run("b")
+    assert all(r["status"] == "dup_of_stored" for r in replay)
+    assert {r["keeper_doc_id"] for r in replay} == {
+        next(iter(v)) for v in keeper.values()
+    }
+    assert spark.read.parquet(store).count() == 4
+
+
 @pytest.fixture(scope="module")
 def qvectors(spark):
     rng = np.random.default_rng(7)
