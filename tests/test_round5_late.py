@@ -63,6 +63,73 @@ def test_dedup_incremental_idempotent_after_landing(spark):
     assert {d: k for d, (_, k) in second.items()} == keepers_first
 
 
+def test_dedup_incremental_matches_python_spec(spark):
+    """Randomized spec check: 400 docs over 40 distinct texts, random
+    batch/store split (store NOT pre-deduplicated — the operator must
+    take the store min), compared row-for-row to the sequential rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    texts = [f"text variant {i}" for i in range(40)]
+    rows = [(int(i), texts[int(t)]) for i, t in
+            enumerate(rng.integers(0, 40, size=400))]
+    in_batch = rng.random(400) < 0.3
+    batch = [r for r, b in zip(rows, in_batch) if b]
+    stored = [r for r, b in zip(rows, in_batch) if not b]
+
+    smin = {}
+    for i, t in stored:
+        smin[t] = min(smin.get(t, i), i)
+    bmin = {}
+    for i, t in batch:
+        bmin[t] = min(bmin.get(t, i), i)
+    expect = {}
+    for i, t in batch:
+        if t in smin:
+            expect[i] = ("dup_of_stored", smin[t])
+        elif bmin[t] < i:
+            expect[i] = ("dup_in_batch", bmin[t])
+        else:
+            expect[i] = ("new", i)
+
+    got = {
+        r["doc_id"]: (r["status"], r["keeper_doc_id"])
+        for r in dedup_incremental(
+            _docs(spark, batch), _docs(spark, stored)
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_pack_sequences_matches_python_spec(spark):
+    """Randomized spec check incl. zero-token docs (punctuation-only
+    text tokenizes to nothing)."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        rows.append((i, "!!! ... ???" if n == 0 else " ".join(
+            f"tok{j}" for j in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_len, shards = 16, 4
+    ntok = {i: (0 if t.startswith("!") else len(t.split())) for i, t in rows}
+    run, expect = {}, {}
+    for i in sorted(ntok):
+        sh = i % shards
+        off = run.get(sh, 0)
+        run[sh] = off + ntok[i]
+        expect[i] = (sh, ntok[i], off, off // seq_len, off % seq_len,
+                     off + ntok[i] > (off // seq_len + 1) * seq_len)
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["token_offset"],
+                      r["bin_id"], r["bin_offset"], r["crosses_boundary"])
+        for r in pack_sequences(docs, seq_len=seq_len, shards=shards).collect()
+    }
+    assert got == expect
+
+
 def test_streaming_dedup_incremental_across_batches(spark, tmp_path_factory):
     """foreachBatch twin: each micro-batch dedups against the ACCUMULATED
     landed hash store (whole stream history, not a watermark window), and
