@@ -285,12 +285,18 @@ def _ivf_scan(
     """Shared IVF scan: assign corpus vectors to nearest centroid, probes
     pick their ``n_probe`` nearest lists, exact cosine over the probed
     lists, window top-k. ``cent``: (cent_id, _cent)."""
-    # corpus→list assignment as a partial-aggregable argmax (max_by), NOT a
-    # per-vec_id row_number window: the window formulation shuffles the full
-    # corpus×centroids join product (N×k rows) where the aggregate combines
-    # map-side to one row per vector — ~k× less shuffle I/O, identical
-    # determinism (rounded cosine decides, ties → smaller cent_id)
-    assigned = (
+    return _probe_topk(assign_to_lists(embeddings, cent), probes, cent, k, n_probe)
+
+
+def assign_to_lists(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """Corpus → inverted-list assignment, shared by the in-memory scan and
+    the materialized index build (:func:`build_ivf_index`). The argmax is
+    a partial-aggregable max_by, NOT a per-vec_id row_number window: the
+    window formulation shuffles the full corpus×centroids join product
+    (N×k rows) where the aggregate combines map-side to one row per
+    vector — ~k× less shuffle I/O, identical determinism (rounded cosine
+    decides, ties → smaller cent_id)."""
+    return (
         embeddings.join(F.broadcast(cent))
         .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
         .groupBy("vec_id")
@@ -306,6 +312,15 @@ def _ivf_scan(
             F.col("_a.cent_id").alias("cent_id"),
         )
     )
+
+
+def _probe_topk(
+    assigned: DataFrame,
+    probes: DataFrame,
+    cent: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
     probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     probe_lists = (
         probes.join(F.broadcast(cent))
@@ -317,6 +332,81 @@ def _ivf_scan(
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         assigned.join(F.broadcast(probe_lists), "cent_id")
+        .select(
+            "probe_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    iterations: int = 0,
+) -> None:
+    """Materialize an IVF index: centroids + inverted lists as parquet,
+    lists PARTITIONED BY cent_id — the build-once/probe-many deployment
+    shape (a 100 TB corpus is indexed by one batch job; queries then read
+    only the probed lists). ``iterations`` > 0 trains the centroids with
+    :func:`kmeans_centroids`; 0 uses the raw first-n sample (ann_ivf's
+    quantizer)."""
+    if iterations > 0:
+        cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
+            "cent_id", F.col("cvec").alias("_cent")
+        )
+    else:
+        cent = (
+            embeddings.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("_cent"))
+        )
+    cent.select("cent_id", F.col("_cent").alias("cvec")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
+    assign_to_lists(embeddings, cent).write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(f"{index_dir}/lists")
+
+
+def ann_ivf_probe_index(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve top-k from a MATERIALIZED IVF index (:func:`build_ivf_index`):
+    the probed cent_ids resolve driver-side (n_probe × |probes| tiny
+    rows), so the inverted-list scan carries a static ``cent_id IN (…)``
+    partition filter — only n_probe/n_centroids of the index is READ, the
+    property that makes probe latency independent of corpus size
+    (plan-asserted in tests via PartitionFilters). Results are identical
+    to :func:`ann_ivf` / :func:`ann_ivf_kmeans` over the same centroids
+    (shared assignment + probe code)."""
+    cent = spark.read.parquet(f"{index_dir}/centroids").select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    probe_lists = (
+        probes.join(F.broadcast(cent))
+        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .where(F.col("_r") <= n_probe)
+        .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")
+        .localCheckpoint()  # tiny; evaluated once for the id list AND the join
+    )
+    probed_ids = [r["cent_id"] for r in probe_lists.select("cent_id").distinct().collect()]
+    lists = (
+        spark.read.parquet(f"{index_dir}/lists")
+        .where(F.col("cent_id").isin(probed_ids))
+        .withColumn("cent_id", F.col("cent_id").cast("long"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        lists.join(F.broadcast(probe_lists), "cent_id")
         .select(
             "probe_id", "vec_id",
             F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),

@@ -245,6 +245,55 @@ def test_ann_quantized_quantizer_range(spark, qvectors):
     assert stats["smin"] > 0
 
 
+def test_ivf_index_build_probe_matches_inmemory(spark, qvectors, tmp_path_factory):
+    """Materialized IVF index: probe results are identical to the
+    in-memory ann_ivf path (shared assignment/probe code), and the
+    inverted-list scan carries a cent_id partition filter — only the
+    probed lists are read."""
+    from graphiti_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_probe_index,
+        build_ivf_index,
+    )
+
+    emb, probes = qvectors
+    idx = str(tmp_path_factory.mktemp("ivf_idx"))
+    build_ivf_index(emb, idx, n_centroids=8)
+    served = ann_ivf_probe_index(spark, idx, probes, k=10, n_probe=3)
+    inmem = ann_ivf(emb, probes, k=10, n_centroids=8, n_probe=3)
+    key = lambda r: (r["probe_id"], r["rank"])
+    got = {key(r): (r["vec_id"], r["cos_sim"]) for r in served.collect()}
+    want = {key(r): (r["vec_id"], r["cos_sim"]) for r in inmem.collect()}
+    assert got == want and len(got) == 30
+    plan = served._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "PartitionFilters: [cast(cent_id" in plan or (
+        "PartitionFilters: [" in plan and "cent_id" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
+    ), plan[:2000]
+
+
+def test_ivf_index_trained_variant(spark, qvectors, tmp_path_factory):
+    from graphiti_spark.operators.similarity import (
+        ann_ivf_kmeans,
+        ann_ivf_probe_index,
+        build_ivf_index,
+    )
+
+    emb, probes = qvectors
+    idx = str(tmp_path_factory.mktemp("ivf_idx_t"))
+    build_ivf_index(emb, idx, n_centroids=8, iterations=2)
+    served = ann_ivf_probe_index(spark, idx, probes, k=10, n_probe=3)
+    inmem = ann_ivf_kmeans(emb, probes, k=10, n_centroids=8, n_probe=3,
+                           iterations=2)
+    key = lambda r: (r["probe_id"], r["rank"])
+    assert {key(r): (r["vec_id"], r["cos_sim"]) for r in served.collect()} == {
+        key(r): (r["vec_id"], r["cos_sim"]) for r in inmem.collect()
+    }
+
+
 def test_pack_sequences_invariants(spark):
     texts = [
         (i, " ".join(f"w{j}" for j in range(n)))
