@@ -954,6 +954,12 @@ def _q_td_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir))
 
 
+def _q_td_curation(spark, sf_dir):
+    from graphiti_spark.operators.textstats import curation_report
+
+    return curation_report(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER = evidence value: the driver's correctness sweep caps at 50
     # rows (CORRECTNESS_r03/r04 both reported exactly 50), so the kg
@@ -1015,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_incremental": _q_td_dedup_incremental,
         "td_ann_quantized": _q_td_ann_quantized,
         "td_pack_sequences": _q_td_pack_sequences,
+        "td_curation": _q_td_curation,
         "td_dedup_exact": _q_td_dedup_exact,
         "td_dedup_ngram_jaccard": _q_td_dedup_ngram_jaccard,
         "td_dedup_minhash_lsh": _q_td_dedup_minhash_lsh,

@@ -56,11 +56,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality signals + composite score in [0,1]:
-    mean word length band, stopword ratio band, alpha ratio, repetition
-    (distinct/total tokens). The C4/Gopher-style rule family expressed as
-    column algebra."""
+def _quality_exprs() -> dict[str, F.Column]:
+    """The quality-signal expressions over a `text` column, shared by
+    :func:`quality_score` and :func:`curation_report` (one definition so
+    the composed filter cannot drift from the per-signal report)."""
     toks = tokenize(F.col("text"))
     n = F.greatest(F.size(toks), F.lit(1))
     mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n
@@ -76,19 +75,34 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(rep_ratio >= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
     )
+    return {
+        "mean_word_len": mean_wl,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "repetition_ratio": rep_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals + composite score in [0,1]:
+    mean word length band, stopword ratio band, alpha ratio, repetition
+    (distinct/total tokens). The C4/Gopher-style rule family expressed as
+    column algebra."""
+    e = _quality_exprs()
     return docs.select(
         "doc_id",
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(rep_ratio, 4).alias("repetition_ratio"),
-        F.round(score, 2).alias("quality_score"),
+        F.round(e["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(e["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(e["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(e["repetition_ratio"], 4).alias("repetition_ratio"),
+        F.round(e["quality_score"], 2).alias("quality_score"),
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language scores + argmax language. Deterministic
-    tiebreak: higher score wins, then lexicographic language code."""
+def _lang_exprs() -> tuple[dict[str, F.Column], F.Column]:
+    """Per-language marker scores + argmax prediction over a `text`
+    column (shared by :func:`lang_id` and :func:`curation_report`)."""
     toks = tokenize(F.col("text"))
     n = F.greatest(F.size(toks), F.lit(1))
     scores = {
@@ -102,10 +116,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for lang in sorted(LANG_MARKERS, reverse=True)
     ])
     best = F.array_max(pairs)
+    pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+    return scores, pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores + argmax language. Deterministic
+    tiebreak: higher score wins, then lexicographic language code."""
+    scores, pred = _lang_exprs()
     return docs.select(
         "doc_id",
         *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
-        F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown")).alias("lang_pred"),
+        pred.alias("lang_pred"),
     )
 
 
@@ -377,4 +399,69 @@ def mix_report(docs: DataFrame) -> DataFrame:
     return per.withColumn(
         "token_share",
         F.round(F.col("n_tokens") / F.greatest(tot, F.lit(1)), 6),
+    )
+
+
+# curation_report gate thresholds (C4/Gopher-family keep rules)
+CURATION_MIN_TOKENS = 5
+CURATION_MAX_TOKENS = 100_000
+CURATION_MIN_QUALITY = 0.75
+
+
+def curation_report(
+    docs: DataFrame,
+    min_tokens: int = CURATION_MIN_TOKENS,
+    max_tokens: int = CURATION_MAX_TOKENS,
+    min_quality: float = CURATION_MIN_QUALITY,
+) -> DataFrame:
+    """The composed keep/drop decision a curation pipeline actually
+    emits — one row per doc with PER-RULE attribution (which gate killed
+    it), so the corpus report can say "N docs dropped for repetition,
+    M for language mismatch" instead of a bare keep list:
+
+    - pass_length:     min_tokens <= n_tokens <= max_tokens
+    - pass_quality:    composite quality_score >= min_quality
+    - pass_lang:       predicted language == declared `lang` column
+    - pass_repetition: not Gopher-repetitive
+    - kept = all four; n_failed counts the failed gates.
+
+    Shape: the quality/lang/length signals are ONE projection over the
+    corpus scan (shared expression helpers with quality_score/lang_id,
+    so the composed gate cannot drift from the per-signal reports); the
+    repetition arm is inherently an aggregation (its own scan) and joins
+    back at doc grain — 2 scans total, not 4."""
+    e = _quality_exprs()
+    _, lang_pred = _lang_exprs()
+    proj = docs.select(
+        "doc_id",
+        "lang",
+        F.round(e["quality_score"], 2).alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+    )
+    rep = repetition_stats(docs).select("doc_id", "n_tokens", "repetitive")
+    j = proj.join(rep, "doc_id")
+    pass_length = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    pass_quality = F.col("quality_score") >= min_quality
+    pass_lang = F.col("lang_pred") == F.col("lang")
+    pass_rep = ~F.col("repetitive")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "lang",
+        "lang_pred",
+        pass_length.alias("pass_length"),
+        pass_quality.alias("pass_quality"),
+        pass_lang.alias("pass_lang"),
+        pass_rep.alias("pass_repetition"),
+        (pass_length & pass_quality & pass_lang & pass_rep).alias("kept"),
+        (
+            F.lit(4)
+            - pass_length.cast("int")
+            - pass_quality.cast("int")
+            - pass_lang.cast("int")
+            - pass_rep.cast("int")
+        ).cast("long").alias("n_failed"),
     )

@@ -735,6 +735,32 @@ FROM documents
 WHERE substr(md5(doc_id::VARCHAR || ':' || text), 1, 2)
       < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)"""
 
+    # composed curation gate (operators/textstats.curation_report) — the
+    # oracle REUSES the component oracles verbatim as CTEs, so the
+    # composition cannot diverge from the per-signal rows
+    o["td_curation"] = f"""
+WITH q AS ({o["td_quality_score"]}),
+l AS ({o["td_lang_id"]}),
+rep AS ({o["td_repetition"]}),
+gates AS (
+  SELECT d.doc_id, rep.n_tokens, q.quality_score, d.lang, l.lang_pred,
+         (rep.n_tokens >= 5 AND rep.n_tokens <= 100000) AS pass_length,
+         (q.quality_score >= 0.75) AS pass_quality,
+         (l.lang_pred = d.lang) AS pass_lang,
+         (NOT rep.repetitive) AS pass_repetition
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  JOIN rep ON d.doc_id = rep.doc_id
+)
+SELECT doc_id, n_tokens, quality_score, lang, lang_pred,
+       pass_length, pass_quality, pass_lang, pass_repetition,
+       (pass_length AND pass_quality AND pass_lang AND pass_repetition)
+         AS kept,
+       (4 - (pass_length::INT + pass_quality::INT + pass_lang::INT
+             + pass_repetition::INT))::BIGINT AS n_failed
+FROM gates"""
+
     # cross-snapshot incremental dedup (operators/dedup.dedup_incremental):
     # store = doc_id % 5 <> 0 (already deduplicated), batch = doc_id % 5 = 0;
     # the store wins ties so re-running a landed batch is idempotent

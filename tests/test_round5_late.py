@@ -294,6 +294,44 @@ def test_ivf_index_trained_variant(spark, qvectors, tmp_path_factory):
     }
 
 
+def test_curation_report_composes_component_signals(spark, sf_dir):
+    """The composed gate must agree row-for-row with the standalone
+    per-signal operators (shared expression helpers make drift
+    impossible by construction; this pins it)."""
+    from graphiti_spark.operators.textstats import (
+        curation_report,
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = curation_report(docs).collect()
+    q = {r["doc_id"]: r["quality_score"] for r in quality_score(docs).collect()}
+    l = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    g = {r["doc_id"]: (r["n_tokens"], r["repetitive"])
+         for r in repetition_stats(docs).collect()}
+    assert len(rep) == docs.count()
+    kept_n = 0
+    for r in rep:
+        n, repetitive = g[r["doc_id"]]
+        assert r["quality_score"] == q[r["doc_id"]]
+        assert r["lang_pred"] == l[r["doc_id"]]
+        assert r["pass_quality"] == (q[r["doc_id"]] >= 0.75)
+        assert r["pass_lang"] == (l[r["doc_id"]] == r["lang"])
+        assert r["pass_repetition"] == (not repetitive)
+        assert r["pass_length"] == (5 <= n <= 100_000)
+        assert r["kept"] == (r["pass_length"] and r["pass_quality"]
+                             and r["pass_lang"] and r["pass_repetition"])
+        assert r["n_failed"] == 4 - sum(
+            [r["pass_length"], r["pass_quality"], r["pass_lang"],
+             r["pass_repetition"]]
+        )
+        kept_n += r["kept"]
+    # the gate is a real filter on this corpus: some kept, some dropped
+    assert 0 < kept_n < len(rep)
+
+
 def test_pack_sequences_invariants(spark):
     texts = [
         (i, " ".join(f"w{j}" for j in range(n)))
