@@ -126,10 +126,7 @@ def kmeans_centroids(
     self-join, no driver-side loops over data (only the k-centroid
     aggregate is collected into the next broadcast). Empty clusters keep
     their previous centroid. Output: (cent_id, cvec)."""
-    cent = (
-        embeddings.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
-    )
+    cent = _seed_centroids(embeddings, n_centroids, out_col="cvec")
     if dim is None:
         probe = embeddings.select(F.size("embedding").alias("_d")).first()
         if probe is None:
@@ -211,11 +208,22 @@ def ann_ivf(
     to 4 decimals (ties broken on cent_id) so the argmax is deterministic
     across engines — the DuckDB oracle (oracles_td.ann_ivf_sql) reproduces
     the identical assignment."""
-    cent = (
-        embeddings.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("_cent"))
+    return _ivf_scan(
+        embeddings, probes, _seed_centroids(embeddings, n_centroids), k, n_probe
     )
-    return _ivf_scan(embeddings, probes, cent, k, n_probe)
+
+
+def _seed_centroids(
+    embeddings: DataFrame, n_centroids: int, out_col: str = "_cent"
+) -> DataFrame:
+    """Deterministic coarse sample: the first ``n_centroids`` corpus
+    vectors by vec_id — the ONE definition shared by ann_ivf,
+    kmeans_centroids seeding, and build_ivf_index (the index-vs-in-memory
+    parity guarantee rests on these never diverging)."""
+    return (
+        embeddings.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias(out_col))
+    )
 
 
 def quantize_int8(emb: F.Column) -> F.Column:
@@ -250,8 +258,9 @@ def ann_quantized(
     (broadcast probes × one corpus scan, no corpus shuffle) but the scan
     reads 1-byte lanes — at 100 TB the scan is memory-bandwidth-bound, so
     the 4× density is a direct throughput lever, and staying within
-    ~1e-3 of the exact scores is the quality contract (asserted vs
-    knn_bruteforce in tests). Output: (probe_id, vec_id, qcos_sim, rank)."""
+    1e-2 of the exact scores is the quality contract (asserted vs
+    knn_bruteforce in tests, with top-1 agreement and ≥8/10 top-10
+    overlap). Output: (probe_id, vec_id, qcos_sim, rank)."""
     qc = (
         embeddings.select("vec_id", quantize_int8(F.col("embedding")).alias("_qs"))
         .select(
@@ -321,17 +330,32 @@ def _probe_topk(
     k: int,
     n_probe: int,
 ) -> DataFrame:
+    return _topk_over_lists(assigned, _probe_lists(probes, cent, n_probe), k)
+
+
+def _probe_lists(probes: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
+    """Each probe's ``n_probe`` nearest inverted lists (determinism:
+    rounded cosine desc, cent_id asc) — shared by the in-memory scan and
+    the materialized-index probe so the tiebreaks cannot diverge."""
     probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
-    probe_lists = (
+    return (
         probes.join(F.broadcast(cent))
         .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
         .withColumn("_r", F.row_number().over(probe_w))
         .where(F.col("_r") <= n_probe)
         .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")
     )
+
+
+def _topk_over_lists(
+    lists: DataFrame, probe_lists: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine over the probed lists + per-probe top-k window
+    (determinism: rounded cosine desc, vec_id asc) — the shared tail of
+    the in-memory and index-served paths."""
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        assigned.join(F.broadcast(probe_lists), "cent_id")
+        lists.join(F.broadcast(probe_lists), "cent_id")
         .select(
             "probe_id", "vec_id",
             F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
@@ -358,11 +382,7 @@ def build_ivf_index(
             "cent_id", F.col("cvec").alias("_cent")
         )
     else:
-        cent = (
-            embeddings.orderBy("vec_id").limit(n_centroids)
-            .select(F.col("vec_id").alias("cent_id"),
-                    F.col("embedding").alias("_cent"))
-        )
+        cent = _seed_centroids(embeddings, n_centroids)
     cent.select("cent_id", F.col("_cent").alias("cvec")).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/centroids")
@@ -389,28 +409,12 @@ def ann_ivf_probe_index(
     cent = spark.read.parquet(f"{index_dir}/centroids").select(
         "cent_id", F.col("cvec").alias("_cent")
     )
-    probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
-    probe_lists = (
-        probes.join(F.broadcast(cent))
-        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
-        .withColumn("_r", F.row_number().over(probe_w))
-        .where(F.col("_r") <= n_probe)
-        .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")
-        .localCheckpoint()  # tiny; evaluated once for the id list AND the join
-    )
+    # tiny; evaluated once for the id list AND the join
+    probe_lists = _probe_lists(probes, cent, n_probe).localCheckpoint()
     probed_ids = [r["cent_id"] for r in probe_lists.select("cent_id").distinct().collect()]
     lists = (
         spark.read.parquet(f"{index_dir}/lists")
         .where(F.col("cent_id").isin(probed_ids))
         .withColumn("cent_id", F.col("cent_id").cast("long"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        lists.join(F.broadcast(probe_lists), "cent_id")
-        .select(
-            "probe_id", "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_over_lists(lists, probe_lists, k)

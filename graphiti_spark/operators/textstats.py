@@ -264,9 +264,12 @@ def pack_sequences(
     position inside that sequence, and crosses_boundary flags docs split
     across sequences (the attention-masking consumers care about)."""
     n = F.size(tokenize(F.col("text"))).cast("long")
+    # sign-following % (not pmod) — the DuckDB oracle's % is
+    # sign-following, so parity holds by construction even for negative
+    # ids (doc ids are non-negative by contract, but conventions match)
     d = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        (F.col("doc_id") % F.lit(shards)).cast("long").alias("shard"),
         n.alias("n_tokens"),
     )
     w = (
@@ -284,7 +287,7 @@ def pack_sequences(
         "n_tokens",
         "token_offset",
         bin_id.alias("bin_id"),
-        F.pmod(F.col("token_offset"), F.lit(seq_len)).cast("long").alias("bin_offset"),
+        (F.col("token_offset") % F.lit(seq_len)).cast("long").alias("bin_offset"),
         (
             F.col("token_offset") + F.col("n_tokens")
             > (bin_id + 1) * F.lit(seq_len)

@@ -112,9 +112,18 @@ def streaming_dedup_incremental(
     state store, so it survives restarts, is shared with the batch path
     (dedup_incremental_hashed), and never needs eviction: at 100 TB the
     hash table is ~0.05%% of corpus bytes and the per-batch probe of it is
-    a broadcast-semi-joined pruned scan. Re-delivered batches re-resolve
-    to dup_of_stored under the store-wins tie rule, so the appended output
-    is stable under at-least-once delivery."""
+    a broadcast-semi-joined pruned scan. Single writer per store (the
+    repo-wide GraphStore contract).
+
+    Replay semantics (at-least-once delivery): the per-batch output lands
+    in a batch_id-keyed partition with OVERWRITE, so a replayed batch
+    replaces its own rows instead of appending duplicates. keeper_doc_id
+    is stable across replays (store-wins tie rule); a row's STATUS can
+    legitimately flip new→dup_of_stored when the crash happened after the
+    hash-store append — one consistent copy either way, and the store
+    itself never grows on replay (a landed hash makes the re-run resolve
+    dup_of_stored, which is not re-appended)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from graphiti_spark.operators.dedup import dedup_incremental_hashed
@@ -132,12 +141,19 @@ def streaming_dedup_incremental(
         spark = batch_df.sparkSession
         try:
             stored = spark.read.schema(hash_schema).parquet(hash_store_dir)
-        except Exception:
+        except AnalysisException as e:
+            # only a missing store (first batch) means "empty"; any other
+            # failure (corrupt or unreadable store) must FAIL the batch,
+            # not silently reset dedup state (which would re-mark the
+            # whole batch 'new') — non-Analysis errors surface when the
+            # result materializes below
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             stored = spark.createDataFrame([], hash_schema)
-        # materialize BEFORE the appends: the result plan reads the hash
+        # materialize BEFORE the writes: the result plan reads the hash
         # store this batch is about to grow
         result = dedup_incremental_hashed(batch_df, stored).localCheckpoint()
-        result.write.mode("append").parquet(out_dir)
+        result.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         result.where(F.col("status") == "new").select(
             "text_hash", "doc_id"
         ).write.mode("append").parquet(hash_store_dir)

@@ -63,6 +63,26 @@ def test_dedup_incremental_idempotent_after_landing(spark):
     assert {d: k for d, (_, k) in second.items()} == keepers_first
 
 
+def test_dedup_incremental_plan_store_never_shuffles(spark, sf_dir):
+    """The headline scale claim: both joins against the store are
+    broadcast (batch-hash semi-join INTO the store scan, stored-keeper
+    map back onto the batch) — if either broadcast hint is dropped the
+    store side starts shuffling corpus-scale data and this pins it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("BroadcastExchange") == 2, plan[:2000]
+    assert "LeftSemi" in plan
+    # the store-side scan feeds the semi join directly: no Exchange
+    # between the second documents scan and the BroadcastHashJoin
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_dedup_incremental_matches_python_spec(spark):
     """Randomized spec check: 400 docs over 40 distinct texts, random
     batch/store split (store NOT pre-deduplicated — the operator must
