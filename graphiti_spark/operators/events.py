@@ -12,11 +12,25 @@ with a lag-islands DuckDB twin proving the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # gap that closes a session — the classic 30-minute web-analytics rule
 SESSION_GAP = "30 minutes"
 EVENT_WINDOW = "hour"
+
+# as-of join defaults: enrich each purchase with the user's latest prior click
+ASOF_PROBE_TYPE = "purchase"
+ASOF_REF_TYPE = "click"
+
+# range-join default: events following an error within this many seconds
+RANGE_WINDOW_SECONDS = 6 * 3600
+
+# integer-cent aggregation (see windowed_event_stats): value is 2-decimal,
+# so value*100 is within float error of an integer and round() never lands
+# on a .5 midpoint — the one place Spark (HALF_UP) and other engines
+# (half-even) would diverge
+def _cents(col: str = "value"):
+    return F.round(F.col(col) * 100).cast("long")
 
 
 def windowed_event_stats(
@@ -108,4 +122,197 @@ def extract_event_props(events: DataFrame, key: str = "k") -> DataFrame:
             F.min("_v").cast("long").alias("min_k"),
             F.max("_v").cast("long").alias("max_k"),
         )
+    )
+
+
+def asof_join_events(
+    events: DataFrame,
+    probe_type: str = ASOF_PROBE_TYPE,
+    ref_type: str = ASOF_REF_TYPE,
+) -> DataFrame:
+    """As-of join: enrich each ``probe_type`` event with the same user's
+    most recent ``ref_type`` event at-or-before it (reference
+    search_utils.py's "latest prior context" retrieval shape; Spark has
+    no ASOF JOIN primitive).
+
+    Scale design: NOT a range join. Both sides are tagged and unioned,
+    then one window per user ordered by ``(ts, side, event_id)`` carries
+    the last-seen reference forward with ``last(..., ignorenulls)`` over
+    a GROWING frame (unboundedPreceding → current) — incremental state,
+    a single shuffle on ``user_id``, and zero join fan-out regardless of
+    how many probes share one reference. A theta-join formulation would
+    be O(probes × refs) per user; this is O(n log n) sort per partition.
+
+    Tie rule (deterministic): a reference at exactly the probe's ts
+    counts ("at or before"); among references with identical ts the
+    largest event_id wins — the sort key makes both explicit.
+    """
+    refs = events.filter(F.col("event_type") == ref_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("_eid"),
+        F.col("event_id").alias("ref_event_id"),
+        F.col("ts").alias("ref_ts"),
+        F.col("value").alias("ref_value"),
+        F.lit(0).alias("_side"),
+    )
+    probes = events.filter(F.col("event_type") == probe_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("_eid"),
+        "event_id",
+        "value",
+        F.lit(1).alias("_side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side", "_eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = refs.unionByName(probes, allowMissingColumns=True).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        "_side",
+        # three expressions over ONE window spec → a single Window node
+        F.last("ref_event_id", ignorenulls=True).over(w).alias("_r_id"),
+        F.last("ref_ts", ignorenulls=True).over(w).alias("_r_ts"),
+        F.last("ref_value", ignorenulls=True).over(w).alias("_r_val"),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.col("_r_id").alias("ref_event_id"),
+        F.col("_r_ts").alias("ref_ts"),
+        F.col("_r_val").alias("ref_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.col("_r_ts")))
+        .cast("long")
+        .alias("staleness_s"),
+    )
+
+
+def range_join_events(
+    events: DataFrame,
+    anchor_type: str = "error",
+    window_seconds: int = RANGE_WINDOW_SECONDS,
+) -> DataFrame:
+    """Range (interval) join: for every ``anchor_type`` event, aggregate
+    the same user's events inside the half-open follow-up window
+    ``(anchor_ts, anchor_ts + window_seconds]`` — "what happened in the
+    6 hours after each error".
+
+    Scale design: the naive formulation is a theta join
+    (``e.ts > a.ts AND e.ts <= a.ts + W``) which Spark plans as a
+    broadcast-nested-loop — O(anchors × events) per user. Instead both
+    sides are bucketed by ``floor(epoch / W)``; a window of width W
+    spans at most two buckets, so each anchor explodes to exactly 2
+    candidate bucket keys and the join is a plain EQUI-join on
+    ``(user_id, bucket)`` (shuffle- or broadcast-hash, AQE's choice)
+    followed by the residual timestamp filter. Candidate fan-out is a
+    fixed 2×, independent of data volume — the standard bucketed
+    range-join strategy.
+    """
+    w_s = int(window_seconds)
+    anchors = events.filter(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+        F.floor(F.unix_timestamp("ts") / w_s).alias("_b0"),
+    )
+    cand = anchors.select(
+        "anchor_id",
+        "user_id",
+        "anchor_ts",
+        F.explode(F.array(F.col("_b0"), F.col("_b0") + 1)).alias("_bucket"),
+    )
+    ev = events.select(
+        "user_id",
+        "ts",
+        _cents().alias("_cents"),
+        F.floor(F.unix_timestamp("ts") / w_s).alias("_bucket"),
+    )
+    matched = (
+        cand.join(ev, ["user_id", "_bucket"])
+        .filter(
+            (F.col("ts") > F.col("anchor_ts"))
+            & (
+                F.col("ts")
+                <= F.col("anchor_ts") + F.expr(f"INTERVAL {w_s} SECOND")
+            )
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").cast("long").alias("n_follow"),
+            F.sum("_cents").alias("_c"),
+        )
+    )
+    return (
+        anchors.drop("_b0")
+        .join(matched, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "anchor_ts",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"),
+            (F.coalesce(F.col("_c"), F.lit(0)) / 100.0).alias(
+                "sum_follow_value"
+            ),
+        )
+    )
+
+
+def rollup_events(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute, hour, and day
+    aggregates per event_type in ONE pass (the continuous-aggregate /
+    materialized-rollup pattern of time-series stores).
+
+    Scale design: GROUPING SETS over the pre-derived (day, hour, minute)
+    truncations — one raw scan, one Expand (fixed 3× row fan-out), one
+    map-side-combinable shuffle. The alternative chain (minute → hour →
+    day re-aggregation) needs the minute frame persisted to avoid three
+    raw scans; grouping sets gets the same partial-aggregation benefit
+    without cache lifecycle. Every statistic here is re-aggregable
+    (count/sum/min/max), so coarser levels could equally be refreshed
+    from finer ones incrementally — the property a streaming backfill
+    relies on.
+    """
+    base = events.select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        "event_type",
+        _cents().alias("_cents"),
+        "value",
+    )
+    agg = base.groupingSets(
+        [
+            [F.col("d"), F.col("h"), F.col("m"), F.col("event_type")],
+            [F.col("d"), F.col("h"), F.col("event_type")],
+            [F.col("d"), F.col("event_type")],
+        ],
+        F.col("d"),
+        F.col("h"),
+        F.col("m"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("_cents").alias("_c"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    # ts is never null, so a null m/h marks the coarser grouping sets
+    return agg.select(
+        F.when(F.col("m").isNotNull(), F.lit("minute"))
+        .when(F.col("h").isNotNull(), F.lit("hour"))
+        .otherwise(F.lit("day"))
+        .alias("level"),
+        F.coalesce("m", "h", "d").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        (F.col("_c") / 100.0).alias("sum_value"),
+        "min_value",
+        "max_value",
     )

@@ -468,3 +468,90 @@ def curation_report(
             - pass_rep.cast("int")
         ).cast("long").alias("n_failed"),
     )
+
+
+# default rebalance targets a mix designer would pin; 'es' is absent on
+# purpose — a lang with no target drops from the mix entirely
+MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}
+_HASH_SPACE = float(1 << 32)
+
+
+def mix_rebalance(
+    docs: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Token-budget rebalancing plan: given target token SHARES per lang,
+    compute the largest total budget the corpus can serve without
+    oversampling any language (``budget = min(avail_l / share_l)``, so
+    the binding language keeps rate 1.0) and the per-lang keep_rate
+    that hits it. This is the arithmetic between ``mix_report`` (what
+    the corpus is) and ``sample_by_hash`` (how to cut it) — the step a
+    training-mix pipeline runs before every data refresh.
+
+    Scale: one map-side-combinable aggregation over the lang key domain;
+    the budget min() is a global window over the AGGREGATED frame
+    (cardinality = |langs|, same shape as mix_report's denominator).
+    keep_rate is emitted UNROUNDED — both engines derive it from the
+    same integer token counts with the identical (budget × share) ÷
+    avail operation order, so the doubles are bit-identical and no
+    engine-specific round-half rule is ever invoked.
+    """
+    targets = targets if targets is not None else MIX_TARGETS
+    pairs: list = []
+    for lang, share in sorted(targets.items()):
+        pairs += [F.lit(lang), F.lit(float(share))]
+    tmap = F.create_map(*pairs)
+    per = (
+        docs.select("lang", F.size(tokenize(F.col("text"))).alias("_nt"))
+        .groupBy("lang")
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+        .withColumn("target_share", tmap[F.col("lang")])
+        .where(F.col("target_share").isNotNull())
+    )
+    budget = F.min(F.col("n_tokens") / F.col("target_share")).over(
+        Window.partitionBy()
+    )
+    rate = (F.col("_budget") * F.col("target_share")) / F.col("n_tokens")
+    return per.withColumn("_budget", budget).select(
+        "lang",
+        "n_tokens",
+        "target_share",
+        rate.alias("keep_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias(
+            "planned_tokens"
+        ),
+    )
+
+
+def apply_mix(
+    docs: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Materialize the ``mix_rebalance`` plan: deterministic
+    hash-threshold sampling at the planned per-lang rate. The doc's
+    32-bit key is the first 8 hex chars of md5(doc_id ':' text); keep
+    when ``key < keep_rate × 2^32`` — reproducible across engines,
+    machines, and months, like sample_by_hash but at full 2^-32 rate
+    granularity instead of whole hex-byte steps (a rate of 1.0 keeps
+    everything: the threshold 2^32 exceeds any key).
+
+    Scale: the plan is |langs| rows → broadcast join; the filter is a
+    pure projection over the corpus scan. Zero corpus shuffles.
+    """
+    plan = mix_rebalance(docs, targets).select("lang", "keep_rate")
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("text")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (
+        docs.join(F.broadcast(plan), "lang")
+        .where(key < F.col("keep_rate") * F.lit(_HASH_SPACE))
+        .select("doc_id", "lang", key.cast("long").alias("sample_key"))
+    )

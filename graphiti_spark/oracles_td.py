@@ -854,6 +854,48 @@ SELECT lang, source, n_docs, n_tokens, n_chars,
        round(n_tokens::DOUBLE / greatest(tot, 1), 6) AS token_share
 FROM per CROSS JOIN (SELECT sum(n_tokens) AS tot FROM per) t"""
 
+    # mix rebalancing (operators/textstats.mix_rebalance / apply_mix):
+    # budget = min(avail/share) so the binding lang keeps 1.0; keep_rate
+    # is emitted UNROUNDED — both engines compute (budget*share)/avail
+    # from the same BIGINT token counts in the same operation order, so
+    # the doubles match bit-for-bit without touching round-half rules
+    from graphiti_spark.operators.textstats import MIX_TARGETS
+
+    tgt_vals = ", ".join(
+        f"('{lang}', {float(share)!r})"
+        for lang, share in sorted(MIX_TARGETS.items())
+    )
+    mix_plan_sql = f"""
+WITH per AS (
+  SELECT lang, sum(len({_toks('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+tgt(lang, target_share) AS (VALUES {tgt_vals}),
+j AS (
+  SELECT per.lang, per.n_tokens, tgt.target_share,
+         min(per.n_tokens / tgt.target_share) OVER () AS b
+  FROM per JOIN tgt USING (lang)
+)
+SELECT lang, n_tokens, target_share,
+       b * target_share / n_tokens AS keep_rate,
+       CAST(floor(b * target_share / n_tokens * n_tokens) AS BIGINT)
+         AS planned_tokens
+FROM j"""
+    o["td_mix_rebalance"] = mix_plan_sql
+
+    # materialized mix: 32-bit md5 prefix vs keep_rate * 2^32 — full
+    # 2^-32 rate granularity (td_sample_hash is the whole-byte variant)
+    o["td_mix_sampled"] = f"""
+WITH plan AS ({mix_plan_sql})
+SELECT doc_id, lang, CAST(k AS BIGINT) AS sample_key
+FROM (
+  SELECT d.doc_id, d.lang, p.keep_rate,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 8))
+           ::BIGINT::DOUBLE AS k
+  FROM documents d JOIN plan p USING (lang)
+)
+WHERE k < keep_rate * 4294967296.0"""
+
     # event-stream rollups (operators/events.py) — date_trunc bucketing
     # and lag-islands sessionization are the engine-neutral definitions
     # exact integer-cent aggregation, division shape identical to the
@@ -900,6 +942,73 @@ SELECT event_type,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
 FROM events GROUP BY 1"""
+
+    # as-of join twin: DuckDB's NATIVE ASOF JOIN — an independent
+    # physical derivation of the Spark union+last(ignorenulls) window
+    # formulation (operators/events.asof_join_events). The QUALIFY
+    # dedup pins the same tie rule Spark's (ts, side, event_id) sort
+    # encodes: at equal ref ts the largest event_id wins. date_diff
+    # ('second') counts second-boundary crossings — identical to
+    # Spark's unix_timestamp(probe) - unix_timestamp(ref).
+    o["ev_asof"] = """
+WITH refs AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+probes AS (
+  SELECT event_id, ts, user_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.ts, p.user_id, p.value,
+       r.event_id AS ref_event_id,
+       r.ts AS ref_ts,
+       r.value AS ref_value,
+       date_diff('second', r.ts, p.ts)::BIGINT AS staleness_s
+FROM probes p
+ASOF LEFT JOIN refs r
+  ON p.user_id = r.user_id AND p.ts >= r.ts"""
+
+    # range-join twin: the declarative inequality join DuckDB plans as
+    # an IEJoin — independent of Spark's bucketed equi-join + residual
+    # filter (operators/events.range_join_events). Window is half-open
+    # (anchor_ts, anchor_ts + 6h]; integer-cent sum as everywhere.
+    o["ev_range_join"] = """
+WITH anchors AS (
+  SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.anchor_id, a.anchor_ts, a.user_id,
+       count(e.event_id)::BIGINT AS n_follow,
+       coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0)::DOUBLE
+         / 100.0 AS sum_follow_value
+FROM anchors a
+LEFT JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts > a.anchor_ts
+ AND e.ts <= a.anchor_ts + INTERVAL 21600 SECOND
+GROUP BY 1, 2, 3"""
+
+    # hypertable rollup twin: three INDEPENDENT group-bys over the raw
+    # events (Spark side computes all three levels in one GROUPING SETS
+    # pass — operators/events.rollup_events); min/max carry the raw
+    # doubles unchanged, the sum goes through exact integer cents.
+    def _rollup_level(level: str) -> str:
+        return f"""
+SELECT '{level}' AS level, date_trunc('{level}', ts) AS bucket_start,
+       event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2, 3"""
+
+    o["ev_rollup"] = (
+        _rollup_level("minute")
+        + "\nUNION ALL"
+        + _rollup_level("hour")
+        + "\nUNION ALL"
+        + _rollup_level("day")
+    )
 
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""

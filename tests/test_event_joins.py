@@ -1,0 +1,230 @@
+"""As-of join, bucketed range join, and grouping-sets rollup over the
+events table (operators/events.py round-5 additions).
+
+The as-of join is the union+last(ignorenulls) single-shuffle
+formulation; the range join is the bucketed equi-join (fixed 2x anchor
+fan-out) — both are compared against brute-force references here, and
+their plans are pinned so the scalable shape can't silently regress to
+a nested-loop join.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.events import (
+    asof_join_events,
+    range_join_events,
+    rollup_events,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+
+
+def _t(minute, second=0, micro=0):
+    return datetime(2024, 1, 1, 0, 0, 0) + timedelta(
+        minutes=minute, seconds=second, microseconds=micro
+    )
+
+
+# ---------------------------------------------------------------- as-of
+
+def test_asof_basic_prior_tie_and_missing(spark):
+    ev = _ev(spark, [
+        # user 1: clicks at t=1 and t=5; purchases at t=3, t=5, t=10
+        (1, _t(1), 1, "click", 1.00, "{}"),
+        (2, _t(5), 1, "click", 2.00, "{}"),
+        (3, _t(3), 1, "purchase", 9.00, "{}"),
+        (4, _t(5), 1, "purchase", 9.50, "{}"),   # tie: ref AT probe ts counts
+        (5, _t(10), 1, "purchase", 9.75, "{}"),
+        # user 2: purchase with NO prior click (click comes after)
+        (6, _t(2), 2, "purchase", 3.00, "{}"),
+        (7, _t(4), 2, "click", 4.00, "{}"),
+        # noise the join must ignore
+        (8, _t(0), 1, "view", 0.50, "{}"),
+    ])
+    out = {r["event_id"]: r for r in asof_join_events(ev).collect()}
+    assert set(out) == {3, 4, 5, 6}
+    assert out[3]["ref_event_id"] == 1 and out[3]["staleness_s"] == 120
+    # a reference at exactly the probe's ts is "at or before"
+    assert out[4]["ref_event_id"] == 2 and out[4]["staleness_s"] == 0
+    assert out[5]["ref_event_id"] == 2 and out[5]["ref_value"] == 2.00
+    assert out[6]["ref_event_id"] is None
+    assert out[6]["ref_ts"] is None and out[6]["staleness_s"] is None
+
+
+def test_asof_equal_ts_refs_pick_largest_event_id(spark):
+    ev = _ev(spark, [
+        (1, _t(1), 1, "click", 1.0, "{}"),
+        (2, _t(1), 1, "click", 2.0, "{}"),   # same ts: larger id wins
+        (3, _t(2), 1, "purchase", 5.0, "{}"),
+    ])
+    [row] = asof_join_events(ev).collect()
+    assert row["ref_event_id"] == 2 and row["ref_value"] == 2.0
+
+
+def test_asof_plan_single_shuffle_single_window(spark):
+    ev = _ev(spark, [(1, _t(1), 1, "click", 1.0, "{}")])
+    plan = (
+        asof_join_events(ev)._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    # one hash repartition on user_id feeding one Window — no join op
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Window") == 1, plan[:2000]
+    for bad in ("NestedLoop", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for _ in range(220):
+        eid += 1
+        rows.append((
+            eid,
+            _t(rng.randrange(0, 180), rng.randrange(0, 60)),
+            rng.randrange(1, 6),
+            rng.choice(["click", "purchase", "view"]),
+            round(rng.uniform(0, 20), 2),
+            "{}",
+        ))
+    got = {r["event_id"]: (r["ref_event_id"], r["staleness_s"])
+           for r in asof_join_events(_ev(spark, rows)).collect()}
+    expect = {}
+    for e in rows:
+        if e[3] != "purchase":
+            continue
+        cands = [r for r in rows
+                 if r[3] == "click" and r[2] == e[2] and r[1] <= e[1]]
+        if not cands:
+            expect[e[0]] = (None, None)
+        else:
+            best = max(cands, key=lambda r: (r[1], r[0]))
+            stale = int(e[1].timestamp()) - int(best[1].timestamp())
+            expect[e[0]] = (best[0], stale)
+    assert got == expect
+
+
+# ----------------------------------------------------------- range join
+
+def test_range_join_boundaries_and_cross_bucket(spark):
+    w_s = 600  # 10-minute follow-up window for the test
+    ev = _ev(spark, [
+        (1, _t(9), 1, "error", 1.00, "{}"),       # anchor
+        (2, _t(9), 1, "view", 2.00, "{}"),        # AT anchor ts: excluded
+        (3, _t(9, 0, 1), 1, "view", 3.00, "{}"),  # just after: included
+        (4, _t(19), 1, "view", 4.00, "{}"),       # exactly +W: included
+        (5, _t(19, 0, 1), 1, "view", 5.00, "{}"), # past +W: excluded
+        (6, _t(12), 2, "view", 6.00, "{}"),       # other user: excluded
+        # anchor 7 at t=55 with follow-up crossing the bucket boundary
+        # (bucket width == W, t=55 and t=63 land in different buckets)
+        (7, _t(55), 1, "error", 1.00, "{}"),
+        (8, _t(63), 1, "view", 7.00, "{}"),
+        # anchor with zero follow-ups keeps a row (left semantics)
+        (9, _t(120), 3, "error", 1.00, "{}"),
+    ])
+    out = {r["anchor_id"]: r
+           for r in range_join_events(ev, window_seconds=w_s).collect()}
+    assert out[1]["n_follow"] == 2
+    assert out[1]["sum_follow_value"] == 7.0  # 3.00 + 4.00
+    assert out[7]["n_follow"] == 1 and out[7]["sum_follow_value"] == 7.0
+    assert out[9]["n_follow"] == 0 and out[9]["sum_follow_value"] == 0.0
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    ev = _ev(spark, [(1, _t(1), 1, "error", 1.0, "{}")])
+    plan = (
+        range_join_events(ev)._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    rng = random.Random(11)
+    rows = []
+    for eid in range(1, 260):
+        rows.append((
+            eid,
+            _t(rng.randrange(0, 240), rng.randrange(0, 60),
+               rng.randrange(0, 1000000)),
+            rng.randrange(1, 5),
+            rng.choice(["error", "view", "click"]),
+            round(rng.uniform(0, 9), 2),
+            "{}",
+        ))
+    w_s = 1800
+    got = {r["anchor_id"]: (r["n_follow"], round(r["sum_follow_value"], 2))
+           for r in range_join_events(
+               _ev(spark, rows), window_seconds=w_s).collect()}
+    expect = {}
+    for a in rows:
+        if a[3] != "error":
+            continue
+        hi = a[1] + timedelta(seconds=w_s)
+        fl = [r for r in rows if r[2] == a[2] and a[1] < r[1] <= hi]
+        cents = sum(int(round(r[4] * 100)) for r in fl)
+        expect[a[0]] = (len(fl), round(cents / 100.0, 2))
+    assert got == expect
+
+
+# --------------------------------------------------------------- rollup
+
+def test_rollup_levels_reaggregate_exactly(spark):
+    rng = random.Random(3)
+    rows = [(
+        eid,
+        _t(rng.randrange(0, 60 * 50), rng.randrange(0, 60)),
+        rng.randrange(1, 4),
+        rng.choice(["click", "view"]),
+        round(rng.uniform(0, 5), 2),
+        "{}",
+    ) for eid in range(1, 300)]
+    out = rollup_events(_ev(spark, rows)).collect()
+    by_level = {
+        lvl: {(r["bucket_start"], r["event_type"]): r for r in grp}
+        for lvl, grp in itertools.groupby(
+            sorted(out, key=lambda r: r["level"]), key=lambda r: r["level"])
+    }
+    assert set(by_level) == {"minute", "hour", "day"}
+    # hour rows must equal the re-aggregation of their minute rows
+    for (h, et), hrow in by_level["hour"].items():
+        mins = [m for (b, t), m in by_level["minute"].items()
+                if t == et and b.replace(minute=0) == h]
+        assert hrow["n_events"] == sum(m["n_events"] for m in mins)
+        assert abs(hrow["sum_value"]
+                   - sum(m["sum_value"] for m in mins)) < 1e-9
+        assert hrow["min_value"] == min(m["min_value"] for m in mins)
+        assert hrow["max_value"] == max(m["max_value"] for m in mins)
+    # day rows equal the re-aggregation of their hour rows
+    for (d, et), drow in by_level["day"].items():
+        hrs = [h for (b, t), h in by_level["hour"].items()
+               if t == et and b.replace(hour=0) == d]
+        assert drow["n_events"] == sum(h["n_events"] for h in hrs)
+    # total event count conserved at every level
+    n = len(rows)
+    for lvl in ("minute", "hour", "day"):
+        assert sum(r["n_events"] for r in by_level[lvl].values()) == n
+
+
+def test_rollup_single_scan_single_shuffle(spark):
+    ev = _ev(spark, [(1, _t(1), 1, "click", 1.0, "{}")])
+    plan = (
+        rollup_events(ev)._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    # grouping sets = one Expand feeding one aggregation exchange
+    assert plan.count("Expand") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

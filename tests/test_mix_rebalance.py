@@ -1,0 +1,94 @@
+"""Token-budget mix rebalancing (operators/textstats.mix_rebalance /
+apply_mix): plan arithmetic, binding-language invariant, and the
+md5-threshold materialization checked against an independent Python
+recomputation of every doc's 32-bit key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from graphiti_spark.operators.textstats import apply_mix, mix_rebalance
+
+TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+
+
+def _corpus(spark):
+    rows = []
+    did = 0
+    # en: lots of tokens; de: scarce relative to its share (binding);
+    # fr: middling; es: present in the corpus but NOT in the targets
+    for lang, n_docs, words in (
+        ("en", 20, 30), ("de", 4, 10), ("fr", 8, 12), ("es", 5, 40),
+    ):
+        for i in range(n_docs):
+            did += 1
+            text = " ".join(f"w{lang}{i}x{j}" for j in range(words))
+            rows.append((did, text, lang, "s0", len(text)))
+    return _docs(spark, rows)
+
+
+def test_mix_rebalance_plan_math(spark):
+    plan = {r["lang"]: r for r in mix_rebalance(_corpus(spark), TARGETS).collect()}
+    # untargeted lang is dropped from the plan entirely
+    assert set(plan) == {"en", "de", "fr"}
+    budget = min(r["n_tokens"] / TARGETS[lang] for lang, r in plan.items())
+    binding = min(plan, key=lambda v: plan[v]["n_tokens"] / TARGETS[v])
+    assert plan[binding]["keep_rate"] == 1.0
+    for lang, r in plan.items():
+        expect = budget * TARGETS[lang] / r["n_tokens"]
+        assert abs(r["keep_rate"] - expect) < 1e-12
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert r["planned_tokens"] == math.floor(
+            r["keep_rate"] * r["n_tokens"]
+        )
+        # planned volume hits the target share of the feasible budget
+        # (floor() discretizes by at most one token of the budget)
+        assert abs(r["planned_tokens"] / budget - TARGETS[lang]) <= (
+            1.0 / budget + 1e-9
+        )
+
+
+def test_apply_mix_thresholds_match_python_md5(spark):
+    docs = _corpus(spark)
+    plan = {r["lang"]: r["keep_rate"]
+            for r in mix_rebalance(docs, TARGETS).collect()}
+    kept = {r["doc_id"]: r for r in apply_mix(docs, TARGETS).collect()}
+
+    for row in docs.collect():
+        key = int(
+            hashlib.md5(
+                f"{row['doc_id']}:{row['text']}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        if row["lang"] not in plan:
+            assert row["doc_id"] not in kept  # untargeted lang: all dropped
+        elif key < plan[row["lang"]] * 2.0**32:
+            assert kept[row["doc_id"]]["sample_key"] == key
+            assert kept[row["doc_id"]]["lang"] == row["lang"]
+        else:
+            assert row["doc_id"] not in kept
+    # the binding language (rate 1.0) keeps every document
+    binding = max(plan, key=plan.get)
+    assert plan[binding] == 1.0
+    n_binding_docs = docs.where(f"lang = '{binding}'").count()
+    n_binding_kept = sum(1 for r in kept.values() if r["lang"] == binding)
+    assert n_binding_kept == n_binding_docs
+
+
+def test_apply_mix_plan_broadcasts_no_corpus_shuffle(spark):
+    plan = (
+        apply_mix(_corpus(spark), TARGETS)._jdf.queryExecution()
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
