@@ -1,0 +1,158 @@
+"""Streaming twins of the event-stream operators (operators/events.py):
+the live tier of the lambda architecture the batch rollup/as-of designs
+were built for.
+
+- ``streaming_rollup_minute`` — watermarked tumbling 1-minute aggregate
+  whose rows are merge-compatible with ``rollup_events``'s minute level:
+  every statistic is re-aggregable, so hour/day tiers are batch
+  re-aggregations of the landed minute rows (parity test re-derives
+  them and matches the batch GROUPING SETS output exactly).
+- ``streaming_asof_enrich`` — the as-of join as arbitrary stateful
+  processing (``applyInPandasWithState``). State is ONE row per user
+  (the latest reference event: id, ts, value) regardless of stream
+  length — the bounded-state analog of the batch twin's
+  ``last(ignorenulls)`` growing frame.
+
+Ordering contract (as-of): within a micro-batch rows are sorted by
+``(ts, side, event_id)`` — exactly the batch twin's window sort, so the
+tie rules match (a reference at the probe's ts counts; among same-ts
+references the largest event_id wins). ACROSS micro-batches the
+enrichment is correct when each user's events arrive in event-time
+order — the standard contract of a log partitioned by user_id (e.g.
+Kafka ``key=user_id``); a late-arriving reference does not retro-fix
+probes already emitted (append mode emits final rows).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from graphiti_spark.operators.events import (
+    ASOF_PROBE_TYPE,
+    ASOF_REF_TYPE,
+    _cents,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+ASOF_OUTPUT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, value double, "
+    "ref_event_id long, ref_ts timestamp, ref_value double, "
+    "staleness_s long"
+)
+# one latest-reference row per user — bounded regardless of stream length
+ASOF_STATE_SCHEMA = "ref_event_id long, ref_ts timestamp, ref_value double"
+
+
+def streaming_rollup_minute(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Minute-grain live tier of ``rollup_events``: one watermarked
+    tumbling-window aggregate per event_type. Columns and semantics are
+    identical to the batch rollup's ``level='minute'`` rows (integer-cent
+    sums, so the engines' float-summation order cannot diverge), and all
+    statistics are re-aggregable — the hour/day tiers of a continuous
+    aggregate are periodic batch re-aggregations of these rows.
+    """
+    base = events_stream.withWatermark("ts", watermark).select(
+        "ts", "event_type", _cents().alias("_cents"), "value"
+    )
+    agg = base.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("_cents").alias("_c"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return agg.select(
+        F.lit("minute").alias("level"),
+        F.col("w.start").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        (F.col("_c") / 100.0).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def _update_asof(
+    key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+) -> Iterable["pd.DataFrame"]:
+    import pandas as pd
+
+    r_id, r_ts, r_val = state.get if state.exists else (None, None, None)
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    out: list[dict] = []
+    if chunks:
+        # one sort over the whole micro-batch group — the batch twin's
+        # window sort key, so tie handling is identical
+        rows = pd.concat(chunks).sort_values(
+            ["ts", "side", "event_id"], kind="mergesort"
+        )
+        for ts, eid, val, side in zip(
+            rows["ts"], rows["event_id"], rows["value"], rows["side"]
+        ):
+            if side == 0:  # reference: keep the latest (ts, event_id)
+                if r_ts is None or (ts, eid) > (r_ts, r_id):
+                    r_id = int(eid)
+                    r_ts = ts.to_pydatetime()
+                    r_val = float(val)
+            else:  # probe: emit enriched from current state
+                out.append(
+                    {
+                        "event_id": int(eid),
+                        "ts": ts.to_pydatetime(),
+                        "user_id": int(key[0]),
+                        "value": float(val),
+                        "ref_event_id": r_id,
+                        "ref_ts": r_ts,
+                        "ref_value": r_val,
+                        "staleness_s": (
+                            None
+                            if r_ts is None
+                            else int(
+                                (ts.to_pydatetime() - r_ts).total_seconds()
+                            )
+                        ),
+                    }
+                )
+    if r_ts is not None:
+        state.update((r_id, r_ts, r_val))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_asof_enrich(
+    events_stream: DataFrame,
+    probe_type: str = ASOF_PROBE_TYPE,
+    ref_type: str = ASOF_REF_TYPE,
+) -> DataFrame:
+    """Streaming as-of enrichment: each ``probe_type`` event is emitted
+    once (append mode), enriched with the same user's most recent
+    ``ref_type`` event at-or-before it. Output schema matches the batch
+    twin ``operators.events.asof_join_events`` exactly; per-user state is
+    a single latest-reference row.
+    """
+    tagged = events_stream.filter(
+        F.col("event_type").isin(ref_type, probe_type)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == ref_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _update_asof,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

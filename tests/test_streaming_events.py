@@ -1,0 +1,186 @@
+"""Streaming twins of the event operators: minute-rollup parity with
+the batch GROUPING SETS rollup (incl. hour/day re-aggregation — the
+continuous-aggregate contract) and stateful as-of enrichment parity,
+including state carried across micro-batches."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.events import asof_join_events, rollup_events
+from graphiti_spark.streaming.events import (
+    streaming_asof_enrich,
+    streaming_rollup_minute,
+)
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _demo_events():
+    base = datetime(2024, 3, 1, 8, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                base + timedelta(seconds=37 * i + i % 3),
+                i % 4,
+                ["click", "view", "purchase", "error"][i % 4],
+                round(0.25 * i + 0.01, 2),
+                "{}",
+            )
+        )
+    return rows
+
+
+def test_streaming_rollup_matches_batch_and_reaggregates(
+    spark, tmp_path_factory
+):
+    ev = _ev(spark, _demo_events())
+    in_dir = str(tmp_path_factory.mktemp("roll_in"))
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_rollup_minute(stream)
+        .writeStream.format("memory")
+        .queryName("roll_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    live = spark.sql("SELECT * FROM roll_out")
+
+    batch = rollup_events(ev).persist()
+    try:
+        key = ["bucket_start", "event_type"]
+
+        def as_map(df):
+            return {
+                tuple(r[k] for k in key): (
+                    r["n_events"],
+                    pytest.approx(r["sum_value"]),
+                    r["min_value"],
+                    r["max_value"],
+                )
+                for r in df.collect()
+            }
+
+        # minute tier: identical rows
+        assert as_map(live) == as_map(batch.filter(F.col("level") == "minute"))
+
+        # hour/day tiers: pure re-aggregations of the landed minute rows
+        for level, trunc in [("hour", "hour"), ("day", "day")]:
+            re_agg = (
+                live.groupBy(
+                    F.date_trunc(trunc, "bucket_start").alias("bucket_start"),
+                    "event_type",
+                )
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+            assert as_map(re_agg) == as_map(
+                batch.filter(F.col("level") == level)
+            )
+    finally:
+        batch.unpersist()
+
+
+def _asof_map(rows):
+    return {
+        r["event_id"]: (
+            r["ref_event_id"],
+            r["ref_ts"],
+            r["ref_value"],
+            r["staleness_s"],
+        )
+        for r in rows
+    }
+
+
+def test_streaming_asof_matches_batch_single_pass(spark, tmp_path_factory):
+    ev = _ev(spark, _demo_events())
+    in_dir = str(tmp_path_factory.mktemp("asof_in"))
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        streaming_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _asof_map(spark.sql("SELECT * FROM asof_out").collect())
+    want = _asof_map(asof_join_events(ev).collect())
+    assert got == want and len(got) == 10  # 40 events, 1 in 4 is a purchase
+
+
+def test_streaming_asof_state_carries_across_batches(
+    spark, tmp_path_factory
+):
+    """A probe in micro-batch 2 is enriched from a reference seen only in
+    micro-batch 1 — the per-user state survives triggers. A user with no
+    reference ever yields NULL enrichment, matching the batch twin."""
+    t = datetime(2024, 5, 1, 10, 0)
+    batch1 = [
+        (1, t, 7, "click", 5.0, "{}"),
+        (2, t + timedelta(minutes=5), 7, "purchase", 1.0, "{}"),
+    ]
+    batch2 = [
+        (3, t + timedelta(hours=1), 7, "purchase", 2.0, "{}"),
+        (4, t + timedelta(hours=1), 8, "purchase", 3.0, "{}"),
+    ]
+    in_dir = str(tmp_path_factory.mktemp("asof2_in"))
+    # deterministic file order for maxFilesPerTrigger=1 (mod-time sorted):
+    # stamp each write's part files with a distinct, increasing mtime
+    seen: set[str] = set()
+    for i, rows in enumerate([batch1, batch2]):
+        _ev(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+        parts = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+        for name in parts - seen:
+            os.utime(
+                os.path.join(in_dir, name),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        seen = parts
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _asof_map(spark.sql("SELECT * FROM asof2_out").collect())
+
+    # probe 3 (batch 2) sees the batch-1 click; probe 4 (user 8) never
+    # had a reference
+    assert got[3] == (1, t, 5.0, 3600)
+    assert got[4] == (None, None, None, None)
+    assert got == _asof_map(asof_join_events(_ev(spark, batch1 + batch2)).collect())
