@@ -1010,6 +1010,13 @@ FROM events GROUP BY 2, 3"""
         + _rollup_level("day")
     )
 
+    # streaming twins (streaming/events.py) run to completion inside
+    # queries() and must land EXACTLY the batch operators' rows, so they
+    # share the batch oracles: the full as-of result, and the minute
+    # tier of the rollup (hour/day are re-aggregations of it)
+    o["ev_asof_stream"] = o["ev_asof"]
+    o["ev_rollup_stream"] = _rollup_level("minute")
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""
 WITH toks AS (

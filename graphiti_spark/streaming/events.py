@@ -58,8 +58,12 @@ def streaming_rollup_minute(
     statistics are re-aggregable — the hour/day tiers of a continuous
     aggregate are periodic batch re-aggregations of these rows.
     """
-    base = events_stream.withWatermark("ts", watermark).select(
-        "ts", "event_type", _cents().alias("_cents"), "value"
+    # watermarks require TIMESTAMP (not NTZ); the cast is a no-op when
+    # the source already carries session-zoned timestamps
+    base = (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("ts", "event_type", _cents().alias("_cents"), "value")
     )
     agg = base.groupBy(
         F.window("ts", "1 minute").alias("w"), "event_type"
@@ -112,11 +116,18 @@ def _update_asof(
                         "ref_event_id": r_id,
                         "ref_ts": r_ts,
                         "ref_value": r_val,
+                        # truncate EACH side to seconds, then subtract —
+                        # the batch twin's unix_timestamp() semantics
+                        # (subtract-then-truncate differs by 1 when the
+                        # operands' sub-second parts straddle a boundary)
                         "staleness_s": (
                             None
                             if r_ts is None
                             else int(
-                                (ts.to_pydatetime() - r_ts).total_seconds()
+                                (
+                                    ts.to_pydatetime().replace(microsecond=0)
+                                    - r_ts.replace(microsecond=0)
+                                ).total_seconds()
                             )
                         ),
                     }

@@ -34,7 +34,9 @@ def _demo_events():
         rows.append(
             (
                 i,
-                base + timedelta(seconds=37 * i + i % 3),
+                # sub-second parts exercise the truncate-each-side
+                # staleness rule (unix_timestamp semantics)
+                base + timedelta(seconds=37 * i + i % 3, milliseconds=137 * i % 1000),
                 i % 4,
                 ["click", "view", "purchase", "error"][i % 4],
                 round(0.25 * i + 0.01, 2),
