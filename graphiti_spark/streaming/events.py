@@ -59,7 +59,11 @@ def streaming_rollup_minute(
     aggregate are periodic batch re-aggregations of these rows.
     """
     # watermarks require TIMESTAMP (not NTZ); the cast is a no-op when
-    # the source already carries session-zoned timestamps
+    # the source already carries session-zoned timestamps. When the
+    # input IS wall-clock (NTZ), the output bucket is cast back below so
+    # the operator's result is session-timezone-independent, matching
+    # the batch twin's date_trunc-on-NTZ semantics.
+    ts_type = events_stream.schema["ts"].dataType.typeName()
     base = (
         events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -73,9 +77,12 @@ def streaming_rollup_minute(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+    bucket = F.col("w.start")
+    if ts_type == "timestamp_ntz":
+        bucket = bucket.cast("timestamp_ntz")
     return agg.select(
         F.lit("minute").alias("level"),
-        F.col("w.start").alias("bucket_start"),
+        bucket.alias("bucket_start"),
         "event_type",
         "n_events",
         (F.col("_c") / 100.0).alias("sum_value"),
