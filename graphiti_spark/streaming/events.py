@@ -12,6 +12,9 @@ were built for.
   (the latest reference event: id, ts, value) regardless of stream
   length — the bounded-state analog of the batch twin's
   ``last(ignorenulls)`` growing frame.
+- ``streaming_sessionize`` — the batch ``sessionize`` expression run as
+  a stream: native ``session_window`` state with watermark eviction
+  (see its docstring for the update-mode contract).
 
 Ordering contract (as-of): within a micro-batch rows are sorted by
 ``(ts, side, event_id)`` — exactly the batch twin's window sort, so the
@@ -89,6 +92,36 @@ def streaming_rollup_minute(
         "min_value",
         "max_value",
     )
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization: the SAME ``session_window``
+    expression as the batch twin (``operators.events.sessionize`` is
+    written against session_window for exactly this reason), state-store
+    backed with watermark-based eviction of closed sessions.
+
+    Output-mode contract (Spark rejects UPDATE for session windows):
+    APPEND emits a session only once its ``last_event + gap`` passes the
+    watermark — the production shape, but sessions still open at
+    end-of-input never flush; COMPLETE re-emits every session's merged
+    state each trigger, so a drained availableNow run (the driver query)
+    lands exactly the batch result.
+    """
+    from graphiti_spark.operators.events import SESSION_GAP, sessionize
+
+    stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    out = sessionize(stream, gap or SESSION_GAP)
+    if events_stream.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        out = out.withColumn(
+            "session_start", F.col("session_start").cast("timestamp_ntz")
+        )
+    return out
 
 
 def _update_asof(

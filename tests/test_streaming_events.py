@@ -15,6 +15,7 @@ from graphiti_spark.operators.events import asof_join_events, rollup_events
 from graphiti_spark.streaming.events import (
     streaming_asof_enrich,
     streaming_rollup_minute,
+    streaming_sessionize,
 )
 
 EV_SCHEMA = (
@@ -102,6 +103,69 @@ def test_streaming_rollup_matches_batch_and_reaggregates(
             )
     finally:
         batch.unpersist()
+
+
+def test_streaming_sessionize_merges_across_batches(
+    spark, tmp_path_factory
+):
+    """A session split across two micro-batches merges in the session-
+    window state store; the drained complete-mode table equals the batch
+    sessionize result (incl. the still-open trailing session a watermark
+    append sink could never flush)."""
+    from graphiti_spark.operators.events import sessionize
+
+    t = datetime(2024, 6, 1, 10, 0)
+    batch1 = [
+        (1, t, 5, "click", 1.0, "{}"),
+        (2, t + timedelta(minutes=10), 5, "view", 2.0, "{}"),
+    ]
+    batch2 = [
+        (3, t + timedelta(minutes=20), 5, "click", 4.0, "{}"),
+        (4, t + timedelta(minutes=90), 5, "click", 8.0, "{}"),
+        (5, t + timedelta(minutes=95), 6, "view", 16.0, "{}"),
+    ]
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    seen: set[str] = set()
+    for i, rows in enumerate([batch1, batch2]):
+        _ev(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+        parts = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+        for name in parts - seen:
+            os.utime(
+                os.path.join(in_dir, name),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        seen = parts
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def as_map(rows):
+        return {
+            (r["user_id"], r["session_start"]): (
+                r["n_events"],
+                r["sum_value"],
+                r["span_seconds"],
+            )
+            for r in rows
+        }
+
+    got = as_map(spark.sql("SELECT * FROM sess_out").collect())
+    want = as_map(sessionize(_ev(spark, batch1 + batch2)).collect())
+    # the 10:00 session spans both batches: 3 events, 20-minute span
+    assert got[(5, t)] == (3, 7.0, 1200)
+    assert got == want and len(got) == 3
 
 
 def _asof_map(rows):
