@@ -25,6 +25,9 @@ ASOF_REF_TYPE = "click"
 # range-join default: events following an error within this many seconds
 RANGE_WINDOW_SECONDS = 6 * 3600
 
+# ordered funnel steps (see funnel_events)
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
 # integer-cent aggregation (see windowed_event_stats): value is 2-decimal,
 # so value*100 is within float error of an integer and round() never lands
 # on a .5 midpoint — the one place Spark (HALF_UP) and other engines
@@ -260,6 +263,131 @@ def range_join_events(
             (F.coalesce(F.col("_c"), F.lit(0)) / 100.0).alias(
                 "sum_follow_value"
             ),
+        )
+    )
+
+
+def funnel_events(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel: for each step k, how many users completed steps
+    1..k IN ORDER (a later step only counts if it happens at-or-after
+    the user's earliest qualifying completion of the previous step).
+    One summary row per step with conversion rates.
+
+    Scale design: the cascade is NOT k-1 self-joins. Events shuffle ONCE
+    on ``user_id``; step k's earliest qualifying time is a running
+    ``min(CASE step-k-row AND prev-step-already-seen)`` over the same
+    GROWING frame — k chained Window nodes that reuse the single
+    exchange+sort (plan-asserted), each carrying constant per-row state.
+    The per-user reduce then takes ``min`` of each running column (a
+    running min's minimum IS its final value), and the step counts are
+    one map-side-combinable global aggregate of k longs.
+
+    Tie rule (deterministic): rows order by ``(ts, event_id)``; a step
+    at exactly the previous step's timestamp counts as "after" only if
+    it sorts later — the same at-or-before convention as
+    :func:`asof_join_events`. Conversion rates divide the exact BIGINT
+    counts, so the doubles match bit-for-bit across engines.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.select("user_id", "ts", "event_id", "event_type")
+    cols = []
+    for i, step in enumerate(steps):
+        hit = F.col("event_type") == step
+        if i:
+            hit = hit & F.col(cols[-1]).isNotNull()
+        df = df.withColumn(f"_s{i}", F.min(F.when(hit, F.col("ts"))).over(w))
+        cols.append(f"_s{i}")
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(c).alias(c) for c in cols]
+    )
+    return funnel_summary(per_user, steps, cols)
+
+
+def funnel_summary(
+    per_user: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """The funnel's summary stage: per-user step-completion timestamps
+    (``cols``, one nullable timestamp per step) → one row per step with
+    user counts and conversion rates. Shared by :func:`funnel_events`
+    and the streaming twin's drain query (the landed per-user cascade
+    state batch-aggregates through exactly this path, so stream and
+    batch cannot diverge in the summary arithmetic)."""
+    cols = cols or [f"_s{i}" for i in range(len(steps))]
+    counts = per_user.agg(
+        *[F.count(c).cast("long").alias(f"_n{i}") for i, c in enumerate(cols)]
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"_n{i}").alias("n_users"),
+            (
+                (F.col(f"_n{i}") / F.greatest(F.col(f"_n{i - 1}"), F.lit(1)))
+                if i else F.lit(1.0)
+            ).alias("conv_from_prev"),
+            (
+                (F.col(f"_n{i}") / F.greatest(F.col("_n0"), F.lit(1)))
+                if i else F.lit(1.0)
+            ).alias("conv_from_first"),
+        )
+        for i, step in enumerate(steps)
+    ])
+    return counts.select(F.explode(rows).alias("x")).select("x.*")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users cohort by their first active day; each
+    (cohort_day, day_offset) row counts the cohort's users active that
+    many days later, with the retention rate vs the cohort's day-0 size.
+
+    Scale design: activity collapses to the (user, day) grain FIRST
+    (map-side-combinable distinct — the only corpus-grain shuffle), the
+    cohort day is a per-user window min over that reduced grain, and the
+    final count(*) needs no distinct because (user, day) is unique by
+    construction. cohort_size comes from a window over the AGGREGATED
+    (cohort × offset) frame — it moves group rows, never user rows (the
+    global-window-on-row-grain ban holds). Retention divides exact
+    BIGINTs, so the doubles match across engines; day_offset counts
+    day-boundary crossings of day-truncated timestamps (engine-neutral).
+    """
+    days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    with_cohort = days.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    agg = (
+        with_cohort.select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    wc = Window.partitionBy("cohort_day")
+    return (
+        agg.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("day_offset") == 0, F.col("n_users"))
+            ).over(wc),
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            (F.col("n_users") / F.col("cohort_size")).alias("retention"),
         )
     )
 

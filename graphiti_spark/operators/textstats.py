@@ -295,6 +295,73 @@ def pack_sequences(
     )
 
 
+# unigram-LM vocabulary size (CCNet-style corpus-statistics quality
+# signal; at 100 TB this is a few 100k — still broadcastable)
+LM_TOP_VOCAB = 512
+
+
+def unigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
+    """Corpus-statistics quality signal (the CCNet idea: documents made
+    of corpus-common tokens are in-distribution): build a top-``top_v``
+    unigram vocabulary from the corpus itself, then score every doc by
+    its out-of-vocabulary rate and its mean in-vocabulary token frequency.
+
+    Scale design: TWO corpus scans total — one to count unigrams (the
+    groupBy partial-aggregates map-side; top-V is a distributed
+    TakeOrdered, never a global sort materialization) and one to score,
+    with the V-row vocabulary BROADCAST back onto the token explode
+    (plan-asserted: BroadcastHashJoin; the corpus side never shuffles for
+    the join). The vocabulary total rides a 1-row broadcast cross join.
+
+    Exactness contract: no logs/transcendentals — per-doc sums are exact
+    BIGINT token counts, and the two output doubles are single division
+    chains over identical BIGINT operands in both engines, so the hashes
+    match bit-for-bit. Vocabulary ties break on (count DESC, token ASC).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(int(top_v))
+    )
+    vtotal = vocab.agg(F.sum("cnt").cast("long").alias("vtotal"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("cnt").isNull(), True))
+            .cast("long").alias("n_oov"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("sum_vocab_cnt"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(vtotal))
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.coalesce("n_oov", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
+            ).alias("oov_rate"),
+            F.coalesce("sum_vocab_cnt", F.lit(0))
+            .cast("long").alias("sum_vocab_cnt"),
+            (
+                F.coalesce("sum_vocab_cnt", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
+                / F.col("vtotal")
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     """Winnowing-style fingerprint with md5 gram hashes (hex strings) so
     the oracle can reproduce it exactly: word-bigram md5s, lexicographic

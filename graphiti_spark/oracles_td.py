@@ -540,6 +540,37 @@ SELECT doc_id,
        length(text)::BIGINT AS n_chars
 FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
 
+    # unigram-LM quality twin (operators/textstats.unigram_lm_score):
+    # same top-V vocabulary (count DESC, token ASC ties), same exact
+    # BIGINT per-doc sums, same left-assoc division chain — no
+    # transcendentals anywhere, so the doubles match bit-for-bit.
+    from graphiti_spark.operators.textstats import LM_TOP_VOCAB as _LMV
+
+    o["td_lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents
+),
+cnts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+vocab AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {_LMV}),
+vt AS (SELECT sum(cnt)::BIGINT AS vtotal FROM vocab),
+pd AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         count(CASE WHEN v.tok IS NULL THEN 1 END)::BIGINT AS n_oov,
+         sum(coalesce(v.cnt, 0))::BIGINT AS sum_vocab_cnt
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+       coalesce(p.n_oov, 0)
+         / greatest(coalesce(p.n_tokens, 0), 1) AS oov_rate,
+       coalesce(p.sum_vocab_cnt, 0)::BIGINT AS sum_vocab_cnt,
+       coalesce(p.sum_vocab_cnt, 0)
+         / greatest(coalesce(p.n_tokens, 0), 1)
+         / vt.vtotal AS mean_token_freq
+FROM documents d LEFT JOIN pd p USING (doc_id) CROSS JOIN vt"""
+
     o["td_quality_score"] = f"""
 WITH q AS (
   SELECT doc_id,
@@ -1016,6 +1047,93 @@ FROM events GROUP BY 2, 3"""
     # tier of the rollup (hour/day are re-aggregations of it)
     o["ev_asof_stream"] = o["ev_asof"]
     o["ev_rollup_stream"] = _rollup_level("minute")
+    o["ev_sessions_stream"] = o["ev_sessions"]
+
+    # ordered-funnel twin (operators/events.funnel_events, steps
+    # signup→view→click→purchase): the same chained running-min cascade
+    # — window k only counts a step-k row once the previous step's
+    # running min is set; (ts, event_id) is the shared tie order.
+    # Conversion rates divide the exact BIGINT counts in the identical
+    # order as the Spark side so the doubles match bit-for-bit.
+    _fw = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+           "ROWS UNBOUNDED PRECEDING)")
+    o["ev_funnel"] = f"""
+WITH c0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END) {_fw} AS s0
+  FROM events
+),
+c1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view'
+                      AND s0 IS NOT NULL THEN ts END) {_fw} AS s1
+  FROM c0
+),
+c2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click'
+                      AND s1 IS NOT NULL THEN ts END) {_fw} AS s2
+  FROM c1
+),
+c3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase'
+                      AND s2 IS NOT NULL THEN ts END) {_fw} AS s3
+  FROM c2
+),
+pu AS (
+  SELECT user_id, min(s0) AS s0, min(s1) AS s1,
+         min(s2) AS s2, min(s3) AS s3
+  FROM c3 GROUP BY 1
+),
+n AS (
+  SELECT count(s0)::BIGINT AS n0, count(s1)::BIGINT AS n1,
+         count(s2)::BIGINT AS n2, count(s3)::BIGINT AS n3
+  FROM pu
+)
+SELECT 1::BIGINT AS step_idx, 'signup' AS step, n0 AS n_users,
+       1.0::DOUBLE AS conv_from_prev, 1.0::DOUBLE AS conv_from_first
+FROM n
+UNION ALL SELECT 2, 'view', n1,
+       n1 / greatest(n0, 1), n1 / greatest(n0, 1) FROM n
+UNION ALL SELECT 3, 'click', n2,
+       n2 / greatest(n1, 1), n2 / greatest(n0, 1) FROM n
+UNION ALL SELECT 4, 'purchase', n3,
+       n3 / greatest(n2, 1), n3 / greatest(n0, 1) FROM n"""
+
+    # the streaming funnel drains to the same summary (write-once
+    # cascade state → max-per-column batch rollup → funnel_summary)
+    o["ev_funnel_stream"] = o["ev_funnel"]
+
+    # cohort-retention twin (operators/events.retention_cohorts):
+    # (user, day) distinct grain, per-user window min as the cohort,
+    # count(*) needs no DISTINCT because the grain is already unique,
+    # cohort_size via window over the aggregated frame. date_diff('day')
+    # on day-truncated timestamps == Spark's datediff cast to date.
+    o["ev_retention"] = """
+WITH days AS (
+  -- DuckDB's date_trunc('day') yields DATE; cast back to the Spark
+  -- side's timestamp grain
+  SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+  FROM events
+),
+wc AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+),
+agg AS (
+  SELECT cohort_day,
+         date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+         count(*)::BIGINT AS n_users
+  FROM wc GROUP BY 1, 2
+),
+fin AS (
+  SELECT *, max(CASE WHEN day_offset = 0 THEN n_users END)
+              OVER (PARTITION BY cohort_day) AS cohort_size
+  FROM agg
+)
+SELECT cohort_day, day_offset, n_users,
+       cohort_size::BIGINT AS cohort_size,
+       n_users / cohort_size AS retention
+FROM fin"""
 
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""

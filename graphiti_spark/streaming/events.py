@@ -15,6 +15,13 @@ were built for.
 - ``streaming_sessionize`` — the batch ``sessionize`` expression run as
   a stream: native ``session_window`` state with watermark eviction
   (see its docstring for the update-mode contract).
+- ``streaming_funnel`` — per-user ordered-funnel cascade state (one row
+  of k step timestamps, constant per user regardless of stream length);
+  each trigger emits a user's cascade snapshot only when it advanced.
+  Landed snapshots batch-aggregate through the SAME
+  ``operators.events.funnel_summary`` as the batch twin (a cascade slot
+  never changes once set, so max-per-column over snapshots IS the final
+  state) — the lambda shape: live state, periodic batch rollup.
 
 Ordering contract (as-of): within a micro-batch rows are sorted by
 ``(ts, side, event_id)`` — exactly the batch twin's window sort, so the
@@ -36,6 +43,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from graphiti_spark.operators.events import (
     ASOF_PROBE_TYPE,
     ASOF_REF_TYPE,
+    FUNNEL_STEPS,
     _cents,
 )
 
@@ -122,6 +130,73 @@ def streaming_sessionize(
             "session_start", F.col("session_start").cast("timestamp_ntz")
         )
     return out
+
+
+def _funnel_updater(steps: tuple[str, ...]):
+    """Build the per-group state function for :func:`streaming_funnel`.
+
+    State = k nullable timestamps (the earliest qualifying completion of
+    each step so far). Within a micro-batch rows replay in the batch
+    twin's (ts, event_id) sort order, so the tie rules match; across
+    batches correctness rides the ordered-per-key log contract (as for
+    the as-of enrichment). A row is emitted only when the cascade
+    advanced this batch."""
+
+    def update(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterable["pd.DataFrame"]:
+        import pandas as pd
+
+        cascade = list(state.get) if state.exists else [None] * len(steps)
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        changed = False
+        if chunks:
+            rows = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            idx = {s: k for k, s in enumerate(steps)}
+            for ts, etype in zip(rows["ts"], rows["event_type"]):
+                k = idx.get(etype)
+                if k is None or cascade[k] is not None:
+                    continue
+                if k == 0 or cascade[k - 1] is not None:
+                    cascade[k] = ts.to_pydatetime()
+                    changed = True
+        if changed:
+            state.update(tuple(cascade))
+            out = {"user_id": int(key[0])}
+            out.update({f"s{i}": c for i, c in enumerate(cascade)})
+            yield pd.DataFrame([out])
+
+    return update
+
+
+def streaming_funnel(
+    events_stream: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Streaming twin of ``operators.events.funnel_events``: per-user
+    cascade state via ``applyInPandasWithState``. Emits a snapshot row
+    (user_id + one nullable timestamp per step) whenever a user's
+    cascade advances; aggregate the landed snapshots with max-per-column
+    and feed ``funnel_summary`` to land exactly the batch result (each
+    slot is write-once, so the max over snapshots is the final state).
+    """
+    schema = "user_id long, " + ", ".join(
+        f"s{i} timestamp" for i in range(len(steps))
+    )
+    state_schema = ", ".join(f"s{i} timestamp" for i in range(len(steps)))
+    return (
+        events_stream.filter(F.col("event_type").isin(*steps))
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_updater(steps),
+            outputStructType=schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def _update_asof(

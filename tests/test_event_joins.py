@@ -228,3 +228,141 @@ def test_rollup_single_scan_single_shuffle(spark):
     # grouping sets = one Expand feeding one aggregation exchange
     assert plan.count("Expand") == 1, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+# ---------------------------------------------------------- funnel
+
+def test_funnel_order_matters(spark):
+    from graphiti_spark.operators.events import funnel_events
+
+    ev = _ev(spark, [
+        # user 1 completes the whole funnel in order
+        (1, _t(0), 1, "signup", 0.0, "{}"),
+        (2, _t(1), 1, "view", 0.0, "{}"),
+        (3, _t(2), 1, "click", 0.0, "{}"),
+        (4, _t(3), 1, "purchase", 0.0, "{}"),
+        # user 2: a view BEFORE signup must not count; the later view
+        # does, but the click that precedes it must not
+        (5, _t(0), 2, "view", 0.0, "{}"),
+        (6, _t(1), 2, "signup", 0.0, "{}"),
+        (7, _t(2), 2, "click", 0.0, "{}"),
+        (8, _t(3), 2, "view", 0.0, "{}"),
+        # user 3: purchase only — no step completes
+        (9, _t(0), 3, "purchase", 0.0, "{}"),
+    ])
+    out = {r["step"]: r for r in funnel_events(ev).collect()}
+    assert [out[s]["step_idx"] for s in
+            ("signup", "view", "click", "purchase")] == [1, 2, 3, 4]
+    assert out["signup"]["n_users"] == 2
+    assert out["view"]["n_users"] == 2
+    assert out["click"]["n_users"] == 1   # user 2's click precedes the view
+    assert out["purchase"]["n_users"] == 1
+    assert out["click"]["conv_from_prev"] == 0.5
+    assert out["purchase"]["conv_from_first"] == 0.5
+
+
+def test_funnel_tie_rule_same_ts(spark):
+    from graphiti_spark.operators.events import funnel_events
+
+    # all four steps at the SAME timestamp: event_id breaks the tie, so
+    # ascending ids complete the funnel, descending ids do not
+    ev = _ev(spark, [
+        (1, _t(0), 1, "signup", 0.0, "{}"),
+        (2, _t(0), 1, "view", 0.0, "{}"),
+        (3, _t(0), 1, "click", 0.0, "{}"),
+        (4, _t(0), 1, "purchase", 0.0, "{}"),
+        (14, _t(0), 2, "signup", 0.0, "{}"),
+        (13, _t(0), 2, "view", 0.0, "{}"),
+        (12, _t(0), 2, "click", 0.0, "{}"),
+        (11, _t(0), 2, "purchase", 0.0, "{}"),
+    ])
+    out = {r["step"]: r["n_users"] for r in funnel_events(ev).collect()}
+    assert out == {"signup": 2, "view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_plan_single_user_shuffle(spark):
+    from graphiti_spark.operators.events import funnel_events
+
+    ev = _ev(spark, [(1, _t(1), 1, "signup", 0.0, "{}")])
+    plan = (
+        funnel_events(ev)._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    # the k-step cascade reuses ONE user_id exchange (the per-user
+    # groupBy rides the window's partitioning; only the final global
+    # aggregate adds its single-partition exchange)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    for bad in ("NestedLoop", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_funnel_randomized_vs_bruteforce(spark):
+    from graphiti_spark.operators.events import FUNNEL_STEPS, funnel_events
+
+    rng = random.Random(11)
+    rows = []
+    for eid in range(1, 400):
+        rows.append((
+            eid,
+            _t(rng.randrange(0, 240), rng.randrange(0, 60)),
+            rng.randrange(1, 25),
+            rng.choice(FUNNEL_STEPS + ("error",)),
+            0.0,
+            "{}",
+        ))
+    want = [0] * len(FUNNEL_STEPS)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r[2], []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        cascade = [None] * len(FUNNEL_STEPS)
+        for r in evs:
+            for k, s in enumerate(FUNNEL_STEPS):
+                if r[3] == s and cascade[k] is None and (
+                    k == 0 or cascade[k - 1] is not None
+                ):
+                    cascade[k] = r[1]
+                    break
+        for k in range(len(FUNNEL_STEPS)):
+            if cascade[k] is not None:
+                want[k] += 1
+    got = {r["step_idx"]: r["n_users"]
+           for r in funnel_events(_ev(spark, rows)).collect()}
+    assert [got[k + 1] for k in range(len(FUNNEL_STEPS))] == want
+
+
+# ------------------------------------------------------- retention
+
+def test_retention_cohorts_semantics(spark):
+    from graphiti_spark.operators.events import retention_cohorts
+
+    d = datetime(2024, 3, 1, 8, 0)
+
+    def day(n, hour=8):
+        return d + timedelta(days=n, hours=hour - 8)
+
+    ev = _ev(spark, [
+        # user 1: first day 0, returns day 1 and day 3 (two events on
+        # day 1 must count once)
+        (1, day(0), 1, "view", 0.0, "{}"),
+        (2, day(1), 1, "click", 0.0, "{}"),
+        (3, day(1, 23), 1, "view", 0.0, "{}"),
+        (4, day(3), 1, "view", 0.0, "{}"),
+        # user 2: cohort day 0, returns day 1
+        (5, day(0, 12), 2, "view", 0.0, "{}"),
+        (6, day(1), 2, "view", 0.0, "{}"),
+        # user 3: cohort day 1 only
+        (7, day(1), 3, "signup", 0.0, "{}"),
+    ])
+    got = {
+        (r["cohort_day"].day, r["day_offset"]):
+            (r["n_users"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2, 1.0),
+        (1, 1): (2, 2, 1.0),
+        (1, 3): (1, 2, 0.5),
+        (2, 0): (1, 1, 1.0),
+    }

@@ -250,3 +250,79 @@ def test_streaming_asof_state_carries_across_batches(
     assert got[3] == (1, t, 5.0, 3600)
     assert got[4] == (None, None, None, None)
     assert got == _asof_map(asof_join_events(_ev(spark, batch1 + batch2)).collect())
+
+
+def test_streaming_funnel_cascade_merges_across_batches(
+    spark, tmp_path_factory
+):
+    """The per-user cascade state persists across micro-batches: a
+    signup in batch 1 qualifies a view/click arriving in batch 2, while
+    a click BEFORE its qualifying view still never counts. The drained
+    update-mode snapshots, max-rolled per user and fed through the same
+    funnel_summary, equal the batch funnel on the unioned input."""
+    from pyspark.sql import functions as SF
+
+    from graphiti_spark.operators.events import (
+        FUNNEL_STEPS,
+        funnel_events,
+        funnel_summary,
+    )
+    from graphiti_spark.streaming.events import streaming_funnel
+
+    t = datetime(2024, 6, 1, 10, 0)
+    batch1 = [
+        (1, t, 5, "signup", 0.0, "{}"),
+        # user 6's click precedes any view — must never complete step 3
+        (2, t, 6, "signup", 0.0, "{}"),
+        (3, t + timedelta(minutes=1), 6, "click", 0.0, "{}"),
+    ]
+    batch2 = [
+        (4, t + timedelta(minutes=30), 5, "view", 0.0, "{}"),
+        (5, t + timedelta(minutes=40), 5, "click", 0.0, "{}"),
+        (6, t + timedelta(minutes=50), 5, "purchase", 0.0, "{}"),
+        (7, t + timedelta(minutes=60), 6, "view", 0.0, "{}"),
+    ]
+    in_dir = str(tmp_path_factory.mktemp("funnel_in"))
+    seen: set[str] = set()
+    for i, rows in enumerate([batch1, batch2]):
+        _ev(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+        parts = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+        for name in parts - seen:
+            os.utime(
+                os.path.join(in_dir, name),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        seen = parts
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    landed = spark.sql("SELECT * FROM funnel_out")
+    # user 5 advanced in both batches → two snapshots; slots are
+    # write-once so max-per-column reconstructs the final cascade
+    assert landed.filter("user_id = 5").count() == 2
+    per_user = landed.groupBy("user_id").agg(
+        *[SF.max(f"s{i}").alias(f"_s{i}") for i in range(len(FUNNEL_STEPS))]
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_summary(per_user, FUNNEL_STEPS).collect()
+    }
+    want = {
+        r["step"]: r["n_users"]
+        for r in funnel_events(_ev(spark, batch1 + batch2)).collect()
+    }
+    assert got == want
+    assert got == {"signup": 2, "view": 2, "click": 1, "purchase": 1}

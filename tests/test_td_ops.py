@@ -463,3 +463,57 @@ def test_mix_report_shares_sum_to_one(spark, sf_dir):
     plan = (mix_report(docs)._jdf.queryExecution()
             .executedPlan().toString().split("== Initial Plan ==")[0])
     assert plan.count("FileScan") == 1
+
+
+# ------------------------------------------------- unigram LM score
+
+def test_unigram_lm_score_semantics(spark):
+    from graphiti_spark.operators.textstats import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_score(docs, top_v=2).collect()}
+    # counts: a=3, b=1, c=1 → top-2 by (cnt DESC, tok ASC) = {a:3, b:1},
+    # vtotal = 4
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_oov"], r1["sum_vocab_cnt"]) == (3, 0, 7)
+    assert r1["oov_rate"] == 0.0
+    assert r1["mean_token_freq"] == 7 / 3 / 4
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["n_oov"], r2["sum_vocab_cnt"]) == (2, 1, 3)
+    assert r2["oov_rate"] == 0.5
+    # empty docs survive with zeroed signals
+    r3 = out[3]
+    assert (r3["n_tokens"], r3["n_oov"], r3["oov_rate"]) == (0, 0, 0.0)
+
+
+def test_unigram_lm_score_vocab_tie_break(spark):
+    from graphiti_spark.operators.textstats import unigram_lm_score
+
+    # b and c tie at count 2; token ASC keeps b, drops c
+    docs = spark.createDataFrame(
+        [(1, "c b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_score(docs, top_v=1).collect()}
+    assert out[1]["n_oov"] == 1 and out[1]["sum_vocab_cnt"] == 2
+
+
+def test_unigram_lm_score_plan_broadcasts_vocab(spark):
+    from graphiti_spark.operators.textstats import unigram_lm_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    df = unigram_lm_score(docs)
+    df.collect()  # let AQE finalize before reading the plan
+    plan = (
+        df._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    # the V-row vocab broadcasts onto the token explode; top-V is a
+    # distributed TakeOrdered, never a global sort
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
