@@ -323,6 +323,63 @@ def dedup_embedding_cosine(
     )
 
 
+def dedup_semantic(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    max_cluster: int = config.QUADRATIC_BLOCK_CAP,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): k-means
+    cluster the embedding space, then near-dup pairs only WITHIN a
+    cluster — the clustering IS the blocking structure, so the quadratic
+    pair search is bounded by the largest cluster instead of a label
+    block or the corpus.
+
+    Scale design: centroids come from the shared deterministic Lloyd
+    rounds (:func:`~graphiti_spark.operators.similarity.kmeans_centroids`
+    — per round one broadcast + one map-side-combinable mean, identical
+    argmax contract as IVF so the oracle reuses the same unrolled CTEs);
+    assignment is the partial-aggregable max_by
+    (:func:`~graphiti_spark.operators.similarity.assign_to_lists`); the
+    pair join shuffles on cent_id only. Cluster sizes are ENFORCED under
+    ``max_cluster`` (at 100 TB, raise n_centroids so clusters stay
+    bounded) — the same loud-failure contract as the other declared
+    O(block²) stages. Output: (cluster, vec_a, vec_b, cos_sim).
+    """
+    from graphiti_spark.functions.embeddings import cosine
+    from graphiti_spark.operators.similarity import (
+        assign_to_lists,
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    assigned = assign_to_lists(embeddings, cent)
+    assert_block_cap(
+        assigned.select(F.col("cent_id").alias("_blk")), ["_blk"],
+        max_cluster, "dedup_semantic",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cent_id").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def dedup_incremental(batch: DataFrame, stored: DataFrame) -> DataFrame:
     """Cross-snapshot exact dedup — the DAILY shape of a 100 TB pipeline:
     the accumulated store is already deduplicated; today's batch must be

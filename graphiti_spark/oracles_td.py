@@ -329,16 +329,16 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= {k}"""
 
 
-def ann_ivf_kmeans_sql(
-    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-    iterations: int = 2, dim: int = 64,
+def _kmeans_assign_ctes(
+    n_centroids: int = 16, iterations: int = 2, dim: int = 64
 ) -> str:
-    """DuckDB twin of operators/similarity.ann_ivf_kmeans: the Lloyd
-    rounds are UNROLLED as CTE pairs (assign -> per-dimension mean),
-    every argmax on cosine ROUNDED to 4 (ties -> smaller cent_id) and
-    every mean rounded to 6 — the same determinism contract as the other
-    trained-structure oracles, so centroid trajectories match
-    bit-for-bit."""
+    """Unrolled-Lloyd CTE chain (sans WITH) ending in ``assigned(vec_id,
+    embedding, cent_id)`` — the trained-centroid assignment shared by
+    :func:`ann_ivf_kmeans_sql` and the SemDeDup twin (td_dedup_semantic),
+    so the two operators' clustering cannot diverge. Every argmax on
+    cosine is ROUNDED to 4 (ties -> smaller cent_id) and every mean
+    rounded to 6 — the determinism contract matching
+    operators/similarity.kmeans_centroids + assign_to_lists."""
     mean_list = ", ".join(
         f"round(avg(embedding[{i + 1}]), 6)" for i in range(dim)
     )
@@ -362,11 +362,8 @@ cent{r} AS (
   SELECT c.cent_id, coalesce(m.mean, c.cvec) AS cvec
   FROM cent{r - 1} c LEFT JOIN m{r} m USING (cent_id)
 )""")
-    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
     fin = f"cent{iterations}"
-    return f"""
-WITH {", ".join(ctes)},
-assigned AS (
+    ctes.append(f"""assigned AS MATERIALIZED (
   SELECT vec_id, embedding, cent_id FROM (
     SELECT e.vec_id, e.embedding, c.cent_id,
            row_number() OVER (
@@ -375,7 +372,22 @@ assigned AS (
                       c.cent_id ASC) AS r
     FROM embeddings e CROSS JOIN {fin} c
   ) WHERE r = 1
-),
+)""")
+    return ", ".join(ctes)
+
+
+def ann_ivf_kmeans_sql(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    iterations: int = 2, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_ivf_kmeans: the Lloyd
+    rounds are UNROLLED as CTE pairs (assign -> per-dimension mean) via
+    :func:`_kmeans_assign_ctes` — centroid trajectories match
+    bit-for-bit."""
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    fin = f"cent{iterations}"
+    return f"""
+WITH {_kmeans_assign_ctes(n_centroids, iterations, dim)},
 plists AS (
   SELECT probe_id, pvec, cent_id FROM (
     SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cent_id,
@@ -503,6 +515,17 @@ SELECT vec_a, vec_b,
        round(list_cosine_similarity(ea, eb), 4) AS cos_sim
 FROM cand
 WHERE round(list_cosine_similarity(ea, eb), 4) >= 0.35"""
+
+    # SemDeDup twin: the SAME unrolled-Lloyd assignment as the IVF
+    # k-means oracle (shared CTE builder), then within-cluster pairs
+    # verified on rounded cosine
+    o["td_dedup_semantic"] = f"""
+WITH {_kmeans_assign_ctes(16, 2, 64)}
+SELECT a.cent_id AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
 
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
     o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)

@@ -517,3 +517,53 @@ def test_unigram_lm_score_plan_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# -------------------------------------------------- semantic dedup
+
+def test_dedup_semantic_finds_within_cluster_dups(spark, clustered_vectors):
+    from graphiti_spark.operators.dedup import dedup_semantic
+
+    pairs = dedup_semantic(
+        clustered_vectors, threshold=0.9, n_centroids=5, iterations=2
+    ).collect()
+    assert pairs, "tight synthetic clusters must yield near-dup pairs"
+    for r in pairs:
+        # within-cluster only, canonical order, verified similarity
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos_sim"] >= 0.9
+    # same-label vectors were drawn around one center: the bulk of the
+    # found pairs must be true same-label near-dups
+    label = {r["vec_id"]: r["label"] for r in clustered_vectors.collect()}
+    same = sum(1 for r in pairs if label[r["vec_a"]] == label[r["vec_b"]])
+    assert same / len(pairs) >= 0.95
+
+
+def test_dedup_semantic_cluster_cap_raises(spark, clustered_vectors):
+    import pytest as _pytest
+
+    from graphiti_spark.operators.dedup import dedup_semantic
+
+    with _pytest.raises(ValueError, match="dedup_semantic"):
+        dedup_semantic(clustered_vectors, n_centroids=2, max_cluster=10)
+
+
+def test_dedup_semantic_blocks_cross_cluster_pairs(spark):
+    from graphiti_spark.operators.dedup import dedup_semantic
+
+    # two tight, well-separated groups: pairs stay within a group even
+    # at a threshold that would accept any same-group pair
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0 - 0.001 * i] + [0.001 * i] * 63, 0))
+    for i in range(4, 8):
+        rows.append((i, [0.001 * i] + [1.0 - 0.001 * i] + [0.0] * 62, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = dedup_semantic(
+        emb, threshold=0.5, n_centroids=2, iterations=2
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert (r["vec_a"] < 4) == (r["vec_b"] < 4), r
