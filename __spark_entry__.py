@@ -255,6 +255,12 @@ def _q_td_dedup_embedding_lsh(spark, sf_dir):
     return dedup_embedding_cosine(_emb(spark, sf_dir), threshold=0.35)
 
 
+def _q_td_keywords(spark, sf_dir):
+    from graphiti_spark.operators.textstats import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir))
+
+
 def _q_td_dedup_semantic(spark, sf_dir):
     # SemDeDup shape: k-means clusters ARE the blocking structure;
     # within-cluster pairs verified on rounded cosine
@@ -1168,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_retention": _q_ev_retention,
         "td_lm_score": _q_td_lm_score,
         "td_dedup_semantic": _q_td_dedup_semantic,
+        "td_keywords": _q_td_keywords,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         # round-5 late additions (incremental dedup, int8 ANN, packing)

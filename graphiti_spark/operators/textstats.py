@@ -362,6 +362,50 @@ def unigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def doc_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by a TF-IDF
+    weight computed as ``tf * n_docs / df`` — a RATIONAL idf (no log):
+    exact BIGINT numerator, one division identical in both engines, so
+    the weights (and therefore the ranking) hash bit-for-bit. Ties break
+    on token ascending.
+
+    Scale design: ONE logical token explode feeding a (doc, tok) tf
+    aggregate; df is a second aggregate OVER the tf grain (never the raw
+    explode), so the corpus text is scanned twice but tokenized rows
+    shuffle at the (doc, tok) grain only. The tf–df join is a plain hash
+    join on tok — the vocabulary at 100 TB is NOT broadcastable (unlike
+    the top-V LM vocab), so this stays an honest shuffled join; the
+    top-k window partitions by doc_id, whose partition size is bounded
+    by a document's distinct-token count."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    w = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("weight", (F.col("tf") * F.col("n_docs")) / F.col("df"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("tok")
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "doc_id", "rank", F.col("tok").alias("token"),
+            "tf", "df", "weight",
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     """Winnowing-style fingerprint with md5 gram hashes (hex strings) so
     the oracle can reproduce it exactly: word-bigram md5s, lexicographic

@@ -594,6 +594,31 @@ SELECT d.doc_id,
          / vt.vtotal AS mean_token_freq
 FROM documents d LEFT JOIN pd p USING (doc_id) CROSS JOIN vt"""
 
+    # TF-IDF keyword twin (operators/textstats.doc_keywords): rational
+    # idf (tf * n_docs / df — no log), same (weight DESC, token ASC)
+    # rank order; df aggregates over the tf grain in both engines
+    from graphiti_spark.operators.textstats import TFIDF_TOP_K as _TK
+
+    o["td_keywords"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+w AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         (t.tf * n.n_docs) / d.df AS weight
+  FROM tf t JOIN df d USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rank, tok AS token, tf, df, weight FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY weight DESC, tok ASC) AS rank
+  FROM w
+) WHERE rank <= {_TK}"""
+
     o["td_quality_score"] = f"""
 WITH q AS (
   SELECT doc_id,

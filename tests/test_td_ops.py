@@ -567,3 +567,33 @@ def test_dedup_semantic_blocks_cross_cluster_pairs(spark):
     assert pairs
     for r in pairs:
         assert (r["vec_a"] < 4) == (r["vec_b"] < 4), r
+
+
+def test_doc_keywords_tfidf_semantics(spark):
+    from graphiti_spark.operators.textstats import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common common"),
+            (3, "common words only common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+    # doc 1: apple tf=2 df=1 → weight 6.0 beats banana (tf=1 df=2 → 1.5)
+    # and common (tf=2 df=3 → 2.0)
+    assert by_doc[1][0]["token"] == "apple"
+    assert by_doc[1][0]["weight"] == 6.0
+    assert by_doc[1][1]["token"] == "common"
+    # doc 2: cherry (tf=1 df=1 → 3.0) vs common (tf=3 df=3 → 3.0):
+    # tie breaks on token ASC → cherry first
+    assert [r["token"] for r in by_doc[2]] == ["cherry", "common"]
+    # doc 3: the two hapaxes (weight 3.0) outrank common (2.0); the
+    # 3.0-tie breaks on token ASC
+    assert [r["token"] for r in by_doc[3]] == ["only", "words"]
