@@ -261,6 +261,12 @@ def _q_td_keywords(spark, sf_dir):
     return doc_keywords(_docs(spark, sf_dir))
 
 
+def _q_td_ann_pq(spark, sf_dir):
+    from graphiti_spark.operators.similarity import ann_pq
+
+    return ann_pq(_emb(spark, sf_dir), _probes(spark, sf_dir), k=10)
+
+
 def _q_td_dedup_semantic(spark, sf_dir):
     # SemDeDup shape: k-means clusters ARE the blocking structure;
     # within-cluster pairs verified on rounded cosine
@@ -1175,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_lm_score": _q_td_lm_score,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
+        "td_ann_pq": _q_td_ann_pq,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         # round-5 late additions (incremental dedup, int8 ANN, packing)

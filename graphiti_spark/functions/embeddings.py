@@ -158,6 +158,25 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance of two array<float/double> columns (JVM,
+    codegen) — the DuckDB twin is the ``list_distance`` builtin; both
+    sides round to 4 decimals before any argmin, the same determinism
+    contract as rounded cosine."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """cosine similarity (reference search_utils.py:71-82 normalizes then
     dots; helpers.py:116-119 L2-normalizes)."""

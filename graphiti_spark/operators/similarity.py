@@ -418,3 +418,158 @@ def ann_ivf_probe_index(
         .withColumn("cent_id", F.col("cent_id").cast("long"))
     )
     return _topk_over_lists(lists, probe_lists, k)
+
+
+# --------------------------------------------------------------- PQ
+
+# integer ADC scale: per-subspace dot products become floor(x*1e4 + .5)
+# BIGINTs, so the m-term score SUM is exact integer arithmetic — no
+# float-summation order to diverge between engines (floor(x+0.5), not
+# round(), for the same midpoint-rule reason as quantize_int8)
+PQ_SCALE = 10_000
+
+
+def _subvectors(
+    df: DataFrame, m: int, d: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous ``d``-dim subvectors
+    (j = 0..m-1) — the PQ decomposition, shared by training, encoding,
+    and the probe distance tables."""
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    ).withColumn(
+        "sv",
+        F.transform(
+            F.slice(F.col(vec_col), F.col("j") * d + 1, d),
+            lambda x: x.cast("double"),
+        ),
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace k-means codebooks for product quantization: ALL
+    ``m`` subspaces train simultaneously — the Lloyd round is ONE
+    broadcast join + ONE (vec_id, j) argmin aggregate + ONE (j, code)
+    mean, with j in the grouping keys instead of m driver-side loops.
+    Seeds are the first ``n_codes`` vectors' subvectors (code id =
+    seed vec_id, the `_seed_centroids` convention). Determinism
+    contract: argmin on round(l2_dist, 4), ties -> smaller code; means
+    rounded to 6; empty codes keep their previous centroid. Output:
+    (j, code, cvec array<double>)."""
+    from graphiti_spark.functions.embeddings import l2_dist
+
+    d = dim // m
+    seeds = (
+        embeddings.orderBy("vec_id").limit(n_codes)
+        .select(F.col("vec_id").alias("code"), "embedding")
+    )
+    cent = _subvectors(seeds, m, d).select("j", "code", F.col("sv").alias("cvec"))
+    sub = _subvectors(embeddings, m, d).select("vec_id", "j", "sv")
+    for _ in range(iterations):
+        assigned = (
+            sub.join(F.broadcast(cent), "j")
+            .withColumn("_d", F.round(l2_dist(F.col("sv"), F.col("cvec")), 4))
+            .groupBy("vec_id", "j")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("code"), F.col("sv")),
+                    F.struct(F.col("_d"), F.col("code")),
+                ).alias("_a")
+            )
+            .select("j", F.col("_a.code").alias("code"), F.col("_a.sv").alias("sv"))
+        )
+        means = assigned.groupBy("j", "code").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("sv", i + 1)), 6)
+                    for i in range(d)
+                ]
+            ).alias("_m")
+        )
+        cent = (
+            cent.join(means, ["j", "code"], "left")
+            .select(
+                "j", "code", F.coalesce("_m", F.col("cvec")).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def pq_encode(
+    embeddings: DataFrame, cent: DataFrame, m: int = 8, dim: int = 64
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ids — the 16× compression
+    (64 float32 -> 8 bytes at n_codes<=256) that decides whether a
+    100 TB corpus's vectors fit an ANN serving tier. Same argmin
+    contract as training. Output: (vec_id, j, code)."""
+    from graphiti_spark.functions.embeddings import l2_dist
+
+    sub = _subvectors(embeddings, m, dim // m).select("vec_id", "j", "sv")
+    return (
+        sub.join(F.broadcast(cent), "j")
+        .withColumn("_d", F.round(l2_dist(F.col("sv"), F.col("cvec")), 4))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("_d"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): probes score every vector as the SUM over subspaces of a
+    precomputed (probe subvector · code centroid) table lookup — the
+    corpus side touches only the 8-byte codes, never the float vectors.
+
+    Scale design: the distance table is probes × m × n_codes rows —
+    BROADCAST; the codes frame joins it and the per-(probe, vec) score
+    is a map-side-combinable integer sum (PQ_SCALE fixed-point, exact —
+    see PQ_SCALE). One shuffle at (probe, vec) grain + the top-k window
+    per probe. Output schema matches knn_bruteforce (approx_score in
+    place of cos_sim) for recall measurement."""
+    cent = pq_codebooks(embeddings, m, n_codes, iterations, dim)
+    codes = pq_encode(embeddings, cent, m, dim)
+    psub = _subvectors(
+        probes.select(F.col("probe_id"), F.col("embedding")), m, dim // m
+    )
+    dtab = psub.join(F.broadcast(cent), "j").select(
+        "probe_id",
+        "j",
+        "code",
+        F.floor(dot(F.col("sv"), F.col("cvec")) * PQ_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("_di"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["j", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("_di").alias("_s"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            (F.col("_s") / PQ_SCALE).alias("approx_score"),
+            "rank",
+        )
+    )

@@ -410,6 +410,77 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= {k}"""
 
 
+def ann_pq_sql(
+    k: int = 10, m: int = 8, n_codes: int = 16,
+    iterations: int = 2, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_pq: per-subspace Lloyd
+    rounds UNROLLED as CTEs with j in every grouping key (all m
+    subspaces train at once, like the Spark side), argmin on
+    round(list_distance, 4) with ties -> smaller code, means rounded to
+    6, and ADC scores as exact floor(dot*PQ_SCALE + 0.5) BIGINT sums —
+    the fixed-point trick that makes the m-term score sum order-free in
+    both engines."""
+    d = dim // m
+    mean_list = ", ".join(f"round(avg(sv[{i + 1}]), 6)" for i in range(d))
+
+    def assign(src: str, cb: str, keep: str) -> str:
+        return f"""(
+  SELECT * EXCLUDE (r) FROM (
+    SELECT {keep},
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY round(list_distance(s.sv, c.cvec), 4) ASC,
+                      c.code ASC) AS r
+    FROM {src} s JOIN {cb} c ON s.j = c.j
+  ) WHERE r = 1
+)"""
+
+    ctes = [f"""sub AS MATERIALIZED (
+  SELECT vec_id, j, (embedding[j*{d}+1 : j*{d}+{d}])::DOUBLE[] AS sv
+  FROM embeddings CROSS JOIN (SELECT unnest(range({m})) AS j)
+)""", f"""cb0 AS (
+  SELECT s.j, s.vec_id AS code, s.sv AS cvec
+  FROM sub s JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                   LIMIT {n_codes}) seed USING (vec_id)
+)"""]
+    for r in range(1, iterations + 1):
+        ctes.append(
+            f"a{r} AS {assign('sub', f'cb{r - 1}', 's.vec_id, s.j, c.code, s.sv')}"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT j, code, [{mean_list}] AS mean "
+            f"FROM a{r} GROUP BY 1, 2)"
+        )
+        ctes.append(f"""cb{r} AS (
+  SELECT c.j, c.code, coalesce(m.mean, c.cvec) AS cvec
+  FROM cb{r - 1} c LEFT JOIN m{r} m USING (j, code)
+)""")
+    fin = f"cb{iterations}"
+    probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)
+    ctes.append(
+        f"codes AS {assign('sub', fin, 's.vec_id, s.j, c.code')}"
+    )
+    ctes.append(f"""dtab AS (
+  SELECT p.vec_id AS probe_id, c.j, c.code,
+         CAST(floor(list_inner_product(p.sv, c.cvec) * 10000 + 0.5)
+              AS BIGINT) AS di
+  FROM (SELECT * FROM sub WHERE vec_id IN ({probe_list})) p
+  JOIN {fin} c ON p.j = c.j
+)""")
+    ctes.append("""scored AS (
+  SELECT d.probe_id, kk.vec_id, sum(d.di)::BIGINT AS s
+  FROM codes kk JOIN dtab d ON kk.j = d.j AND kk.code = d.code
+  GROUP BY 1, 2
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT probe_id, vec_id, s / 10000.0 AS approx_score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def mmr_sql(k: int = 10, lambda_: float = 0.5, n_cand: int = 20) -> str:
     """DuckDB twin of operators/search.mmr_rerank: the greedy argmax loop
     is UNROLLED into k chained CTEs. Pairwise cosines are rounded to 4 and
@@ -534,6 +605,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
     o["td_ann_lsh"] = ann_lsh_sql(k=10)
     o["td_ann_ivf"] = ann_ivf_sql(k=10)
     o["td_ann_ivf_kmeans"] = ann_ivf_kmeans_sql(k=10)
+    o["td_ann_pq"] = ann_pq_sql(k=10)
     o["sr_mmr"] = mmr_sql(k=10)
 
     probe_list = ", ".join(str(p) for p in ANN_PROBE_IDS)

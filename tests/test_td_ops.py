@@ -597,3 +597,50 @@ def test_doc_keywords_tfidf_semantics(spark):
     # doc 3: the two hapaxes (weight 3.0) outrank common (2.0); the
     # 3.0-tie breaks on token ASC
     assert [r["token"] for r in by_doc[3]] == ["only", "words"]
+
+
+# ------------------------------------------------------------- PQ ANN
+
+def test_ann_pq_recall_vs_bruteforce(spark, clustered_vectors):
+    from graphiti_spark.operators.similarity import ann_pq
+
+    probes = clustered_vectors.where("vec_id in (0, 40, 80)").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = knn_bruteforce(clustered_vectors, probes, k=10)
+    approx = ann_pq(clustered_vectors, probes, k=10)
+    t = {r["probe_id"]: r for r in truth.where("rank = 1").collect()}
+    by_probe: dict[int, list] = {}
+    for r in approx.collect():
+        by_probe.setdefault(r["probe_id"], []).append(r["vec_id"])
+    truth_sets = {}
+    for r in truth.collect():
+        truth_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    label = {r["vec_id"]: r["label"] for r in clustered_vectors.collect()}
+    for pid, got in by_probe.items():
+        assert len(got) == 10
+        # Inside one tight cluster the exact top-10 is a near-tie that
+        # PQ distortion legitimately reshuffles (codes minimize
+        # reconstruction L2, not probe dot, so even self-retrieval is
+        # not guaranteed). What ADC must preserve is the COARSE
+        # structure: everything retrieved is from the probe's cluster
+        # and the exact and approx top-10 overlap.
+        same = sum(1 for v in got if label[v] == label[pid])
+        assert same == 10, (pid, got)
+        assert set(got) & truth_sets[pid], pid
+    # sanity: the exact top-1 is the probe itself
+    assert all(t[pid]["vec_id"] == pid for pid in by_probe)
+
+
+def test_pq_codes_are_compact_and_deterministic(spark, clustered_vectors):
+    from graphiti_spark.operators.similarity import pq_codebooks, pq_encode
+
+    cent = pq_codebooks(clustered_vectors, m=8, n_codes=16, iterations=2)
+    # 8 subspaces × 16 codes, 8-dim double centroids
+    assert cent.count() == 8 * 16
+    assert cent.select("j").distinct().count() == 8
+    codes = pq_encode(clustered_vectors, cent)
+    n = clustered_vectors.count()
+    assert codes.count() == n * 8  # one code per (vector, subspace)
+    again = pq_encode(clustered_vectors, cent)
+    assert codes.exceptAll(again).count() == 0  # deterministic encoding
