@@ -457,6 +457,22 @@ def _q_sr_communities_plurality(spark, sf_dir):
     return label_propagation_rounds(adj, rounds=6)
 
 
+def _q_sr_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank over the weighted undirected entity
+    projection — exactly-K damped rounds, trajectory hash-checked
+    against the unrolled DuckDB twin (oracles.pagerank_sql)."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        pagerank_rounds,
+    )
+
+    g = _graph(spark, sf_dir)
+    adj = build_adjacency(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+    return pagerank_rounds(adj, rounds=3)
+
+
 def _q_sr_mmr(spark, sf_dir):
     from graphiti_spark.operators.search import mmr_rerank
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -1182,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
         "td_ann_pq": _q_td_ann_pq,
+        "sr_pagerank": _q_sr_pagerank,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         # round-5 late additions (incremental dedup, int8 ANN, packing)

@@ -148,6 +148,81 @@ def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame
     return _canonicalize_labels(labels)
 
 
+# PageRank mass per node in integer units: all rank arithmetic is
+# BIGINT (contributions use floor division), so round sums are exact
+# and engine-order-free — the same fixed-point trick as PQ's ADC
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def pagerank_rounds(
+    adjacency: DataFrame, rounds: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Exactly-``rounds`` synchronous PageRank over the weighted
+    undirected projection (:func:`build_adjacency`) — a node-importance
+    signal the reference lacks (its rerankers are distance/mentions
+    based) but hybrid search can fuse like any other score.
+
+    INTEGER-ARITHMETIC trajectory: ranks are BIGINT mass units
+    (PAGERANK_SCALE per node), a node's contribution to each neighbor is
+    ``(rank * edge_count) DIV weighted_degree`` (floor division — exact
+    and identical in both engines for non-negative operands), and the
+    damped update is ``(100-d)%·SCALE + (d·Σcontrib) DIV 100``. No
+    float sums anywhere, so the K-round trajectory is hash-checkable —
+    the DuckDB twin unrolls the same rounds (oracles.pagerank_sql).
+
+    Scale: per round ONE join of the adjacency against the rank frame
+    (both hash-partitioned on the node key) and one map-side-combinable
+    sum; localCheckpoint cuts the K-round lineage like the Lloyd loop.
+    Output: (group_id, uuid, rank_units, rank = units/SCALE).
+    """
+    deg = adjacency.groupBy("group_id", "a").agg(
+        F.sum("edge_count").cast("long").alias("_w")
+    )
+    ranks = deg.select(
+        "group_id",
+        F.col("a").alias("uuid"),
+        F.lit(PAGERANK_SCALE).cast("long").alias("r"),
+    )
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    for _ in range(rounds):
+        contrib = (
+            adjacency.join(deg, ["group_id", "a"])
+            .join(
+                ranks.select(
+                    "group_id", F.col("uuid").alias("a"), "r"
+                ),
+                ["group_id", "a"],
+            )
+            .select(
+                "group_id",
+                F.col("b").alias("uuid"),
+                F.expr("(r * edge_count) div _w").alias("_c"),
+            )
+            .groupBy("group_id", "uuid")
+            .agg(F.sum("_c").cast("long").alias("_in"))
+        )
+        ranks = (
+            ranks.join(contrib, ["group_id", "uuid"], "left")
+            .select(
+                "group_id",
+                "uuid",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_in, 0L)) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "group_id",
+        "uuid",
+        F.col("r").alias("rank_units"),
+        (F.col("r") / PAGERANK_SCALE).alias("rank"),
+    )
+
+
 def summarize_communities(
     assignments: DataFrame, nodes: DataFrame, max_chars: int = 1000
 ) -> DataFrame:

@@ -159,6 +159,61 @@ JOIN (SELECT label, min(uuid) AS community FROM {prev} GROUP BY label) c
     return sql
 
 
+def pagerank_sql(
+    rounds: int = 3, damping_pct: int = 85,
+    group: str = "megacorp/monorepo",
+) -> str:
+    """DuckDB twin of operators.community.pagerank_rounds: the K damped
+    rounds unrolled as chained CTEs over the same weighted undirected
+    projection. ALL arithmetic is BIGINT — contributions are
+    ``(r * edge_count) // w`` floor divisions and the damped update is
+    integer, so the trajectory matches the Spark side exactly (no float
+    summation order anywhere). Appended after the kg CTE prefix."""
+    from graphiti_spark.operators.community import PAGERANK_SCALE
+
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    sql = f"""
+, pr_pairs AS MATERIALIZED (
+  SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+  FROM edges
+  WHERE group_id = '{group}' AND source_node_uuid <> target_node_uuid
+),
+pr_adj AS MATERIALIZED (
+  SELECT group_id, a, b, count(*)::BIGINT AS edge_count FROM (
+    SELECT group_id, a, b FROM pr_pairs
+    UNION ALL SELECT group_id, b AS a, a AS b FROM pr_pairs
+  ) GROUP BY group_id, a, b
+),
+pr_deg AS MATERIALIZED (
+  SELECT group_id, a, sum(edge_count)::BIGINT AS w
+  FROM pr_adj GROUP BY 1, 2
+),
+pr_r0 AS MATERIALIZED (
+  SELECT group_id, a AS uuid, {PAGERANK_SCALE}::BIGINT AS r FROM pr_deg)"""
+    prev = "pr_r0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+pr_c{i} AS (
+  SELECT adj.group_id, adj.b AS uuid,
+         sum((r.r * adj.edge_count) // d.w)::BIGINT AS cin
+  FROM pr_adj adj
+  JOIN pr_deg d ON d.group_id = adj.group_id AND d.a = adj.a
+  JOIN {prev} r ON r.group_id = adj.group_id AND r.uuid = adj.a
+  GROUP BY 1, 2
+),
+pr_r{i} AS MATERIALIZED (
+  SELECT p.group_id, p.uuid,
+         ({base} + ({damping_pct} * coalesce(c.cin, 0)) // 100)::BIGINT AS r
+  FROM {prev} p LEFT JOIN pr_c{i} c USING (group_id, uuid)
+)"""
+        prev = f"pr_r{i}"
+    sql += f"""
+SELECT group_id, uuid, r AS rank_units,
+       r / {PAGERANK_SCALE}.0 AS rank
+FROM {prev}"""
+    return sql
+
+
 def kg_cte_prefix(documents: str = "documents") -> str:
     """The shared WITH-chain mirroring plans/pipeline.build_graph — the
     entire pipeline (synthesis → episodes → extraction → exact + FUZZY
@@ -661,6 +716,7 @@ GROUP BY group_id""",
         # the CC variant sr_communities checks the min-rule fixpoint;
         # this row hash-checks the PLURALITY trajectory itself)
         "sr_communities_plurality": p + plurality_lpa_sql(rounds=6),
+        "sr_pagerank": p + pagerank_sql(rounds=3),
         # point query: edges between two entities, both orientations
         # (get_between_nodes, namespaces/edges.py:92 — used by add_episode
         # step 6d, edge_operations.py:365-370); probes = megacorp's

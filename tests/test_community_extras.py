@@ -117,3 +117,30 @@ def test_concatenate_episodes(spark):
     out = df.select(concatenate_episodes(F.col("eps")).alias("s")).collect()[0]["s"]
     assert out.index("[Episode 1]") < out.index("[Episode 2]")
     assert "first" in out and "second" in out
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """Integer PageRank invariants on a star: the hub out-ranks every
+    leaf, leaves tie exactly (integer arithmetic — no float noise), the
+    trajectory is deterministic, and floor division never creates mass."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.community import (
+        PAGERANK_SCALE,
+        build_adjacency,
+        pagerank_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [("g", "hub", f"leaf{i}") for i in range(5)],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+    adj = build_adjacency(edges)
+    out = {r["uuid"]: r["rank_units"] for r in pagerank_rounds(adj).collect()}
+    assert len(out) == 6
+    leaf_ranks = {v for k, v in out.items() if k != "hub"}
+    assert len(leaf_ranks) == 1  # exact tie, integer trajectory
+    assert out["hub"] > max(leaf_ranks)
+    assert sum(out.values()) <= 6 * PAGERANK_SCALE  # mass never created
+    again = {r["uuid"]: r["rank_units"] for r in pagerank_rounds(adj).collect()}
+    assert out == again
