@@ -90,11 +90,32 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     )
     from graphiti_spark.operators.dedup import dedup_simhash
 
+    from graphiti_spark.operators.dedup import dedup_semantic
+    from graphiti_spark.operators.events import (
+        funnel_events,
+        retention_cohorts,
+    )
+    from graphiti_spark.operators.similarity import ann_pq
+    from graphiti_spark.operators.textstats import (
+        doc_keywords,
+        unigram_lm_score,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # NOTE: the round-5 additions below grow the suite total — compare
+    # per-query entries across rounds, not totals (same caveat as r2)
     for name, thunk in [
         ("td_dedup_minhash", lambda: dedup_minhash_lsh(docs, threshold=0.5)),
         ("td_dedup_simhash", lambda: dedup_simhash(docs)),
         ("td_ann_bruteforce", lambda: knn_bruteforce(emb, probes, k=10)),
         ("sr_bm25", lambda: bm25_scores(docs, ["spark", "merge", "query"])),
+        ("td_dedup_semantic", lambda: dedup_semantic(emb)),
+        ("td_ann_pq", lambda: ann_pq(emb, probes, k=10)),
+        ("td_lm_score", lambda: unigram_lm_score(docs)),
+        ("td_keywords", lambda: doc_keywords(docs)),
+        ("ev_funnel", lambda: funnel_events(events)),
+        ("ev_retention", lambda: retention_cohorts(events)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

@@ -289,9 +289,17 @@ def dedup_embedding_cosine(
     acceptable only when blocks are bounded. LSH recall vs the exact twin
     is asserted >= 0.9 in tests/test_td_ops.py
     (test_embedding_cosine_lsh_recall_vs_exact)."""
-    from graphiti_spark.functions.embeddings import cosine
+    from graphiti_spark.functions.embeddings import dot, l2_norm
 
-    d = embeddings.select("vec_id", "embedding", "label")
+    # L2 norm precomputed per ROW, not per pair: the fold inside
+    # cosine() is an interpreted higher-order function, so norm-per-pair
+    # costs 3 array folds per candidate where norm-per-row costs 1 plus
+    # 1 per vector — identical arithmetic (dot/(na*nb), same operation
+    # order), oracle hashes unchanged (same trick as dedup_semantic)
+    d = embeddings.select(
+        "vec_id", "embedding", "label",
+        l2_norm(F.col("embedding")).alias("_n"),
+    )
     if method == "lsh":
         from graphiti_spark.operators.similarity import make_hyperplane_keys_udf
 
@@ -310,16 +318,20 @@ def dedup_embedding_cosine(
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.embedding").alias("_ea"),
             F.col("b.embedding").alias("_eb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
     )
     if method == "lsh":
         out = out.dropDuplicates(["vec_a", "vec_b"])
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(
+        denom > 0, dot(F.col("_ea"), F.col("_eb")) / denom
+    ).otherwise(F.lit(0.0))
     return (
-        out.withColumn(
-            "cos_sim", F.round(cosine(F.col("_ea"), F.col("_eb")), 4)
-        )
+        out.withColumn("cos_sim", F.round(sim, 4))
         .where(F.col("cos_sim") >= threshold)
-        .drop("_ea", "_eb")
+        .drop("_ea", "_eb", "_na", "_nb")
     )
 
 
@@ -347,7 +359,6 @@ def dedup_semantic(
     bounded) — the same loud-failure contract as the other declared
     O(block²) stages. Output: (cluster, vec_a, vec_b, cos_sim).
     """
-    from graphiti_spark.functions.embeddings import cosine
     from graphiti_spark.operators.similarity import (
         assign_to_lists,
         kmeans_centroids,
@@ -356,12 +367,32 @@ def dedup_semantic(
     cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
         "cent_id", F.col("cvec").alias("_cent")
     )
-    assigned = assign_to_lists(embeddings, cent)
+    from graphiti_spark.functions.embeddings import dot, l2_norm
+
+    # materialize the assignment ONCE: it feeds the cap guard AND both
+    # sides of the self-join — left lazy, the broadcast+max_by argmax
+    # subtree would be evaluated three times (the r3 double-evaluation
+    # lesson). The L2 norm is precomputed per ROW here because the
+    # higher-order-function folds inside cosine() are interpreted (they
+    # break whole-stage codegen): norm-per-pair would fold 3 arrays per
+    # candidate pair, norm-per-row folds 1 per pair plus 1 per vector —
+    # identical arithmetic (dot/(na*nb), same operation order), so the
+    # oracle hash is unchanged.
+    assigned = (
+        assign_to_lists(embeddings, cent)
+        .withColumn("_n", l2_norm(F.col("embedding")))
+        .localCheckpoint()
+    )
     assert_block_cap(
         assigned.select(F.col("cent_id").alias("_blk")), ["_blk"],
         max_cluster, "dedup_semantic",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    denom = F.col("a._n") * F.col("b._n")
+    sim = F.when(
+        denom > 0,
+        dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
+    ).otherwise(F.lit(0.0))
     return (
         a.join(
             b,
@@ -372,9 +403,7 @@ def dedup_semantic(
             F.col("a.cent_id").alias("cluster"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), 4
-            ).alias("cos_sim"),
+            F.round(sim, 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
