@@ -177,6 +177,18 @@ def _q_kg_triples_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal snapshot diff (operators/temporal.asof_diff): facts
+    added/removed/kept between 2024-03-01 and the EPISODE_REF_TIME
+    instant — one scan, both liveness predicates in one projection."""
+    from graphiti_spark.operators.temporal import asof_diff
+    from graphiti_spark.oracles_td import EPISODE_REF_TIME
+
+    return asof_diff(
+        _graph(spark, sf_dir).edges, "2024-03-01 00:00:00", EPISODE_REF_TIME
+    )
+
+
 def _q_invalidated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _graph(spark, sf_dir).edges
     return e.where(F.col("invalid_at").isNotNull()).select(
@@ -1199,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_keywords": _q_td_keywords,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
+        "kg_asof_diff": _q_kg_asof_diff,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         # round-5 late additions (incremental dedup, int8 ANN, packing)

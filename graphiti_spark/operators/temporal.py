@@ -196,3 +196,46 @@ def valid_as_of(edges: DataFrame, event_time: str) -> DataFrame:
         (F.col("valid_at") <= ts)
         & (F.col("invalid_at").isNull() | (F.col("invalid_at") > ts))
     )
+
+
+def asof_diff(edges: DataFrame, t1: str, t2: str) -> DataFrame:
+    """Snapshot DIFF between two event-time instants: which facts were
+    added, removed, or kept going from the world-at-``t1`` to the
+    world-at-``t2`` — the change-audit query the bi-temporal windows
+    make answerable without any event replay.
+
+    Scale design: NOT a join of two :func:`valid_as_of` snapshots (a
+    corpus-sized self-join); both instants' liveness predicates are
+    evaluated in ONE projection over a single edges scan and the status
+    is a CASE over the two booleans — the diff costs exactly one pass
+    regardless of how far apart the instants are."""
+    def live(ts_col):
+        return (F.col("valid_at") <= ts_col) & (
+            F.col("invalid_at").isNull() | (F.col("invalid_at") > ts_col)
+        )
+
+    a1 = live(F.lit(t1).cast("timestamp"))
+    a2 = live(F.lit(t2).cast("timestamp"))
+    return (
+        edges.select(
+            "uuid",
+            "group_id",
+            F.col("name").alias("predicate"),
+            "valid_at",
+            "invalid_at",
+            a1.alias("_a1"),
+            a2.alias("_a2"),
+        )
+        .where(F.col("_a1") | F.col("_a2"))
+        .select(
+            "uuid",
+            "group_id",
+            "predicate",
+            "valid_at",
+            "invalid_at",
+            F.when(F.col("_a1") & F.col("_a2"), F.lit("kept"))
+            .when(F.col("_a1"), F.lit("removed"))
+            .otherwise(F.lit("added"))
+            .alias("status"),
+        )
+    )

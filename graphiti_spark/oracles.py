@@ -554,6 +554,24 @@ JOIN nodes ns ON ns.uuid = e.source_node_uuid
 JOIN nodes nt ON nt.uuid = e.target_node_uuid
 WHERE e.valid_at <= TIMESTAMP '2024-06-01 00:00:00'
   AND (e.invalid_at IS NULL OR e.invalid_at > TIMESTAMP '2024-06-01 00:00:00')""",
+        # snapshot diff between two event-time instants
+        # (operators/temporal.asof_diff): both liveness predicates in one
+        # scan, status = CASE over the two booleans
+        "kg_asof_diff": p
+        + """
+SELECT uuid, group_id, name AS predicate, valid_at, invalid_at,
+       CASE WHEN a1 AND a2 THEN 'kept'
+            WHEN a1 THEN 'removed' ELSE 'added' END AS status
+FROM (
+  SELECT *,
+    (valid_at <= TIMESTAMP '2024-03-01 00:00:00' AND
+     (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-03-01 00:00:00'))
+      AS a1,
+    (valid_at <= TIMESTAMP '2024-06-01 00:00:00' AND
+     (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-06-01 00:00:00'))
+      AS a2
+  FROM edges
+) WHERE a1 OR a2""",
         "kg_invalidated_edges": p
         + """
 SELECT uuid, group_id, source_node_uuid, target_node_uuid, name,

@@ -157,3 +157,43 @@ def test_asof_exclusivity_invariant(spark, sf_dir):
         )
         assert dup == 0, f"exclusivity violated at {t}"
     excl.unpersist()
+
+
+def test_asof_diff_added_removed_kept(spark):
+    """asof_diff invariants on a hand-built window set: a fact valid
+    only between the instants is 'removed', one starting between them
+    is 'added', one spanning both is 'kept', and facts live at neither
+    instant are absent. Plan: one scan, no join."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.temporal import asof_diff, valid_as_of
+
+    def t(m, d):
+        return datetime(2024, m, d)
+
+    edges = spark.createDataFrame(
+        [
+            ("e_kept", "g", "works_at", t(1, 1), None),
+            ("e_removed", "g", "works_at", t(1, 1), t(4, 1)),
+            ("e_added", "g", "works_at", t(5, 1), None),
+            ("e_never", "g", "works_at", t(7, 1), None),
+            ("e_closed_before", "g", "works_at", t(1, 1), t(2, 1)),
+        ],
+        "uuid string, group_id string, name string, "
+        "valid_at timestamp, invalid_at timestamp",
+    )
+    t1, t2 = "2024-03-01 00:00:00", "2024-06-01 00:00:00"
+    got = {r["uuid"]: r["status"] for r in asof_diff(edges, t1, t2).collect()}
+    assert got == {
+        "e_kept": "kept", "e_removed": "removed", "e_added": "added",
+    }
+    # consistency with the two snapshots it diffs
+    s1 = {r["uuid"] for r in valid_as_of(edges, t1).collect()}
+    s2 = {r["uuid"] for r in valid_as_of(edges, t2).collect()}
+    assert {u for u, s in got.items() if s in ("kept", "removed")} == s1
+    assert {u for u, s in got.items() if s in ("kept", "added")} == s2
+    plan = (
+        asof_diff(edges, t1, t2)._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    assert "Join" not in plan and "Exchange" not in plan, plan[:1500]
