@@ -142,7 +142,7 @@ class SearchConfig:
 
     scopes: tuple[str, ...] = ("edges", "nodes", "episodes", "communities")
     limit: int = config.DEFAULT_SEARCH_LIMIT
-    rerank: str = "rrf"  # rrf | mmr | cross_encoder | node_distance | episode_mentions
+    rerank: str = "rrf"  # rrf | mmr | cross_encoder | node_distance | episode_mentions | pagerank
     # include the graph-proximity BFS method in the edges/nodes fan-out
     # (EdgeSearchMethod.bfs / NodeSearchMethod.bfs — only the combined
     # cross-encoder recipe enables it, search_config_recipes.py:80-99);
@@ -1545,7 +1545,8 @@ class GraphitiSpark:
         35-41; candidates ranked by discovery depth, search.py:301-312) —
         fused with RRF, then the configured reranker (rrf | mmr |
         cross_encoder | node_distance | episode_mentions —
-        search.py:253-460) cuts to limit. Deterministic hash embedder
+        search.py:253-460 — or the beyond-reference pagerank) cuts to
+        limit. Deterministic hash embedder
         stands in for the query embedding client; ``center_node_uuid``
         feeds the node-distance reranker (falls back to RRF order when
         absent, like the reference's guard)."""
@@ -1712,6 +1713,46 @@ class GraphitiSpark:
                 return (
                     nd.select(F.col("_cand").alias("uuid"), "distance")
                     .orderBy(F.asc_nulls_last("distance"), F.asc("uuid"))
+                    .limit(limit)
+                )
+            if rerank == "pagerank":
+                # beyond-reference reranker: global node importance from
+                # the integer-PageRank trajectory. Guard like
+                # node_distance: non-graph scopes keep RRF order. The
+                # adjacency is scoped to the CANDIDATES' groups (a tiny
+                # broadcast semi-join) so opting in never runs
+                # whole-store PageRank per query — the community-rebuild
+                # scale lesson applied up front.
+                if scope not in ("nodes", "edges"):
+                    return ranked_top_k(fused, "rrf_score", "uuid", limit)
+                from graphiti_spark.operators.community import (
+                    build_adjacency,
+                    pagerank_rounds,
+                )
+
+                if scope == "edges":
+                    m = self._table("edges").select(
+                        "uuid", F.col("source_node_uuid").alias("_n"),
+                        "group_id",
+                    )
+                else:
+                    m = df.select(
+                        F.col(id_col).alias("uuid"),
+                        F.col(id_col).alias("_n"), "group_id",
+                    )
+                pooled = pool.join(m, "uuid")
+                grp = pooled.select("group_id").distinct()
+                scoped = self._table("edges").join(
+                    F.broadcast(grp), "group_id", "left_semi"
+                )
+                pr = pagerank_rounds(build_adjacency(scoped)).select(
+                    F.col("uuid").alias("_n"), "rank_units"
+                )
+                return (
+                    pooled.join(pr, "_n", "left")
+                    .fillna(0, ["rank_units"])
+                    .select("uuid", "rank_units")
+                    .orderBy(F.desc("rank_units"), F.asc("uuid"))
                     .limit(limit)
                 )
             if rerank == "episode_mentions":

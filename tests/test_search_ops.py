@@ -86,3 +86,34 @@ def test_mmr_demotes_redundant_candidates(spark):
         mmr_rerank(cands, k=3).collect(), key=lambda r: r["mmr_rank"]
     )
     assert [r["vec_id"] for r in out] == [1, 3, 2]
+
+
+def test_search_pagerank_reranker(spark, sf_dir):
+    """The beyond-reference pagerank reranker: graph scopes rerank by
+    integer-PageRank node importance (edges via their source node);
+    non-graph scopes keep RRF order; candidate sets match the RRF run
+    (rerank only reorders the pool's cut)."""
+    from graphiti_spark.api import GraphitiSpark
+    from graphiti_spark.sources import synth_source_files
+
+    g = GraphitiSpark(spark)
+    g.add_episode_bulk(synth_source_files(spark, sf_dir))
+    res = g.search("spark merge query", limit=5, rerank="pagerank")
+    assert res["nodes"].count() > 0
+    assert res["edges"].count() > 0
+    assert res["episodes"].count() > 0  # non-graph scope: RRF fallback
+    # reranked nodes come out ordered by their pagerank units
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        pagerank_rounds,
+    )
+
+    pr = {
+        r["uuid"]: r["rank_units"]
+        for r in pagerank_rounds(
+            build_adjacency(g._table("edges"))
+        ).collect()
+    }
+    got = [r["uuid"] for r in res["nodes"].collect()]
+    units = [pr.get(u, 0) for u in got]
+    assert units == sorted(units, reverse=True)
