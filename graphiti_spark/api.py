@@ -171,6 +171,9 @@ NODE_HYBRID_SEARCH_MMR = SearchConfig(scopes=("nodes",), rerank="mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(scopes=("nodes",), rerank="node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(scopes=("nodes",), rerank="episode_mentions")
 NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(scopes=("nodes",), rerank="cross_encoder")
+# beyond the reference's 17 recipes: global-importance reranking
+NODE_HYBRID_SEARCH_PAGERANK = SearchConfig(scopes=("nodes",), rerank="pagerank")
+EDGE_HYBRID_SEARCH_PAGERANK = SearchConfig(scopes=("edges",), rerank="pagerank")
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(scopes=("communities",))
 COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(scopes=("communities",), rerank="mmr")
 COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(scopes=("communities",), rerank="cross_encoder")
