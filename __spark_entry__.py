@@ -485,6 +485,25 @@ def _q_sr_pagerank(spark, sf_dir):
     return pagerank_rounds(adj, rounds=3)
 
 
+def _q_sr_entity_timeline(spark, sf_dir):
+    from graphiti_spark.operators.temporal import entity_timeline
+
+    g = _graph(spark, sf_dir)
+    return entity_timeline(g.edges, g.nodes)
+
+
+def _q_sr_degree_stats(spark, sf_dir):
+    from graphiti_spark.operators.community import degree_stats
+
+    return degree_stats(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_triangles(spark, sf_dir):
+    from graphiti_spark.operators.community import triangle_count
+
+    return triangle_count(_graph(spark, sf_dir).edges)
+
+
 def _q_sr_mmr(spark, sf_dir):
     from graphiti_spark.operators.search import mmr_rerank
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -1107,10 +1126,22 @@ def _q_td_common_spans(spark, sf_dir):
     return common_spans(_docs(spark, sf_dir))
 
 
+def _q_td_scrub_spans(spark, sf_dir):
+    from graphiti_spark.operators.dedup import scrub_spans
+
+    return scrub_spans(_docs(spark, sf_dir))
+
+
 def _q_td_sample_hash(spark, sf_dir):
     from graphiti_spark.operators.textstats import sample_by_hash
 
     return sample_by_hash(_docs(spark, sf_dir))
+
+
+def _q_td_split(spark, sf_dir):
+    from graphiti_spark.operators.textstats import train_split
+
+    return train_split(_docs(spark, sf_dir))
 
 
 def _q_td_dedup_incremental(spark, sf_dir):
@@ -1169,15 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
         "kg_triples_asof": _q_kg_triples_asof,
-        "kg_invalidated_edges": _q_invalidated_edges,
-        "kg_duplicate_of": _q_kg_duplicate_of,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_node_attributes": _q_kg_node_attributes,
         "kg_node_summaries": _q_kg_node_summaries,
-        "kg_node_embeddings": _q_kg_node_embeddings,
-        "kg_edge_embeddings": _q_kg_edge_embeddings,
         "kg_saga_nodes": _q_kg_saga_nodes,
-        "kg_next_episode_edges": _q_kg_next_episode_edges,
         "sr_communities_plurality": _q_sr_communities_plurality,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
@@ -1197,6 +1223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_curation": _q_td_curation,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
+        "td_scrub_spans": _q_td_scrub_spans,
+        "td_split": _q_td_split,
+        "sr_entity_timeline": _q_sr_entity_timeline,
+        "sr_degree_stats": _q_sr_degree_stats,
+        "sr_triangles": _q_sr_triangles,
         "sr_hybrid": _q_sr_hybrid,
         "sr_cross_encoder": _q_sr_cross_encoder,
         "sr_filtered_search": _q_sr_filtered_search,
@@ -1209,6 +1240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_next_episode_edges": _q_kg_next_episode_edges,
+        "kg_edge_embeddings": _q_kg_edge_embeddings,
+        "kg_node_embeddings": _q_kg_node_embeddings,
+        "kg_duplicate_of": _q_kg_duplicate_of,
+        "kg_invalidated_edges": _q_invalidated_edges,
         "td_mix_rebalance": _q_td_mix_rebalance,
         "td_mix_report": _q_td_mix_report,
         "ev_windowed": _q_ev_windowed,

@@ -559,3 +559,136 @@ def community_nodes_cc(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_members")
     )
     return assign.join(sizes, ["group_id", "community"])
+
+
+# largest power-of-two degree bucket checked by degree_stats; 2^20 ~ 1M
+# neighbors is beyond any plausible entity degree after resolution
+DEGREE_BUCKET_MAX_EXP = 20
+
+
+def _pow2_bucket(col: F.Column) -> F.Column:
+    """floor(log2(col)) as an EXACT integer CASE chain — float log2 of an
+    exact power of two can land on 2.999… in one engine and 3.0 in the
+    other, so both dialects compare against integer literals instead
+    (the DuckDB twin renders the same chain)."""
+    expr = F.lit(0)
+    for e in range(1, DEGREE_BUCKET_MAX_EXP + 1):
+        expr = F.when(col >= F.lit(1 << e), F.lit(e)).otherwise(expr)
+    return expr
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the entity graph, the first thing a graph
+    owner checks for skew before sizing shuffles: distinct-neighbor
+    degree per node, bucketed by power of two. Output per (group_id,
+    bucket): (n_nodes, min_degree, max_degree). The adjacency groupBy
+    and the per-node count shuffle on the same (group, node) key; the
+    bucket aggregation is map-side combinable — three narrow shuffles,
+    no window over the corpus."""
+    deg = (
+        build_adjacency(edges)
+        .groupBy("group_id", "a")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("group_id", _pow2_bucket(F.col("degree")).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Distributed triangle counting by degree-ordered orientation (the
+    standard MapReduce formulation, Suri & Vassilvitskii 2011 "Counting
+    Triangles and the Curse of the Last Reducer"): orient every
+    undirected edge from the endpoint with smaller (degree, uuid) to the
+    larger, build wedges at the LOW-degree endpoint, then close them
+    against the oriented edge set. Orientation bounds per-node wedge
+    fan-out by O(sqrt(m)) — the hub that would generate deg^2 wedges in
+    the naive self-join generates none, because hubs sort LAST and
+    receive only incoming oriented edges.
+
+    Output per group: (group_id, n_nodes, n_edges, n_wedges,
+    n_triangles) — integers only; ratios (clustering coefficient) are
+    downstream divisions the caller controls."""
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("v"))
+        .unionByName(und.select("group_id", F.col("b").alias("v")))
+        .groupBy("group_id", "v")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(
+        "group_id", F.col("v").alias("a"), F.col("degree").alias("_dega")
+    )
+    db = deg.select(
+        "group_id", F.col("v").alias("b"), F.col("degree").alias("_degb")
+    )
+    lower_a = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge u -> v carries v's (degree, uuid) sort key so wedge
+    # pairs can be ordered by the SAME key the orientation used — a
+    # uuid-only order would mis-orient the closing edge whenever the two
+    # out-neighbors' degree order disagrees with their uuid order
+    oriented = (
+        und.join(da, ["group_id", "a"]).join(db, ["group_id", "b"])
+        .select(
+            "group_id",
+            F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_a, F.col("_degb")).otherwise(F.col("_dega"))
+            .alias("vdeg"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, ["group_id", "u"])
+        .where(
+            (F.col("e1.vdeg") < F.col("e2.vdeg"))
+            | (
+                (F.col("e1.vdeg") == F.col("e2.vdeg"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        )
+        .select(
+            "group_id",
+            F.col("e1.v").alias("x"),
+            F.col("e2.v").alias("y"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(
+            "group_id", F.col("u").alias("x"), F.col("v").alias("y")
+        ).withColumn("_hit", F.lit(1)),
+        ["group_id", "x", "y"],
+        "left",
+    )
+    per_group = closed.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+        .alias("n_triangles"),
+    )
+    sizes = und.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_edges")
+    ).join(
+        deg.groupBy("group_id").agg(F.count("*").cast("long").alias("n_nodes")),
+        "group_id",
+    )
+    return sizes.join(per_group, "group_id", "left").select(
+        "group_id", "n_nodes", "n_edges",
+        F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+        .alias("n_triangles"),
+    )

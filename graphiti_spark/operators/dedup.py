@@ -590,3 +590,95 @@ def contamination(
             (F.col("n_matched") > 0).alias("contaminated"),
         )
     )
+
+
+def scrub_spans(
+    docs: DataFrame, k: int = config.SPAN_GRAM_TOKENS, min_docs: int = 2
+) -> DataFrame:
+    """ExactSubstr dedup as a *rewrite*, not just a report (Lee et al.
+    2022 §4.1 remove the duplicated substring itself rather than the
+    whole document; common_spans only REPORTS the overlapping pairs).
+    Every token covered by a k-token span that occurs in >= ``min_docs``
+    distinct documents is dropped; the survivors are re-joined in order.
+    Output per doc: (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale shape (100 TB): positioned span hashes are one projection +
+    explode (no shuffle); duplicated-hash detection is a hash-shuffle
+    groupBy with map-side partial counts — unlike common_spans there is
+    NO pair materialization, so a boilerplate span shared by half the
+    corpus costs one counter, never O(n²) rows. Coverage expansion is a
+    bounded explode (k rows per duplicated span occurrence), the kept-
+    token anti-join shuffles on (doc_id, idx), and the final reassembly
+    is one groupBy(doc_id) whose collect_list is bounded by document
+    length — the same per-doc bound the tokenizer already imposes.
+    """
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    spans = t.select(
+        "doc_id",
+        F.explode(_positioned_span_hashes_from_tokens(F.col("_t"), k)).alias("_s"),
+    ).select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = t.select(
+        "doc_id",
+        F.posexplode(F.col("_t")).alias("_i0", "tok"),
+    ).select("doc_id", (F.col("_i0") + 1).alias("idx"), "tok")
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    n_tok = F.size("_t").cast("long")
+    return (
+        t.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (n_tok - F.coalesce(F.col("_nk"), F.lit(0))).cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def _positioned_span_hashes_from_tokens(toks: F.Column, k: int) -> F.Column:
+    """(pos, md5(span)) structs for every k-token span — the positioned
+    sibling of :func:`_span_hashes` (which distincts and drops
+    positions). Takes the token ARRAY so scrub_spans, which also needs
+    the array for the token explode and the length, evaluates the
+    tokenizer once per row. 1-based ``pos`` matches DuckDB list
+    indexing so the oracle derivation is literally the same
+    arithmetic."""
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))

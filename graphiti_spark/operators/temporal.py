@@ -239,3 +239,31 @@ def asof_diff(edges: DataFrame, t1: str, t2: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def entity_timeline(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Chronological fact history per entity — the query a graphiti user
+    asks after ingestion ("what happened to X, in order?"): every fact
+    where the entity is the SUBJECT, ordered by the event-time validity
+    window (get_entity_edges-by-node in the reference, nodes.py:663-675
+    + search_utils.py edge ordering; here with an explicit rank so the
+    bi-temporal interval sequence is part of the checked contract).
+
+    Output: (group_id, entity, fact, valid_at, invalid_at, pos) with
+    ``pos`` = 1-based position in (valid_at, edge uuid) order. One
+    shuffle: the window partitions by (group_id, subject uuid) — the
+    same key the store buckets by, so at 100 TB the sort runs within
+    already-co-located partitions; the name join broadcasts the
+    (group-pruned) node dimension."""
+    w = Window.partitionBy("group_id", "source_node_uuid").orderBy(
+        "valid_at", "uuid"
+    )
+    names = nodes.select(
+        F.col("uuid").alias("source_node_uuid"),
+        F.col("name").alias("entity"),
+    )
+    return (
+        edges.withColumn("pos", F.row_number().over(w).cast("long"))
+        .join(names, "source_node_uuid")
+        .select("group_id", "entity", "fact", "valid_at", "invalid_at", "pos")
+    )

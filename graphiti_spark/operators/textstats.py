@@ -666,3 +666,30 @@ def apply_mix(
         .where(key < F.col("keep_rate") * F.lit(_HASH_SPACE))
         .select("doc_id", "lang", key.cast("long").alias("sample_key"))
     )
+
+
+SPLIT_THRESHOLDS: tuple[tuple[str, str], ...] = (("train", "c0"), ("val", "e0"))
+
+
+def train_split(
+    docs: DataFrame,
+    thresholds: tuple[tuple[str, str], ...] = SPLIT_THRESHOLDS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment for a training corpus:
+    the first md5 byte of (doc_id ':' text) — the same engine-neutral
+    key :func:`sample_by_hash` uses — is compared against ordered hex
+    thresholds ('c0' → 75% train, 'e0' → next 12.5% val, rest test).
+    Because the key hashes CONTENT, the split is stable under
+    repartition, re-ingest, and engine swap, and a doc's assignment
+    never changes when the corpus around it grows — the property that
+    keeps eval sets honest across dataset versions. Pure projection:
+    zero shuffles, embarrassingly parallel at any scale."""
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.col("text"))), 1, 2)
+    split: F.Column = F.lit("test")
+    for name, hexthr in reversed(thresholds):
+        split = F.when(key < F.lit(hexthr), F.lit(name)).otherwise(split)
+    return docs.select(
+        "doc_id", "lang", key.alias("sample_key"), split.alias("split")
+    )

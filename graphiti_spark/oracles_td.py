@@ -813,6 +813,42 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM gf a JOIN gf b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
+    # ExactSubstr scrub: drop every token covered by a k-token span seen
+    # in >= 2 distinct docs, re-join survivors in order (mirrors
+    # operators/dedup.scrub_spans; positions are 1-based in BOTH
+    # dialects so pos+j coverage arithmetic is identical)
+    o["td_scrub_spans"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{_k - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(t) - {_k - 2})) r(i)
+),
+dup AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + j AS idx
+  FROM s JOIN dup USING (h), unnest(range(0, {_k})) u(j)
+),
+tok AS (
+  SELECT doc_id, i AS idx, t[i] AS tok
+  FROM t, unnest(range(1, len(t) + 1)) r(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.idx, tok.tok
+  FROM tok LEFT JOIN cov
+    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+  WHERE cov.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - COALESCE(agg.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
+
     # benchmark decontamination: ANY exact 13-token-gram collision with
     # the deterministic doc_id % CONTAM_BENCH_MOD == 0 eval slice flags
     # the doc (mirrors operators/dedup.contamination)
@@ -885,6 +921,18 @@ SELECT doc_id, lang,
 FROM documents
 WHERE substr(md5(doc_id::VARCHAR || ':' || text), 1, 2)
       < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)"""
+
+    # deterministic stratified split (operators/textstats.train_split):
+    # same content-hash key as td_sample_hash, ordered hex thresholds
+    o["td_split"] = """
+SELECT doc_id, lang,
+       substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) AS sample_key,
+       CASE WHEN substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) < 'c0'
+              THEN 'train'
+            WHEN substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) < 'e0'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
 
     # composed curation gate (operators/textstats.curation_report) — the
     # oracle REUSES the component oracles verbatim as CTEs, so the
@@ -1344,6 +1392,92 @@ SELECT group_id, uuid, name, valid_at, rn FROM (
                             ORDER BY valid_at DESC, uuid ASC) AS rn
   FROM episodes WHERE valid_at <= TIMESTAMP '{EPISODE_REF_TIME}'
 ) WHERE rn <= 3"""
+
+    # chronological fact history per subject entity (operators/temporal
+    # .entity_timeline); pos ranks within (group, subject) by
+    # (valid_at, edge uuid)
+    o["sr_entity_timeline"] = p + """
+SELECT e.group_id, n.name AS entity, e.fact, e.valid_at, e.invalid_at,
+       row_number() OVER (
+         PARTITION BY e.group_id, e.source_node_uuid
+         ORDER BY e.valid_at, e.uuid
+       )::BIGINT AS pos
+FROM edges e JOIN nodes n ON n.uuid = e.source_node_uuid"""
+
+    # degree distribution (operators/community.degree_stats): the pow2
+    # bucket is the SAME integer CASE chain the Spark side compiles —
+    # float log2 is not engine-stable at exact powers of two
+    from graphiti_spark.operators.community import DEGREE_BUCKET_MAX_EXP
+
+    _bcase = "CASE " + " ".join(
+        f"WHEN degree >= {1 << e} THEN {e}"
+        for e in range(DEGREE_BUCKET_MAX_EXP, 0, -1)
+    ) + " ELSE 0 END"
+    o["sr_degree_stats"] = p + f"""
+, und_adj AS (
+  SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+  UNION ALL
+  SELECT group_id, target_node_uuid, source_node_uuid
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+dg AS (
+  SELECT group_id, a, count(DISTINCT b) AS degree
+  FROM und_adj GROUP BY 1, 2
+)
+SELECT group_id, {_bcase} AS bucket,
+       count(*)::BIGINT AS n_nodes,
+       min(degree)::BIGINT AS min_degree,
+       max(degree)::BIGINT AS max_degree
+FROM dg GROUP BY 1, 2"""
+
+    # degree-ordered triangle counting (operators/community
+    # .triangle_count): identical orientation + wedge-order keys
+    _lowa = ("(da.degree < db.degree OR "
+             "(da.degree = db.degree AND t.a < t.b))")
+    o["sr_triangles"] = p + f"""
+, tri_und AS (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+tri_deg AS (
+  SELECT group_id, v, count(*) AS degree FROM (
+    SELECT group_id, a AS v FROM tri_und
+    UNION ALL SELECT group_id, b FROM tri_und
+  ) GROUP BY 1, 2
+),
+tri_or AS (
+  SELECT t.group_id,
+         CASE WHEN {_lowa} THEN t.a ELSE t.b END AS u,
+         CASE WHEN {_lowa} THEN t.b ELSE t.a END AS v,
+         CASE WHEN {_lowa} THEN db.degree ELSE da.degree END AS vdeg
+  FROM tri_und t
+  JOIN tri_deg da ON da.group_id = t.group_id AND da.v = t.a
+  JOIN tri_deg db ON db.group_id = t.group_id AND db.v = t.b
+),
+tri_w AS (
+  SELECT e1.group_id, e1.v AS x, e2.v AS y
+  FROM tri_or e1
+  JOIN tri_or e2 ON e1.group_id = e2.group_id AND e1.u = e2.u
+  WHERE e1.vdeg < e2.vdeg OR (e1.vdeg = e2.vdeg AND e1.v < e2.v)
+),
+tri_c AS (
+  SELECT w.group_id, count(*) AS n_wedges, count(o.u) AS n_triangles
+  FROM tri_w w LEFT JOIN tri_or o
+    ON o.group_id = w.group_id AND o.u = w.x AND o.v = w.y
+  GROUP BY 1
+),
+tri_sz AS (SELECT group_id, count(*)::BIGINT AS n_edges
+           FROM tri_und GROUP BY 1),
+tri_nn AS (SELECT group_id, count(*)::BIGINT AS n_nodes
+           FROM tri_deg GROUP BY 1)
+SELECT s.group_id, nn.n_nodes, s.n_edges,
+       COALESCE(c.n_wedges, 0)::BIGINT AS n_wedges,
+       COALESCE(c.n_triangles, 0)::BIGINT AS n_triangles
+FROM tri_sz s JOIN tri_nn nn USING (group_id)
+LEFT JOIN tri_c c USING (group_id)"""
 
     o["sr_mentions_rerank"] = p + """
 , mention_edges AS (

@@ -60,13 +60,15 @@ def test_search_filters_pushdown(gs):
 
 def test_property_filters_and_recipes(gs, spark):
     """SearchFilters.property_filters (search_filters.py:27-273) + the
-    full 17-recipe surface (search_config_recipes.py:34-223) + reranker
-    dispatch."""
+    full 17-recipe surface (search_config_recipes.py:34-223, plus the two
+    beyond-reference pagerank recipes) + reranker dispatch."""
     import graphiti_spark.api as api
     from graphiti_spark.api import PropertyFilter
 
     recipes = [n for n in dir(api) if "_HYBRID_SEARCH_" in n]
-    assert len(recipes) == 17
+    assert len(recipes) == 19
+    assert "NODE_HYBRID_SEARCH_PAGERANK" in recipes
+    assert "EDGE_HYBRID_SEARCH_PAGERANK" in recipes
     # property filter over the attribute map: attributes are empty in the
     # deterministic pipeline, so IS NULL keeps rows and IS NOT NULL drops all
     keep = SearchFilters(property_filters=[[PropertyFilter("owner", "IS NULL")]])

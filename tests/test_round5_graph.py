@@ -1,0 +1,185 @@
+"""Round-5 graph-analytics + corpus-surgery additions: exact-substring
+scrub, deterministic train/val/test split, entity timelines, degree
+histograms, degree-ordered triangle counting."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import (
+    DEGREE_BUCKET_MAX_EXP,
+    degree_stats,
+    triangle_count,
+)
+from graphiti_spark.operators.dedup import scrub_spans
+from graphiti_spark.operators.temporal import entity_timeline
+from graphiti_spark.operators.textstats import train_split
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "group_id string, source_node_uuid string, target_node_uuid string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# scrub_spans
+# ---------------------------------------------------------------------------
+
+def test_scrub_spans_removes_shared_span_only(spark):
+    shared = "one two three"
+    docs = _docs(
+        spark,
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma {shared} delta"),
+            (3, "epsilon zeta eta theta iota"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_spans(docs, k=3).collect()}
+    # the shared 3-token span is scrubbed from both carriers; the unique
+    # surrounding tokens survive in order
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[2]["clean_text"] == "gamma delta"
+    assert out[1]["n_removed"] == 3 and out[2]["n_removed"] == 3
+    # the unrelated doc is untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "epsilon zeta eta theta iota"
+
+
+def test_scrub_spans_identical_docs_fully_scrubbed(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {r["doc_id"]: r for r in scrub_spans(docs, k=3).collect()}
+    # overlapping spans [1..3] and [2..4] cover every token
+    for d in (1, 2):
+        assert out[d]["n_removed"] == 4
+        assert out[d]["clean_text"] == ""
+
+
+def test_scrub_spans_short_doc_passthrough(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b")])
+    out = {r["doc_id"]: r for r in scrub_spans(docs, k=3).collect()}
+    # below k tokens -> no spans -> nothing can be scrubbed
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == "a b"
+
+
+# ---------------------------------------------------------------------------
+# train_split
+# ---------------------------------------------------------------------------
+
+def test_train_split_matches_md5_spec_and_partitions(spark):
+    rows = [(i, f"document number {i}") for i in range(300)]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in rows], "doc_id long, text string, lang string"
+    )
+    got = {r["doc_id"]: r["split"] for r in train_split(docs).collect()}
+    assert len(got) == 300  # total partition: every doc assigned once
+    for i, t in rows:
+        key = hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:2]
+        want = "train" if key < "c0" else ("val" if key < "e0" else "test")
+        assert got[i] == want, (i, key)
+    # all three splits are populated at this size and roughly shaped
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_train_split_stable_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(64)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r["doc_id"]: r["split"] for r in train_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# entity_timeline
+# ---------------------------------------------------------------------------
+
+def test_entity_timeline_orders_facts(spark):
+    edges = spark.createDataFrame(
+        [
+            ("g", "e1", "n1", "n2", "f-b", "2024-02-01 00:00:00", None),
+            ("g", "e2", "n1", "n3", "f-a", "2024-01-01 00:00:00",
+             "2024-02-01 00:00:00"),
+            ("g", "e3", "n2", "n1", "f-c", "2024-03-01 00:00:00", None),
+        ],
+        "group_id string, uuid string, source_node_uuid string, "
+        "target_node_uuid string, fact string, valid_at string, "
+        "invalid_at string",
+    ).withColumn("valid_at", F.to_timestamp("valid_at")).withColumn(
+        "invalid_at", F.to_timestamp("invalid_at")
+    )
+    nodes = spark.createDataFrame(
+        [("n1", "Alice"), ("n2", "Bob"), ("n3", "Carol")], "uuid string, name string"
+    )
+    rows = entity_timeline(edges, nodes).collect()
+    alice = sorted(
+        [(r["pos"], r["fact"]) for r in rows if r["entity"] == "Alice"]
+    )
+    assert alice == [(1, "f-a"), (2, "f-b")]  # valid_at order, not insert order
+    bob = [(r["pos"], r["fact"]) for r in rows if r["entity"] == "Bob"]
+    assert bob == [(1, "f-c")]
+
+
+# ---------------------------------------------------------------------------
+# degree_stats / triangle_count
+# ---------------------------------------------------------------------------
+
+def test_degree_stats_buckets(spark):
+    # star: hub with 5 leaves -> hub degree 5 (bucket 2), leaves degree 1
+    # (bucket 0); parallel/self edges must not inflate distinct degree
+    rows = [("g", "hub", f"leaf{i}") for i in range(5)]
+    rows += [("g", "hub", "leaf0"), ("g", "hub", "hub")]
+    out = {
+        r["bucket"]: r for r in degree_stats(_edges(spark, rows)).collect()
+    }
+    assert out[2]["n_nodes"] == 1 and out[2]["max_degree"] == 5
+    assert out[0]["n_nodes"] == 5 and out[0]["max_degree"] == 1
+    assert set(out) == {0, 2}
+    assert DEGREE_BUCKET_MAX_EXP >= 20
+
+
+def test_triangle_count_known_graph(spark):
+    # triangle a-b-c plus a pendant edge c-d: 1 triangle; wedges = paths
+    # of length 2 counted once under the degree orientation
+    rows = [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"), ("g", "c", "d")]
+    out = triangle_count(_edges(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    und = set()
+    for _ in range(40):
+        a, b = rng.sample(nodes, 2)
+        und.add((min(a, b), max(a, b)))
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(nodes), 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    rows = [("g", a, b) for a, b in und]
+    # directed duplicates / reversals must not change the count
+    rows += [("g", b, a) for a, b in list(und)[:10]]
+    got = triangle_count(_edges(spark, rows)).collect()[0]
+    assert got["n_triangles"] == want
+    assert got["n_edges"] == len(und)
