@@ -504,6 +504,18 @@ def _q_sr_triangles(spark, sf_dir):
     return triangle_count(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_kcore(spark, sf_dir):
+    from graphiti_spark.operators.community import kcore_peel
+
+    return kcore_peel(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_link_prediction(spark, sf_dir):
+    from graphiti_spark.operators.community import predict_links
+
+    return predict_links(_graph(spark, sf_dir).edges)
+
+
 def _q_sr_mmr(spark, sf_dir):
     from graphiti_spark.operators.search import mmr_rerank
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -1192,18 +1204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episodes": _q_episodes,
         "kg_mentions": _q_mentions,
         "kg_triples_raw": _q_triples_raw,
-        "kg_mentions_excluded": _q_kg_mentions_excluded,
-        "kg_triples_excluded": _q_kg_triples_excluded,
         "kg_triples_instructed": _q_kg_triples_instructed,
         "kg_canonical_map": _q_canonical_map,
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
-        "kg_triples_asof": _q_kg_triples_asof,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_node_attributes": _q_kg_node_attributes,
         "kg_node_summaries": _q_kg_node_summaries,
-        "kg_saga_nodes": _q_kg_saga_nodes,
         "sr_communities_plurality": _q_sr_communities_plurality,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
@@ -1228,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_entity_timeline": _q_sr_entity_timeline,
         "sr_degree_stats": _q_sr_degree_stats,
         "sr_triangles": _q_sr_triangles,
+        "sr_kcore": _q_sr_kcore,
+        "sr_link_prediction": _q_sr_link_prediction,
         "sr_hybrid": _q_sr_hybrid,
         "sr_cross_encoder": _q_sr_cross_encoder,
         "sr_filtered_search": _q_sr_filtered_search,
@@ -1240,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_triples_asof": _q_kg_triples_asof,
+        "kg_saga_nodes": _q_kg_saga_nodes,
+        "kg_mentions_excluded": _q_kg_mentions_excluded,
+        "kg_triples_excluded": _q_kg_triples_excluded,
         "kg_next_episode_edges": _q_kg_next_episode_edges,
         "kg_edge_embeddings": _q_kg_edge_embeddings,
         "kg_node_embeddings": _q_kg_node_embeddings,

@@ -692,3 +692,140 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
         .alias("n_triangles"),
     )
+
+# k-core peeling: threshold and fixed round budget (exactly-K semantics,
+# like pagerank_rounds / label_propagation_rounds — a fixed trajectory is
+# hash-checkable; convergence detection is a driver loop the caller adds)
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+# resource-allocation link prediction: integer weight scale, center-degree
+# cap bounding wedge fan-out, and the report's per-group top-k
+LINKPRED_SCALE = 1_000_000
+LINKPRED_CENTER_CAP = 256
+LINKPRED_TOP_K = 20
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Exactly-``rounds`` synchronous k-core peeling over the distinct
+    undirected entity projection: each round drops every node whose
+    live-neighbor count is < ``k``, together with its edges. The fixture
+    a maintenance planner wants before community detection — nodes
+    peeled in round 1 are leaves/isolates, later rounds peel chains, and
+    survivors approximate the k-core (exact once a round removes
+    nothing).
+
+    Output: (group_id, uuid, removed_round, in_core) — removed_round is
+    1-based, 0 for survivors; integers only, so the K-round trajectory
+    is hash-checked by the unrolled DuckDB twin (oracles_td: kc_* CTEs).
+
+    Scale: per round ONE semi-join of the adjacency against the live-node
+    set on each endpoint (both hash-partitioned on the node key) and a
+    map-side-combinable degree count; localCheckpoint cuts the K-round
+    lineage exactly like the Lloyd / PageRank loops.
+    """
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    alive = adj.select("group_id", F.col("a").alias("uuid")).distinct()
+    live_adj = adj
+    removed = None
+    for i in range(1, rounds + 1):
+        deg = (
+            live_adj.groupBy("group_id", "a")
+            .agg(F.count("*").alias("_deg"))
+        )
+        survivors = deg.where(F.col("_deg") >= k).select(
+            "group_id", F.col("a").alias("uuid")
+        )
+        dropped = alive.join(
+            survivors, ["group_id", "uuid"], "left_anti"
+        ).select(
+            "group_id", "uuid", F.lit(i).cast("long").alias("removed_round")
+        )
+        removed = (
+            dropped if removed is None else removed.unionByName(dropped)
+        )
+        alive = survivors.localCheckpoint()
+        live_adj = (
+            live_adj.join(
+                alive.select("group_id", F.col("uuid").alias("a")),
+                ["group_id", "a"],
+                "left_semi",
+            )
+            .join(
+                alive.select("group_id", F.col("uuid").alias("b")),
+                ["group_id", "b"],
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+    survivors_out = alive.select(
+        "group_id", "uuid", F.lit(0).cast("long").alias("removed_round")
+    )
+    return survivors_out.unionByName(removed).select(
+        "group_id",
+        "uuid",
+        "removed_round",
+        (F.col("removed_round") == 0).alias("in_core"),
+    )
+
+
+def predict_links(
+    edges: DataFrame,
+    center_cap: int = LINKPRED_CENTER_CAP,
+    top_k: int = LINKPRED_TOP_K,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
+    every non-adjacent pair (u, w) sharing neighbors, score
+    ``Σ_z 1/deg(z)`` over common neighbors z — here in INTEGER units
+    ``LINKPRED_SCALE div deg(z)`` (floor division, identical in both
+    engines) so the ranking is hash-checkable. Also reports the plain
+    common-neighbor count.
+
+    Wedge fan-out is bounded by ``center_cap``: centers with degree >
+    cap generate no wedges (each would contribute < SCALE/cap per pair —
+    the vanishing-weight hubs RA itself discounts; the cap is part of
+    the operator's DEFINITION, mirrored by the oracle, not a silent
+    truncation). Per center the self-join emits ≤ cap² pairs — the same
+    bounding idea as the degree-ordered triangle orientation.
+
+    Output: per group the ``top_k`` candidate pairs by
+    (ra_units DESC, common_neighbors DESC, u, w) with a 1-based rank.
+    The final per-group window runs over the AGGREGATED candidate frame
+    (cardinality ≤ Σ_z min(deg_z, cap)², not the corpus); at 100× the
+    two-phase partial top-k (per-partition head, then merge) drops in
+    without changing the contract.
+    """
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
+    nbrs = adj.join(deg.where(F.col("_dz") <= center_cap), ["group_id", "a"])
+    n1, n2 = nbrs.alias("n1"), nbrs.alias("n2")
+    scores = (
+        n1.join(n2, ["group_id", "a"])
+        .where(F.col("n1.b") < F.col("n2.b"))
+        .select(
+            "group_id",
+            F.col("n1.b").alias("u"),
+            F.col("n2.b").alias("w"),
+            F.expr(f"{LINKPRED_SCALE} div n1._dz").alias("_ra"),
+        )
+        .groupBy("group_id", "u", "w")
+        .agg(
+            F.sum("_ra").cast("long").alias("ra_units"),
+            F.count("*").cast("long").alias("common_neighbors"),
+        )
+    )
+    und = adj.where(F.col("a") < F.col("b")).select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("w")
+    )
+    cand = scores.join(und, ["group_id", "u", "w"], "left_anti")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("group_id").orderBy(
+        F.col("ra_units").desc(), F.col("common_neighbors").desc(), "u", "w"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -1479,6 +1479,97 @@ SELECT s.group_id, nn.n_nodes, s.n_edges,
 FROM tri_sz s JOIN tri_nn nn USING (group_id)
 LEFT JOIN tri_c c USING (group_id)"""
 
+    # k-core peeling (operators/community.kcore_peel): exactly-K peel
+    # rounds unrolled; each round's live set is MATERIALIZED so DuckDB
+    # doesn't re-inline the whole chain per reference
+    from graphiti_spark.operators.community import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        LINKPRED_CENTER_CAP,
+        LINKPRED_SCALE,
+        LINKPRED_TOP_K,
+    )
+
+    kc = """
+, kc_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+kc_a0 AS MATERIALIZED (SELECT DISTINCT group_id, a AS uuid FROM kc_adj),
+kc_e0 AS MATERIALIZED (SELECT group_id, a, b FROM kc_adj)"""
+    for i in range(1, KCORE_ROUNDS + 1):
+        kc += f""",
+kc_a{i} AS MATERIALIZED (
+  SELECT group_id, a AS uuid FROM kc_e{i - 1}
+  GROUP BY group_id, a HAVING count(*) >= {KCORE_K}
+),
+kc_r{i} AS (
+  SELECT p.group_id, p.uuid, {i}::BIGINT AS removed_round
+  FROM kc_a{i - 1} p ANTI JOIN kc_a{i} n USING (group_id, uuid)
+),
+kc_e{i} AS MATERIALIZED (
+  SELECT e.group_id, e.a, e.b FROM kc_e{i - 1} e
+  JOIN kc_a{i} x ON x.group_id = e.group_id AND x.uuid = e.a
+  JOIN kc_a{i} y ON y.group_id = e.group_id AND y.uuid = e.b
+)"""
+    kc_removed = " UNION ALL ".join(
+        f"SELECT * FROM kc_r{i}" for i in range(1, KCORE_ROUNDS + 1)
+    )
+    o["sr_kcore"] = p + kc + f"""
+SELECT group_id, uuid, removed_round, removed_round = 0 AS in_core FROM (
+  SELECT group_id, uuid, 0::BIGINT AS removed_round FROM kc_a{KCORE_ROUNDS}
+  UNION ALL {kc_removed}
+)"""
+
+    # resource-allocation link prediction (operators/community
+    # .predict_links): integer SCALE // deg weights, center-degree cap,
+    # identical (ra DESC, cn DESC, u, w) tie-break
+    o["sr_link_prediction"] = p + f"""
+, lp_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+lp_deg AS MATERIALIZED (
+  SELECT group_id, a, count(*)::BIGINT AS dz
+  FROM lp_adj GROUP BY 1, 2
+),
+lp_nbr AS MATERIALIZED (
+  SELECT j.group_id, j.a, j.b, d.dz
+  FROM lp_adj j JOIN lp_deg d ON d.group_id = j.group_id AND d.a = j.a
+  WHERE d.dz <= {LINKPRED_CENTER_CAP}
+),
+lp_s AS (
+  SELECT n1.group_id, n1.b AS u, n2.b AS w,
+         sum({LINKPRED_SCALE} // n1.dz)::BIGINT AS ra_units,
+         count(*)::BIGINT AS common_neighbors
+  FROM lp_nbr n1
+  JOIN lp_nbr n2 ON n2.group_id = n1.group_id AND n2.a = n1.a
+  WHERE n1.b < n2.b
+  GROUP BY 1, 2, 3
+),
+lp_c AS (
+  SELECT s.* FROM lp_s s
+  ANTI JOIN (SELECT group_id, a AS u, b AS w FROM lp_adj WHERE a < b) e
+    USING (group_id, u, w)
+)
+SELECT group_id, u, w, ra_units, common_neighbors, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id
+    ORDER BY ra_units DESC, common_neighbors DESC, u, w
+  )::BIGINT AS rank
+  FROM lp_c
+) WHERE rank <= {LINKPRED_TOP_K}"""
+
     o["sr_mentions_rerank"] = p + """
 , mention_edges AS (
   SELECT DISTINCT m.episode_uuid, c.canonical_uuid AS node_uuid

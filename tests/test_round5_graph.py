@@ -183,3 +183,141 @@ def test_triangle_count_matches_bruteforce_random(spark):
     got = triangle_count(_edges(spark, rows)).collect()[0]
     assert got["n_triangles"] == want
     assert got["n_edges"] == len(und)
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    # triangle a-b-c (the 2-core) with a tail c-d-e: e is a leaf (round
+    # 1), d becomes a leaf once e is gone (round 2), triangle survives
+    edges = _edges(
+        spark,
+        [
+            ("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"),
+            ("g", "c", "d"), ("g", "d", "e"),
+        ],
+    )
+    from graphiti_spark.operators.community import kcore_peel
+
+    out = {r["uuid"]: r for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out["e"]["removed_round"] == 1
+    assert out["d"]["removed_round"] == 2
+    for v in "abc":
+        assert out[v]["removed_round"] == 0 and out[v]["in_core"]
+    assert not out["e"]["in_core"]
+
+
+def test_kcore_matches_python_peel_random(spark):
+    rng = random.Random(71)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+    )
+    edges = _edges(spark, [("g", a, b) for a, b in pairs])
+    from graphiti_spark.operators.community import kcore_peel
+
+    k, rounds = 2, 4
+    adj = {v: set() for v in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = {v for v in nodes if adj[v]}
+    expect = {}
+    for rnd in range(1, rounds + 1):
+        deg = {v: len(adj[v] & alive) for v in alive}
+        drop = {v for v in alive if deg[v] < k}
+        for v in drop:
+            expect[v] = rnd
+        alive -= drop
+    for v in alive:
+        expect[v] = 0
+    got = {
+        r["uuid"]: r["removed_round"]
+        for r in kcore_peel(edges, k=k, rounds=rounds).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# predict_links
+# ---------------------------------------------------------------------------
+
+def test_predict_links_square_candidates(spark):
+    # 4-cycle a-b-c-d-a: the two diagonals are the only candidates, each
+    # with two degree-2 common neighbors -> ra = 2 * (SCALE // 2)
+    edges = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"), ("g", "d", "a")],
+    )
+    from graphiti_spark.operators.community import (
+        LINKPRED_SCALE,
+        predict_links,
+    )
+
+    rows = sorted(
+        predict_links(edges).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["u"], r["w"]) for r in rows] == [("a", "c"), ("b", "d")]
+    assert all(r["ra_units"] == 2 * (LINKPRED_SCALE // 2) for r in rows)
+    assert all(r["common_neighbors"] == 2 for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2]
+
+
+def test_predict_links_center_cap_drops_hub_wedges(spark):
+    # star: hub h with 3 leaves; cap=2 silences the hub entirely
+    edges = _edges(
+        spark, [("g", "h", "x"), ("g", "h", "y"), ("g", "h", "z")]
+    )
+    from graphiti_spark.operators.community import (
+        LINKPRED_SCALE,
+        predict_links,
+    )
+
+    assert predict_links(edges, center_cap=2).count() == 0
+    rows = predict_links(edges).collect()
+    assert {(r["u"], r["w"]) for r in rows} == {
+        ("x", "y"), ("x", "z"), ("y", "z")
+    }
+    assert all(r["ra_units"] == LINKPRED_SCALE // 3 for r in rows)
+
+
+def test_predict_links_matches_bruteforce_random(spark):
+    rng = random.Random(83)
+    nodes = [f"n{i:02d}" for i in range(16)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(26)}
+    )
+    edges = _edges(spark, [("g", a, b) for a, b in pairs])
+    from graphiti_spark.operators.community import (
+        LINKPRED_SCALE,
+        predict_links,
+    )
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cap = 5
+    scores = {}
+    for z, nb in adj.items():
+        if len(nb) > cap:
+            continue
+        for u, w in itertools.combinations(sorted(nb), 2):
+            if w in adj.get(u, set()):
+                continue
+            ra, cn = scores.get((u, w), (0, 0))
+            scores[(u, w)] = (ra + LINKPRED_SCALE // len(nb), cn + 1)
+    order = sorted(
+        scores.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0])
+    )[:20]
+    expect = {
+        (u, w): (ra, cn, i + 1)
+        for i, ((u, w), (ra, cn)) in enumerate(order)
+    }
+    got = {
+        (r["u"], r["w"]): (r["ra_units"], r["common_neighbors"], r["rank"])
+        for r in predict_links(edges, center_cap=cap).collect()
+    }
+    assert got == expect
