@@ -1138,6 +1138,30 @@ def _q_td_common_spans(spark, sf_dir):
     return common_spans(_docs(spark, sf_dir))
 
 
+def _q_td_cms(spark, sf_dir):
+    from graphiti_spark.operators.textstats import cms_token_counts
+
+    return cms_token_counts(_docs(spark, sf_dir))
+
+
+def _q_td_bpe_merges(spark, sf_dir):
+    from graphiti_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir))
+
+
+def _q_td_bpe_encode(spark, sf_dir):
+    # train-then-apply in one query: the merge table is collected (K
+    # rows, the model) and compiled into the encode projection
+    from graphiti_spark.operators.bpe import bpe_encode, bpe_merges
+
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe_merges(_docs(spark, sf_dir)).collect()
+    ]
+    return bpe_encode(_docs(spark, sf_dir), merges)
+
+
 def _q_td_scrub_spans(spark, sf_dir):
     from graphiti_spark.operators.dedup import scrub_spans
 
@@ -1211,7 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "kg_node_attributes": _q_kg_node_attributes,
-        "kg_node_summaries": _q_kg_node_summaries,
         "sr_communities_plurality": _q_sr_communities_plurality,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
@@ -1238,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_triangles": _q_sr_triangles,
         "sr_kcore": _q_sr_kcore,
         "sr_link_prediction": _q_sr_link_prediction,
+        "td_cms": _q_td_cms,
+        "td_bpe_merges": _q_td_bpe_merges,
+        "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
         "sr_cross_encoder": _q_sr_cross_encoder,
         "sr_filtered_search": _q_sr_filtered_search,
@@ -1250,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_node_summaries": _q_kg_node_summaries,
         "kg_triples_asof": _q_kg_triples_asof,
         "kg_saga_nodes": _q_kg_saga_nodes,
         "kg_mentions_excluded": _q_kg_mentions_excluded,

@@ -1,0 +1,128 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+top-K merge rules from corpus-wide adjacent-symbol-pair counts.
+
+The 100 TB shape: the corpus collapses to its WORD-FREQUENCY table once
+(the only corpus-sized shuffle — identical to building a vocabulary),
+then every merge round is one scan of that vocab-sized frame: explode
+adjacent symbol pairs weighted by word frequency, a map-side-combinable
+sum, and a single-row argmax the driver reads to build the next round's
+merge (the K-row merge table IS the trained model, so K tiny driver
+syncs are inherent to the algorithm, same as any iterative trainer's
+convergence check). ``localCheckpoint`` cuts the K-round lineage like
+the Lloyd / PageRank loops.
+
+Cross-engine determinism: a word's symbol state is encoded as a
+``\\x01``-PREFIXED string (``"ab" → "\\x01a\\x01b"``), so applying merge
+(x, y) is ``replace(enc, sep+x+sep+y, sep+x+y)`` — leftmost greedy
+non-overlapping in BOTH engines, and byte-exact equal to the sequential
+greedy BPE scan because adjacent matches share no characters (the
+sentinel prefixes, unlike space-DELIMITED encodings whose flanking
+separators overlap between consecutive pairs). Tokens come from
+:func:`graphiti_spark.functions.text.tokenize` (word chars only, so the
+sentinel can never occur in a symbol). Pair-count ties break on
+(count DESC, x ASC, y ASC) — plain ASCII collation, identical in Spark
+and DuckDB; the unrolled-CTE twin is oracles_td's ``bpe_*`` chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphiti_spark.functions.text import tokenize
+
+BPE_ROUNDS = 8
+BPE_SEP = "\x01"
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """(x, y, pair_count) over the encoded vocab, each occurrence
+    weighted by word frequency."""
+    syms = F.slice(
+        F.split(F.col("enc"), BPE_SEP),
+        2,
+        F.size(F.split(F.col("enc"), BPE_SEP)) - 1,
+    )
+    with_syms = vocab.select("cnt", syms.alias("s")).where(F.size("s") >= 2)
+    zipped = F.arrays_zip(
+        F.slice(F.col("s"), 1, F.size("s") - 1).alias("x"),
+        F.slice(F.col("s"), 2, F.size("s") - 1).alias("y"),
+    )
+    return (
+        with_syms.select("cnt", F.explode(zipped).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Train ``rounds`` BPE merges over the documents' token stream and
+    return the merge table: (round, x, y, merged, pair_count), 1-based,
+    in training order. Stops early if the corpus runs out of pairs."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.regexp_replace("word", "(.)", BPE_SEP + "$1").alias("enc"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for i in range(1, rounds + 1):
+        best = (
+            _adjacent_pairs(vocab)
+            .orderBy(F.col("pair_count").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, pc = best[0]["x"], best[0]["y"], best[0]["pair_count"]
+        merges.append((i, x, y, x + y, pc))
+        vocab = vocab.select(
+            "cnt",
+            F.replace(
+                F.col("enc"),
+                F.lit(BPE_SEP + x + BPE_SEP + y),
+                F.lit(BPE_SEP + x + y),
+            ).alias("enc"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round long, x string, y string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a trained merge list to the documents' tokens and report the
+    resulting subword statistics per doc: (doc_id, n_words, n_subwords,
+    compression_pct). Pure projection — the merge table compiles to a
+    chain of ``replace`` expressions, so encoding shuffles nothing and
+    scales embarrassingly. compression_pct is integer basis points of
+    symbols saved vs character-level (engine-exact floor division)."""
+    enc = F.regexp_replace(F.col("word"), "(.)", BPE_SEP + "$1")
+    n_chars = F.length("word")
+    for x, y in merges:
+        enc = F.replace(enc, F.lit(BPE_SEP + x + BPE_SEP + y),
+                        F.lit(BPE_SEP + x + y))
+    n_sub = F.size(F.split(enc, BPE_SEP)) - 1
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    return (
+        words.select("doc_id", n_chars.alias("_c"), n_sub.alias("_s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_c").cast("long").alias("n_chars"),
+            F.sum("_s").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.expr("(10000 * (n_chars - n_subwords)) div n_chars")
+            .cast("long").alias("compression_bp"),
+        )
+    )

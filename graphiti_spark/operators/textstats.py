@@ -693,3 +693,91 @@ def train_split(
     return docs.select(
         "doc_id", "lang", key.alias("sample_key"), split.alias("split")
     )
+
+
+# count-min sketch geometry: 4 independent sha256-salted rows, 4096
+# columns addressed by a 3-hex-char slice of the row hash (16^3 — a
+# power of 16 so the cell KEY is the substring itself; no hex→int
+# conversion to keep cross-engine)
+CMS_DEPTH = 4
+CMS_WIDTH_HEX = 3
+CMS_PROBE_K = 20
+
+
+def cms_token_counts(
+    docs: DataFrame, depth: int = CMS_DEPTH, probe_k: int = CMS_PROBE_K
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream — THE fixed-memory frequency sketch for a 100 TB corpus: the
+    sketch is depth×4096 counters regardless of vocabulary size, built
+    by one map-side-combinable aggregation, and mergeable across
+    partitions/days by cell-wise addition. Cell address for row r is
+    ``substr(sha256(r ':' token), 1, 3)`` — the hash family the repo's
+    MinHash already proved engine-parity for.
+
+    This report probes the sketch with the corpus's ``probe_k`` most
+    frequent tokens (ties broken by token) and emits the CMS guarantee
+    inline: (token, true_count, cms_count, overestimate) with
+    cms_count = min over rows ≥ true_count always. The true-count join
+    is the REPORT's luxury at test scale; production lookups touch only
+    the depth×width cell table.
+
+    All-integer output → hash-checked by the DuckDB twin (td_cms CTEs).
+    """
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    cells = (
+        counts.select(
+            "token",
+            "true_count",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.sha2(
+                            F.concat(F.lit(f"{r}:"), F.col("token")), 256
+                        ).substr(1, CMS_WIDTH_HEX).alias("cell"),
+                    )
+                    for r in range(depth)
+                ])
+            ).alias("rc"),
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .agg(F.sum("true_count").cast("long").alias("cell_sum"))
+    )
+    probes = (
+        counts.orderBy(F.col("true_count").desc(), "token")
+        .limit(probe_k)
+        .select(
+            "token",
+            "true_count",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.sha2(
+                            F.concat(F.lit(f"{r}:"), F.col("token")), 256
+                        ).substr(1, CMS_WIDTH_HEX).alias("cell"),
+                    )
+                    for r in range(depth)
+                ])
+            ).alias("rc"),
+        )
+        .select("token", "true_count", F.col("rc.r").alias("r"),
+                F.col("rc.cell").alias("cell"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_sum").cast("long").alias("cms_count"))
+        .select(
+            "token",
+            "true_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("true_count")).cast("long")
+            .alias("overestimate"),
+        )
+    )

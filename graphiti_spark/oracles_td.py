@@ -934,6 +934,107 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents"""
 
+    # count-min sketch (operators/textstats.cms_token_counts): same
+    # sha256-salted 3-hex-char cell addressing, min over depth rows
+    from graphiti_spark.operators.textstats import (
+        CMS_DEPTH,
+        CMS_PROBE_K,
+        CMS_WIDTH_HEX,
+    )
+
+    _rs = ", ".join(str(r) for r in range(CMS_DEPTH))
+    o["td_cms"] = f"""
+WITH cms_cnt AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS true_count
+  FROM (SELECT unnest({_toks('text')}) AS token FROM documents)
+  GROUP BY 1
+),
+cms_cells AS MATERIALIZED (
+  SELECT r, substr(sha256(r::VARCHAR || ':' || token), 1, {CMS_WIDTH_HEX})
+           AS cell,
+         sum(true_count)::BIGINT AS cell_sum
+  FROM cms_cnt CROSS JOIN (SELECT unnest([{_rs}]) AS r)
+  GROUP BY 1, 2
+),
+cms_probe AS (
+  SELECT token, true_count FROM cms_cnt
+  ORDER BY true_count DESC, token LIMIT {CMS_PROBE_K}
+)
+SELECT p.token, p.true_count,
+       min(c.cell_sum)::BIGINT AS cms_count,
+       (min(c.cell_sum) - p.true_count)::BIGINT AS overestimate
+FROM cms_probe p
+CROSS JOIN (SELECT unnest([{_rs}]) AS r) rr
+JOIN cms_cells c ON c.r = rr.r
+ AND c.cell = substr(sha256(rr.r::VARCHAR || ':' || p.token), 1,
+                     {CMS_WIDTH_HEX})
+GROUP BY 1, 2"""
+
+    # distributed BPE training (operators/bpe.bpe_merges): the K merge
+    # rounds unrolled; each round's vocab is MATERIALIZED; the sentinel-
+    # prefixed encoding makes replace() byte-exact greedy BPE in both
+    # engines (operators/bpe.py module docstring)
+    from graphiti_spark.operators.bpe import BPE_ROUNDS
+
+    def _bpe_ctes(rounds: int) -> str:
+        sql = f"""bpe_wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({_toks('text')}) AS word FROM documents)
+  GROUP BY 1
+),
+bpe_v0 AS MATERIALIZED (
+  SELECT word, cnt,
+         regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS enc
+  FROM bpe_wf
+)"""
+        for i in range(1, rounds + 1):
+            sql += f""",
+bpe_p{i} AS (
+  SELECT x, y, sum(cnt)::BIGINT AS pair_count FROM (
+    SELECT cnt, s[i] AS x, s[i + 1] AS y FROM (
+      SELECT cnt, s, unnest(range(1, len(s))) AS i
+      FROM (SELECT cnt, string_split(enc, chr(1))[2:] AS s FROM bpe_v{i - 1})
+    )
+  ) GROUP BY 1, 2
+),
+bpe_b{i} AS MATERIALIZED (
+  SELECT x, y, pair_count FROM bpe_p{i}
+  ORDER BY pair_count DESC, x, y LIMIT 1
+),
+bpe_v{i} AS MATERIALIZED (
+  SELECT v.word, v.cnt,
+         replace(v.enc, chr(1) || b.x || chr(1) || b.y,
+                 chr(1) || b.x || b.y) AS enc
+  FROM bpe_v{i - 1} v CROSS JOIN bpe_b{i} b
+)"""
+        return sql
+
+    _bpe_rows = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS \"round\", x, y, x || y AS merged, pair_count"
+        f" FROM bpe_b{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+    o["td_bpe_merges"] = (
+        "WITH " + _bpe_ctes(BPE_ROUNDS) + "\n" + _bpe_rows
+    )
+
+    # applying the trained merges (operators/bpe.bpe_encode): per-doc
+    # subword stats from the SAME unrolled chain's final vocab state
+    o["td_bpe_encode"] = (
+        "WITH " + _bpe_ctes(BPE_ROUNDS) + f""",
+bpe_tok AS (
+  SELECT doc_id, unnest({_toks('text')}) AS word FROM documents
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(len(string_split(v.enc, chr(1))) - 1)::BIGINT AS n_subwords,
+       ((10000 * (sum(length(t.word))
+                  - sum(len(string_split(v.enc, chr(1))) - 1)))
+        // sum(length(t.word)))::BIGINT AS compression_bp
+FROM bpe_tok t JOIN bpe_v{BPE_ROUNDS} v ON v.word = t.word
+GROUP BY 1"""
+    )
+
     # composed curation gate (operators/textstats.curation_report) — the
     # oracle REUSES the component oracles verbatim as CTEs, so the
     # composition cannot diverge from the per-signal rows

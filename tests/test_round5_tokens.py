@@ -1,0 +1,151 @@
+"""Round-5 tokenizer-training + sketch additions: distributed BPE merge
+learning / encoding, count-min sketch frequency estimation."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+from graphiti_spark.operators.bpe import bpe_encode, bpe_merges
+from graphiti_spark.operators.textstats import (
+    CMS_DEPTH,
+    CMS_WIDTH_HEX,
+    cms_token_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tokens(text):
+    return [t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t]
+
+
+def _python_bpe(word_freq, rounds):
+    """Sequential reference BPE (Sennrich et al. 2016 figure 2 shape):
+    greedy leftmost merge application, (count DESC, x, y) tie-break."""
+    vocab = {tuple(w): c for w, c in word_freq.items()}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (x, y), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, x, y, x + y, pc))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_textbook(spark):
+    docs = _docs(
+        spark,
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+    )
+    got = [
+        (r["round"], r["x"], r["y"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=4).collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 4),
+        (4, "n", "ew", "new", 4),
+    ]
+
+
+def test_bpe_merges_matches_sequential_reference(spark):
+    rng = random.Random(17)
+    words = ["alpha", "alps", "beta", "bets", "betting", "gamma", "gam"]
+    corpus = [
+        (i, " ".join(rng.choices(words, k=12))) for i in range(6)
+    ]
+    docs = _docs(spark, corpus)
+    freq = {}
+    for _, text in corpus:
+        for w in _tokens(text):
+            freq[w] = freq.get(w, 0) + 1
+    expect = _python_bpe(freq, rounds=6)
+    got = [
+        (r["round"], r["x"], r["y"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=6).collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_encode_stats(spark):
+    docs = _docs(spark, [(1, "low low lower"), (2, "newest new")])
+    merges = [
+        (r["x"], r["y"]) for r in bpe_merges(docs, rounds=3).collect()
+    ]
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # merges: (l,o)->lo cnt3, (lo,w)->low cnt3, (e,w)->ew
+    # doc1: low->1 sym, low->1, lower->3 (low,e,r) => 5 subwords, 11 chars
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_subwords"] == 5
+    assert out[1]["compression_bp"] == (10000 * (11 - 5)) // 11
+    # encoding never exceeds character count
+    assert all(
+        r["n_subwords"] <= 6 * r["n_words"] for r in out.values()
+    )
+
+
+def test_bpe_encode_no_merges_is_char_level(spark):
+    docs = _docs(spark, [(1, "abc de")])
+    row = bpe_encode(docs, []).first()
+    assert row["n_subwords"] == 5 and row["compression_bp"] == 0
+
+
+def test_cms_matches_python_and_never_underestimates(spark):
+    rng = random.Random(29)
+    vocab = [f"tok{i}" for i in range(40)]
+    corpus = [
+        (i, " ".join(rng.choices(vocab, k=50))) for i in range(8)
+    ]
+    docs = _docs(spark, corpus)
+    true = {}
+    for _, text in corpus:
+        for t in _tokens(text):
+            true[t] = true.get(t, 0) + 1
+
+    def cell(r, tok):
+        return hashlib.sha256(f"{r}:{tok}".encode()).hexdigest()[
+            :CMS_WIDTH_HEX
+        ]
+
+    cells = {}
+    for tok, c in true.items():
+        for r in range(CMS_DEPTH):
+            key = (r, cell(r, tok))
+            cells[key] = cells.get(key, 0) + c
+    probes = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = {
+        tok: (c, min(cells[(r, cell(r, tok))] for r in range(CMS_DEPTH)))
+        for tok, c in probes
+    }
+    got = {
+        r["token"]: (r["true_count"], r["cms_count"])
+        for r in cms_token_counts(docs).collect()
+    }
+    assert got == expect
+    assert all(est >= t for t, est in got.values())
