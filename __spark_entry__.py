@@ -1144,6 +1144,12 @@ def _q_td_cms(spark, sf_dir):
     return cms_token_counts(_docs(spark, sf_dir))
 
 
+def _q_td_hll(spark, sf_dir):
+    from graphiti_spark.operators.textstats import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir))
+
+
 def _q_td_bpe_merges(spark, sf_dir):
     from graphiti_spark.operators.bpe import bpe_merges
 
@@ -1234,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
-        "kg_node_attributes": _q_kg_node_attributes,
         "sr_communities_plurality": _q_sr_communities_plurality,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
@@ -1262,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_kcore": _q_sr_kcore,
         "sr_link_prediction": _q_sr_link_prediction,
         "td_cms": _q_td_cms,
+        "td_hll": _q_td_hll,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
@@ -1276,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_node_attributes": _q_kg_node_attributes,
         "kg_node_summaries": _q_kg_node_summaries,
         "kg_triples_asof": _q_kg_triples_asof,
         "kg_saga_nodes": _q_kg_saga_nodes,

@@ -781,3 +781,66 @@ def cms_token_counts(
             .alias("overestimate"),
         )
     )
+
+
+# HyperLogLog geometry: 2 hex chars of register address (256 registers),
+# rank taken from the next 15 hex chars (60 bits) — rank ∈ [1, 61]
+HLL_REG_HEX = 2
+HLL_RANK_HEX = 15
+
+# leading-zero-bit count per hex digit (the rank computation never
+# converts hex→int: engines disagree on no such conversion, but CASE
+# over 16 literals is identical everywhere)
+_HEX_LZ = {
+    "0": 4, "1": 3, "2": 2, "3": 2,
+    "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0,
+    "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """HyperLogLog sketch (Flajolet et al. 2007) of the corpus's DISTINCT
+    token count — the fixed-memory distinct-counter that pairs with the
+    count-min frequency sketch: 256 registers regardless of vocabulary,
+    mergeable across partitions/shards by register-wise max (which is
+    exactly how the groupBy below distributes).
+
+    Register address = first 2 hex chars of sha256('hll:' token); rank =
+    1 + leading zero BITS of the next 60 bits, computed from hex DIGITS
+    via a 16-way CASE (``4·(leading '0' chars) + lz(first nonzero) + 1``)
+    so no engine-specific hex→int conversion exists anywhere. Output:
+    one row per HIT register (register, max_rank) plus the exact
+    distinct count — all integers, hash-checked by the DuckDB twin.
+    The float harmonic estimate is a driver-side fold over these ≤256
+    rows (tests assert it lands within the usual ~2%·√m error band).
+    """
+    h = F.sha2(F.concat(F.lit("hll:"), F.col("token")), 256)
+    tail = h.substr(HLL_REG_HEX + 1, HLL_RANK_HEX)
+    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first_nz = F.substring(
+        F.concat(tail.substr(zeros + 1, F.lit(1)), F.lit("0")), 1, 1
+    )
+    lz_case: F.Column = F.lit(4)
+    for d, lz in _HEX_LZ.items():
+        lz_case = F.when(first_nz == d, F.lit(lz)).otherwise(lz_case)
+    rank = F.when(
+        zeros == HLL_RANK_HEX, F.lit(4 * HLL_RANK_HEX + 1)
+    ).otherwise(F.lit(4) * zeros + lz_case + F.lit(1))
+    toks = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    n_true = toks.groupBy().agg(F.count("*").cast("long").alias("n"))
+    return (
+        toks.select(
+            h.substr(1, HLL_REG_HEX).alias("register"),
+            rank.cast("long").alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "register", "max_rank", F.col("n").alias("true_distinct")
+        )
+    )

@@ -970,6 +970,40 @@ JOIN cms_cells c ON c.r = rr.r
                      {CMS_WIDTH_HEX})
 GROUP BY 1, 2"""
 
+    # HyperLogLog registers (operators/textstats.hll_registers): rank
+    # from hex DIGITS via the same 16-way CASE (no hex→int conversion)
+    from graphiti_spark.operators.textstats import (
+        HLL_RANK_HEX,
+        HLL_REG_HEX,
+        _HEX_LZ,
+    )
+
+    _lz_case = "CASE d " + " ".join(
+        f"WHEN '{d}' THEN {lz}" for d, lz in _HEX_LZ.items()
+    ) + " ELSE 4 END"
+    o["td_hll"] = f"""
+WITH hll_tok AS MATERIALIZED (
+  SELECT DISTINCT token
+  FROM (SELECT unnest({_toks('text')}) AS token FROM documents)
+),
+hll_rank AS (
+  SELECT substr(h, 1, {HLL_REG_HEX}) AS register,
+         CASE WHEN z = {HLL_RANK_HEX} THEN {4 * HLL_RANK_HEX + 1}
+              ELSE 4 * z + {_lz_case} + 1 END AS rank
+  FROM (
+    SELECT h, z, substr(t, z + 1, 1) AS d FROM (
+      SELECT h, substr(h, {HLL_REG_HEX + 1}, {HLL_RANK_HEX}) AS t,
+             length(regexp_extract(
+               substr(h, {HLL_REG_HEX + 1}, {HLL_RANK_HEX}), '^(0*)', 1
+             )) AS z
+      FROM (SELECT sha256('hll:' || token) AS h FROM hll_tok)
+    )
+  )
+)
+SELECT register, max(rank)::BIGINT AS max_rank,
+       (SELECT count(*) FROM hll_tok)::BIGINT AS true_distinct
+FROM hll_rank GROUP BY 1"""
+
     # distributed BPE training (operators/bpe.bpe_merges): the K merge
     # rounds unrolled; each round's vocab is MATERIALIZED; the sentinel-
     # prefixed encoding makes replace() byte-exact greedy BPE in both

@@ -149,3 +149,49 @@ def test_cms_matches_python_and_never_underestimates(spark):
     }
     assert got == expect
     assert all(est >= t for t, est in got.values())
+
+
+def test_hll_registers_estimate_accuracy(spark):
+    import math
+
+    from graphiti_spark.operators.textstats import hll_registers
+
+    n_vocab = 5000
+    vocab = [f"word{i:05d}" for i in range(n_vocab)]
+    docs = _docs(
+        spark,
+        [(i, " ".join(vocab[i * 500:(i + 1) * 500])) for i in range(10)],
+    )
+    rows = hll_registers(docs).collect()
+    assert all(r["true_distinct"] == n_vocab for r in rows)
+    m = 256
+    regs = {r["register"]: r["max_rank"] for r in rows}
+    s = sum(2.0 ** -regs.get(f"{j:02x}", 0) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    assert abs(est - n_vocab) / n_vocab < 0.15
+
+
+def test_hll_register_matches_python_hash(spark):
+    from graphiti_spark.operators.textstats import (
+        HLL_RANK_HEX,
+        HLL_REG_HEX,
+        hll_registers,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta gamma alpha")])
+    got = {
+        r["register"]: r["max_rank"] for r in hll_registers(docs).collect()
+    }
+    expect = {}
+    for tok in ("alpha", "beta", "gamma"):
+        h = hashlib.sha256(f"hll:{tok}".encode()).hexdigest()
+        reg = h[:HLL_REG_HEX]
+        tail = h[HLL_REG_HEX:HLL_REG_HEX + HLL_RANK_HEX]
+        bits = bin(int(tail, 16))[2:].zfill(4 * HLL_RANK_HEX)
+        rank = bits.find("1") + 1 or 4 * HLL_RANK_HEX + 1
+        expect[reg] = max(expect.get(reg, 0), rank)
+    assert got == expect
