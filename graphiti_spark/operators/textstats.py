@@ -724,10 +724,13 @@ def cms_token_counts(
 
     All-integer output → hash-checked by the DuckDB twin (td_cms CTEs).
     """
+    # the vocab is checkpointed so the CORPUS is scanned once — both the
+    # sketch build and the probe top-k then read the vocab-sized frame
     counts = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("true_count"))
+        .localCheckpoint()
     )
     cells = (
         counts.select(
@@ -831,16 +834,23 @@ def hll_registers(docs: DataFrame) -> DataFrame:
         docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .distinct()
     )
-    n_true = toks.groupBy().agg(F.count("*").cast("long").alias("n"))
-    return (
+    regs = (
         toks.select(
             h.substr(1, HLL_REG_HEX).alias("register"),
             rank.cast("long").alias("rank"),
         )
         .groupBy("register")
-        .agg(F.max("rank").cast("long").alias("max_rank"))
-        .crossJoin(F.broadcast(n_true))
-        .select(
-            "register", "max_rank", F.col("n").alias("true_distinct")
+        .agg(
+            F.max("rank").cast("long").alias("max_rank"),
+            F.count("*").cast("long").alias("_reg_n"),
         )
+    )
+    # ONE corpus scan: the exact distinct total is the sum of the
+    # per-register counts — a global window over the ≤256-row AGGREGATED
+    # frame (not a crossJoin(total), which would re-evaluate the scan)
+    return regs.select(
+        "register",
+        "max_rank",
+        F.sum("_reg_n").over(Window.partitionBy())
+        .cast("long").alias("true_distinct"),
     )
