@@ -65,10 +65,17 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # pre-built DataFrames): some operators materialize eagerly
     # (localCheckpoint-release contract in the dedup family), and timing
     # only the final materialize would silently exclude that work
+    from graphiti_spark.operators.community import (
+        predict_links,
+        triangle_count,
+    )
+
     for name, thunk in [
         ("current_triples", lambda: current_triples(g)),
         ("mentions", lambda: g.mentions),
         ("kg_edges_fuzzy_dedup", lambda: dedupe_edges_fuzzy(g.edges)),
+        ("sr_triangles", lambda: triangle_count(g.edges)),
+        ("sr_link_prediction", lambda: predict_links(g.edges)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -95,8 +102,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         funnel_events,
         retention_cohorts,
     )
+    from graphiti_spark.operators.bpe import bpe_merges
     from graphiti_spark.operators.similarity import ann_pq
     from graphiti_spark.operators.textstats import (
+        cms_token_counts,
         doc_keywords,
         unigram_lm_score,
     )
@@ -116,6 +125,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_keywords", lambda: doc_keywords(docs)),
         ("ev_funnel", lambda: funnel_events(events)),
         ("ev_retention", lambda: retention_cohorts(events)),
+        ("td_bpe_merges", lambda: bpe_merges(docs)),
+        ("td_cms", lambda: cms_token_counts(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

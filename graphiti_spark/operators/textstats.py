@@ -704,6 +704,33 @@ CMS_WIDTH_HEX = 3
 CMS_PROBE_K = 20
 
 
+def _cms_addresses(depth: int) -> F.Column:
+    """array<struct<r, cell>> of a `token` column's sketch addresses."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.sha2(
+                F.concat(F.lit(f"{r}:"), F.col("token")), 256
+            ).substr(1, CMS_WIDTH_HEX).alias("cell"),
+        )
+        for r in range(depth)
+    ])
+
+
+def cms_cells(counts: DataFrame, depth: int = CMS_DEPTH) -> DataFrame:
+    """(r, cell, cell_sum) sketch cells from a (token, true_count)
+    frame — the shared build for the batch report and the streaming
+    per-batch deltas (sketches merge by cell-wise addition, so a batch
+    delta IS a sketch)."""
+    return (
+        counts.select(
+            "true_count", F.explode(_cms_addresses(depth)).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .agg(F.sum("true_count").cast("long").alias("cell_sum"))
+    )
+
+
 def cms_token_counts(
     docs: DataFrame, depth: int = CMS_DEPTH, probe_k: int = CMS_PROBE_K
 ) -> DataFrame:
@@ -732,42 +759,14 @@ def cms_token_counts(
         .agg(F.count("*").cast("long").alias("true_count"))
         .localCheckpoint()
     )
-    cells = (
-        counts.select(
-            "token",
-            "true_count",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.sha2(
-                            F.concat(F.lit(f"{r}:"), F.col("token")), 256
-                        ).substr(1, CMS_WIDTH_HEX).alias("cell"),
-                    )
-                    for r in range(depth)
-                ])
-            ).alias("rc"),
-        )
-        .groupBy(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
-        .agg(F.sum("true_count").cast("long").alias("cell_sum"))
-    )
+    cells = cms_cells(counts, depth)
     probes = (
         counts.orderBy(F.col("true_count").desc(), "token")
         .limit(probe_k)
         .select(
             "token",
             "true_count",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.sha2(
-                            F.concat(F.lit(f"{r}:"), F.col("token")), 256
-                        ).substr(1, CMS_WIDTH_HEX).alias("cell"),
-                    )
-                    for r in range(depth)
-                ])
-            ).alias("rc"),
+            F.explode(_cms_addresses(depth)).alias("rc"),
         )
         .select("token", "true_count", F.col("rc.r").alias("r"),
                 F.col("rc.cell").alias("cell"))
@@ -802,6 +801,38 @@ _HEX_LZ = {
 }
 
 
+def _hll_cols() -> tuple[F.Column, F.Column]:
+    """(register, rank) expressions over a `token` column — shared by
+    the batch report and the streaming per-batch register deltas."""
+    h = F.sha2(F.concat(F.lit("hll:"), F.col("token")), 256)
+    tail = h.substr(HLL_REG_HEX + 1, HLL_RANK_HEX)
+    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first_nz = F.substring(
+        F.concat(tail.substr(zeros + 1, F.lit(1)), F.lit("0")), 1, 1
+    )
+    lz_case: F.Column = F.lit(4)
+    for d, lz in _HEX_LZ.items():
+        lz_case = F.when(first_nz == d, F.lit(lz)).otherwise(lz_case)
+    rank = F.when(
+        zeros == HLL_RANK_HEX, F.lit(4 * HLL_RANK_HEX + 1)
+    ).otherwise(F.lit(4) * zeros + lz_case + F.lit(1))
+    return h.substr(1, HLL_REG_HEX), rank
+
+
+def hll_register_deltas(docs: DataFrame) -> DataFrame:
+    """(register, max_rank) over THIS frame's distinct tokens — a full
+    HLL sketch of the frame, mergeable into any other by register-wise
+    max (the streaming path lands one of these per micro-batch)."""
+    register, rank = _hll_cols()
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+        .select(register.alias("register"), rank.cast("long").alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+    )
+
+
 def hll_registers(docs: DataFrame) -> DataFrame:
     """HyperLogLog sketch (Flajolet et al. 2007) of the corpus's DISTINCT
     token count — the fixed-memory distinct-counter that pairs with the
@@ -818,25 +849,14 @@ def hll_registers(docs: DataFrame) -> DataFrame:
     The float harmonic estimate is a driver-side fold over these ≤256
     rows (tests assert it lands within the usual ~2%·√m error band).
     """
-    h = F.sha2(F.concat(F.lit("hll:"), F.col("token")), 256)
-    tail = h.substr(HLL_REG_HEX + 1, HLL_RANK_HEX)
-    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
-    first_nz = F.substring(
-        F.concat(tail.substr(zeros + 1, F.lit(1)), F.lit("0")), 1, 1
-    )
-    lz_case: F.Column = F.lit(4)
-    for d, lz in _HEX_LZ.items():
-        lz_case = F.when(first_nz == d, F.lit(lz)).otherwise(lz_case)
-    rank = F.when(
-        zeros == HLL_RANK_HEX, F.lit(4 * HLL_RANK_HEX + 1)
-    ).otherwise(F.lit(4) * zeros + lz_case + F.lit(1))
+    register, rank = _hll_cols()
     toks = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .distinct()
     )
     regs = (
         toks.select(
-            h.substr(1, HLL_REG_HEX).alias("register"),
+            register.alias("register"),
             rank.cast("long").alias("rank"),
         )
         .groupBy("register")

@@ -1,0 +1,126 @@
+"""Streaming maintenance of the mergeable corpus sketches (count-min
+frequency cells, HyperLogLog registers).
+
+The sketches' algebraic mergeability — CMS cells add, HLL registers max
+— is exactly what makes them streamable with NO executor state store:
+each micro-batch lands its OWN complete sketch of the batch into a
+``batch_id``-keyed partition (overwrite, so an at-least-once replay
+replaces its rows instead of double-counting), and the live sketch is a
+re-aggregation over the landed deltas. This is the same
+lambda-architecture shape as streaming/events.streaming_rollup_minute
+(re-aggregable minute tier → batch hour/day tiers) and the same
+store-as-state contract as streaming/ingest.streaming_dedup_incremental.
+
+At 100 TB: a delta is ≤ depth×4096 cells / ≤ 256 registers per batch —
+the read-side merge aggregates #batches × that, trivially compactable by
+rewriting the merged sketch as a new single delta (register-wise max /
+cell-wise sum is idempotent under re-merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphiti_spark.functions.text import tokenize
+from graphiti_spark.operators.textstats import (
+    CMS_DEPTH,
+    cms_cells,
+    hll_register_deltas,
+)
+
+
+def land_cms_batch(
+    batch_docs: DataFrame, batch_id: int, store_dir: str,
+    depth: int = CMS_DEPTH,
+) -> None:
+    """Compute this batch's CMS cell delta and land it keyed by batch_id
+    (overwrite → idempotent under replay)."""
+    counts = (
+        batch_docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    cms_cells(counts, depth).write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id={batch_id}"
+    )
+
+
+def land_hll_batch(
+    batch_docs: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """Land this batch's HLL register delta keyed by batch_id."""
+    hll_register_deltas(batch_docs).write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id={batch_id}"
+    )
+
+
+def streaming_cms(
+    doc_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """foreachBatch CMS maintenance over a document stream."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        land_cms_batch(batch_df, batch_id, store_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hll(
+    doc_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """foreachBatch HLL maintenance over a document stream."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        land_hll_batch(batch_df, batch_id, store_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live sketch: cell-wise sum over every landed batch delta."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("r", "cell")
+        .agg(F.sum("cell_sum").cast("long").alias("cell_sum"))
+    )
+
+
+def hll_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live sketch: register-wise max over every landed delta."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("register")
+        .agg(F.max("max_rank").cast("long").alias("max_rank"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame, probe_tokens: DataFrame, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Estimate counts for a (token) frame against a merged sketch:
+    (token, cms_count) — the production lookup path (touches only the
+    depth×width cell table; no corpus access)."""
+    from graphiti_spark.operators.textstats import _cms_addresses
+
+    addressed = probe_tokens.select(
+        "token", F.explode(_cms_addresses(depth)).alias("rc")
+    ).select("token", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+    return (
+        addressed.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("token")
+        .agg(F.min("cell_sum").cast("long").alias("cms_count"))
+    )
