@@ -1138,6 +1138,75 @@ def _q_td_common_spans(spark, sf_dir):
     return common_spans(_docs(spark, sf_dir))
 
 
+def _docs_stream(spark, sf_dir):
+    # documents.parquet is a single FILE; the file stream source
+    # monitors a DIRECTORY (same shim as _events_stream)
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="doc_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    return spark.readStream.schema(_docs(spark, sf_dir).schema).parquet(d)
+
+
+def _q_td_cms_stream(spark, sf_dir):
+    # the sketch cells come from the STREAMED store (foreachBatch deltas
+    # merged cell-wise); probes + true counts from the batch table, so
+    # the oracle is exactly td_cms's SQL
+    import tempfile
+
+    from graphiti_spark.operators.textstats import CMS_PROBE_K
+    from graphiti_spark.streaming.sketches import (
+        cms_from_store,
+        cms_probe,
+        streaming_cms,
+    )
+
+    store = tempfile.mkdtemp(prefix="cms_store_")
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    streaming_cms(_docs_stream(spark, sf_dir), store, ckpt).awaitTermination(600)
+    sketch = cms_from_store(spark, store)
+    from graphiti_spark.functions.text import tokenize
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    probes = counts.orderBy(F.col("true_count").desc(), "token").limit(
+        CMS_PROBE_K
+    )
+    return (
+        cms_probe(sketch, probes.select("token"))
+        .join(probes, "token")
+        .select(
+            "token",
+            "true_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("true_count")).cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+def _q_td_hll_stream(spark, sf_dir):
+    import tempfile
+
+    from graphiti_spark.streaming.sketches import (
+        hll_from_store,
+        streaming_hll,
+    )
+
+    store = tempfile.mkdtemp(prefix="hll_store_")
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    streaming_hll(_docs_stream(spark, sf_dir), store, ckpt).awaitTermination(600)
+    return hll_from_store(spark, store).select("register", "max_rank")
+
+
 def _q_td_cms(spark, sf_dir):
     from graphiti_spark.operators.textstats import cms_token_counts
 
@@ -1234,8 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episodes": _q_episodes,
         "kg_mentions": _q_mentions,
         "kg_triples_raw": _q_triples_raw,
-        "kg_triples_instructed": _q_kg_triples_instructed,
-        "kg_canonical_map": _q_canonical_map,
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
@@ -1268,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_link_prediction": _q_sr_link_prediction,
         "td_cms": _q_td_cms,
         "td_hll": _q_td_hll,
+        "td_cms_stream": _q_td_cms_stream,
+        "td_hll_stream": _q_td_hll_stream,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
@@ -1282,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_canonical_map": _q_canonical_map,
+        "kg_triples_instructed": _q_kg_triples_instructed,
         "kg_node_attributes": _q_kg_node_attributes,
         "kg_node_summaries": _q_kg_node_summaries,
         "kg_triples_asof": _q_kg_triples_asof,

@@ -981,7 +981,7 @@ GROUP BY 1, 2"""
     _lz_case = "CASE d " + " ".join(
         f"WHEN '{d}' THEN {lz}" for d, lz in _HEX_LZ.items()
     ) + " ELSE 4 END"
-    o["td_hll"] = f"""
+    _hll_chain = f"""
 WITH hll_tok AS MATERIALIZED (
   SELECT DISTINCT token
   FROM (SELECT unnest({_toks('text')}) AS token FROM documents)
@@ -999,10 +999,21 @@ hll_rank AS (
       FROM (SELECT sha256('hll:' || token) AS h FROM hll_tok)
     )
   )
-)
+)"""
+    o["td_hll"] = _hll_chain + """
 SELECT register, max(rank)::BIGINT AS max_rank,
        (SELECT count(*) FROM hll_tok)::BIGINT AS true_distinct
 FROM hll_rank GROUP BY 1"""
+
+    # the streaming twins land per-micro-batch sketch deltas and merge
+    # them on read (streaming/sketches.py); a drained stream's merged
+    # sketch equals the batch sketch, so the stream rows reuse the batch
+    # oracles (td_hll_stream drops the true_distinct column the register
+    # store doesn't carry)
+    o["td_hll_stream"] = _hll_chain + """
+SELECT register, max(rank)::BIGINT AS max_rank
+FROM hll_rank GROUP BY 1"""
+    o["td_cms_stream"] = o["td_cms"]
 
     # distributed BPE training (operators/bpe.bpe_merges): the K merge
     # rounds unrolled; each round's vocab is MATERIALIZED; the sentinel-
