@@ -485,6 +485,23 @@ def _q_sr_pagerank(spark, sf_dir):
     return pagerank_rounds(adj, rounds=3)
 
 
+def _q_sr_ppr(spark, sf_dir):
+    """Personalized PageRank: restart mass pinned to the 'spark' seed
+    entities (proximity-to-query-hits, the graph-aware rerank signal)."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        personalized_pagerank,
+    )
+
+    g = _graph(spark, sf_dir)
+    seeds = g.nodes.where(F.col("name") == "spark").select(
+        "group_id", "uuid"
+    )
+    return personalized_pagerank(
+        build_adjacency(g.edges), seeds, rounds=3
+    )
+
+
 def _q_sr_entity_timeline(spark, sf_dir):
     from graphiti_spark.operators.temporal import entity_timeline
 
@@ -1300,7 +1317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming rows still exercise, and long-stable early-round rows,
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
-        "kg_episodes": _q_episodes,
         "kg_mentions": _q_mentions,
         "kg_triples_raw": _q_triples_raw,
         "kg_nodes": _q_nodes,
@@ -1337,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_hll": _q_td_hll,
         "td_cms_stream": _q_td_cms_stream,
         "td_hll_stream": _q_td_hll_stream,
+        "sr_ppr": _q_sr_ppr,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
@@ -1351,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_episodes": _q_episodes,
         "kg_canonical_map": _q_canonical_map,
         "kg_triples_instructed": _q_kg_triples_instructed,
         "kg_node_attributes": _q_kg_node_attributes,

@@ -223,6 +223,84 @@ def pagerank_rounds(
     )
 
 
+def personalized_pagerank(
+    adjacency: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Seeded-restart PageRank: the restart mass returns ONLY to the
+    ``seeds`` frame's (group_id, uuid) rows instead of uniformly — rank
+    becomes proximity-to-the-seed-set, the standard graph-aware rerank
+    signal for hybrid search (a query's fulltext/cosine hits seed the
+    walk; the reference's node_distance reranker is the BFS analog,
+    search_utils.py node_distance). Same INTEGER trajectory contract as
+    :func:`pagerank_rounds` (floor divisions, BIGINT everywhere) so the
+    K rounds are hash-checked by the unrolled DuckDB twin
+    (oracles.ppr_sql). Per round: one adjacency⋈rank join on the node
+    key + a map-side-combinable sum; localCheckpoint cuts the lineage.
+
+    Init: seeds get PAGERANK_SCALE mass, everyone else 0; damped update
+    adds the (100-d)% restart only at seeds. Non-seed groups stay
+    all-zero (still emitted — the report's contract is one row per node).
+    """
+    deg = adjacency.groupBy("group_id", "a").agg(
+        F.sum("edge_count").cast("long").alias("_w")
+    )
+    seed_flag = seeds.select(
+        "group_id", F.col("uuid"), F.lit(1).alias("_is_seed")
+    ).distinct()
+    base_nodes = (
+        deg.select("group_id", F.col("a").alias("uuid"))
+        .join(seed_flag, ["group_id", "uuid"], "left")
+        .select(
+            "group_id", "uuid",
+            F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_seed"),
+        )
+        .localCheckpoint()
+    )
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    ranks = base_nodes.select(
+        "group_id", "uuid",
+        (F.col("_seed") * PAGERANK_SCALE).cast("long").alias("r"),
+    )
+    for _ in range(rounds):
+        contrib = (
+            adjacency.join(deg, ["group_id", "a"])
+            .join(
+                ranks.select("group_id", F.col("uuid").alias("a"), "r"),
+                ["group_id", "a"],
+            )
+            .select(
+                "group_id",
+                F.col("b").alias("uuid"),
+                F.expr("(r * edge_count) div _w").alias("_c"),
+            )
+            .groupBy("group_id", "uuid")
+            .agg(F.sum("_c").cast("long").alias("_in"))
+        )
+        ranks = (
+            base_nodes.join(contrib, ["group_id", "uuid"], "left")
+            .select(
+                "group_id",
+                "uuid",
+                (
+                    F.col("_seed") * F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_in, 0L)) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "group_id",
+        "uuid",
+        F.col("r").alias("rank_units"),
+        (F.col("r") / PAGERANK_SCALE).alias("rank"),
+    )
+
+
 def summarize_communities(
     assignments: DataFrame, nodes: DataFrame, max_chars: int = 1000
 ) -> DataFrame:

@@ -214,6 +214,69 @@ FROM {prev}"""
     return sql
 
 
+def ppr_sql(
+    rounds: int = 3, damping_pct: int = 85, seed_name: str = "spark",
+) -> str:
+    """DuckDB twin of operators.community.personalized_pagerank: the
+    same unrolled BIGINT trajectory as pagerank_sql but the restart mass
+    returns only to the seed set (nodes named ``seed_name``). Runs over
+    ALL groups (non-seed groups stay zero)."""
+    from graphiti_spark.operators.community import PAGERANK_SCALE
+
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    sql = f"""
+, pp_pairs AS MATERIALIZED (
+  SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+pp_adj AS MATERIALIZED (
+  SELECT group_id, a, b, count(*)::BIGINT AS edge_count FROM (
+    SELECT group_id, a, b FROM pp_pairs
+    UNION ALL SELECT group_id, b AS a, a AS b FROM pp_pairs
+  ) GROUP BY group_id, a, b
+),
+pp_deg AS MATERIALIZED (
+  SELECT group_id, a, sum(edge_count)::BIGINT AS w
+  FROM pp_adj GROUP BY 1, 2
+),
+pp_base AS MATERIALIZED (
+  SELECT d.group_id, d.a AS uuid,
+         CASE WHEN s.uuid IS NULL THEN 0 ELSE 1 END AS seed
+  FROM pp_deg d
+  LEFT JOIN (
+    SELECT DISTINCT group_id, uuid FROM nodes WHERE name = '{seed_name}'
+  ) s ON s.group_id = d.group_id AND s.uuid = d.a
+),
+pp_r0 AS MATERIALIZED (
+  SELECT group_id, uuid, (seed * {PAGERANK_SCALE})::BIGINT AS r
+  FROM pp_base)"""
+    prev = "pp_r0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+pp_c{i} AS (
+  SELECT adj.group_id, adj.b AS uuid,
+         sum((r.r * adj.edge_count) // d.w)::BIGINT AS cin
+  FROM pp_adj adj
+  JOIN pp_deg d ON d.group_id = adj.group_id AND d.a = adj.a
+  JOIN {prev} r ON r.group_id = adj.group_id AND r.uuid = adj.a
+  GROUP BY 1, 2
+),
+pp_r{i} AS MATERIALIZED (
+  SELECT p.group_id, p.uuid,
+         (p.seed * {base}
+          + ({damping_pct} * coalesce(c.cin, 0)) // 100)::BIGINT AS r
+  FROM (SELECT b.group_id, b.uuid, b.seed, r.r
+        FROM pp_base b JOIN {prev} r USING (group_id, uuid)) p
+  LEFT JOIN pp_c{i} c USING (group_id, uuid)
+)"""
+        prev = f"pp_r{i}"
+    sql += f"""
+SELECT group_id, uuid, r AS rank_units,
+       r / {PAGERANK_SCALE}.0 AS rank
+FROM {prev}"""
+    return sql
+
+
 def kg_cte_prefix(documents: str = "documents") -> str:
     """The shared WITH-chain mirroring plans/pipeline.build_graph — the
     entire pipeline (synthesis → episodes → extraction → exact + FUZZY
@@ -735,6 +798,8 @@ GROUP BY group_id""",
         # this row hash-checks the PLURALITY trajectory itself)
         "sr_communities_plurality": p + plurality_lpa_sql(rounds=6),
         "sr_pagerank": p + pagerank_sql(rounds=3),
+        # seeded-restart variant: proximity to the 'spark' seed set
+        "sr_ppr": p + ppr_sql(rounds=3),
         # point query: edges between two entities, both orientations
         # (get_between_nodes, namespaces/edges.py:92 — used by add_episode
         # step 6d, edge_operations.py:365-370); probes = megacorp's

@@ -321,3 +321,47 @@ def test_predict_links_matches_bruteforce_random(spark):
         for r in predict_links(edges, center_cap=cap).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank
+# ---------------------------------------------------------------------------
+
+def test_personalized_pagerank_proximity_and_zero_groups(spark):
+    from graphiti_spark.operators.community import (
+        PAGERANK_SCALE,
+        build_adjacency,
+        personalized_pagerank,
+    )
+
+    # path a-b-c-d seeded at a, plus an unseeded disconnected group
+    edges = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"),
+         ("h", "x", "y")],
+    )
+    seeds = spark.createDataFrame(
+        [("g", "a")], "group_id string, uuid string"
+    )
+    out = {
+        (r["group_id"], r["uuid"]): r["rank_units"]
+        for r in personalized_pagerank(
+            build_adjacency(edges), seeds, rounds=3
+        ).collect()
+    }
+    # exact integer trajectory, simulated per the spec (floor divisions)
+    adj = {"a": ["b"], "b": ["a", "c"], "c": ["b", "d"], "d": ["c"]}
+    base = 15 * PAGERANK_SCALE // 100
+    r = {v: (PAGERANK_SCALE if v == "a" else 0) for v in adj}
+    for _ in range(3):
+        inflow = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            for v in nbrs:
+                inflow[v] += r[u] // len(nbrs)
+        r = {
+            v: (base if v == "a" else 0) + 85 * inflow[v] // 100
+            for v in adj
+        }
+    assert {u: out[("g", u)] for u in adj} == r
+    # the unseeded group carries no mass at all
+    assert out[("h", "x")] == 0 and out[("h", "y")] == 0
