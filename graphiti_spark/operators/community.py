@@ -847,7 +847,9 @@ def kcore_peel(
     survivors_out = alive.select(
         "group_id", "uuid", F.lit(0).cast("long").alias("removed_round")
     )
-    return survivors_out.unionByName(removed).select(
+    if removed is not None:
+        survivors_out = survivors_out.unionByName(removed)
+    return survivors_out.select(
         "group_id",
         "uuid",
         "removed_round",
