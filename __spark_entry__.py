@@ -1224,6 +1224,23 @@ def _q_td_hll_stream(spark, sf_dir):
     return hll_from_store(spark, store).select("register", "max_rank")
 
 
+def _q_ev_lag_features(spark, sf_dir):
+    from graphiti_spark.operators.events import lag_features
+
+    return lag_features(_events(spark, sf_dir))
+
+
+def _q_td_chunk_plan(spark, sf_dir):
+    # tighter-than-default geometry so the testdata corpus (docs up to
+    # ~550 chars) exercises BOTH the gated whole-doc path and real
+    # overlapping splits; the oracle carries the same literals
+    from graphiti_spark.operators.textstats import chunk_plan
+
+    return chunk_plan(
+        _docs(spark, sf_dir), chunk_chars=200, overlap=40, min_chars=240
+    )
+
+
 def _q_td_cms(spark, sf_dir):
     from graphiti_spark.operators.textstats import cms_token_counts
 
@@ -1317,8 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming rows still exercise, and long-stable early-round rows,
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
-        "kg_mentions": _q_mentions,
-        "kg_triples_raw": _q_triples_raw,
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
@@ -1354,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cms_stream": _q_td_cms_stream,
         "td_hll_stream": _q_td_hll_stream,
         "sr_ppr": _q_sr_ppr,
+        "ev_lag_features": _q_ev_lag_features,
+        "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
@@ -1368,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_triples_raw": _q_triples_raw,
+        "kg_mentions": _q_mentions,
         "kg_episodes": _q_episodes,
         "kg_canonical_map": _q_canonical_map,
         "kg_triples_instructed": _q_kg_triples_instructed,

@@ -444,3 +444,45 @@ def rollup_events(events: DataFrame) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+LAG_FEATURE_LAGS = 2
+
+
+def lag_features(events: DataFrame, lags: int = LAG_FEATURE_LAGS) -> DataFrame:
+    """Per-user point-in-time ML features — the classic training-set
+    construction over an event log: previous-value lags, gap to the
+    previous event, prior-event count and running value total AS OF each
+    row (strictly past-only, so the frame is leak-free by construction).
+
+    Engine-exact by the repo's integer rules: values aggregate as cents
+    (see _cents), gaps subtract per-second unix_timestamp of EACH side
+    (truncate-then-subtract — subtract-then-truncate is off by one
+    across sub-second boundaries), order is the deterministic
+    (ts, event_id) within user.
+
+    Shape: ONE shuffle on user_id; every window shares the same
+    partitioning + ordering so the plan carries one Exchange and one
+    Sort; lag/row_number/GROWING running sums are all incremental state
+    (never a shrinking frame — the r5 O(n²) trap)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    cents = _cents()
+    cols = [
+        "event_id", "user_id", "ts", "event_type",
+        cents.alias("cents"),
+    ]
+    for k in range(1, lags + 1):
+        cols.append(F.lag(cents, k).over(w).alias(f"lag{k}_cents"))
+    cols.extend([
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts", 1).over(w))
+        ).cast("long").alias("gap_prev_s"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
+        F.coalesce(F.sum(cents).over(past), F.lit(0)).cast("long")
+        .alias("cum_prior_cents"),
+    ])
+    return events.select(*cols)

@@ -874,3 +874,64 @@ def hll_registers(docs: DataFrame) -> DataFrame:
         F.sum("_reg_n").over(Window.partitionBy())
         .cast("long").alias("true_distinct"),
     )
+
+
+# RAG chunk planning over the documents table: the kg pipeline's
+# gate+stride chunking contract applied at corpus scale
+CHUNK_CHARS = 500
+CHUNK_OVERLAP = 100
+CHUNK_MIN_CHARS = 600
+
+
+def chunk_plan(
+    docs: DataFrame,
+    chunk_chars: int = CHUNK_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+    min_chars: int = CHUNK_MIN_CHARS,
+) -> DataFrame:
+    """Deterministic chunk boundaries for a RAG/embedding pipeline:
+    docs at or under ``min_chars`` stay whole; longer docs split into
+    ``chunk_chars`` windows advancing by ``chunk_chars - overlap``. All
+    arithmetic is integer (ceil via (n - overlap + stride - 1) div
+    stride), and each chunk carries a content fingerprint
+    (md5 of the exact substring, 16 hex chars) so the PLAN and the
+    sliced BYTES are both hash-checked cross-engine.
+
+    Pure projection + sequence/posexplode — zero shuffles, prunes to
+    (doc_id, text); the same shape as the kg episode chunker
+    (sources/episodes.py), generalized to the training-data table."""
+    stride = chunk_chars - overlap
+    n = F.length("text")
+    base = docs.select(
+        "doc_id", "text", n.alias("_n"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.when(n <= min_chars, F.lit(0)).otherwise(
+                    F.floor(
+                        (n - F.lit(overlap) + F.lit(stride - 1))
+                        / F.lit(stride)
+                    ).cast("long") - 1
+                ),
+            )
+        ).alias("chunk_idx", "_k"),
+    )
+    # a gated (whole-doc) chunk ends at n even when n > chunk_chars
+    start = F.col("_k") * stride
+    end = F.when(F.col("_n") <= min_chars, F.col("_n")).otherwise(
+        F.least(start + chunk_chars, F.col("_n"))
+    )
+    piece = F.expr(
+        f"substring(text, _k * {stride} + 1, "
+        f"(CASE WHEN _n <= {min_chars} THEN _n "
+        f"ELSE least(_k * {stride} + {chunk_chars}, _n) END) "
+        f"- _k * {stride})"
+    )
+    return base.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start"),
+        end.cast("long").alias("end"),
+        (end - start).cast("long").alias("chunk_len"),
+        F.md5(piece).substr(1, 16).alias("chunk_sha"),
+    )

@@ -1288,6 +1288,56 @@ SELECT event_type,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
 FROM events GROUP BY 1"""
 
+    # per-user point-in-time ML features (operators/events.lag_features):
+    # integer cents, date_diff('second') == unix_timestamp subtraction,
+    # GROWING past-only frame, same (ts, event_id) order
+    from graphiti_spark.operators.events import LAG_FEATURE_LAGS
+
+    _lagcols = ",\n       ".join(
+        f"lag(round(value * 100)::BIGINT, {k}) OVER w AS lag{k}_cents"
+        for k in range(1, LAG_FEATURE_LAGS + 1)
+    )
+    o["ev_lag_features"] = f"""
+SELECT event_id, user_id, ts, event_type,
+       round(value * 100)::BIGINT AS cents,
+       {_lagcols},
+       date_diff('second', lag(ts, 1) OVER w, ts)::BIGINT AS gap_prev_s,
+       (row_number() OVER w - 1)::BIGINT AS n_prior,
+       coalesce(sum(round(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0)::BIGINT AS cum_prior_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+    # RAG chunk planning (operators/textstats.chunk_plan): integer ceil,
+    # gated whole-doc chunks end at n, md5 fingerprint of the exact
+    # slice. Driver-query geometry (200/40/240 — tighter than the
+    # operator defaults) so the testdata corpus exercises both paths.
+    _CK, _CO, _CM = 200, 40, 240
+    _stride = _CK - _CO
+    _cend = (
+        f"CASE WHEN n <= {_CM} THEN n "
+        f"ELSE least(k * {_stride} + {_CK}, n) END"
+    )
+    o["td_chunk_plan"] = f"""
+WITH cp AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) <= {_CM} THEN 1
+              ELSE (length(text) - {_CO} + {_stride - 1})
+                   // {_stride} END AS nc
+  FROM documents
+),
+ix AS (SELECT doc_id, text, n, unnest(range(0, nc)) AS k FROM cp)
+SELECT doc_id, k::BIGINT AS chunk_idx,
+       (k * {_stride})::BIGINT AS start,
+       ({_cend})::BIGINT AS "end",
+       (({_cend}) - k * {_stride})::BIGINT AS chunk_len,
+       substr(md5(substring(text, k * {_stride} + 1,
+                            ({_cend}) - k * {_stride})), 1, 16)
+         AS chunk_sha
+FROM ix"""
+
     # as-of join twin: DuckDB's NATIVE ASOF JOIN — an independent
     # physical derivation of the Spark union+last(ignorenulls) window
     # formulation (operators/events.asof_join_events). The QUALIFY

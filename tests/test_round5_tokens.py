@@ -288,3 +288,54 @@ def test_sketch_batch_landing_replay_idempotent(spark, tmp_path):
     land_hll_batch(docs, 7, hll_store)
     assert sorted(map(tuple, cms_from_store(spark, cms_store).collect())) == once_cms
     assert sorted(map(tuple, hll_from_store(spark, hll_store).collect())) == once_hll
+
+
+def test_chunk_plan_boundaries_and_fingerprints(spark):
+    import hashlib as _h
+
+    from graphiti_spark.operators.textstats import chunk_plan
+
+    long_doc = "a" * 240 + "b" * 240 + "c" * 170   # 650 chars > gate
+    whole_doc = "d" * 550                          # gated: one chunk of 550
+    tiny_doc = "efg"
+    docs = _docs(spark, [(1, long_doc), (2, whole_doc), (3, tiny_doc)])
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in chunk_plan(docs).collect()
+    }
+    assert (rows[(1, 0)]["start"], rows[(1, 0)]["end"]) == (0, 500)
+    assert (rows[(1, 1)]["start"], rows[(1, 1)]["end"]) == (400, 650)
+    assert (2, 1) not in rows and rows[(2, 0)]["end"] == 550
+    assert rows[(3, 0)]["chunk_len"] == 3
+    assert rows[(1, 1)]["chunk_sha"] == _h.md5(
+        long_doc[400:650].encode()
+    ).hexdigest()[:16]
+    assert rows[(2, 0)]["chunk_sha"] == _h.md5(
+        whole_doc.encode()
+    ).hexdigest()[:16]
+
+
+def test_lag_features_exact_trajectory(spark):
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import lag_features
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7, "click", 1.25, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0, 30), 7, "click", 2.50, "{}"),
+        (3, datetime(2024, 1, 1, 10, 2, 0), 7, "buy", 0.25, "{}"),
+        (4, datetime(2024, 1, 1, 9, 0, 0), 8, "click", 9.99, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["event_id"]: r for r in lag_features(events).collect()}
+    assert out[1]["cents"] == 125 and out[1]["lag1_cents"] is None
+    assert out[1]["n_prior"] == 0 and out[1]["cum_prior_cents"] == 0
+    assert out[2]["lag1_cents"] == 125 and out[2]["gap_prev_s"] == 30
+    assert out[3]["lag1_cents"] == 250 and out[3]["lag2_cents"] == 125
+    assert out[3]["gap_prev_s"] == 90
+    assert out[3]["n_prior"] == 2 and out[3]["cum_prior_cents"] == 375
+    # other user starts fresh
+    assert out[4]["lag1_cents"] is None and out[4]["gap_prev_s"] is None
