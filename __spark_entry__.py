@@ -1271,6 +1271,16 @@ def _q_td_bpe_encode(spark, sf_dir):
     return bpe_encode(_docs(spark, sf_dir), merges)
 
 
+def _q_td_bpe_vocab(spark, sf_dir):
+    from graphiti_spark.operators.bpe import bpe_merges, bpe_vocab
+
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe_merges(_docs(spark, sf_dir)).collect()
+    ]
+    return bpe_vocab(_docs(spark, sf_dir), merges)
+
+
 def _q_td_scrub_spans(spark, sf_dir):
     from graphiti_spark.operators.dedup import scrub_spans
 
@@ -1334,7 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming rows still exercise, and long-stable early-round rows,
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
-        "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
@@ -1371,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_ppr": _q_sr_ppr,
         "ev_lag_features": _q_ev_lag_features,
         "td_chunk_plan": _q_td_chunk_plan,
+        "td_bpe_vocab": _q_td_bpe_vocab,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         "sr_hybrid": _q_sr_hybrid,
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_nodes": _q_nodes,
         "kg_triples_raw": _q_triples_raw,
         "kg_mentions": _q_mentions,
         "kg_episodes": _q_episodes,

@@ -126,3 +126,51 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             .cast("long").alias("compression_bp"),
         )
     )
+
+
+BPE_VOCAB_TOP = 50
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    top: int = BPE_VOCAB_TOP,
+) -> DataFrame:
+    """The trained tokenizer's corpus vocabulary: apply the merge list
+    to the word-frequency table and report the ``top`` subwords by total
+    occurrences (ties → subword ASC) with their distinct-word spread.
+    One corpus-sized shuffle (the word count); everything after runs on
+    the vocab-sized frame. Completes the tokenizer lifecycle next to
+    :func:`bpe_merges` (train) and :func:`bpe_encode` (apply)."""
+    from pyspark.sql import Window
+
+    enc = F.regexp_replace(F.col("word"), "(.)", BPE_SEP + "$1")
+    for x, y in merges:
+        enc = F.replace(enc, F.lit(BPE_SEP + x + BPE_SEP + y),
+                        F.lit(BPE_SEP + x + y))
+    subs = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.explode(
+                F.slice(
+                    F.split(enc, BPE_SEP),
+                    2,
+                    F.size(F.split(enc, BPE_SEP)) - 1,
+                )
+            ).alias("subword"),
+        )
+        .groupBy("subword")
+        .agg(
+            F.sum("cnt").cast("long").alias("occurrences"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("occurrences").desc(), "subword")
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), "subword")
+    return subs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "subword", "occurrences", "n_words")

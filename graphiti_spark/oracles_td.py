@@ -1063,6 +1063,29 @@ bpe_v{i} AS MATERIALIZED (
         "WITH " + _bpe_ctes(BPE_ROUNDS) + "\n" + _bpe_rows
     )
 
+    # the trained tokenizer's top subwords (operators/bpe.bpe_vocab):
+    # the SAME unrolled chain's final vocab state, exploded and ranked
+    from graphiti_spark.operators.bpe import BPE_VOCAB_TOP
+
+    o["td_bpe_vocab"] = (
+        "WITH " + _bpe_ctes(BPE_ROUNDS) + f""",
+bpe_sub AS (
+  SELECT sub AS subword, sum(cnt)::BIGINT AS occurrences,
+         count(*)::BIGINT AS n_words
+  FROM (SELECT cnt, unnest(string_split(enc, chr(1))[2:]) AS sub
+        FROM bpe_v{BPE_ROUNDS})
+  GROUP BY 1
+),
+bpe_top AS (
+  SELECT * FROM bpe_sub ORDER BY occurrences DESC, subword
+  LIMIT {BPE_VOCAB_TOP}
+)
+SELECT row_number() OVER (ORDER BY occurrences DESC, subword)::BIGINT
+         AS rank,
+       subword, occurrences, n_words
+FROM bpe_top"""
+    )
+
     # applying the trained merges (operators/bpe.bpe_encode): per-doc
     # subword stats from the SAME unrolled chain's final vocab state
     o["td_bpe_encode"] = (

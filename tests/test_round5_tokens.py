@@ -339,3 +339,19 @@ def test_lag_features_exact_trajectory(spark):
     assert out[3]["n_prior"] == 2 and out[3]["cum_prior_cents"] == 375
     # other user starts fresh
     assert out[4]["lag1_cents"] is None and out[4]["gap_prev_s"] is None
+
+
+def test_bpe_vocab_top_subwords(spark):
+    from graphiti_spark.operators.bpe import bpe_merges, bpe_vocab
+
+    docs = _docs(spark, [(1, "low low low lower"), (2, "low newest")])
+    merges = [
+        (r["x"], r["y"]) for r in bpe_merges(docs, rounds=2).collect()
+    ]
+    # merges: (l,o)->lo x5, (lo,w)->low x5
+    rows = bpe_vocab(docs, merges, top=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    top = rows[0]
+    assert top["subword"] == "low" and top["occurrences"] == 5
+    # 'low' appears in the words low(x4... as occurrences-weighted) and lower
+    assert top["n_words"] == 2
