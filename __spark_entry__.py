@@ -1037,6 +1037,15 @@ def _q_td_lm_score(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir))
 
 
+def _await_drained(q, timeout: int = 600) -> None:
+    """Block until the availableNow stream drains; a timeout must FAIL
+    loudly here — reading a partially-landed store would otherwise
+    surface as an opaque oracle mismatch."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout}s")
+
+
 def _run_stream_to_table(spark, stream_df, name: str, mode: str):
     """Run a streaming DataFrame to completion (availableNow → memory
     sink) and return the landed table — makes Structured Streaming
@@ -1048,22 +1057,29 @@ def _run_stream_to_table(spark, stream_df, name: str, mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     return spark.table(name)
 
 
-def _events_stream(spark, sf_dir):
-    # events.parquet is a single FILE; the file stream source monitors a
-    # DIRECTORY, so expose the read-only file through a temp-dir symlink
+def _file_stream(spark, sf_dir, filename: str, schema):
+    # the testdata tables are single FILES; the file stream source
+    # monitors a DIRECTORY, so expose the read-only file through a
+    # temp-dir symlink
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="ev_stream_")
+    d = tempfile.mkdtemp(prefix=f"{filename.split('.')[0]}_stream_")
     os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(d, "events.parquet"),
+        os.path.abspath(f"{sf_dir}/{filename}"),
+        os.path.join(d, filename),
     )
-    return spark.readStream.schema(_events(spark, sf_dir).schema).parquet(d)
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _events_stream(spark, sf_dir):
+    return _file_stream(
+        spark, sf_dir, "events.parquet", _events(spark, sf_dir).schema
+    )
 
 
 def _q_ev_asof_stream(spark, sf_dir):
@@ -1156,17 +1172,9 @@ def _q_td_common_spans(spark, sf_dir):
 
 
 def _docs_stream(spark, sf_dir):
-    # documents.parquet is a single FILE; the file stream source
-    # monitors a DIRECTORY (same shim as _events_stream)
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="doc_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/documents.parquet"),
-        os.path.join(d, "documents.parquet"),
+    return _file_stream(
+        spark, sf_dir, "documents.parquet", _docs(spark, sf_dir).schema
     )
-    return spark.readStream.schema(_docs(spark, sf_dir).schema).parquet(d)
 
 
 def _q_td_cms_stream(spark, sf_dir):
@@ -1184,7 +1192,7 @@ def _q_td_cms_stream(spark, sf_dir):
 
     store = tempfile.mkdtemp(prefix="cms_store_")
     ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
-    streaming_cms(_docs_stream(spark, sf_dir), store, ckpt).awaitTermination(600)
+    _await_drained(streaming_cms(_docs_stream(spark, sf_dir), store, ckpt))
     sketch = cms_from_store(spark, store)
     from graphiti_spark.functions.text import tokenize
 
@@ -1220,7 +1228,7 @@ def _q_td_hll_stream(spark, sf_dir):
 
     store = tempfile.mkdtemp(prefix="hll_store_")
     ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
-    streaming_hll(_docs_stream(spark, sf_dir), store, ckpt).awaitTermination(600)
+    _await_drained(streaming_hll(_docs_stream(spark, sf_dir), store, ckpt))
     return hll_from_store(spark, store).select("register", "max_rank")
 
 

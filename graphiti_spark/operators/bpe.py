@@ -11,15 +11,19 @@ syncs are inherent to the algorithm, same as any iterative trainer's
 convergence check). ``localCheckpoint`` cuts the K-round lineage like
 the Lloyd / PageRank loops.
 
-Cross-engine determinism: a word's symbol state is encoded as a
-``\\x01``-PREFIXED string (``"ab" → "\\x01a\\x01b"``), so applying merge
-(x, y) is ``replace(enc, sep+x+sep+y, sep+x+y)`` — leftmost greedy
-non-overlapping in BOTH engines, and byte-exact equal to the sequential
-greedy BPE scan because adjacent matches share no characters (the
-sentinel prefixes, unlike space-DELIMITED encodings whose flanking
-separators overlap between consecutive pairs). Tokens come from
-:func:`graphiti_spark.functions.text.tokenize` (word chars only, so the
-sentinel can never occur in a symbol). Pair-count ties break on
+Cross-engine determinism: a word's symbol state is encoded with DOUBLE
+sentinels — every symbol wrapped as ``\\x01 sym \\x02`` (``"ab" →
+"\\x01a\\x02\\x01b\\x02"``) — so applying merge (x, y) is
+``replace(enc, S+x+E+S+y+E, S+x+y+E)``, leftmost greedy non-overlapping
+in BOTH engines and byte-exact equal to the sequential greedy BPE scan:
+a match must align to COMPLETE symbols (the closing ``\\x02`` after x
+and y rejects the case where y is a proper prefix of the actual
+following symbol, e.g. merge (w,e) against symbols [w, er] — the bug a
+prefix-only sentinel encoding has), and adjacent matches share no
+characters so consecutive runs ("aaaa" under merge (a,a)) merge
+pairwise exactly like the sequential scan. Tokens come from
+:func:`graphiti_spark.functions.text.tokenize` (word chars only, so
+neither sentinel can occur in a symbol). Pair-count ties break on
 (count DESC, x ASC, y ASC) — plain ASCII collation, identical in Spark
 and DuckDB; the unrolled-CTE twin is oracles_td's ``bpe_*`` chain.
 """
@@ -32,17 +36,42 @@ from graphiti_spark.functions.text import tokenize
 
 BPE_ROUNDS = 8
 BPE_SEP = "\x01"
+BPE_END = "\x02"
+BPE_VOCAB_TOP = 50
+
+
+def _encode_word(col) -> F.Column:
+    """character-level double-sentinel encoding of a word column."""
+    return F.regexp_replace(col, "(.)", BPE_SEP + "$1" + BPE_END)
+
+
+def _apply_merges(enc: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Compile a merge list into the replace chain — the ONE definition
+    of merge application (bpe_merges' per-round step, bpe_encode and
+    bpe_vocab all route through here; the DuckDB twin mirrors it)."""
+    for x, y in merges:
+        enc = F.replace(
+            enc,
+            F.lit(BPE_SEP + x + BPE_END + BPE_SEP + y + BPE_END),
+            F.lit(BPE_SEP + x + y + BPE_END),
+        )
+    return enc
+
+
+def _symbols(enc: F.Column) -> F.Column:
+    """array<string> of the encoding's symbols, in order."""
+    return F.transform(
+        F.filter(F.split(enc, BPE_END), lambda s: s != F.lit("")),
+        lambda s: s.substr(F.lit(2), F.length(s)),
+    )
 
 
 def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
     """(x, y, pair_count) over the encoded vocab, each occurrence
     weighted by word frequency."""
-    syms = F.slice(
-        F.split(F.col("enc"), BPE_SEP),
-        2,
-        F.size(F.split(F.col("enc"), BPE_SEP)) - 1,
-    )
-    with_syms = vocab.select("cnt", syms.alias("s")).where(F.size("s") >= 2)
+    with_syms = vocab.select(
+        "cnt", _symbols(F.col("enc")).alias("s")
+    ).where(F.size("s") >= 2)
     zipped = F.arrays_zip(
         F.slice(F.col("s"), 1, F.size("s") - 1).alias("x"),
         F.slice(F.col("s"), 2, F.size("s") - 1).alias("y"),
@@ -63,10 +92,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .select(
-            "cnt",
-            F.regexp_replace("word", "(.)", BPE_SEP + "$1").alias("enc"),
-        )
+        .select("cnt", _encode_word(F.col("word")).alias("enc"))
         .localCheckpoint()
     )
     merges = []
@@ -83,11 +109,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         merges.append((i, x, y, x + y, pc))
         vocab = vocab.select(
             "cnt",
-            F.replace(
-                F.col("enc"),
-                F.lit(BPE_SEP + x + BPE_SEP + y),
-                F.lit(BPE_SEP + x + y),
-            ).alias("enc"),
+            _apply_merges(F.col("enc"), [(x, y)]).alias("enc"),
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "round long, x string, y string, merged string, pair_count long"
@@ -97,16 +119,13 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a trained merge list to the documents' tokens and report the
     resulting subword statistics per doc: (doc_id, n_words, n_subwords,
-    compression_pct). Pure projection — the merge table compiles to a
+    compression_bp). Pure projection — the merge table compiles to a
     chain of ``replace`` expressions, so encoding shuffles nothing and
-    scales embarrassingly. compression_pct is integer basis points of
+    scales embarrassingly. compression_bp is integer basis points of
     symbols saved vs character-level (engine-exact floor division)."""
-    enc = F.regexp_replace(F.col("word"), "(.)", BPE_SEP + "$1")
+    enc = _apply_merges(_encode_word(F.col("word")), merges)
     n_chars = F.length("word")
-    for x, y in merges:
-        enc = F.replace(enc, F.lit(BPE_SEP + x + BPE_SEP + y),
-                        F.lit(BPE_SEP + x + y))
-    n_sub = F.size(F.split(enc, BPE_SEP)) - 1
+    n_sub = F.size(_symbols(enc))
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -128,9 +147,6 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
-BPE_VOCAB_TOP = 50
-
-
 def bpe_vocab(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -144,24 +160,12 @@ def bpe_vocab(
     :func:`bpe_merges` (train) and :func:`bpe_encode` (apply)."""
     from pyspark.sql import Window
 
-    enc = F.regexp_replace(F.col("word"), "(.)", BPE_SEP + "$1")
-    for x, y in merges:
-        enc = F.replace(enc, F.lit(BPE_SEP + x + BPE_SEP + y),
-                        F.lit(BPE_SEP + x + y))
+    enc = _apply_merges(_encode_word(F.col("word")), merges)
     subs = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .select(
-            "cnt",
-            F.explode(
-                F.slice(
-                    F.split(enc, BPE_SEP),
-                    2,
-                    F.size(F.split(enc, BPE_SEP)) - 1,
-                )
-            ).alias("subword"),
-        )
+        .select("cnt", F.explode(_symbols(enc)).alias("subword"))
         .groupBy("subword")
         .agg(
             F.sum("cnt").cast("long").alias("occurrences"),

@@ -250,20 +250,23 @@ def entity_timeline(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     bi-temporal interval sequence is part of the checked contract).
 
     Output: (group_id, entity, fact, valid_at, invalid_at, pos) with
-    ``pos`` = 1-based position in (valid_at, edge uuid) order. One
-    shuffle: the window partitions by (group_id, subject uuid) — the
-    same key the store buckets by, so at 100 TB the sort runs within
-    already-co-located partitions; the name join broadcasts the
-    (group-pruned) node dimension."""
+    ``pos`` = 1-based position in (valid_at NULLS LAST, edge uuid)
+    order — NULLS LAST is explicit because Spark defaults nulls-first
+    ascending while the DuckDB twin defaults nulls-last, and the rank
+    runs AFTER the name join so both sides number the same row set even
+    if an edge ever dangles. One shuffle: the window partitions by
+    (group_id, subject uuid) — the same key the store buckets by, so at
+    100 TB the sort runs within already-co-located partitions; the name
+    join broadcasts the (group-pruned) node dimension."""
     w = Window.partitionBy("group_id", "source_node_uuid").orderBy(
-        "valid_at", "uuid"
+        F.col("valid_at").asc_nulls_last(), "uuid"
     )
     names = nodes.select(
         F.col("uuid").alias("source_node_uuid"),
         F.col("name").alias("entity"),
     )
     return (
-        edges.withColumn("pos", F.row_number().over(w).cast("long"))
-        .join(names, "source_node_uuid")
+        edges.join(names, "source_node_uuid")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("group_id", "entity", "fact", "valid_at", "invalid_at", "pos")
     )

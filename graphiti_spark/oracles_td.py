@@ -1021,6 +1021,16 @@ FROM hll_rank GROUP BY 1"""
     # engines (operators/bpe.py module docstring)
     from graphiti_spark.operators.bpe import BPE_ROUNDS
 
+    # symbol list from the double-sentinel encoding (operators/bpe:
+    # every symbol is chr(1) sym chr(2) — split on chr(2), drop empties,
+    # strip each piece's leading chr(1)). The LEFT JOIN in bpe_v{i}
+    # keeps the vocab unchanged when pairs run out before round K (the
+    # Spark loop breaks early; a CROSS JOIN would empty it).
+    _bpe_syms = (
+        "list_transform(list_filter(string_split(enc, chr(2)), "
+        "z -> z <> ''), z -> z[2:])"
+    )
+
     def _bpe_ctes(rounds: int) -> str:
         sql = f"""bpe_wf AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt
@@ -1029,7 +1039,7 @@ FROM hll_rank GROUP BY 1"""
 ),
 bpe_v0 AS MATERIALIZED (
   SELECT word, cnt,
-         regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS enc
+         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc
   FROM bpe_wf
 )"""
         for i in range(1, rounds + 1):
@@ -1038,7 +1048,7 @@ bpe_p{i} AS (
   SELECT x, y, sum(cnt)::BIGINT AS pair_count FROM (
     SELECT cnt, s[i] AS x, s[i + 1] AS y FROM (
       SELECT cnt, s, unnest(range(1, len(s))) AS i
-      FROM (SELECT cnt, string_split(enc, chr(1))[2:] AS s FROM bpe_v{i - 1})
+      FROM (SELECT cnt, {_bpe_syms} AS s FROM bpe_v{i - 1})
     )
   ) GROUP BY 1, 2
 ),
@@ -1048,9 +1058,12 @@ bpe_b{i} AS MATERIALIZED (
 ),
 bpe_v{i} AS MATERIALIZED (
   SELECT v.word, v.cnt,
-         replace(v.enc, chr(1) || b.x || chr(1) || b.y,
-                 chr(1) || b.x || b.y) AS enc
-  FROM bpe_v{i - 1} v CROSS JOIN bpe_b{i} b
+         coalesce(
+           replace(v.enc,
+                   chr(1) || b.x || chr(2) || chr(1) || b.y || chr(2),
+                   chr(1) || b.x || b.y || chr(2)),
+           v.enc) AS enc
+  FROM bpe_v{i - 1} v LEFT JOIN bpe_b{i} b ON true
 )"""
         return sql
 
@@ -1072,7 +1085,7 @@ bpe_v{i} AS MATERIALIZED (
 bpe_sub AS (
   SELECT sub AS subword, sum(cnt)::BIGINT AS occurrences,
          count(*)::BIGINT AS n_words
-  FROM (SELECT cnt, unnest(string_split(enc, chr(1))[2:]) AS sub
+  FROM (SELECT cnt, unnest(list_transform(list_filter(string_split(enc, chr(2)), z -> z <> ''), z -> z[2:])) AS sub
         FROM bpe_v{BPE_ROUNDS})
   GROUP BY 1
 ),
@@ -1095,9 +1108,9 @@ bpe_tok AS (
 )
 SELECT t.doc_id,
        count(*)::BIGINT AS n_words,
-       sum(len(string_split(v.enc, chr(1))) - 1)::BIGINT AS n_subwords,
+       sum(len(list_filter(string_split(v.enc, chr(2)), z -> z <> '')))::BIGINT AS n_subwords,
        ((10000 * (sum(length(t.word))
-                  - sum(len(string_split(v.enc, chr(1))) - 1)))
+                  - sum(len(list_filter(string_split(v.enc, chr(2)), z -> z <> '')))))
         // sum(length(t.word)))::BIGINT AS compression_bp
 FROM bpe_tok t JOIN bpe_v{BPE_ROUNDS} v ON v.word = t.word
 GROUP BY 1"""
@@ -1619,7 +1632,7 @@ SELECT group_id, uuid, name, valid_at, rn FROM (
 SELECT e.group_id, n.name AS entity, e.fact, e.valid_at, e.invalid_at,
        row_number() OVER (
          PARTITION BY e.group_id, e.source_node_uuid
-         ORDER BY e.valid_at, e.uuid
+         ORDER BY e.valid_at ASC NULLS LAST, e.uuid
        )::BIGINT AS pos
 FROM edges e JOIN nodes n ON n.uuid = e.source_node_uuid"""
 

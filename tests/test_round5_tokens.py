@@ -355,3 +355,27 @@ def test_bpe_vocab_top_subwords(spark):
     assert top["subword"] == "low" and top["occurrences"] == 5
     # 'low' appears in the words low(x4... as occurrences-weighted) and lower
     assert top["n_words"] == 2
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """Regression: with a prefix-only sentinel encoding, merge (w,e)
+    would false-match the 'e' PREFIX of symbol 'er' inside w|er; the
+    double-sentinel encoding must keep parity with the sequential
+    reference on exactly this corpus shape."""
+    words = ["er"] * 4 + ["wea"] * 2 + ["web"] * 2 + ["wer"]
+    docs = _docs(spark, [(1, " ".join(words))])
+    freq = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    expect = _python_bpe(freq, rounds=4)
+    got = [
+        (r["round"], r["x"], r["y"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=4).collect()
+    ]
+    assert got == expect
+    # and the encoder agrees: 'wer' stays (w, er) after merges (e,r),(w,e)
+    merges = [(x, y) for _, x, y, _, _ in expect]
+    enc = {r["doc_id"]: r for r in bpe_encode(
+        _docs(spark, [(1, "wer")]), merges[:2]
+    ).collect()}
+    assert enc[1]["n_subwords"] == 2  # (w, er) — NOT one merged 'wer'
