@@ -1232,6 +1232,12 @@ def _q_td_hll_stream(spark, sf_dir):
     return hll_from_store(spark, store).select("register", "max_rank")
 
 
+def _q_ev_topk(spark, sf_dir):
+    from graphiti_spark.operators.events import windowed_topk
+
+    return windowed_topk(_events(spark, sf_dir))
+
+
 def _q_ev_lag_features(spark, sf_dir):
     from graphiti_spark.operators.events import lag_features
 
@@ -1352,7 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming rows still exercise, and long-stable early-round rows,
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
-        "kg_edges": _q_edges,
         "kg_current_triples": _q_current_triples,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "sr_communities_plurality": _q_sr_communities_plurality,
@@ -1387,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_hll_stream": _q_td_hll_stream,
         "sr_ppr": _q_sr_ppr,
         "ev_lag_features": _q_ev_lag_features,
+        "ev_topk": _q_ev_topk,
         "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_vocab": _q_td_bpe_vocab,
         "td_bpe_merges": _q_td_bpe_merges,
@@ -1403,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_edges": _q_edges,
         "kg_nodes": _q_nodes,
         "kg_triples_raw": _q_triples_raw,
         "kg_mentions": _q_mentions,

@@ -486,3 +486,30 @@ def lag_features(events: DataFrame, lags: int = LAG_FEATURE_LAGS) -> DataFrame:
         .alias("cum_prior_cents"),
     ])
     return events.select(*cols)
+
+
+TOPK_PER_WINDOW = 3
+
+
+def windowed_topk(events: DataFrame, k: int = TOPK_PER_WINDOW) -> DataFrame:
+    """Trending report: the top ``k`` event types per tumbling hour by
+    event count (ties → event_type ASC). The rank window runs over the
+    AGGREGATED (window, type) frame — cardinality = hours × types, never
+    the event stream — partitioned by window_start, so a year of data is
+    one map-side-combinable groupBy plus a shuffle of tiny aggregates."""
+    from pyspark.sql import Window
+
+    agg = (
+        events.groupBy(
+            F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

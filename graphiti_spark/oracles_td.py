@@ -1295,6 +1295,21 @@ SELECT window_start, event_type, n_events,
        n_users
 FROM w"""
 
+    # trending top-k per tumbling hour (operators/events.windowed_topk)
+    from graphiti_spark.operators.events import TOPK_PER_WINDOW
+
+    o["ev_topk"] = f"""
+SELECT window_start, event_type, n_events, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, event_type
+  )::BIGINT AS rank
+  FROM (
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= {TOPK_PER_WINDOW}"""
+
     # islands formulation of session_window: only a gap STRICTLY greater
     # than 30 min splits (session_window merges an event landing exactly
     # at last + gap — boundary pinned by test_events)

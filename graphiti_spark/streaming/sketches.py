@@ -124,3 +124,29 @@ def cms_probe(
         .groupBy("token")
         .agg(F.min("cell_sum").cast("long").alias("cms_count"))
     )
+
+
+def compact_sketch_store(
+    spark: SparkSession, store_dir: str, kind: str
+) -> int:
+    """Rewrite a delta store as ONE merged delta (batch_id=-1 plus the
+    removal of the per-batch partitions) — bounds the read-side merge
+    cost after long streaming runs. Safe by algebra: cell-wise sum /
+    register-wise max are idempotent under re-merge, so a compacted
+    store merges to the SAME sketch (test-asserted). Single-writer
+    contract, same as the repo's GraphStore. Returns the number of
+    batch partitions compacted away."""
+    import os
+    import shutil
+
+    merged = (
+        cms_from_store(spark, store_dir) if kind == "cms"
+        else hll_from_store(spark, store_dir)
+    )
+    staged = f"{store_dir}.compact_stage"
+    merged.write.mode("overwrite").parquet(staged)
+    olds = [d for d in os.listdir(store_dir) if d.startswith("batch_id=")]
+    for d in olds:
+        shutil.rmtree(os.path.join(store_dir, d))
+    os.rename(staged, os.path.join(store_dir, "batch_id=-1"))
+    return len(olds)

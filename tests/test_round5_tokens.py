@@ -379,3 +379,55 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
         _docs(spark, [(1, "wer")]), merges[:2]
     ).collect()}
     assert enc[1]["n_subwords"] == 2  # (w, er) — NOT one merged 'wer'
+
+
+def test_compact_sketch_store_preserves_merge(spark, tmp_path):
+    from graphiti_spark.streaming.sketches import (
+        cms_from_store,
+        compact_sketch_store,
+        hll_from_store,
+        land_cms_batch,
+        land_hll_batch,
+    )
+
+    d1 = _docs(spark, [(1, "alpha beta beta"), (2, "gamma")])
+    d2 = _docs(spark, [(3, "alpha delta")])
+    cms_store, hll_store = str(tmp_path / "cms"), str(tmp_path / "hll")
+    for b, d in ((0, d1), (1, d2)):
+        land_cms_batch(d, b, cms_store)
+        land_hll_batch(d, b, hll_store)
+    before_cms = sorted(map(tuple, cms_from_store(spark, cms_store).collect()))
+    before_hll = sorted(map(tuple, hll_from_store(spark, hll_store).collect()))
+    assert compact_sketch_store(spark, cms_store, "cms") == 2
+    assert compact_sketch_store(spark, hll_store, "hll") == 2
+    assert sorted(map(tuple, cms_from_store(spark, cms_store).collect())) == before_cms
+    assert sorted(map(tuple, hll_from_store(spark, hll_store).collect())) == before_hll
+    # compacting a compacted store is a no-op merge too
+    assert compact_sketch_store(spark, cms_store, "cms") == 1
+    assert sorted(map(tuple, cms_from_store(spark, cms_store).collect())) == before_cms
+
+
+def test_windowed_topk_ranks_types(spark):
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import windowed_topk
+
+    rows = []
+    eid = 0
+    for etype, n in (("a", 3), ("b", 3), ("c", 1), ("d", 5)):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1, 10, eid % 60, 0), 1, etype, 1.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = [
+        (r["event_type"], r["n_events"], r["rank"])
+        for r in windowed_topk(events, k=3).orderBy("rank").collect()
+    ]
+    # d(5) first; a/b tie at 3 -> lexicographic; c cut by k=3
+    assert out == [("d", 5, 1), ("a", 3, 2), ("b", 3, 3)]
