@@ -365,3 +365,48 @@ def test_personalized_pagerank_proximity_and_zero_groups(spark):
     assert {u: out[("g", u)] for u in adj} == r
     # the unseeded group carries no mass at all
     assert out[("h", "x")] == 0 and out[("h", "y")] == 0
+
+
+def test_graph_ops_plans_have_no_cartesian_product(spark):
+    """The wedge self-joins must stay equi-joins on (group, center) —
+    a CartesianProduct/BroadcastNestedLoop in any of these plans means
+    the join keys got lost and the operator is quadratic at scale."""
+    import io
+    from contextlib import redirect_stdout
+
+    from graphiti_spark.operators.community import (
+        kcore_peel,
+        predict_links,
+        triangle_count,
+    )
+    from graphiti_spark.operators.events import lag_features
+
+    edges = _edges(
+        spark, [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a")]
+    )
+    for df in (
+        triangle_count(edges),
+        predict_links(edges),
+        kcore_peel(edges, rounds=1),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # lag_features: all windows share ONE partitioning+ordering
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lag_features(ev).explain()
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
