@@ -1232,6 +1232,18 @@ def _q_td_hll_stream(spark, sf_dir):
     return hll_from_store(spark, store).select("register", "max_rank")
 
 
+def _q_ev_approx_users(spark, sf_dir):
+    from graphiti_spark.operators.events import windowed_user_sketch
+
+    return windowed_user_sketch(_events(spark, sf_dir))
+
+
+def _q_sr_component_sizes(spark, sf_dir):
+    from graphiti_spark.operators.community import component_size_stats
+
+    return component_size_stats(_graph(spark, sf_dir).edges)
+
+
 def _q_ev_topk(spark, sf_dir):
     from graphiti_spark.operators.events import windowed_topk
 
@@ -1359,8 +1371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
-        "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
-        "sr_communities_plurality": _q_sr_communities_plurality,
         "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
@@ -1393,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_ppr": _q_sr_ppr,
         "ev_lag_features": _q_ev_lag_features,
         "ev_topk": _q_ev_topk,
+        "ev_approx_users": _q_ev_approx_users,
+        "sr_component_sizes": _q_sr_component_sizes,
         "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_vocab": _q_td_bpe_vocab,
         "td_bpe_merges": _q_td_bpe_merges,
@@ -1409,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
+        "sr_communities_plurality": _q_sr_communities_plurality,
         "kg_edges": _q_edges,
         "kg_nodes": _q_nodes,
         "kg_triples_raw": _q_triples_raw,

@@ -921,3 +921,27 @@ def predict_links(
         cand.withColumn("rank", F.row_number().over(win).cast("long"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def component_size_stats(edges: DataFrame) -> DataFrame:
+    """Connected-component size histogram per group — the macro view a
+    graph owner reads next to :func:`degree_stats`: one giant component
+    means over-merged entities, a dust of tiny ones means resolution
+    missed. Component sizes come from :func:`community_nodes_cc` (the
+    oracle-checkable CC variant); sizes bucket by the same exact
+    power-of-two CASE chain as the degree histogram. Output per
+    (group_id, bucket): (n_components, min_size, max_size) — the
+    aggregation runs over the components frame (cardinality = number of
+    components, not nodes)."""
+    comp = (
+        community_nodes_cc(edges)
+        .select("group_id", "community", "n_members")
+        .distinct()
+    )
+    return comp.groupBy(
+        "group_id", _pow2_bucket(F.col("n_members")).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.min("n_members").cast("long").alias("min_size"),
+        F.max("n_members").cast("long").alias("max_size"),
+    )

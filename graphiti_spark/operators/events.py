@@ -513,3 +513,43 @@ def windowed_topk(events: DataFrame, k: int = TOPK_PER_WINDOW) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def windowed_user_sketch(events: DataFrame) -> DataFrame:
+    """Per-hour HLL registers of the DISTINCT USER set — the grouped
+    form of textstats.hll_registers (same sha-hex rank computation via
+    _hll_cols) and the realistic production shape: one ≤256-register
+    sketch per (window, dimension) cell, mergeable across shards/days by
+    register-wise max, so month/quarter distinct-user rollups are
+    re-aggregations of these rows (the rollup-tier contract). Output:
+    (window_start, register, max_rank, true_users) — true_users is the
+    exact per-window distinct count derived from the SAME single scan
+    (a window-sum over the aggregated register frame)."""
+    from pyspark.sql import Window
+
+    from graphiti_spark.operators.textstats import _hll_cols
+
+    register, rank = _hll_cols()
+    wu = events.select(
+        F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
+        F.col("user_id").cast("string").alias("token"),
+    ).distinct()
+    regs = (
+        wu.select(
+            "window_start",
+            register.alias("register"),
+            rank.cast("long").alias("rank"),
+        )
+        .groupBy("window_start", "register")
+        .agg(
+            F.max("rank").cast("long").alias("max_rank"),
+            F.count("*").cast("long").alias("_reg_n"),
+        )
+    )
+    return regs.select(
+        "window_start",
+        "register",
+        "max_rank",
+        F.sum("_reg_n").over(Window.partitionBy("window_start"))
+        .cast("long").alias("true_users"),
+    )

@@ -1310,6 +1310,38 @@ SELECT window_start, event_type, n_events, rank FROM (
   )
 ) WHERE rank <= {TOPK_PER_WINDOW}"""
 
+    # per-window HLL registers of the distinct-user set (operators/
+    # events.windowed_user_sketch) — the grouped form of td_hll, same
+    # hex-digit rank computation
+    o["ev_approx_users"] = f"""
+WITH wu AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('hour', ts) AS window_start, user_id
+  FROM events
+),
+wr AS (
+  SELECT window_start, substr(h, 1, {HLL_REG_HEX}) AS register,
+         CASE WHEN z = {HLL_RANK_HEX} THEN {4 * HLL_RANK_HEX + 1}
+              ELSE 4 * z + {_lz_case} + 1 END AS rank
+  FROM (
+    SELECT window_start, h, z, substr(t, z + 1, 1) AS d FROM (
+      SELECT window_start, h,
+             substr(h, {HLL_REG_HEX + 1}, {HLL_RANK_HEX}) AS t,
+             length(regexp_extract(
+               substr(h, {HLL_REG_HEX + 1}, {HLL_RANK_HEX}), '^(0*)', 1
+             )) AS z
+      FROM (SELECT window_start,
+                   sha256('hll:' || user_id::VARCHAR) AS h FROM wu)
+    )
+  )
+)
+SELECT window_start, register, max_rank,
+       sum(reg_n) OVER (PARTITION BY window_start)::BIGINT AS true_users
+FROM (
+  SELECT window_start, register, max(rank)::BIGINT AS max_rank,
+         count(*) AS reg_n
+  FROM wr GROUP BY 1, 2
+)"""
+
     # islands formulation of session_window: only a gap STRICTLY greater
     # than 30 min splits (session_window merges an event landing exactly
     # at last + gap — boundary pinned by test_events)
@@ -1889,6 +1921,47 @@ FROM media"""
     # CC communities (min-label propagation to fixpoint) over the megacorp
     # entity graph — recursive-CTE min-label closure, community = min
     # member uuid, size = component cardinality
+    # component size histogram over ALL groups (operators/community
+    # .component_size_stats): node uuids embed the group, so one
+    # closure serves every group; sizes bucket by the SAME pow2 CASE
+    # chain as sr_degree_stats
+    _size_bcase = "CASE " + " ".join(
+        f"WHEN n_members >= {1 << e} THEN {e}"
+        for e in range(DEGREE_BUCKET_MAX_EXP, 0, -1)
+    ) + " ELSE 0 END"
+    o["sr_component_sizes"] = p + f"""
+, cs_ge AS (
+  SELECT DISTINCT source_node_uuid AS a, target_node_uuid AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+cs_und AS (SELECT a, b FROM cs_ge UNION SELECT b, a FROM cs_ge),
+cs_reach AS (
+  SELECT a AS node, b AS lbl FROM cs_und
+  UNION
+  SELECT r.node, u.b AS lbl FROM cs_reach r JOIN cs_und u ON u.a = r.lbl
+),
+cs_assign AS (
+  SELECT node AS uuid, least(node, min(lbl)) AS community
+  FROM cs_reach GROUP BY node
+),
+cs_members AS (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, source_node_uuid AS uuid FROM edges
+    UNION ALL SELECT group_id, target_node_uuid FROM edges
+  )
+),
+cs_sizes AS (
+  SELECT group_id, coalesce(c.community, m.uuid) AS community,
+         count(*)::BIGINT AS n_members
+  FROM cs_members m LEFT JOIN cs_assign c ON c.uuid = m.uuid
+  GROUP BY 1, 2
+)
+SELECT group_id, {_size_bcase} AS bucket,
+       count(*)::BIGINT AS n_components,
+       min(n_members)::BIGINT AS min_size,
+       max(n_members)::BIGINT AS max_size
+FROM cs_sizes GROUP BY 1, 2"""
+
     o["sr_communities"] = p + """
 , ge AS (
   SELECT DISTINCT source_node_uuid AS a, target_node_uuid AS b

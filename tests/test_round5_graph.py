@@ -410,3 +410,19 @@ def test_graph_ops_plans_have_no_cartesian_product(spark):
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1
     assert plan.count("Sort") == 1
+
+
+def test_component_size_stats_buckets(spark):
+    from graphiti_spark.operators.community import component_size_stats
+
+    # one 4-cycle (size 4, bucket 2), one pair (size 2, bucket 1), one
+    # self-loop-only node (size 1, bucket 0)
+    edges = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"), ("g", "d", "a"),
+         ("g", "x", "y"), ("g", "z", "z")],
+    )
+    out = {r["bucket"]: r for r in component_size_stats(edges).collect()}
+    assert out[2]["n_components"] == 1 and out[2]["max_size"] == 4
+    assert out[1]["n_components"] == 1 and out[1]["min_size"] == 2
+    assert out[0]["n_components"] == 1 and out[0]["max_size"] == 1

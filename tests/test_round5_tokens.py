@@ -431,3 +431,46 @@ def test_windowed_topk_ranks_types(spark):
     ]
     # d(5) first; a/b tie at 3 -> lexicographic; c cut by k=3
     assert out == [("d", 5, 1), ("a", 3, 2), ("b", 3, 3)]
+
+
+def test_windowed_user_sketch_registers_and_counts(spark):
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import windowed_user_sketch
+    from graphiti_spark.operators.textstats import (
+        HLL_RANK_HEX,
+        HLL_REG_HEX,
+    )
+
+    rows, eid = [], 0
+    # hour 10: users 1,2,3 (user 1 twice); hour 11: user 1 only
+    for h, users in ((10, [1, 2, 3, 1]), (11, [1])):
+        for u in users:
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1, h, eid % 60, 0), u, "c", 1.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = windowed_user_sketch(events).collect()
+    by_hour = {}
+    for r in out:
+        by_hour.setdefault(r["window_start"].hour, []).append(r)
+    assert all(r["true_users"] == 3 for r in by_hour[10])
+    assert all(r["true_users"] == 1 for r in by_hour[11])
+
+    def reg_rank(u):
+        h = hashlib.sha256(f"hll:{u}".encode()).hexdigest()
+        reg = h[:HLL_REG_HEX]
+        bits = bin(int(h[HLL_REG_HEX:HLL_REG_HEX + HLL_RANK_HEX], 16))[2:]
+        bits = bits.zfill(4 * HLL_RANK_HEX)
+        return reg, (bits.find("1") + 1 or 4 * HLL_RANK_HEX + 1)
+
+    expect10 = {}
+    for u in (1, 2, 3):
+        reg, rank = reg_rank(u)
+        expect10[reg] = max(expect10.get(reg, 0), rank)
+    assert {r["register"]: r["max_rank"] for r in by_hour[10]} == expect10
