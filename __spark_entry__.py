@@ -1232,6 +1232,12 @@ def _q_td_hll_stream(spark, sf_dir):
     return hll_from_store(spark, store).select("register", "max_rank")
 
 
+def _q_ev_rfm(spark, sf_dir):
+    from graphiti_spark.operators.events import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir))
+
+
 def _q_ev_approx_users(spark, sf_dir):
     from graphiti_spark.operators.events import windowed_user_sketch
 
@@ -1371,7 +1377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
-        "td_ann_pq": _q_td_ann_pq,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "td_dedup_semantic": _q_td_dedup_semantic,
@@ -1404,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_lag_features": _q_ev_lag_features,
         "ev_topk": _q_ev_topk,
         "ev_approx_users": _q_ev_approx_users,
+        "ev_rfm": _q_ev_rfm,
         "sr_component_sizes": _q_sr_component_sizes,
         "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_vocab": _q_td_bpe_vocab,
@@ -1421,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
         # ---- driver 50-row cap boundary ----
+        "td_ann_pq": _q_td_ann_pq,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "sr_communities_plurality": _q_sr_communities_plurality,
         "kg_edges": _q_edges,

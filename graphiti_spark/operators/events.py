@@ -553,3 +553,52 @@ def windowed_user_sketch(events: DataFrame) -> DataFrame:
         F.sum("_reg_n").over(Window.partitionBy("window_start"))
         .cast("long").alias("true_users"),
     )
+
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
+    """RFM user segmentation — recency (days from the user's last event
+    to the corpus max event time), frequency (event count), monetary
+    (integer cents) — with ntile quintile scores. Every score order
+    carries a user_id tie-break so the ntile assignment is total-order
+    deterministic (both engines implement standard ntile: first
+    ``count mod n`` buckets take one extra row — identical given the
+    same total order).
+
+    Shape: one map-side-combinable groupBy to the per-user frame, then
+    FOUR global windows (reference max + three ntiles) over that
+    AGGREGATED frame — cardinality = users, never events. At 100× the
+    ntile step becomes the usual two-phase ranked assignment; the
+    contract (total order) is unchanged."""
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("_last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(_cents()).cast("long").alias("monetary_cents"),
+    )
+    ref = F.max("_last_ts").over(Window.partitionBy())
+    scored = per_user.select(
+        "user_id",
+        F.datediff(ref, F.col("_last_ts")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(buckets).over(r_w).cast("long").alias("r_score"),
+        F.ntile(buckets).over(f_w).cast("long").alias("f_score"),
+        F.ntile(buckets).over(m_w).cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long"),
+    )

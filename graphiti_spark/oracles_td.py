@@ -1310,6 +1310,37 @@ SELECT window_start, event_type, n_events, rank FROM (
   )
 ) WHERE rank <= {TOPK_PER_WINDOW}"""
 
+    # RFM segmentation (operators/events.rfm_segments): per-user
+    # aggregates + ntile quintiles, every order user_id-tie-broken
+    from graphiti_spark.operators.events import RFM_BUCKETS
+
+    o["ev_rfm"] = f"""
+WITH pu AS (
+  SELECT user_id, max(ts) AS last_ts,
+         count(*)::BIGINT AS frequency,
+         sum(round(value * 100)::BIGINT)::BIGINT AS monetary_cents
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT user_id,
+         date_diff('day', last_ts::DATE,
+                   (max(last_ts) OVER ())::DATE)::BIGINT AS recency_days,
+         frequency, monetary_cents
+  FROM pu
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, user_id)::BIGINT
+         AS r_score,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id)::BIGINT
+         AS f_score,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, user_id)
+         ::BIGINT AS m_score,
+       (ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, user_id) * 100
+        + ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id) * 10
+        + ntile({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, user_id)
+       )::BIGINT AS segment
+FROM sc"""
+
     # per-window HLL registers of the distinct-user set (operators/
     # events.windowed_user_sketch) — the grouped form of td_hll, same
     # hex-digit rank computation

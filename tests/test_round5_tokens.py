@@ -474,3 +474,31 @@ def test_windowed_user_sketch_registers_and_counts(spark):
         reg, rank = reg_rank(u)
         expect10[reg] = max(expect10.get(reg, 0), rank)
     assert {r["register"]: r["max_rank"] for r in by_hour[10]} == expect10
+
+
+def test_rfm_segments_deterministic_quintiles(spark):
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import rfm_segments
+
+    rows, eid = [], 0
+    # user u gets u events, last on day u, each worth u cents
+    for u in range(1, 6):
+        for j in range(u):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, u, 12, j, 0), u, "c", u / 100.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["user_id"]: r for r in rfm_segments(events).collect()}
+    # corpus max day = 5; user 5 has recency 0, user 1 recency 4
+    assert out[5]["recency_days"] == 0 and out[1]["recency_days"] == 4
+    assert out[3]["frequency"] == 3 and out[3]["monetary_cents"] == 9
+    # 5 users, 5 buckets -> ntile is a permutation; best-on-all = user 5
+    assert out[5]["r_score"] == 1 and out[5]["f_score"] == 1
+    assert out[5]["m_score"] == 1 and out[5]["segment"] == 111
+    assert out[1]["segment"] == 555
