@@ -1250,10 +1250,28 @@ def _q_sr_component_sizes(spark, sf_dir):
     return component_size_stats(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_neighbor_agg(spark, sf_dir):
+    from graphiti_spark.operators.community import neighbor_agg
+
+    return neighbor_agg(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_random_walks(spark, sf_dir):
+    from graphiti_spark.operators.community import random_walks
+
+    return random_walks(_graph(spark, sf_dir).edges)
+
+
 def _q_ev_topk(spark, sf_dir):
     from graphiti_spark.operators.events import windowed_topk
 
     return windowed_topk(_events(spark, sf_dir))
+
+
+def _q_ev_anomaly(spark, sf_dir):
+    from graphiti_spark.operators.events import anomaly_flags
+
+    return anomaly_flags(_events(spark, sf_dir))
 
 
 def _q_ev_lag_features(spark, sf_dir):
@@ -1331,6 +1349,12 @@ def _q_td_split(spark, sf_dir):
     return train_split(_docs(spark, sf_dir))
 
 
+def _q_td_containment(spark, sf_dir):
+    from graphiti_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
+
+
 def _q_td_dedup_incremental(spark, sf_dir):
     # daily-increment shape: the store (doc_id % 5 != 0) is already
     # deduplicated; the batch (doc_id % 5 == 0) checks against store+self
@@ -1379,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
+        "td_containment": _q_td_containment,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
         "td_lm_score": _q_td_lm_score,
@@ -1406,10 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cms_stream": _q_td_cms_stream,
         "td_hll_stream": _q_td_hll_stream,
         "sr_ppr": _q_sr_ppr,
+        "ev_anomaly": _q_ev_anomaly,
         "ev_lag_features": _q_ev_lag_features,
         "ev_topk": _q_ev_topk,
         "ev_approx_users": _q_ev_approx_users,
         "ev_rfm": _q_ev_rfm,
+        "sr_neighbor_agg": _q_sr_neighbor_agg,
+        "sr_random_walks": _q_sr_random_walks,
         "sr_component_sizes": _q_sr_component_sizes,
         "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_vocab": _q_td_bpe_vocab,
@@ -1422,11 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_community_members": _q_kg_community_members,
         "sr_incremental_members": _q_sr_incremental_members,
+        # ---- driver 50-row cap boundary ----
         "sr_incremental_communities": _q_sr_incremental_communities,
         "td_contamination": _q_td_contamination,
         "td_redact_secrets": _q_td_redact_secrets,
         "td_mix_sampled": _q_td_mix_sampled,
-        # ---- driver 50-row cap boundary ----
         "td_ann_pq": _q_td_ann_pq,
         "kg_edges_fuzzy_dedup": _q_kg_edges_fuzzy_dedup,
         "sr_communities_plurality": _q_sr_communities_plurality,

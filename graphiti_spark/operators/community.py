@@ -945,3 +945,112 @@ def component_size_stats(edges: DataFrame) -> DataFrame:
         F.min("n_members").cast("long").alias("min_size"),
         F.max("n_members").cast("long").alias("max_size"),
     )
+
+
+def neighbor_agg(edges: DataFrame) -> DataFrame:
+    """One round of neighborhood feature aggregation over the entity
+    graph — the message-passing building block of GraphSAGE/GCN feature
+    propagation, here with integer structural features so the round is
+    hash-checkable: per node, its distinct-neighbor degree plus the
+    sum/min/max of its neighbors' degrees and the path-count upper bound
+    on its 2-hop reach (Σ deg(nbr) − deg, each neighbor contributing its
+    other edges).
+
+    Output: (group_id, uuid, degree, nbr_degree_sum, nbr_degree_min,
+    nbr_degree_max, two_hop_paths).
+
+    Scale shape: the adjacency groupBy and the degree count shuffle on
+    the same (group, node) key; the message join re-shuffles the
+    adjacency on the neighbor key and the final aggregation is map-side
+    combinable — a fixed number of adjacency-sized shuffles per round,
+    the textbook distributed message-passing plan (deeper GNN feature
+    stacks iterate this operator)."""
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    deg = adj.groupBy("group_id", "a").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    msgs = adj.join(
+        deg.select(
+            "group_id", F.col("a").alias("b"), F.col("degree").alias("_nd")
+        ),
+        ["group_id", "b"],
+    )
+    feats = msgs.groupBy("group_id", "a").agg(
+        F.sum("_nd").cast("long").alias("nbr_degree_sum"),
+        F.min("_nd").cast("long").alias("nbr_degree_min"),
+        F.max("_nd").cast("long").alias("nbr_degree_max"),
+    )
+    return (
+        deg.join(feats, ["group_id", "a"])
+        .select(
+            "group_id",
+            F.col("a").alias("uuid"),
+            "degree",
+            "nbr_degree_sum",
+            "nbr_degree_min",
+            "nbr_degree_max",
+            (F.col("nbr_degree_sum") - F.col("degree"))
+            .cast("long").alias("two_hop_paths"),
+        )
+    )
+
+
+# deterministic hash-guided walks: steps per walk (one walk per node)
+WALK_STEPS = 4
+
+
+def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
+    """Deterministic node2vec-style walk corpus over the entity graph:
+    one walk per node, ``steps`` hops, the next hop chosen as the
+    neighbor minimizing sha256('rw|' walk_id ':' step ':' neighbor) — a
+    hash-seeded uniform choice both engines reproduce bit-for-bit (the
+    role np RNG plays in the ANN hyperplanes). Walk corpora are the
+    input to skip-gram graph embeddings (DeepWalk/node2vec); the hash
+    rule replaces the sampler so the trajectory is oracle-checkable.
+
+    Output: (group_id, walk_id, step, node) with step 0 = the seed.
+
+    Scale shape: per hop ONE join of the frontier against the adjacency
+    on the current-node key and one map-side-combinable min_by per walk
+    — frontier cardinality stays exactly n_nodes. The per-hop
+    localCheckpoint cuts the K-hop lineage like the PageRank/k-core
+    loops. Dead ends cannot occur: the adjacency is symmetric, so every
+    reached node has at least the edge it was reached by."""
+    adj = (
+        build_adjacency(edges)
+        .select("group_id", "a", "b")
+        .localCheckpoint()
+    )
+    frontier = adj.select(
+        "group_id", F.col("a").alias("walk_id"), F.col("a").alias("node")
+    ).distinct()
+    out = frontier.select(
+        "group_id", "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for i in range(1, steps + 1):
+        hop = (
+            frontier.join(
+                adj.select("group_id", F.col("a").alias("node"), "b"),
+                ["group_id", "node"],
+            )
+            .groupBy("group_id", "walk_id")
+            .agg(
+                F.min_by(
+                    "b",
+                    F.sha2(
+                        F.concat_ws(
+                            ":", F.lit("rw|"), "walk_id", F.lit(str(i)), "b"
+                        ),
+                        256,
+                    ),
+                ).alias("node")
+            )
+        )
+        frontier = hop.localCheckpoint()
+        out = out.unionByName(
+            frontier.select(
+                "group_id", "walk_id",
+                F.lit(i).cast("long").alias("step"), "node",
+            )
+        )
+    return out

@@ -682,3 +682,68 @@ def _positioned_span_hashes_from_tokens(toks: F.Column, k: int) -> F.Column:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+
+# asymmetric containment threshold, integer percent (floor)
+CONTAIN_MIN_PCT = 80
+
+
+def containment_pairs(
+    docs: DataFrame, min_pct: int = CONTAIN_MIN_PCT, block: str = "lang",
+    max_block: int = config.QUADRATIC_BLOCK_CAP,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: containment(A, B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(smaller)|, in INTEGER floor
+    percent so both engines agree exactly. Catches the subset relation
+    symmetric Jaccard misses — a short doc embedded verbatim in a long
+    one scores near-zero Jaccard (union is the long doc) but 100%
+    containment, the classic quote/boilerplate-inclusion case in web
+    corpora (the "coverage" direction of Broder's resemblance/containment
+    pair, SRC TR 1997-015).
+
+    Output: (doc_a, doc_b, inter_grams, grams_a, grams_b,
+    containment_pct, contained_doc_id) for pairs ≥ ``min_pct``;
+    contained_doc_id = the doc with the smaller shingle set (tie → the
+    smaller doc_id, which is doc_a by join construction).
+
+    Like :func:`dedup_ngram_jaccard` this is the O(block²) exact
+    baseline, cap-enforced; at corpus scale run the same verify over
+    :func:`dedup_minhash_lsh` candidate pairs instead (MinHash bands
+    recall high-containment pairs whenever the smaller set dominates the
+    signature — the deployable path)."""
+    assert_block_cap(
+        docs.select(F.col(block).alias("_blk")), ["_blk"], max_block,
+        "containment_pairs",
+    )
+    d = docs.select(
+        "doc_id",
+        F.col(block).alias("_blk"),
+        word_shingles(F.col("text")).alias("_sh"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+            .cast("long").alias("inter_grams"),
+            F.size(F.col("a._sh")).cast("long").alias("grams_a"),
+            F.size(F.col("b._sh")).cast("long").alias("grams_b"),
+        )
+        .where(F.least("grams_a", "grams_b") > 0)
+        .withColumn(
+            "containment_pct",
+            F.expr("(100 * inter_grams) div least(grams_a, grams_b)"),
+        )
+    )
+    return pairs.where(F.col("containment_pct") >= min_pct).select(
+        "doc_a", "doc_b", "inter_grams", "grams_a", "grams_b",
+        "containment_pct",
+        F.when(F.col("grams_b") < F.col("grams_a"), F.col("doc_b"))
+        .otherwise(F.col("doc_a")).cast("long").alias("contained_doc_id"),
+    )

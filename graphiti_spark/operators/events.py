@@ -602,3 +602,79 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("long"),
     )
+
+
+# trailing-window anomaly detection: |z| > sqrt(ANOMALY_Z2) over the last
+# ANOMALY_TRAIL fully-populated hourly buckets
+ANOMALY_TRAIL = 7
+ANOMALY_Z2 = 9
+
+
+def anomaly_flags(
+    events: DataFrame, trail: int = ANOMALY_TRAIL, z2: int = ANOMALY_Z2
+) -> DataFrame:
+    """Trailing-window anomaly flags per (event_type, hour): an hour is
+    anomalous when its event count deviates from the mean of the previous
+    ``trail`` hours by more than ``sqrt(z2)`` standard deviations. The
+    hourly series is DENSE — gap hours are real zero observations, built
+    from a sequence spine over the corpus hour range, so a dead-quiet
+    hour right after a burst is flaggable (an absent row never would be).
+
+    The z² test runs in INTEGER arithmetic so both engines agree bit-for-
+    bit: with k = trail_n, s = Σ count, q = Σ count², the flag is
+    ``(k·x − s)² > z2·(k·q − s²)`` — algebraically z² > z2 without ever
+    forming the float mean/variance. Rows with fewer than ``trail``
+    predecessors (series head) are never flagged.
+
+    Scale shape: ONE events scan feeds a map-side-combinable (hour, type)
+    groupBy; the spine, the type list, and the bounds all derive from
+    that AGGREGATED frame (cardinality = hours × types, never events),
+    which is checkpointed because three consumers read it. The sliding
+    window is a constant-size frame over the aggregated series.
+    """
+    hours = (
+        events.groupBy(
+            F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint()
+    )
+    bounds = hours.agg(
+        F.min("window_start").alias("_lo"), F.max("window_start").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("window_start")
+    ).crossJoin(hours.select("event_type").distinct())
+    dense = spine.join(hours, ["window_start", "event_type"], "left").select(
+        "event_type",
+        "window_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    scored = dense.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.count("*").over(w).cast("long").alias("trail_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long").alias("trail_sum"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).cast("long").alias("trail_sumsq"),
+    )
+    num = F.col("trail_n") * F.col("n_events") - F.col("trail_sum")
+    den = (
+        F.col("trail_n") * F.col("trail_sumsq")
+        - F.col("trail_sum") * F.col("trail_sum")
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        (F.col("trail_n") == trail) & (num * num > F.lit(z2) * den),
+    )

@@ -556,6 +556,34 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  / len(list_distinct(list_concat(a.grams, b.grams)))
             ELSE 0 END, 4) >= 0.5"""
 
+    # asymmetric containment pairs (operators/dedup.containment_pairs):
+    # integer floor-percent containment vs the SMALLER shingle set;
+    # contained_doc_id = smaller set (tie -> doc_a)
+    from graphiti_spark.operators.dedup import CONTAIN_MIN_PCT
+
+    o["td_containment"] = f"""
+WITH ct_sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, lang, {_toks('text')} AS t FROM documents)
+),
+ct_p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams))::BIGINT AS inter_grams,
+         len(a.grams)::BIGINT AS grams_a, len(b.grams)::BIGINT AS grams_b
+  FROM ct_sh a JOIN ct_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE least(len(a.grams), len(b.grams)) > 0
+)
+SELECT doc_a, doc_b, inter_grams, grams_a, grams_b,
+       (100 * inter_grams) // least(grams_a, grams_b) AS containment_pct,
+       CASE WHEN grams_b < grams_a THEN doc_b ELSE doc_a END::BIGINT
+         AS contained_doc_id
+FROM ct_p
+WHERE (100 * inter_grams) // least(grams_a, grams_b) >= {CONTAIN_MIN_PCT}"""
+
     o["td_dedup_embedding_cosine"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
@@ -1373,6 +1401,49 @@ FROM (
   FROM wr GROUP BY 1, 2
 )"""
 
+    # trailing-window anomaly flags (operators/events.anomaly_flags):
+    # DENSE hourly spine (gap hours are zero observations), integer z²
+    # test (k·x − s)² > z2·(k·q − s²) so no float mean/variance is ever
+    # formed; series-head rows (trail_n < TRAIL) are never flagged
+    from graphiti_spark.operators.events import ANOMALY_TRAIL, ANOMALY_Z2
+
+    o["ev_anomaly"] = f"""
+WITH an_hours AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+an_bounds AS (
+  SELECT min(window_start) AS lo, max(window_start) AS hi FROM an_hours
+),
+an_spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+  FROM an_bounds
+),
+an_dense AS (
+  SELECT t.event_type, s.window_start,
+         coalesce(h.n_events, 0)::BIGINT AS n_events
+  FROM an_spine s
+  CROSS JOIN (SELECT DISTINCT event_type FROM an_hours) t
+  LEFT JOIN an_hours h
+    ON h.window_start = s.window_start AND h.event_type = t.event_type
+),
+an_sc AS (
+  SELECT event_type, window_start, n_events,
+         count(*) OVER w::BIGINT AS trail_n,
+         coalesce(sum(n_events) OVER w, 0)::BIGINT AS trail_sum,
+         coalesce(sum(n_events * n_events) OVER w, 0)::BIGINT AS trail_sumsq
+  FROM an_dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n_events, trail_n, trail_sum, trail_sumsq,
+       trail_n = {ANOMALY_TRAIL}
+       AND (trail_n * n_events - trail_sum) * (trail_n * n_events - trail_sum)
+           > {ANOMALY_Z2} * (trail_n * trail_sumsq - trail_sum * trail_sum)
+         AS is_anomaly
+FROM an_sc"""
+
     # islands formulation of session_window: only a gap STRICTLY greater
     # than 30 min splits (session_window merges an event landing exactly
     # at last + gap — boundary pinned by test_events)
@@ -1879,6 +1950,73 @@ SELECT group_id, u, w, ra_units, common_neighbors, rank FROM (
   )::BIGINT AS rank
   FROM lp_c
 ) WHERE rank <= {LINKPRED_TOP_K}"""
+
+    # one message-passing round (operators/community.neighbor_agg):
+    # distinct-neighbor degree + neighbor-degree sum/min/max features
+    o["sr_neighbor_agg"] = p + """
+, na_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+na_deg AS MATERIALIZED (
+  SELECT group_id, a, count(*)::BIGINT AS degree FROM na_adj GROUP BY 1, 2
+),
+na_msg AS (
+  SELECT j.group_id, j.a, d.degree AS nd
+  FROM na_adj j JOIN na_deg d ON d.group_id = j.group_id AND d.a = j.b
+),
+na_f AS (
+  SELECT group_id, a, sum(nd)::BIGINT AS nbr_degree_sum,
+         min(nd)::BIGINT AS nbr_degree_min,
+         max(nd)::BIGINT AS nbr_degree_max
+  FROM na_msg GROUP BY 1, 2
+)
+SELECT d.group_id, d.a AS uuid, d.degree,
+       f.nbr_degree_sum, f.nbr_degree_min, f.nbr_degree_max,
+       (f.nbr_degree_sum - d.degree)::BIGINT AS two_hop_paths
+FROM na_deg d JOIN na_f f ON f.group_id = d.group_id AND f.a = d.a"""
+
+    # deterministic hash-guided walks (operators/community.random_walks):
+    # exactly-K hops unrolled, next hop = min_by(neighbor, sha256 key),
+    # the same hash-replaces-sampler trick as the ANN hyperplanes
+    from graphiti_spark.operators.community import WALK_STEPS
+
+    rw = """
+, rw_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+rw0 AS MATERIALIZED (
+  SELECT DISTINCT group_id, a AS walk_id, a AS node FROM rw_adj
+)"""
+    for i in range(1, WALK_STEPS + 1):
+        rw += f""",
+rw{i} AS MATERIALIZED (
+  SELECT f.group_id, f.walk_id,
+         min_by(j.b, sha256('rw|:' || f.walk_id || ':{i}:' || j.b)) AS node
+  FROM rw{i - 1} f
+  JOIN rw_adj j ON j.group_id = f.group_id AND j.a = f.node
+  GROUP BY 1, 2
+)"""
+    rw_steps = " UNION ALL ".join(
+        f"SELECT group_id, walk_id, {i}::BIGINT AS step, node FROM rw{i}"
+        for i in range(1, WALK_STEPS + 1)
+    )
+    o["sr_random_walks"] = p + rw + f"""
+SELECT group_id, walk_id, step, node FROM (
+  SELECT group_id, walk_id, 0::BIGINT AS step, node FROM rw0
+  UNION ALL {rw_steps}
+)"""
 
     o["sr_mentions_rerank"] = p + """
 , mention_edges AS (

@@ -1,0 +1,167 @@
+"""Round-5 closing analytics batch: trailing-window anomaly flags,
+message-passing neighbor features, deterministic hash-guided walks, and
+asymmetric containment dedup. Each operator's oracle twin is exercised by
+tools/compare_oracle.py; these tests pin the semantics on hand-built
+frames where every expected value is derivable by hand."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour, 30, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+class TestAnomalyFlags:
+    def test_burst_is_flagged_and_head_is_not(self, spark):
+        from graphiti_spark.operators.events import anomaly_flags
+
+        rows = [(_ts(1, h), "click") for h in range(7) for _ in range(2)]
+        rows += [(_ts(1, 7), "click")] * 50
+        out = anomaly_flags(_events(spark, rows)).orderBy("window_start")
+        got = out.collect()
+        assert len(got) == 8
+        # head rows: fewer than 7 predecessors -> never flagged
+        assert all(not r["is_anomaly"] for r in got[:7])
+        burst = got[7]
+        # k=7, s=14, q=28: num=(7*50-14)^2=336^2, den=7*28-14^2=0
+        assert burst["trail_n"] == 7
+        assert burst["trail_sum"] == 14
+        assert burst["trail_sumsq"] == 28
+        assert burst["is_anomaly"]
+
+    def test_gap_hours_are_dense_zero_observations(self, spark):
+        from graphiti_spark.operators.events import anomaly_flags
+
+        # events at hours 0 and 9 only: the spine inserts hours 1..8 as
+        # zero rows (an absent row could never be flagged as a drop)
+        rows = [(_ts(1, 0), "click"), (_ts(1, 9), "click")]
+        out = anomaly_flags(_events(spark, rows))
+        got = {r["window_start"].hour: r for r in out.collect()}
+        assert sorted(got) == list(range(10))
+        assert got[5]["n_events"] == 0
+
+    def test_steady_series_never_flags(self, spark):
+        from graphiti_spark.operators.events import anomaly_flags
+
+        rows = [(_ts(1, h), "view") for h in range(12) for _ in range(3)]
+        out = anomaly_flags(_events(spark, rows))
+        assert out.where(F.col("is_anomaly")).count() == 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [("g", a, b) for a, b in pairs],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+
+
+class TestNeighborAgg:
+    def test_star_graph_features(self, spark):
+        from graphiti_spark.operators.community import neighbor_agg
+
+        out = neighbor_agg(
+            _edges(spark, [("c", "x"), ("c", "y"), ("c", "z")])
+        )
+        rows = {r["uuid"]: r for r in out.collect()}
+        assert rows["c"]["degree"] == 3
+        assert rows["c"]["nbr_degree_sum"] == 3
+        assert rows["c"]["nbr_degree_min"] == 1
+        assert rows["c"]["nbr_degree_max"] == 1
+        assert rows["c"]["two_hop_paths"] == 0
+        assert rows["x"]["degree"] == 1
+        assert rows["x"]["nbr_degree_sum"] == 3
+        assert rows["x"]["two_hop_paths"] == 2
+
+    def test_parallel_edges_count_once(self, spark):
+        from graphiti_spark.operators.community import neighbor_agg
+
+        out = neighbor_agg(
+            _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")])
+        )
+        rows = {r["uuid"]: r for r in out.collect()}
+        assert rows["a"]["degree"] == 1 and rows["b"]["degree"] == 1
+
+
+def _rw_key(walk_id: str, step: int, nbr: str) -> str:
+    return hashlib.sha256(
+        f"rw|:{walk_id}:{step}:{nbr}".encode()
+    ).hexdigest()
+
+
+class TestRandomWalks:
+    def test_path_graph_exact_trajectory(self, spark):
+        from graphiti_spark.operators.community import random_walks
+
+        out = random_walks(_edges(spark, [("a", "b"), ("b", "c")]), steps=2)
+        got = {
+            (r["walk_id"], r["step"]): r["node"] for r in out.collect()
+        }
+        # simulate the exact hash rule (synchronous trajectory, not just
+        # "is a neighbor"): endpoints have one neighbor, b picks argmin
+        adj = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+        for seed in adj:
+            cur = seed
+            assert got[(seed, 0)] == seed
+            for step in (1, 2):
+                cur = min(adj[cur], key=lambda n: _rw_key(seed, step, n))
+                assert got[(seed, step)] == cur, (seed, step)
+
+    def test_every_hop_is_an_edge(self, spark):
+        from graphiti_spark.operators.community import random_walks
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+        out = random_walks(_edges(spark, pairs), steps=3).collect()
+        und = {frozenset(p) for p in pairs}
+        walks: dict[str, dict[int, str]] = {}
+        for r in out:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        for wid, steps in walks.items():
+            assert sorted(steps) == [0, 1, 2, 3]
+            for s in (1, 2, 3):
+                assert frozenset((steps[s - 1], steps[s])) in und
+
+
+class TestContainment:
+    def test_subset_doc_scores_100_where_jaccard_misses(self, spark):
+        from graphiti_spark.operators.dedup import (
+            containment_pairs,
+            dedup_ngram_jaccard,
+        )
+
+        small = "alpha beta gamma delta epsilon"
+        big = small + " zeta eta theta iota kappa lambda mu nu xi"
+        docs = spark.createDataFrame(
+            [(1, small, "en"), (2, big, "en"), (3, "unrelated words only", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = containment_pairs(docs).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["containment_pct"] == 100
+        assert r["contained_doc_id"] == 1
+        # the symmetric-Jaccard baseline misses this subset pair
+        jac = dedup_ngram_jaccard(docs).collect()
+        assert not any(
+            (p["doc_a"], p["doc_b"]) == (1, 2) for p in jac
+        )
+
+    def test_tie_prefers_smaller_doc_id(self, spark):
+        from graphiti_spark.operators.dedup import containment_pairs
+
+        text = "one two three four five six"
+        docs = spark.createDataFrame(
+            [(7, text, "en"), (9, text, "en")],
+            "doc_id long, text string, lang string",
+        )
+        r = containment_pairs(docs).collect()[0]
+        assert r["contained_doc_id"] == 7
