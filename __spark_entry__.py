@@ -1250,6 +1250,22 @@ def _q_sr_component_sizes(spark, sf_dir):
     return component_size_stats(_graph(spark, sf_dir).edges)
 
 
+def _q_kg_lineage(spark, sf_dir):
+    """Per-bucket checkpoint lineage row (plans/checkpoint.py +
+    storage.writer.lineage_stats): the counters + commutative xor digest
+    every commit batch appends to the checkpoint table, here under the
+    engine-portable sha bucket so the whole derivation is hash-checked
+    (the production default buckets by Spark-native xxhash64; everything
+    downstream of the bucket assignment is identical)."""
+    from graphiti_spark.storage.writer import lineage_stats, sha_bucket_col
+
+    g = _graph(spark, sf_dir)
+    return lineage_stats(
+        synth_source_files(spark, sf_dir), g.edges, n_buckets=16,
+        bucket_fn=lambda c: sha_bucket_col(c, 16),
+    )
+
+
 def _q_sr_neighbor_agg(spark, sf_dir):
     from graphiti_spark.operators.community import neighbor_agg
 
@@ -1403,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
+        "kg_lineage": _q_kg_lineage,
         "td_containment": _q_td_containment,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
@@ -1449,8 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_node_bfs": _q_sr_node_bfs,
         "kg_communities": _q_kg_communities,
         "kg_community_members": _q_kg_community_members,
-        "sr_incremental_members": _q_sr_incremental_members,
         # ---- driver 50-row cap boundary ----
+        "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,
         "td_contamination": _q_td_contamination,
         "td_redact_secrets": _q_td_redact_secrets,

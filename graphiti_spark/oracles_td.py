@@ -1951,6 +1951,31 @@ SELECT group_id, u, w, ra_units, common_neighbors, rank FROM (
   FROM lp_c
 ) WHERE rank <= {LINKPRED_TOP_K}"""
 
+    # checkpoint lineage row (storage/writer.lineage_stats under the
+    # portable sha bucket): per-bucket input counters, xor-of-sha digest
+    # (order-insensitive, recomputable on resume), and emitted-edge
+    # counters — the row plans/checkpoint.run_with_checkpoint appends
+    # per commit batch
+    o["kg_lineage"] = p + """
+, ln_src AS (
+  SELECT ('0x' || substr(sha256(repo), 1, 4))::BIGINT % 16 AS bucket,
+         ('0x' || substr(content_sha256, 1, 15))::BIGINT AS h
+  FROM source_files
+),
+ln_in AS (
+  SELECT bucket, count(*)::BIGINT AS rows_in,
+         lower(hex(bit_xor(h))) AS content_sha_xor
+  FROM ln_src GROUP BY 1
+),
+ln_out AS (
+  SELECT ('0x' || substr(sha256(group_id), 1, 4))::BIGINT % 16 AS bucket,
+         count(*)::BIGINT AS rows_out
+  FROM edges GROUP BY 1
+)
+SELECT i.bucket, i.rows_in, i.content_sha_xor,
+       coalesce(o.rows_out, 0)::BIGINT AS rows_out
+FROM ln_in i LEFT JOIN ln_out o USING (bucket)"""
+
     # one message-passing round (operators/community.neighbor_agg):
     # distinct-neighbor degree + neighbor-degree sum/min/max features
     o["sr_neighbor_agg"] = p + """

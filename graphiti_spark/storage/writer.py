@@ -60,6 +60,20 @@ def bucket_col(group_col: str = "group_id", n_buckets: int = N_BUCKETS_DEFAULT):
     return F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets)).cast("int")
 
 
+def sha_bucket_col(group_col: str, n_buckets: int):
+    """Engine-portable bucket function: first 4 hex chars of sha256(key)
+    as an integer, mod ``n_buckets``. Same fan-out contract as
+    :func:`bucket_col` (all rows of a repo land in one bucket) but
+    reproducible outside Spark — the oracle-checked ``kg_lineage`` row
+    uses this variant because xxhash64 is Spark-specific; everything
+    downstream of the bucket assignment (counters, xor digest, commit
+    protocol) is shared with the default path."""
+    return (
+        F.conv(F.substring(F.sha2(F.col(group_col), 256), 1, 4), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("int")
+
+
 @dataclass
 class GraphStore:
     """Parquet-backed graph store with MERGE-equivalent upserts.
@@ -312,13 +326,25 @@ class GraphStore:
         out.write.mode("append").parquet(self.checkpoint_path())
 
 
-def lineage_stats(source_files: DataFrame, edges: DataFrame, n_buckets: int) -> DataFrame:
+def lineage_stats(
+    source_files: DataFrame,
+    edges: DataFrame,
+    n_buckets: int,
+    bucket_fn=None,
+) -> DataFrame:
     """Per-bucket counters + order-insensitive lineage digest: xor of the
     first 16 hex chars of each row's content sha256 (distributable,
-    commutative — recomputable on resume for verification)."""
-    b = bucket_col(n_buckets=n_buckets)
+    commutative — recomputable on resume for verification).
+
+    ``bucket_fn(col_name)`` overrides the bucket assignment (default:
+    the store's xxhash64 bucketing); pass :func:`sha_bucket_col` for an
+    engine-portable assignment the DuckDB oracle reproduces."""
+    if bucket_fn is None:
+        def bucket_fn(c: str):
+            return bucket_col(c, n_buckets)
+    b = bucket_fn("group_id")
     src = (
-        source_files.withColumn("bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int"))
+        source_files.withColumn("bucket", bucket_fn("repo"))
         .withColumn("_h", F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(20,0)"))
         .groupBy("bucket")
         .agg(

@@ -165,3 +165,60 @@ class TestContainment:
         )
         r = containment_pairs(docs).collect()[0]
         assert r["contained_doc_id"] == 7
+
+
+class TestLineage:
+    def test_sha_bucket_digest_matches_python_and_is_commutative(self, spark):
+        import hashlib as hl
+
+        from graphiti_spark.storage.writer import lineage_stats, sha_bucket_col
+
+        shas = {name: hl.sha256(name.encode()).hexdigest()
+                for name in ("x", "y", "z")}
+        files_rows = [
+            ("r1", "p1", "c", "py", shas["x"]),
+            ("r1", "p2", "c", "py", shas["y"]),
+            ("r2", "p1", "c", "py", shas["z"]),
+        ]
+        schema = ("repo string, path string, commit string, lang string, "
+                  "content_sha256 string")
+        files = spark.createDataFrame(files_rows, schema)
+        edges = spark.createDataFrame(
+            [("r1",), ("r1",), ("r2",)], "group_id string"
+        )
+
+        def fn(c):
+            return sha_bucket_col(c, 16)
+
+        got = {
+            r["bucket"]: r
+            for r in lineage_stats(files, edges, 16, bucket_fn=fn).collect()
+        }
+        # expected aggregation computed independently in python
+        exp: dict[int, dict] = {}
+        for repo, _p, _c, _l, sha in files_rows:
+            bkt = int(hl.sha256(repo.encode()).hexdigest()[:4], 16) % 16
+            e = exp.setdefault(bkt, {"rows_in": 0, "xor": 0, "rows_out": 0})
+            e["rows_in"] += 1
+            e["xor"] ^= int(sha[:15], 16)
+        for g in ("r1", "r1", "r2"):
+            bkt = int(hl.sha256(g.encode()).hexdigest()[:4], 16) % 16
+            if bkt in exp:
+                exp[bkt]["rows_out"] += 1
+        assert sorted(got) == sorted(exp)
+        for bkt, e in exp.items():
+            r = got[bkt]
+            assert r["rows_in"] == e["rows_in"]
+            assert r["rows_out"] == e["rows_out"]
+            assert r["content_sha_xor"] == format(e["xor"], "x")
+        # xor digest is order-insensitive: reversed input, same rows
+        files_rev = spark.createDataFrame(
+            list(reversed(files_rows)), schema
+        )
+        again = {
+            r["bucket"]: r["content_sha_xor"]
+            for r in lineage_stats(
+                files_rev, edges, 16, bucket_fn=fn
+            ).collect()
+        }
+        assert again == {b: r["content_sha_xor"] for b, r in got.items()}
