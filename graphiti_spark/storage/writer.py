@@ -325,6 +325,85 @@ class GraphStore:
         )
         out.write.mode("append").parquet(self.checkpoint_path())
 
+    def verify_checkpoint(
+        self, job_id: str, source_files: DataFrame, bucket_fn=None
+    ) -> DataFrame:
+        """Audit a resumable job's committed lineage against the CURRENT
+        source: recompute each committed bucket's (rows_in, xor digest)
+        from ``source_files`` and compare — the "verified end-to-end"
+        half of the checkpoint contract. A mismatch means the input
+        changed (or was corrupted) after the bucket was committed, i.e.
+        the committed derived rows no longer correspond to the input and
+        the bucket must be reprocessed.
+
+        Returns one row per committed bucket: (bucket, rows_in_committed,
+        rows_in_actual, digest_committed, digest_actual, ok). Buckets the
+        job never committed are not audited (they're still pending).
+        Latest committed row wins when an interrupted group was redone
+        (idempotent re-commit appends)."""
+        ckpt = (
+            self.spark.read.parquet(self.checkpoint_path())
+            .where(F.col("job_id") == job_id)
+            .groupBy("bucket")
+            .agg(
+                F.max_by(
+                    F.struct("rows_in", "content_sha_xor"), "committed_at"
+                ).alias("_c")
+            )
+            .select(
+                "bucket",
+                F.col("_c.rows_in").alias("rows_in_committed"),
+                F.col("_c.content_sha_xor").alias("digest_committed"),
+            )
+        )
+        actual = source_lineage(
+            source_files, self.n_buckets, bucket_fn=bucket_fn
+        ).select(
+            "bucket",
+            F.col("rows_in").alias("rows_in_actual"),
+            F.col("content_sha_xor").alias("digest_actual"),
+        )
+        return ckpt.join(actual, "bucket", "left").select(
+            "bucket",
+            "rows_in_committed",
+            F.coalesce("rows_in_actual", F.lit(0)).alias("rows_in_actual"),
+            "digest_committed",
+            "digest_actual",
+            (
+                (F.col("rows_in_committed") == F.coalesce("rows_in_actual", F.lit(0)))
+                & (F.col("digest_committed") == F.coalesce("digest_actual", F.lit("0")))
+            ).alias("ok"),
+        )
+
+
+def source_lineage(
+    source_files: DataFrame, n_buckets: int, bucket_fn=None
+) -> DataFrame:
+    """Input-side lineage per bucket: (bucket, rows_in, content_sha_xor).
+    The digest is the xor of each row's 15-hex-char sha256 prefix —
+    commutative and partial-aggregable (bit_xor map-side combines; the
+    old aggregate-over-collect_list buffered every row hash of a bucket
+    in one array before folding), so it is recomputable on resume in any
+    row order for verification (:meth:`GraphStore.verify_checkpoint`)."""
+    if bucket_fn is None:
+        def bucket_fn(c: str):
+            return bucket_col(c, n_buckets)
+    return (
+        source_files.withColumn("bucket", bucket_fn("repo"))
+        .withColumn(
+            "_h",
+            F.conv(F.substring("content_sha256", 1, 15), 16, 10)
+            .cast("decimal(20,0)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.lower(F.conv(
+                F.bit_xor(F.col("_h").cast("long")).cast("string"), 10, 16,
+            )).alias("content_sha_xor"),
+        )
+    )
+
 
 def lineage_stats(
     source_files: DataFrame,
@@ -343,21 +422,7 @@ def lineage_stats(
         def bucket_fn(c: str):
             return bucket_col(c, n_buckets)
     b = bucket_fn("group_id")
-    src = (
-        source_files.withColumn("bucket", bucket_fn("repo"))
-        .withColumn("_h", F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(20,0)"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows_in"),
-            # bit_xor is a partial-aggregable native XOR fold (map-side
-            # combine; same commutative result as the old
-            # aggregate-over-collect_list, which buffered EVERY row hash
-            # of a bucket in one array before folding)
-            F.lower(F.conv(
-                F.bit_xor(F.col("_h").cast("long")).cast("string"), 10, 16,
-            )).alias("content_sha_xor"),
-        )
-    )
+    src = source_lineage(source_files, n_buckets, bucket_fn=bucket_fn)
     e = (
         edges.withColumn("bucket", b)
         .groupBy("bucket")

@@ -222,3 +222,37 @@ class TestLineage:
             ).collect()
         }
         assert again == {b: r["content_sha_xor"] for b, r in got.items()}
+
+
+class TestVerifyCheckpoint:
+    def test_audit_passes_then_flags_changed_input(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        from graphiti_spark.plans.checkpoint import run_with_checkpoint
+        from graphiti_spark.sources import synth_source_files
+        from graphiti_spark.storage.writer import GraphStore, bucket_col
+
+        src = synth_source_files(spark, sf_dir)
+        store = GraphStore(
+            spark, str(tmp_path_factory.mktemp("store_v")), n_buckets=8
+        )
+        run_with_checkpoint(src, store, job_id="jv", commit_batches=2)
+
+        audit = store.verify_checkpoint("jv", src).collect()
+        assert audit and all(r["ok"] for r in audit)
+
+        # tamper: drop one repo's files — only its bucket fails the audit
+        victim = src.select("repo").distinct().orderBy("repo").first()["repo"]
+        bkt = (
+            src.where(F.col("repo") == victim)
+            .select(bucket_col("repo", 8).alias("b"))
+            .first()["b"]
+        )
+        bad = {
+            r["bucket"]: r["ok"]
+            for r in store.verify_checkpoint(
+                "jv", src.where(F.col("repo") != victim)
+            ).collect()
+        }
+        assert bad[bkt] is False
+        assert all(v for k, v in bad.items() if k != bkt)
