@@ -1290,6 +1290,25 @@ def _q_ev_anomaly(spark, sf_dir):
     return anomaly_flags(_events(spark, sf_dir))
 
 
+def _q_ev_anomaly_stream(spark, sf_dir):
+    # hourly-count deltas landed per micro-batch (batch_id-keyed
+    # overwrite -> replay-idempotent), merged on read, scored by the
+    # SAME dense-spine integer z² path — oracle = ev_anomaly's SQL
+    import tempfile
+
+    from graphiti_spark.streaming.events import (
+        anomaly_from_store,
+        streaming_hourly_counts,
+    )
+
+    store = tempfile.mkdtemp(prefix="anom_store_")
+    ckpt = tempfile.mkdtemp(prefix="anom_ckpt_")
+    _await_drained(
+        streaming_hourly_counts(_events_stream(spark, sf_dir), store, ckpt)
+    )
+    return anomaly_from_store(spark, store)
+
+
 def _q_ev_lag_features(spark, sf_dir):
     from graphiti_spark.operators.events import lag_features
 
@@ -1449,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_hll_stream": _q_td_hll_stream,
         "sr_ppr": _q_sr_ppr,
         "ev_anomaly": _q_ev_anomaly,
+        "ev_anomaly_stream": _q_ev_anomaly_stream,
         "ev_lag_features": _q_ev_lag_features,
         "ev_topk": _q_ev_topk,
         "ev_approx_users": _q_ev_approx_users,
@@ -1465,8 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_filtered_search": _q_sr_filtered_search,
         "sr_node_bfs": _q_sr_node_bfs,
         "kg_communities": _q_kg_communities,
-        "kg_community_members": _q_kg_community_members,
         # ---- driver 50-row cap boundary ----
+        "kg_community_members": _q_kg_community_members,
         "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,
         "td_contamination": _q_td_contamination,

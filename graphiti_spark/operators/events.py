@@ -631,15 +631,32 @@ def anomaly_flags(
     that AGGREGATED frame (cardinality = hours × types, never events),
     which is checkpointed because three consumers read it. The sliding
     window is a constant-size frame over the aggregated series.
+
+    The hourly tier is re-aggregable (counts sum), so the streaming twin
+    (streaming/events.streaming_hourly_counts + anomaly_from_store)
+    lands per-batch count deltas and runs :func:`anomaly_over_hours`
+    over their read-side merge — same rows, same oracle.
     """
-    hours = (
-        events.groupBy(
-            F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
-            "event_type",
-        )
-        .agg(F.count("*").cast("long").alias("n_events"))
-        .localCheckpoint()
-    )
+    return anomaly_over_hours(hourly_counts(events), trail=trail, z2=z2)
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """The re-aggregable hourly tier: (window_start, event_type,
+    n_events) — one map-side-combinable groupBy; deltas from disjoint
+    event subsets merge by summing n_events."""
+    return events.groupBy(
+        F.date_trunc(EVENT_WINDOW, F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n_events"))
+
+
+def anomaly_over_hours(
+    hours: DataFrame, trail: int = ANOMALY_TRAIL, z2: int = ANOMALY_Z2
+) -> DataFrame:
+    """The scoring half of :func:`anomaly_flags`, over an already-built
+    hourly-count frame (from the batch groupBy or a merged streaming
+    store)."""
+    hours = hours.localCheckpoint()
     bounds = hours.agg(
         F.min("window_start").alias("_lo"), F.max("window_start").alias("_hi")
     )

@@ -1444,6 +1444,10 @@ SELECT event_type, window_start, n_events, trail_n, trail_sum, trail_sumsq,
          AS is_anomaly
 FROM an_sc"""
 
+    # streaming twin: the store is batch-id-keyed hourly-count deltas
+    # merged on read, then the SAME scorer — one oracle serves both
+    o["ev_anomaly_stream"] = o["ev_anomaly"]
+
     # islands formulation of session_window: only a gap STRICTLY greater
     # than 30 min splits (session_window merges an event landing exactly
     # at last + gap — boundary pinned by test_events)

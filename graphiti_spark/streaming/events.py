@@ -282,3 +282,51 @@ def streaming_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def land_hourly_counts(
+    batch_events: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """Land this batch's (hour, type) count delta keyed by batch_id —
+    overwrite makes an at-least-once replay replace its own rows instead
+    of double-counting (the sketch-store contract,
+    streaming/sketches.py)."""
+    from graphiti_spark.operators.events import hourly_counts
+
+    hourly_counts(batch_events).write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id={batch_id}"
+    )
+
+
+def streaming_hourly_counts(
+    event_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """foreachBatch maintenance of the re-aggregable hourly tier the
+    anomaly scorer reads (operators/events.anomaly_over_hours)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        land_hourly_counts(batch_df, batch_id, store_dir)
+
+    return (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def anomaly_from_store(spark, store_dir: str) -> DataFrame:
+    """Live anomaly flags from the landed hourly deltas: counts sum
+    across batches (disjoint event subsets), then the SAME dense-spine
+    integer z² scorer as the batch path — so the batch oracle checks the
+    streamed store byte-for-byte."""
+    from graphiti_spark.operators.events import anomaly_over_hours
+
+    hours = (
+        spark.read.parquet(store_dir)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    return anomaly_over_hours(hours)

@@ -256,3 +256,36 @@ class TestVerifyCheckpoint:
         }
         assert bad[bkt] is False
         assert all(v for k, v in bad.items() if k != bkt)
+
+
+class TestAnomalyStream:
+    def test_delta_merge_matches_batch_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        from graphiti_spark.operators.events import anomaly_flags
+        from graphiti_spark.streaming.events import (
+            anomaly_from_store,
+            land_hourly_counts,
+        )
+
+        # two events per hour; the micro-batch split puts ONE of each
+        # hour's events in each batch, so the read-side merge must SUM
+        # partial hour counts across deltas to match the batch path
+        rows = [(_ts(1, h), "click", i) for h in range(10) for i in (0, 1)]
+        ev = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, i int"
+        )
+        store = str(tmp_path / "hours")
+        land_hourly_counts(ev.where(F.col("i") == 0), 0, store)
+        land_hourly_counts(ev.where(F.col("i") == 1), 1, store)
+
+        exp = sorted(map(tuple, anomaly_flags(ev.drop("i")).collect()))
+        got = sorted(map(tuple, anomaly_from_store(spark, store).collect()))
+        assert got == exp
+
+        # at-least-once replay of batch 1 overwrites its own delta
+        land_hourly_counts(ev.where(F.col("i") == 1), 1, store)
+        again = sorted(
+            map(tuple, anomaly_from_store(spark, store).collect())
+        )
+        assert again == exp
