@@ -1278,6 +1278,12 @@ def _q_sr_random_walks(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_walk_pairs(spark, sf_dir):
+    from graphiti_spark.operators.community import walk_pairs
+
+    return walk_pairs(_graph(spark, sf_dir).edges)
+
+
 def _q_ev_topk(spark, sf_dir):
     from graphiti_spark.operators.events import windowed_topk
 
@@ -1475,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rfm": _q_ev_rfm,
         "sr_neighbor_agg": _q_sr_neighbor_agg,
         "sr_random_walks": _q_sr_random_walks,
+        "sr_walk_pairs": _q_sr_walk_pairs,
         "sr_component_sizes": _q_sr_component_sizes,
         "td_chunk_plan": _q_td_chunk_plan,
         "td_bpe_vocab": _q_td_bpe_vocab,
@@ -1484,8 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_cross_encoder": _q_sr_cross_encoder,
         "sr_filtered_search": _q_sr_filtered_search,
         "sr_node_bfs": _q_sr_node_bfs,
-        "kg_communities": _q_kg_communities,
         # ---- driver 50-row cap boundary ----
+        "kg_communities": _q_kg_communities,
         "kg_community_members": _q_kg_community_members,
         "sr_incremental_members": _q_sr_incremental_members,
         "sr_incremental_communities": _q_sr_incremental_communities,

@@ -1054,3 +1054,40 @@ def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
             )
         )
     return out
+
+
+# skip-gram context window over walk positions (DeepWalk's w)
+WALK_PAIR_WINDOW = 2
+
+
+def walk_pairs(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    window: int = WALK_PAIR_WINDOW,
+) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus: for every walk,
+    every (center, context) node pair within ``window`` positions, with
+    corpus-wide pair counts — the exact input DeepWalk/node2vec feeds to
+    word2vec (Perozzi et al. 2014 §4.2). The count frame is the
+    co-occurrence statistic a downstream embedding trainer consumes.
+
+    Output: (group_id, center, context, n_pairs); symmetric (both
+    directions emitted, like the skip-gram objective).
+
+    Scale shape: the self-join is keyed by (group, walk_id) with per-walk
+    fan-out bounded by (steps+1)·2·window — constant per walk — and the
+    pair aggregation is map-side combinable. The walk corpus is
+    checkpointed once for both join sides."""
+    walks = random_walks(edges, steps).localCheckpoint()
+    w1, w2 = walks.alias("w1"), walks.alias("w2")
+    d = F.abs(F.col("w1.step") - F.col("w2.step"))
+    return (
+        w1.join(w2, ["group_id", "walk_id"])
+        .where((d >= 1) & (d <= window))
+        .groupBy(
+            "group_id",
+            F.col("w1.node").alias("center"),
+            F.col("w2.node").alias("context"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

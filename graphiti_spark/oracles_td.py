@@ -2047,6 +2047,23 @@ SELECT group_id, walk_id, step, node FROM (
   UNION ALL {rw_steps}
 )"""
 
+    # skip-gram pairs from the walk corpus (operators/community
+    # .walk_pairs): same unrolled chain, windowed self-join per walk
+    from graphiti_spark.operators.community import WALK_PAIR_WINDOW
+
+    o["sr_walk_pairs"] = p + rw + f""",
+rw_all AS MATERIALIZED (
+  SELECT group_id, walk_id, 0::BIGINT AS step, node FROM rw0
+  UNION ALL {rw_steps}
+)
+SELECT w1.group_id, w1.node AS center, w2.node AS context,
+       count(*)::BIGINT AS n_pairs
+FROM rw_all w1
+JOIN rw_all w2
+  ON w2.group_id = w1.group_id AND w2.walk_id = w1.walk_id
+WHERE abs(w1.step - w2.step) BETWEEN 1 AND {WALK_PAIR_WINDOW}
+GROUP BY 1, 2, 3"""
+
     o["sr_mentions_rerank"] = p + """
 , mention_edges AS (
   SELECT DISTINCT m.episode_uuid, c.canonical_uuid AS node_uuid

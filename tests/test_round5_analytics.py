@@ -289,3 +289,31 @@ class TestAnomalyStream:
             map(tuple, anomaly_from_store(spark, store).collect())
         )
         assert again == exp
+
+
+class TestWalkPairs:
+    def test_pair_counts_match_recomputation_from_walks(self, spark):
+        from collections import Counter
+
+        from graphiti_spark.operators.community import (
+            random_walks,
+            walk_pairs,
+        )
+
+        pairs_def = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        e = _edges(spark, pairs_def)
+        walks = random_walks(e, steps=3).collect()
+        byw: dict[str, dict[int, str]] = {}
+        for r in walks:
+            byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        exp: Counter = Counter()
+        for steps in byw.values():
+            for i in steps:
+                for j in steps:
+                    if 1 <= abs(i - j) <= 2:
+                        exp[("g", steps[i], steps[j])] += 1
+        got = {
+            (r["group_id"], r["center"], r["context"]): r["n_pairs"]
+            for r in walk_pairs(e, steps=3).collect()
+        }
+        assert got == dict(exp)
