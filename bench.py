@@ -66,8 +66,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # (localCheckpoint-release contract in the dedup family), and timing
     # only the final materialize would silently exclude that work
     from graphiti_spark.operators.community import (
+        neighbor_agg,
         predict_links,
         triangle_count,
+        walk_pairs,
     )
 
     for name, thunk in [
@@ -76,6 +78,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("kg_edges_fuzzy_dedup", lambda: dedupe_edges_fuzzy(g.edges)),
         ("sr_triangles", lambda: triangle_count(g.edges)),
         ("sr_link_prediction", lambda: predict_links(g.edges)),
+        ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
+        ("sr_walk_pairs", lambda: walk_pairs(g.edges)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -99,6 +103,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
 
     from graphiti_spark.operators.dedup import dedup_semantic
     from graphiti_spark.operators.events import (
+        anomaly_flags,
         funnel_events,
         retention_cohorts,
     )
@@ -127,6 +132,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("ev_retention", lambda: retention_cohorts(events)),
         ("td_bpe_merges", lambda: bpe_merges(docs)),
         ("td_cms", lambda: cms_token_counts(docs)),
+        ("ev_anomaly", lambda: anomaly_flags(events)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

@@ -317,3 +317,49 @@ class TestWalkPairs:
             for r in walk_pairs(e, steps=3).collect()
         }
         assert got == dict(exp)
+
+
+def _explain(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+class TestClosingBatchPlans:
+    def test_no_cartesian_in_graph_and_containment_plans(self, spark):
+        """neighbor_agg / walk_pairs joins must stay equi-joins on the
+        (group, node|walk) keys; containment must join on the block key.
+        The anomaly spine crossJoin is 1-row x n_types by construction
+        (a BroadcastNestedLoop THERE is the intended tiny-dims plan), so
+        it is exempt — everything else nested-loop-free."""
+        from graphiti_spark.operators.community import (
+            neighbor_agg,
+            walk_pairs,
+        )
+        from graphiti_spark.operators.dedup import containment_pairs
+
+        edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "en")], "doc_id long, text string, lang string"
+        )
+        for df in (
+            neighbor_agg(edges),
+            walk_pairs(edges, steps=1),
+            containment_pairs(docs),
+        ):
+            plan = _explain(df)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_anomaly_scorer_is_one_window(self, spark):
+        """The three trailing aggregates share one frame spec — a second
+        Window node would mean the frame got re-sorted per expression."""
+        from graphiti_spark.operators.events import anomaly_flags
+
+        ev = _events(spark, [(_ts(1, 0), "click")])
+        plan = _explain(anomaly_flags(ev))
+        assert plan.count("Window") == 1
