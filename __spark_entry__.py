@@ -1396,6 +1396,12 @@ def _q_td_containment(spark, sf_dir):
     return containment_pairs(_docs(spark, sf_dir))
 
 
+def _q_td_containment_lsh(spark, sf_dir):
+    from graphiti_spark.operators.dedup import containment_pairs_lsh
+
+    return containment_pairs_lsh(_docs(spark, sf_dir))
+
+
 def _q_td_dedup_incremental(spark, sf_dir):
     # daily-increment shape: the store (doc_id % 5 != 0) is already
     # deduplicated; the batch (doc_id % 5 == 0) checks against store+self
@@ -1446,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,
         "td_containment": _q_td_containment,
+        "td_containment_lsh": _q_td_containment_lsh,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
         "td_lm_score": _q_td_lm_score,
@@ -1490,8 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_hybrid": _q_sr_hybrid,
         "sr_cross_encoder": _q_sr_cross_encoder,
         "sr_filtered_search": _q_sr_filtered_search,
-        "sr_node_bfs": _q_sr_node_bfs,
         # ---- driver 50-row cap boundary ----
+        "sr_node_bfs": _q_sr_node_bfs,
         "kg_communities": _q_kg_communities,
         "kg_community_members": _q_kg_community_members,
         "sr_incremental_members": _q_sr_incremental_members,

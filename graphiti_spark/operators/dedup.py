@@ -124,6 +124,26 @@ def dedup_minhash_lsh(
     At threshold 0.5 with 32 perms / bands of 4: P(candidate|J=0.5) ≈ 40%
     per the S-curve — run two band sizes for higher recall if needed.
     Output schema matches dedup_ngram_jaccard for recall measurement."""
+    cand, banded = _lsh_candidate_pairs(docs, band_size=band_size)
+    pairs = (
+        cand
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("_sa"), F.col("_sb")), 4))
+        .where(F.col("jaccard_sim") >= threshold)
+        .drop("_sa", "_sb")
+    )
+    # materialize the (small) verified-pair set, then RELEASE the banded
+    # cache — returning a lazy plan over the persisted frame leaked one
+    # cached corpus copy per call across repeated invocations
+    pairs = pairs.localCheckpoint()
+    banded.unpersist()
+    return pairs
+
+
+def _lsh_candidate_pairs(docs: DataFrame, band_size: int = 4):
+    """The banded candidate stage shared by :func:`dedup_minhash_lsh`
+    and :func:`containment_pairs_lsh`: returns (candidate pairs with
+    both shingle sets attached, the persisted banded frame — callers
+    unpersist it after materializing their verified output)."""
     band_keys = make_sha_minhash_band_keys_udf(band_size=band_size)
     # spread the corpus BEFORE the hash UDF: a small parquet input arrives
     # as one partition and would run the sha work single-threaded (at
@@ -138,7 +158,7 @@ def dedup_minhash_lsh(
         F.col("_bw") <= config.LSH_BUCKET_CAP
     ).persist()  # both self-join sides consume the UDF+window subtree
     a, b = d.alias("a"), d.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -148,16 +168,8 @@ def dedup_minhash_lsh(
             F.col("b._sh").alias("_sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("_sa"), F.col("_sb")), 4))
-        .where(F.col("jaccard_sim") >= threshold)
-        .drop("_sa", "_sb")
     )
-    # materialize the (small) verified-pair set, then RELEASE the banded
-    # cache — returning a lazy plan over the persisted frame leaked one
-    # cached corpus copy per call across repeated invocations
-    pairs = pairs.localCheckpoint()
-    d.unpersist()
-    return pairs
+    return cand, d
 
 
 def _keep_list_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -721,19 +733,30 @@ def containment_pairs(
         word_shingles(F.col("text")).alias("_sh"),
     )
     a, b = d.alias("a"), d.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a._sh").alias("_sa"),
+        F.col("b._sh").alias("_sb"),
+    )
+    return _containment_verify(cand, min_pct)
+
+
+def _containment_verify(cand: DataFrame, min_pct: int) -> DataFrame:
+    """Shared verify: (doc_a, doc_b, _sa, _sb) candidate pairs → the
+    integer floor-percent containment report rows ≥ ``min_pct``."""
     pairs = (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
             .cast("long").alias("inter_grams"),
-            F.size(F.col("a._sh")).cast("long").alias("grams_a"),
-            F.size(F.col("b._sh")).cast("long").alias("grams_b"),
+            F.size(F.col("_sa")).cast("long").alias("grams_a"),
+            F.size(F.col("_sb")).cast("long").alias("grams_b"),
         )
         .where(F.least("grams_a", "grams_b") > 0)
         .withColumn(
@@ -747,3 +770,23 @@ def containment_pairs(
         F.when(F.col("grams_b") < F.col("grams_a"), F.col("doc_b"))
         .otherwise(F.col("doc_a")).cast("long").alias("contained_doc_id"),
     )
+
+
+def containment_pairs_lsh(
+    docs: DataFrame, min_pct: int = CONTAIN_MIN_PCT, band_size: int = 4
+) -> DataFrame:
+    """The DEPLOYABLE containment path promised by
+    :func:`containment_pairs`: MinHash/LSH banded candidates (the same
+    sha256-slice family, cap, and self-join as
+    :func:`dedup_minhash_lsh`) verified with the integer containment
+    test instead of Jaccard. MinHash bands recall a high-containment
+    pair whenever the smaller set dominates the signature (at 100%
+    containment every shingle of the smaller doc is shared, so a band
+    collides unless the larger doc's extra shingles win all minima of
+    its 4 rows — the exact-dup and subset-dup cases the operator
+    exists for collide with near-certainty). Same output schema as the
+    exact baseline, so recall is directly measurable."""
+    cand, banded = _lsh_candidate_pairs(docs, band_size=band_size)
+    out = _containment_verify(cand, min_pct).localCheckpoint()
+    banded.unpersist()
+    return out

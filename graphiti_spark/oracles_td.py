@@ -103,6 +103,32 @@ def minhash_lsh_sql(
     )
 
 
+def containment_lsh_sql(
+    min_pct: int, band_size: int = 4, perms: int = 32,
+    cap: int | None = None,
+) -> str:
+    """DuckDB twin of operators/dedup.containment_pairs_lsh: the SAME
+    banded candidate chain as minhash_lsh_sql (the ``pairs`` CTE), then
+    the integer floor-percent containment verify instead of Jaccard."""
+    return (
+        "WITH " + _minhash_pair_ctes(band_size=band_size, perms=perms, cap=cap)
+        + f"""
+SELECT doc_a, doc_b, inter_grams, grams_a, grams_b, containment_pct,
+       contained_doc_id
+FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ga, gb))::BIGINT AS inter_grams,
+         len(ga)::BIGINT AS grams_a, len(gb)::BIGINT AS grams_b,
+         (100 * len(list_intersect(ga, gb))::BIGINT)
+           // least(len(ga), len(gb))::BIGINT AS containment_pct,
+         CASE WHEN len(gb) < len(ga) THEN doc_b ELSE doc_a END::BIGINT
+           AS contained_doc_id
+  FROM pairs WHERE least(len(ga), len(gb)) > 0
+)
+WHERE containment_pct >= {min_pct}"""
+    )
+
+
 _KEEP_LIST_CLOSURE = """,
 du AS (
   SELECT doc_a AS a, doc_b AS b FROM kp
@@ -583,6 +609,10 @@ SELECT doc_a, doc_b, inter_grams, grams_a, grams_b,
          AS contained_doc_id
 FROM ct_p
 WHERE (100 * inter_grams) // least(grams_a, grams_b) >= {CONTAIN_MIN_PCT}"""
+
+    # the deployable containment path: LSH banded candidates (same chain
+    # as td_dedup_minhash_lsh) + the containment verify
+    o["td_containment_lsh"] = containment_lsh_sql(CONTAIN_MIN_PCT)
 
     o["td_dedup_embedding_cosine"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -363,3 +363,28 @@ class TestClosingBatchPlans:
         ev = _events(spark, [(_ts(1, 0), "click")])
         plan = _explain(anomaly_flags(ev))
         assert plan.count("Window") == 1
+
+
+class TestContainmentLsh:
+    def test_lsh_path_recalls_every_exact_pair(self, spark, sf_dir):
+        """The deployable LSH path must recall every pair the exact
+        lang-blocked baseline finds (the corpus dups are 100%-containment
+        pairs, which collide with near-certainty); it MAY add cross-block
+        pairs — it is corpus-wide, like dedup_minhash_lsh vs the blocked
+        ngram baseline."""
+        from graphiti_spark.operators.dedup import (
+            containment_pairs,
+            containment_pairs_lsh,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            (r["doc_a"], r["doc_b"], r["containment_pct"])
+            for r in containment_pairs(docs).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"], r["containment_pct"])
+            for r in containment_pairs_lsh(docs).collect()
+        }
+        assert exact, "fixture must exercise the containment path"
+        assert exact <= lsh
