@@ -66,6 +66,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # (localCheckpoint-release contract in the dedup family), and timing
     # only the final materialize would silently exclude that work
     from graphiti_spark.operators.community import (
+        clustering_coeff,
         neighbor_agg,
         predict_links,
         triangle_count,
@@ -77,6 +78,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("mentions", lambda: g.mentions),
         ("kg_edges_fuzzy_dedup", lambda: dedupe_edges_fuzzy(g.edges)),
         ("sr_triangles", lambda: triangle_count(g.edges)),
+        # per-node refinement: 3·T member rows + a degree join beyond
+        # the triangle count (ev_attribution / kg_predicate_stats share
+        # ev_funnel's and predicate aggregation's benched shapes)
+        ("sr_clustering", lambda: clustering_coeff(g.edges)),
         ("sr_link_prediction", lambda: predict_links(g.edges)),
         ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
         ("sr_walk_pairs", lambda: walk_pairs(g.edges)),

@@ -14,7 +14,7 @@ by its while-loop fixpoint test).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def build_adjacency(edges: DataFrame) -> DataFrame:
@@ -692,6 +692,36 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Output per group: (group_id, n_nodes, n_edges, n_wedges,
     n_triangles) — integers only; ratios (clustering coefficient) are
     downstream divisions the caller controls."""
+    und, deg, oriented, closed = _triangle_frames(edges)
+    per_group = closed.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+        .alias("n_triangles"),
+    )
+    sizes = und.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_edges")
+    ).join(
+        deg.groupBy("group_id").agg(F.count("*").cast("long").alias("n_nodes")),
+        "group_id",
+    )
+    return sizes.join(per_group, "group_id", "left").select(
+        "group_id", "n_nodes", "n_edges",
+        F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+        .alias("n_triangles"),
+    )
+
+
+def _triangle_frames(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared degree-ordered triangle machinery: returns (und, deg,
+    oriented, closed) where ``closed`` is the wedge frame left-joined
+    against the closing oriented edge (`_hit` = 1 when the wedge's
+    center u and out-neighbors (x, y) form a triangle, with the wedge's
+    center uuid carried as ``u``). Factored out of :func:`triangle_count`
+    so :func:`clustering_coeff` reuses the identical orientation + wedge
+    keys instead of re-deriving them with subtly different tie rules."""
     # und feeds THREE consumers (deg, oriented, sizes) and oriented TWO
     # (wedge self-join, closing probe) — checkpoint both so the distinct
     # and the degree joins run once, not per consumer (measured 2× on
@@ -748,6 +778,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select(
             "group_id",
+            F.col("e1.u").alias("u"),
             F.col("e1.v").alias("x"),
             F.col("e2.v").alias("y"),
         )
@@ -759,23 +790,66 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         ["group_id", "x", "y"],
         "left",
     )
-    per_group = closed.groupBy("group_id").agg(
-        F.count("*").cast("long").alias("n_wedges"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
-        .alias("n_triangles"),
+    return und, deg, oriented, closed
+
+
+# integer scale for the local clustering coefficient (floor division —
+# identical in both engines, like LINKPRED_SCALE)
+CLUSTERING_SCALE = 1_000_000
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node, in exact integers: for
+    every node with degree ≥ 2, the number of triangles through it vs
+    the ``deg·(deg−1)/2`` possible closures among its neighbors, plus
+    ``coeff_ppm = (SCALE · n_triangles) div possible`` (floor division,
+    engine-identical — no float ratio crosses the oracle hash). The
+    per-node refinement of :func:`triangle_count`'s global counts — the
+    signal an entity-resolution owner reads to spot over-merged hubs
+    (high degree + near-zero closure = a node gluing unrelated
+    neighborhoods together).
+
+    Scale: each CLOSED wedge emits its three member nodes (3·T rows,
+    T = triangle count — not the wedge count), aggregated by one
+    map-side-combinable groupBy on the node key; degree joins reuse the
+    checkpointed frames from the shared orientation. No window over the
+    corpus, no per-node neighbor materialization."""
+    _und, deg, _oriented, closed = _triangle_frames(edges)
+    tri = closed.where(F.col("_hit") == 1)
+    members = (
+        tri.select("group_id", F.col("u").alias("uuid"))
+        .unionByName(tri.select("group_id", F.col("x").alias("uuid")))
+        .unionByName(tri.select("group_id", F.col("y").alias("uuid")))
+        .groupBy("group_id", "uuid")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    sizes = und.groupBy("group_id").agg(
-        F.count("*").cast("long").alias("n_edges")
-    ).join(
-        deg.groupBy("group_id").agg(F.count("*").cast("long").alias("n_nodes")),
+    out = (
+        deg.where(F.col("degree") >= 2)
+        .select(
+            "group_id",
+            F.col("v").alias("uuid"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .join(members, ["group_id", "uuid"], "left")
+        .withColumn(
+            "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
+        )
+        .withColumn(
+            "possible_wedges",
+            F.expr("degree * (degree - 1) div 2").cast("long"),
+        )
+    )
+    return out.select(
         "group_id",
+        "uuid",
+        "degree",
+        "n_triangles",
+        "possible_wedges",
+        F.expr(
+            f"({CLUSTERING_SCALE} * n_triangles) div possible_wedges"
+        ).cast("long").alias("coeff_ppm"),
     )
-    return sizes.join(per_group, "group_id", "left").select(
-        "group_id", "n_nodes", "n_edges",
-        F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
-        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
-        .alias("n_triangles"),
-    )
+
 
 # k-core peeling: threshold and fixed round budget (exactly-K semantics,
 # like pagerank_rounds / label_propagation_rounds — a fixed trajectory is
@@ -1090,4 +1164,113 @@ def walk_pairs(
             F.col("w2.node").alias("context"),
         )
         .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# multi-source harmonic closeness: sources per group are the TOP-K
+# degree hubs (the nodes an over-merge diagnostic actually cares about),
+# so the frontier work is bounded by construction — never all-pairs BFS
+CLOSENESS_TOP_SOURCES = 64
+CLOSENESS_HOPS = 3
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    top_sources: int = CLOSENESS_TOP_SOURCES,
+    hops: int = CLOSENESS_HOPS,
+) -> DataFrame:
+    """K-hop harmonic closeness for each group's top-``top_sources``
+    degree hubs: per source, the exact count of nodes first reached at
+    distance 1, 2, ... ``hops`` over the undirected entity projection
+    (:func:`build_adjacency` — same dedup/self-loop rules as every other
+    graph op here), plus ``harmonic_x6 = 6·n_d1 + 3·n_d2 + 2·n_d3``
+    (the harmonic sum 1/d at a common denominator of 6 — exact BIGINT,
+    nothing float crosses the oracle hash). High degree + low harmonic
+    reach = a hub whose neighborhood is a clique (redundant edges);
+    high reach = a connector gluing regions — the next diagnostic after
+    :func:`clustering_coeff` for entity-resolution audits.
+
+    Scale design: sources are capped per group by (degree DESC, uuid ASC)
+    rank — the all-pairs BFS explosion is excluded by construction; each
+    hop is ONE adjacency join keyed (group, frontier-node) + ONE
+    anti-join against the reached set, both shuffling on bounded
+    frontier frames (≤ sources × closure). The adjacency and each
+    reached set are localCheckpointed: every frame has 2 consumers
+    (next hop's expand + anti-join), and exactly ``hops`` rounds run —
+    fixed trajectory, no convergence loop."""
+    if hops != 3:
+        raise ValueError("closeness_centrality unrolls exactly 3 hops "
+                         "(the oracle twin materializes the same 3 CTEs)")
+    adj = (
+        build_adjacency(edges)
+        .select("group_id", "a", "b")
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("group_id", "a").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    rank_w = Window.partitionBy("group_id").orderBy(
+        F.desc("degree"), F.asc("a")
+    )
+    src = (
+        deg.withColumn("_r", F.row_number().over(rank_w))
+        .where(F.col("_r") <= int(top_sources))
+        .select("group_id", F.col("a").alias("s"), "degree")
+        .localCheckpoint()
+    )
+    # hop 1: the source's direct neighbors (adjacency rows are distinct);
+    # keyed on (group, node) — the frontier never cross-joins its group
+    d1 = (
+        src.select("group_id", "s")
+        .join(
+            adj.select(
+                "group_id", F.col("a").alias("s"), F.col("b").alias("v")
+            ),
+            ["group_id", "s"],
+        )
+        .localCheckpoint()
+    )
+    reached = (
+        src.select("group_id", "s", F.col("s").alias("v"))
+        .unionByName(d1)
+        .localCheckpoint()
+    )
+    frontiers = [d1]
+    frontier = d1
+    for _ in range(2):
+        nxt = (
+            frontier.join(
+                adj.select("group_id", F.col("a").alias("v"),
+                           F.col("b").alias("_n")),
+                ["group_id", "v"],
+            )
+            .select("group_id", "s", F.col("_n").alias("v"))
+            .distinct()
+            .join(reached, ["group_id", "s", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontiers.append(nxt)
+        frontier = nxt
+    counts = None
+    for i, fr in enumerate(frontiers, start=1):
+        c = fr.groupBy("group_id", "s").agg(
+            F.count("*").cast("long").alias(f"n_d{i}")
+        )
+        counts = c if counts is None else counts.join(
+            c, ["group_id", "s"], "full"
+        )
+    out = src.join(counts, ["group_id", "s"], "left")
+    n1 = F.coalesce(F.col("n_d1"), F.lit(0)).cast("long")
+    n2 = F.coalesce(F.col("n_d2"), F.lit(0)).cast("long")
+    n3 = F.coalesce(F.col("n_d3"), F.lit(0)).cast("long")
+    return out.select(
+        "group_id",
+        F.col("s").alias("uuid"),
+        "degree",
+        n1.alias("n_d1"),
+        n2.alias("n_d2"),
+        n3.alias("n_d3"),
+        (F.lit(6) * n1 + F.lit(3) * n2 + F.lit(2) * n3)
+        .cast("long").alias("harmonic_x6"),
     )

@@ -28,6 +28,12 @@ RANGE_WINDOW_SECONDS = 6 * 3600
 # ordered funnel steps (see funnel_events)
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
+# last-touch attribution: which event types can claim a conversion, and
+# which event type converts (see attribution_last_touch)
+ATTRIBUTION_TOUCHES = ("signup", "view", "click")
+ATTRIBUTION_CONVERSION = "purchase"
+ATTRIBUTION_UNATTRIBUTED = "direct"
+
 # integer-cent aggregation (see windowed_event_stats): value is 2-decimal,
 # so value*100 is within float error of an integer and round() never lands
 # on a .5 midpoint — the one place Spark (HALF_UP) and other engines
@@ -341,6 +347,59 @@ def funnel_summary(
         for i, step in enumerate(steps)
     ])
     return counts.select(F.explode(rows).alias("x")).select("x.*")
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touches: tuple[str, ...] = ATTRIBUTION_TOUCHES,
+    conversion: str = ATTRIBUTION_CONVERSION,
+) -> DataFrame:
+    """Last-touch attribution: every ``conversion`` event is credited to
+    the same user's most recent STRICTLY-earlier touch event (by the
+    (ts, event_id) total order — a touch at the conversion's exact
+    timestamp counts only if its event_id sorts first, the same tie rule
+    as :func:`funnel_events`); conversions with no preceding touch land
+    in the ``direct`` bucket. Output per attributed channel:
+    (attributed_type, n_conversions, n_users, revenue).
+
+    Scale design: ONE shuffle on ``user_id``; the "most recent touch"
+    is a running ``last(ignorenulls)`` over the GROWING frame ending one
+    row before current — constant per-row state, incremental, never the
+    shrinking-frame O(n²) shape. Revenue sums integer cents (the
+    engine-neutral money rule, see :func:`_cents`) and divides once at
+    the end, so the doubles hash-match across engines.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        _cents().alias("_c"),
+        F.when(F.col("event_type").isin(*touches), F.col("event_type"))
+        .alias("_touch"),
+    )
+    credited = (
+        flagged.withColumn(
+            "_last_touch", F.last("_touch", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == conversion)
+        .select(
+            F.coalesce(F.col("_last_touch"), F.lit(ATTRIBUTION_UNATTRIBUTED))
+            .alias("attributed_type"),
+            "user_id",
+            "_c",
+        )
+    )
+    return credited.groupBy("attributed_type").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (F.sum("_c") / 100.0).alias("revenue"),
+    )
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:
@@ -694,4 +753,71 @@ def anomaly_over_hours(
     return scored.withColumn(
         "is_anomaly",
         (F.col("trail_n") == trail) & (num * num > F.lit(z2) * den),
+    )
+
+
+# session-scoped next-event transitions (see event_transitions)
+TRANSITION_SCALE = 1_000_000
+TRANSITION_GAP_SECONDS = 30 * 60
+
+
+def event_transitions(
+    events: DataFrame,
+    gap_seconds: int = TRANSITION_GAP_SECONDS,
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream, scoped to gap-based sessions (same 30-minute rule as
+    :func:`sessionize`, expressed as lag-islands so the pair extraction
+    and the session boundary share ONE window pass): for every
+    consecutive in-session event pair, (from_type → to_type) with the
+    pair count, distinct users making it, and ``prob_ppm`` — the
+    row-conditional transition probability at ppm scale via floor
+    division (exact integers only cross the oracle hash). The "what do
+    users do next" journey matrix a product analyst reads next to the
+    funnel.
+
+    Scale design: ONE shuffle on ``user_id`` computes both the session
+    boundary (lag ts) and the previous type (lag event_type) — same
+    partition + order, Spark folds them into a single window exchange;
+    the pair aggregation is map-side combinable on a |types|²-bounded
+    key space, and the per-from totals ride a broadcast join back onto
+    that tiny frame. No corpus-sized window, no second event scan."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("_prev_ts").isNotNull()
+            & (
+                # strict <: session_window's range is [start, last+gap),
+                # so an event landing exactly at last+gap opens a NEW
+                # session — the islands rule here matches that boundary
+                F.unix_timestamp("ts") - F.unix_timestamp("_prev_ts")
+                < int(gap_seconds)
+            )
+        )
+        .select(
+            F.col("_prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            "user_id",
+        )
+    )
+    agg = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    totals = agg.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("_tot")
+    )
+    return (
+        agg.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_users",
+            F.expr(f"({TRANSITION_SCALE} * n_transitions) div _tot")
+            .cast("long").alias("prob_ppm"),
+        )
     )

@@ -241,6 +241,44 @@ def asof_diff(edges: DataFrame, t1: str, t2: str) -> DataFrame:
     )
 
 
+def predicate_stats(edges: DataFrame) -> DataFrame:
+    """Per-predicate churn report over the stored edge set — the
+    observability view a graph owner reads to see WHICH relations are
+    stable facts and which keep getting contradicted (the aggregate face
+    of resolve_edge_contradictions): for every (group_id, predicate),
+    the fact count, how many are still open (no invalid_at), how many
+    were closed, distinct subject/object fan-out, and the validity
+    window's span.
+
+    Output: (group_id, predicate, n_facts, n_current, n_invalidated,
+    n_subjects, n_objects, first_valid_at, last_valid_at). Counts are
+    exact BIGINTs; timestamps are min/max of the stored values — nothing
+    engine-sensitive crosses the hash.
+
+    Scale: ONE map-side-combinable groupBy on (group_id, name); the two
+    distinct counts expand to Spark's standard two-phase distinct
+    aggregate under the same key — no window, no join, no corpus-grain
+    shuffle beyond the one the aggregation needs."""
+    return (
+        edges.groupBy("group_id", F.col("name").alias("predicate"))
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.sum(
+                F.when(F.col("invalid_at").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_current"),
+            F.sum(
+                F.when(F.col("invalid_at").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_invalidated"),
+            F.countDistinct("source_node_uuid").cast("long")
+            .alias("n_subjects"),
+            F.countDistinct("target_node_uuid").cast("long")
+            .alias("n_objects"),
+            F.min("valid_at").alias("first_valid_at"),
+            F.max("valid_at").alias("last_valid_at"),
+        )
+    )
+
+
 def entity_timeline(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Chronological fact history per entity — the query a graphiti user
     asks after ingestion ("what happened to X, in order?"): every fact

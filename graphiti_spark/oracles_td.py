@@ -1718,6 +1718,78 @@ SELECT cohort_day, day_offset, n_users,
        n_users / cohort_size AS retention
 FROM fin"""
 
+    # last-touch attribution twin (operators/events.attribution_last_touch):
+    # the same running last(ignorenulls) over the growing frame ending one
+    # row BEFORE current — strictly-earlier by the shared (ts, event_id)
+    # tie order — and the integer-cent revenue rule
+    from graphiti_spark.operators.events import (
+        ATTRIBUTION_TOUCHES,
+        ATTRIBUTION_CONVERSION,
+        ATTRIBUTION_UNATTRIBUTED,
+    )
+
+    _touch_list = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCHES)
+    o["ev_attribution"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         round(value * 100)::BIGINT AS _c,
+         CASE WHEN event_type IN ({_touch_list})
+              THEN event_type END AS _touch
+  FROM events
+),
+cr AS (
+  SELECT *,
+         last_value(_touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS _last_touch
+  FROM flagged
+)
+SELECT coalesce(_last_touch, '{ATTRIBUTION_UNATTRIBUTED}')
+         AS attributed_type,
+       count(*)::BIGINT AS n_conversions,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(_c) / 100.0 AS revenue
+FROM cr WHERE event_type = '{ATTRIBUTION_CONVERSION}'
+GROUP BY 1"""
+
+    # session-scoped Markov transitions (operators/events
+    # .event_transitions): ONE lag window yields both the session
+    # boundary (strict < gap, the session_window [start, last+gap)
+    # rule) and the previous type; prob is floor-divided ppm — exact
+    # integers only
+    from graphiti_spark.operators.events import (
+        TRANSITION_GAP_SECONDS,
+        TRANSITION_SCALE,
+    )
+
+    o["ev_transitions"] = f"""
+WITH pr AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER w AS _prev_ts,
+         lag(event_type) OVER w AS _prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT _prev_type AS from_type, event_type AS to_type, user_id
+  FROM pr
+  WHERE _prev_ts IS NOT NULL
+    AND date_diff('second', _prev_ts, ts) < {TRANSITION_GAP_SECONDS}
+),
+agg AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, sum(n_transitions)::BIGINT AS _tot
+  FROM agg GROUP BY 1
+)
+SELECT a.from_type, a.to_type, a.n_transitions, a.n_users,
+       (({TRANSITION_SCALE} * a.n_transitions) // t._tot)::BIGINT
+         AS prob_ppm
+FROM agg a JOIN tot t USING (from_type)"""
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""
 WITH toks AS (
@@ -1819,6 +1891,22 @@ SELECT e.group_id, n.name AS entity, e.fact, e.valid_at, e.invalid_at,
        )::BIGINT AS pos
 FROM edges e JOIN nodes n ON n.uuid = e.source_node_uuid"""
 
+    # per-predicate churn report (operators/temporal.predicate_stats):
+    # one aggregation over the derived edge set; min/max skip NULL
+    # valid_at in both engines
+    o["kg_predicate_stats"] = p + """
+SELECT group_id, name AS predicate,
+       count(*)::BIGINT AS n_facts,
+       sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_current,
+       sum(CASE WHEN invalid_at IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_invalidated,
+       count(DISTINCT source_node_uuid)::BIGINT AS n_subjects,
+       count(DISTINCT target_node_uuid)::BIGINT AS n_objects,
+       min(valid_at) AS first_valid_at,
+       max(valid_at) AS last_valid_at
+FROM edges GROUP BY 1, 2"""
+
     # degree distribution (operators/community.degree_stats): the pow2
     # bucket is the SAME integer CASE chain the Spark side compiles —
     # float log2 is not engine-stable at exact powers of two
@@ -1893,6 +1981,138 @@ SELECT s.group_id, nn.n_nodes, s.n_edges,
        COALESCE(c.n_triangles, 0)::BIGINT AS n_triangles
 FROM tri_sz s JOIN tri_nn nn USING (group_id)
 LEFT JOIN tri_c c USING (group_id)"""
+
+    # per-node clustering coefficient (operators/community
+    # .clustering_coeff): the SAME orientation + wedge keys as
+    # sr_triangles, but closed wedges keep their center u and emit all
+    # three member nodes; coeff is integer floor division (// here,
+    # `div` on the Spark side) at CLUSTERING_SCALE — no float ratio
+    from graphiti_spark.operators.community import CLUSTERING_SCALE
+
+    o["sr_clustering"] = p + f"""
+, cc_und AS (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+cc_deg AS (
+  SELECT group_id, v, count(*) AS degree FROM (
+    SELECT group_id, a AS v FROM cc_und
+    UNION ALL SELECT group_id, b FROM cc_und
+  ) GROUP BY 1, 2
+),
+cc_or AS (
+  SELECT t.group_id,
+         CASE WHEN {_lowa} THEN t.a ELSE t.b END AS u,
+         CASE WHEN {_lowa} THEN t.b ELSE t.a END AS v,
+         CASE WHEN {_lowa} THEN db.degree ELSE da.degree END AS vdeg
+  FROM cc_und t
+  JOIN cc_deg da ON da.group_id = t.group_id AND da.v = t.a
+  JOIN cc_deg db ON db.group_id = t.group_id AND db.v = t.b
+),
+cc_w AS (
+  SELECT e1.group_id, e1.u AS u, e1.v AS x, e2.v AS y
+  FROM cc_or e1
+  JOIN cc_or e2 ON e1.group_id = e2.group_id AND e1.u = e2.u
+  WHERE e1.vdeg < e2.vdeg OR (e1.vdeg = e2.vdeg AND e1.v < e2.v)
+),
+cc_tri AS (
+  SELECT w.group_id, w.u, w.x, w.y
+  FROM cc_w w JOIN cc_or c2
+    ON c2.group_id = w.group_id AND c2.u = w.x AND c2.v = w.y
+),
+cc_members AS (
+  SELECT group_id, u AS uuid FROM cc_tri
+  UNION ALL SELECT group_id, x FROM cc_tri
+  UNION ALL SELECT group_id, y FROM cc_tri
+),
+cc_cnt AS (
+  SELECT group_id, uuid, count(*)::BIGINT AS n_triangles
+  FROM cc_members GROUP BY 1, 2
+)
+SELECT d.group_id, d.v AS uuid, d.degree::BIGINT AS degree,
+       coalesce(c.n_triangles, 0)::BIGINT AS n_triangles,
+       (d.degree * (d.degree - 1) // 2)::BIGINT AS possible_wedges,
+       (({CLUSTERING_SCALE} * coalesce(c.n_triangles, 0))
+         // (d.degree * (d.degree - 1) // 2))::BIGINT AS coeff_ppm
+FROM cc_deg d
+LEFT JOIN cc_cnt c ON c.group_id = d.group_id AND c.uuid = d.v
+WHERE d.degree >= 2"""
+
+    # top-K-hub harmonic closeness (operators/community
+    # .closeness_centrality): same symmetric-distinct adjacency as
+    # kc_adj, top-64 sources by (degree DESC, uuid ASC), exactly 3
+    # unrolled hops, each MATERIALIZED; harmonic_x6 is the harmonic
+    # sum at common denominator 6 — pure BIGINT
+    from graphiti_spark.operators.community import CLOSENESS_TOP_SOURCES
+
+    o["sr_closeness"] = p + f"""
+, cl_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+cl_deg AS MATERIALIZED (
+  SELECT group_id, a, count(*)::BIGINT AS degree
+  FROM cl_adj GROUP BY 1, 2
+),
+cl_src AS MATERIALIZED (
+  SELECT group_id, a AS s, degree FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY group_id ORDER BY degree DESC, a ASC
+    ) AS _r FROM cl_deg
+  ) WHERE _r <= {CLOSENESS_TOP_SOURCES}
+),
+cl_d1 AS MATERIALIZED (
+  SELECT src.group_id, src.s, j.b AS v
+  FROM cl_src src
+  JOIN cl_adj j ON j.group_id = src.group_id AND j.a = src.s
+),
+cl_r1 AS MATERIALIZED (
+  SELECT group_id, s, s AS v FROM cl_src
+  UNION ALL SELECT group_id, s, v FROM cl_d1
+),
+cl_d2 AS MATERIALIZED (
+  SELECT DISTINCT f.group_id, f.s, j.b AS v
+  FROM cl_d1 f
+  JOIN cl_adj j ON j.group_id = f.group_id AND j.a = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cl_r1 r
+    WHERE r.group_id = f.group_id AND r.s = f.s AND r.v = j.b
+  )
+),
+cl_r2 AS MATERIALIZED (
+  SELECT group_id, s, v FROM cl_r1
+  UNION ALL SELECT group_id, s, v FROM cl_d2
+),
+cl_d3 AS MATERIALIZED (
+  SELECT DISTINCT f.group_id, f.s, j.b AS v
+  FROM cl_d2 f
+  JOIN cl_adj j ON j.group_id = f.group_id AND j.a = f.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cl_r2 r
+    WHERE r.group_id = f.group_id AND r.s = f.s AND r.v = j.b
+  )
+),
+cl_n AS (
+  SELECT group_id, s,
+         (SELECT count(*) FROM cl_d1 x
+          WHERE x.group_id = c.group_id AND x.s = c.s)::BIGINT AS n_d1,
+         (SELECT count(*) FROM cl_d2 x
+          WHERE x.group_id = c.group_id AND x.s = c.s)::BIGINT AS n_d2,
+         (SELECT count(*) FROM cl_d3 x
+          WHERE x.group_id = c.group_id AND x.s = c.s)::BIGINT AS n_d3
+  FROM cl_src c
+)
+SELECT c.group_id, c.s AS uuid, c.degree,
+       n.n_d1, n.n_d2, n.n_d3,
+       (6 * n.n_d1 + 3 * n.n_d2 + 2 * n.n_d3)::BIGINT AS harmonic_x6
+FROM cl_src c JOIN cl_n n ON n.group_id = c.group_id AND n.s = c.s"""
 
     # k-core peeling (operators/community.kcore_peel): exactly-K peel
     # rounds unrolled; each round's live set is MATERIALIZED so DuckDB

@@ -119,3 +119,66 @@ def test_windowed_stats_batch_stream_parity(spark, tmp_path_factory):
     for k, r in ((k, x) for k in want for x in batch
                  if (x["window_start"], x["event_type"]) == k):
         assert abs(approx[k] - r["n_users"]) <= max(1, r["n_users"] // 4)
+
+
+def test_attribution_last_touch_credits_and_direct(spark):
+    from graphiti_spark.operators.events import attribution_last_touch
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    ev = _ev(spark, [
+        # user 1: click then purchase -> credited to click
+        (1, t(1), 1, "click", 0.0, ""),
+        (2, t(2), 1, "purchase", 10.0, ""),
+        # user 2: view, click, purchase -> last touch is click
+        (3, t(1), 2, "view", 0.0, ""),
+        (4, t(2), 2, "click", 0.0, ""),
+        (5, t(3), 2, "purchase", 5.5, ""),
+        # user 3: purchase with no preceding touch -> direct
+        (6, t(1), 3, "purchase", 2.0, ""),
+        # user 4: touch at the SAME ts as the purchase, event_id sorts
+        # first -> still credited (strictly-earlier by (ts, event_id))
+        (7, t(5), 4, "view", 0.0, ""),
+        (8, t(5), 4, "purchase", 1.0, ""),
+        # user 5: touch AFTER the purchase -> direct
+        (10, t(9), 5, "click", 0.0, ""),
+        (9, t(8), 5, "purchase", 3.0, ""),
+    ])
+    out = {r["attributed_type"]: r for r in
+           attribution_last_touch(ev).collect()}
+    assert out["click"]["n_conversions"] == 2
+    assert out["click"]["n_users"] == 2
+    assert out["click"]["revenue"] == 15.5
+    assert out["view"]["n_conversions"] == 1
+    assert out["view"]["revenue"] == 1.0
+    assert out["direct"]["n_conversions"] == 2
+    assert out["direct"]["revenue"] == 5.0
+
+
+def test_event_transitions_session_scoped(spark):
+    from graphiti_spark.operators.events import (
+        TRANSITION_SCALE,
+        event_transitions,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    ev = _ev(spark, [
+        (1, s(0), 1, "view", 0.0, ""),
+        (2, s(10), 1, "click", 0.0, ""),
+        # gap of exactly 1800 s -> NEW session (strict <): no click->view
+        (3, s(10 + 1800), 1, "view", 0.0, ""),
+        (4, s(10 + 1800 + 5), 1, "purchase", 1.0, ""),
+        # second user: view -> click within the gap
+        (5, s(0), 2, "view", 0.0, ""),
+        (6, s(1799), 2, "click", 0.0, ""),
+    ])
+    out = {(r["from_type"], r["to_type"]): r
+           for r in event_transitions(ev).collect()}
+    assert set(out) == {("view", "click"), ("view", "purchase")}
+    vc = out[("view", "click")]
+    assert vc["n_transitions"] == 2 and vc["n_users"] == 2
+    # from 'view': 2 of 3 transitions go to click, 1 to purchase
+    assert vc["prob_ppm"] == (TRANSITION_SCALE * 2) // 3
+    assert out[("view", "purchase")]["prob_ppm"] == TRANSITION_SCALE // 3

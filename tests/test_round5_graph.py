@@ -426,3 +426,81 @@ def test_component_size_stats_buckets(spark):
     assert out[2]["n_components"] == 1 and out[2]["max_size"] == 4
     assert out[1]["n_components"] == 1 and out[1]["min_size"] == 2
     assert out[0]["n_components"] == 1 and out[0]["max_size"] == 1
+
+
+def test_clustering_coeff_hand_graph(spark):
+    from graphiti_spark.operators.community import (
+        CLUSTERING_SCALE,
+        clustering_coeff,
+    )
+
+    # triangle a-b-c plus pendant c-d: a,b close 1 of 1 possible wedge,
+    # c closes 1 of 3, d (degree 1) is excluded entirely
+    edges = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"), ("g", "c", "d")],
+    )
+    out = {r["uuid"]: r for r in clustering_coeff(edges).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["degree"] == 2 and out["a"]["possible_wedges"] == 1
+    assert out["a"]["coeff_ppm"] == CLUSTERING_SCALE
+    assert out["b"]["coeff_ppm"] == CLUSTERING_SCALE
+    assert out["c"]["degree"] == 3 and out["c"]["possible_wedges"] == 3
+    assert out["c"]["n_triangles"] == 1
+    assert out["c"]["coeff_ppm"] == CLUSTERING_SCALE // 3
+
+
+def test_clustering_coeff_agrees_with_triangle_count(spark):
+    """3 * global triangle count == sum of per-node triangle counts
+    (every triangle contributes its three members exactly once)."""
+    from graphiti_spark.operators.community import (
+        clustering_coeff,
+        triangle_count,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    rows = list(
+        {("g", *sorted(rng.sample(nodes, 2))) for _ in range(160)}
+    )
+    edges = _edges(spark, rows)
+    total = triangle_count(edges).collect()[0]["n_triangles"]
+    per_node = sum(
+        r["n_triangles"] for r in clustering_coeff(edges).collect()
+    )
+    assert total > 0
+    assert per_node == 3 * total
+
+
+def test_closeness_centrality_path_graph(spark):
+    from graphiti_spark.operators.community import closeness_centrality
+
+    # path a-b-c-d-e: from the middle (c) the 3-hop reach is complete
+    # (2 at d1, 2 at d2); from the end (a) it is 1/1/1
+    edges = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"), ("g", "d", "e")],
+    )
+    out = {r["uuid"]: r for r in closeness_centrality(edges).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    c = out["c"]
+    assert (c["n_d1"], c["n_d2"], c["n_d3"]) == (2, 2, 0)
+    assert c["harmonic_x6"] == 6 * 2 + 3 * 2
+    a = out["a"]
+    assert (a["n_d1"], a["n_d2"], a["n_d3"]) == (1, 1, 1)
+    assert a["harmonic_x6"] == 6 + 3 + 2
+    assert out["b"]["degree"] == 2 and out["a"]["degree"] == 1
+
+
+def test_closeness_centrality_caps_sources(spark):
+    from graphiti_spark.operators.community import closeness_centrality
+
+    # star: hub h with 5 leaves; cap at 2 sources -> the hub (degree 5)
+    # plus the lexicographically-first leaf (tie on degree 1)
+    edges = _edges(spark, [("g", "h", f"l{i}") for i in range(5)])
+    out = closeness_centrality(edges, top_sources=2).collect()
+    assert {r["uuid"] for r in out} == {"h", "l0"}
+    by = {r["uuid"]: r for r in out}
+    assert by["h"]["n_d1"] == 5 and by["h"]["n_d2"] == 0
+    # leaf: hub at d1, the other 4 leaves at d2
+    assert by["l0"]["n_d1"] == 1 and by["l0"]["n_d2"] == 4

@@ -197,3 +197,28 @@ def test_asof_diff_added_removed_kept(spark):
         .toString().split("== Initial Plan ==")[0]
     )
     assert "Join" not in plan and "Exchange" not in plan, plan[:1500]
+
+
+def test_predicate_stats_counts_and_windows(spark):
+    from graphiti_spark.operators.temporal import predicate_stats
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    edges = spark.createDataFrame(
+        [
+            ("g", "works_at", "s1", "o1", t(1), None),
+            ("g", "works_at", "s1", "o2", t(2), t(3)),
+            ("g", "works_at", "s2", "o2", t(5), None),
+            ("g", "lives_in", "s1", "o3", None, None),
+        ],
+        "group_id string, name string, source_node_uuid string, "
+        "target_node_uuid string, valid_at timestamp, invalid_at timestamp",
+    )
+    out = {r["predicate"]: r for r in predicate_stats(edges).collect()}
+    w = out["works_at"]
+    assert (w["n_facts"], w["n_current"], w["n_invalidated"]) == (3, 2, 1)
+    assert (w["n_subjects"], w["n_objects"]) == (2, 2)
+    assert (w["first_valid_at"], w["last_valid_at"]) == (t(1), t(5))
+    l = out["lives_in"]
+    assert (l["n_facts"], l["n_current"]) == (1, 1)
+    assert l["first_valid_at"] is None and l["last_valid_at"] is None
