@@ -1450,6 +1450,18 @@ def _q_ev_attribution(spark, sf_dir):
     return attribution_last_touch(_events(spark, sf_dir))
 
 
+def _q_td_novelty(spark, sf_dir):
+    from graphiti_spark.operators.dedup import novelty_report
+
+    return novelty_report(_docs(spark, sf_dir))
+
+
+def _q_td_knn_eval(spark, sf_dir):
+    from graphiti_spark.operators.similarity import knn_label_eval
+
+    return knn_label_eval(_emb(spark, sf_dir))
+
+
 def _q_sr_closeness(spark, sf_dir):
     from graphiti_spark.operators.community import closeness_centrality
 
@@ -1483,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution": _q_ev_attribution,
         "sr_closeness": _q_sr_closeness,
         "ev_transitions": _q_ev_transitions,
+        "td_novelty": _q_td_novelty,
+        "td_knn_eval": _q_td_knn_eval,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,

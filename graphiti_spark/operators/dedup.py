@@ -790,3 +790,53 @@ def containment_pairs_lsh(
     out = _containment_verify(cand, min_pct).localCheckpoint()
     banded.unpersist()
     return out
+
+
+# prefix-novelty scale (floor division, engine-identical)
+NOVELTY_SCALE = 1_000_000
+
+
+def novelty_report(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty against all EARLIER documents in
+    doc_id order — the incremental-value signal a corpus curator reads
+    when appending a new crawl snapshot to an existing training set: a
+    word-3-gram (same :func:`word_shingles` contract as the Jaccard
+    dedup family) is NOVEL in the one document with the corpus-minimum
+    doc_id owning it; every later document containing it is re-treading
+    known text. Output per doc: (doc_id, n_grams, n_novel, novelty_ppm)
+    with novelty_ppm floor-divided at ppm scale; gram-free docs (< 3
+    tokens) report vacuous full novelty.
+
+    Scale design: ONE shuffle keyed on the gram computes first owners
+    (map-side-combinable min); the ownership join comes back on the
+    SAME gram key (co-partitioned — AQE plans no second exchange of the
+    gram frame), and the per-doc rollup is a map-side-combinable count.
+    No window over the corpus, no doc×doc pair frame — this is the
+    linear-pass complement of the quadratic-capped Jaccard baseline."""
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    joined = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_novel.alias("n_novel"),
+        F.when(n_grams == 0, F.lit(NOVELTY_SCALE).cast("long"))
+        .otherwise(
+            F.expr(f"({NOVELTY_SCALE} * n_novel) div n_grams").cast("long")
+        )
+        .alias("novelty_ppm"),
+    )

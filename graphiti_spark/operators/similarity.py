@@ -573,3 +573,100 @@ def ann_pq(
             "rank",
         )
     )
+
+
+# label-accuracy eval harness: probe sample is bounded by construction
+# (stride + cap) so the eval never becomes all-pairs at corpus scale
+KNN_EVAL_STRIDE = 10
+KNN_EVAL_CAP = 512
+KNN_EVAL_KS = (1, 5, 10)
+KNN_EVAL_SCALE = 1_000_000
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    ks: tuple[int, ...] = KNN_EVAL_KS,
+    stride: int = KNN_EVAL_STRIDE,
+    cap: int = KNN_EVAL_CAP,
+) -> DataFrame:
+    """Embedding-quality eval: leave-one-out k-NN label accuracy over a
+    deterministic probe sample (every ``stride``-th vec_id, capped at
+    ``cap`` probes — the eval is bounded by construction, never
+    all-pairs). Each probe's label is predicted by the plurality label
+    of its k nearest neighbors (cosine, self excluded; score ties break
+    on vec_id, vote ties on the SMALLER label), for each k in ``ks``.
+    Output one row per k: (k, n_probes, n_correct, accuracy_ppm) — the
+    report an embedding-pipeline owner reads before trusting the vector
+    column for dedup/ANN/retrieval.
+
+    Scale design: the probe frame broadcasts against ONE corpus scan
+    (same plan as :func:`knn_bruteforce`); the ranked neighbor frame is
+    localCheckpointed once and re-sliced per k (|probes|·max(k) rows —
+    tiny), so the corpus×probe scoring runs exactly once. Voting and
+    accuracy are map-side-combinable aggregations; accuracy_ppm is
+    floor-divided BIGINT — nothing float crosses the oracle hash except
+    the already-validated round(cos, 4) ordering."""
+    probes = (
+        embeddings.where((F.col("vec_id") % int(stride)) == 0)
+        .orderBy("vec_id")
+        .limit(int(cap))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("_pvec"),
+            F.col("label").alias("_true"),
+        )
+    )
+    scored = (
+        embeddings.join(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "_true",
+            "vec_id",
+            F.col("label").alias("_nl"),
+            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    nb = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(max(ks)))
+        .localCheckpoint()
+    )
+    out = None
+    for k in ks:
+        votes = (
+            nb.where(F.col("rank") <= int(k))
+            .groupBy("probe_id", "_true", "_nl")
+            .agg(F.count("*").cast("long").alias("_cnt"))
+        )
+        pred = votes.groupBy("probe_id", "_true").agg(
+            F.max(
+                F.struct(
+                    F.col("_cnt"), (-F.col("_nl")).cast("long").alias("_neg")
+                )
+            ).alias("_m")
+        )
+        acc = (
+            pred.select(
+                "_true", (-F.col("_m._neg")).cast("long").alias("_pred")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_probes"),
+                F.sum(
+                    F.when(F.col("_pred") == F.col("_true"), 1).otherwise(0)
+                ).cast("long").alias("n_correct"),
+            )
+            .select(
+                F.lit(int(k)).cast("long").alias("k"),
+                "n_probes",
+                "n_correct",
+                F.expr(f"({KNN_EVAL_SCALE} * n_correct) div n_probes")
+                .cast("long").alias("accuracy_ppm"),
+            )
+        )
+        out = acc if out is None else out.unionByName(acc)
+    return out

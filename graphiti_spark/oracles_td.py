@@ -582,6 +582,37 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  / len(list_distinct(list_concat(a.grams, b.grams)))
             ELSE 0 END, 4) >= 0.5"""
 
+    # prefix novelty (operators/dedup.novelty_report): a gram is novel
+    # in the corpus-minimum doc_id owning it; same word-3-gram contract
+    # as the Jaccard family; ppm is floor division, gram-free docs are
+    # vacuously fully novel
+    from graphiti_spark.operators.dedup import NOVELTY_SCALE
+
+    o["td_novelty"] = f"""
+WITH nsh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+),
+ng AS (SELECT doc_id, unnest(grams) AS g FROM nsh),
+nf AS (SELECT g, min(doc_id) AS _first FROM ng GROUP BY 1),
+npd AS (
+  SELECT ng.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN ng.doc_id = nf._first THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM ng JOIN nf USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+       CASE WHEN coalesce(n.n_grams, 0) = 0 THEN {NOVELTY_SCALE}
+            ELSE ({NOVELTY_SCALE} * n.n_novel) // n.n_grams
+       END::BIGINT AS novelty_ppm
+FROM documents d LEFT JOIN npd n USING (doc_id)"""
+
     # asymmetric containment pairs (operators/dedup.containment_pairs):
     # integer floor-percent containment vs the SMALLER shingle set;
     # contained_doc_id = smaller set (tie -> doc_a)
@@ -680,6 +711,55 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10"""
+
+    # leave-one-out k-NN label accuracy (operators/similarity
+    # .knn_label_eval): same cosine/vec_id ranking contract as
+    # td_ann_bruteforce, probe sample = every stride-th vec_id capped;
+    # vote ties on SMALLER label (the Spark side maxes (cnt, -label))
+    from graphiti_spark.operators.similarity import (
+        KNN_EVAL_CAP,
+        KNN_EVAL_KS,
+        KNN_EVAL_SCALE,
+        KNN_EVAL_STRIDE,
+    )
+
+    _karms = "\nUNION ALL\n".join(
+        f"""SELECT {k}::BIGINT AS k, count(*)::BIGINT AS n_probes,
+       sum(CASE WHEN _pred = _true THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       (({KNN_EVAL_SCALE} * sum(CASE WHEN _pred = _true THEN 1 ELSE 0 END))
+         // count(*))::BIGINT AS accuracy_ppm
+FROM (
+  SELECT probe_id, _true, nl AS _pred FROM (
+    SELECT probe_id, _true, nl, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cnt DESC, nl ASC
+    ) AS vr
+    FROM (
+      SELECT probe_id, _true, nl, count(*)::BIGINT AS cnt
+      FROM ke_nb WHERE rank <= {k} GROUP BY 1, 2, 3
+    )
+  ) WHERE vr = 1
+)"""
+        for k in KNN_EVAL_KS
+    )
+    o["td_knn_eval"] = f"""
+WITH ke_p AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, label AS _true
+  FROM embeddings WHERE vec_id % {KNN_EVAL_STRIDE} = 0
+  ORDER BY vec_id LIMIT {KNN_EVAL_CAP}
+),
+ke_sc AS (
+  SELECT p.probe_id, p._true, e.vec_id, e.label AS nl,
+         round(list_cosine_similarity(e.embedding, p.pvec), 4) AS cs
+  FROM embeddings e CROSS JOIN ke_p p WHERE e.vec_id <> p.probe_id
+),
+ke_nb AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cs DESC, vec_id ASC
+    ) AS rank FROM ke_sc
+  ) WHERE rank <= {max(KNN_EVAL_KS)}
+)
+{_karms}"""
 
     from graphiti_spark.operators.textstats import BPE_TOKEN_REGEX as _BPE
 

@@ -644,3 +644,63 @@ def test_pq_codes_are_compact_and_deterministic(spark, clustered_vectors):
     assert codes.count() == n * 8  # one code per (vector, subspace)
     again = pq_encode(clustered_vectors, cent)
     assert codes.exceptAll(again).count() == 0  # deterministic encoding
+
+
+def test_novelty_report_prefix_semantics(spark):
+    from graphiti_spark.operators.dedup import NOVELTY_SCALE, novelty_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # grams: "a b c", "b c d" — both novel
+            (1, "a b c x"),        # "a b c" seen in doc 0; "b c x" novel
+            (2, "zz"),             # < 3 tokens: no grams, vacuously novel
+            (3, "a b c d"),        # exact re-tread of doc 0: nothing novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_report(docs).collect()}
+    assert out[0]["n_grams"] == 2 and out[0]["n_novel"] == 2
+    assert out[0]["novelty_ppm"] == NOVELTY_SCALE
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
+    assert out[1]["novelty_ppm"] == NOVELTY_SCALE // 2
+    assert out[2]["n_grams"] == 0 and out[2]["novelty_ppm"] == NOVELTY_SCALE
+    assert out[3]["n_grams"] == 2 and out[3]["n_novel"] == 0
+    assert out[3]["novelty_ppm"] == 0
+
+
+def test_knn_label_eval_clusters_and_tie_rule(spark):
+    from graphiti_spark.operators.similarity import (
+        KNN_EVAL_SCALE,
+        knn_label_eval,
+    )
+
+    # two clean clusters of 3: every probe's 1-NN and 3-NN plurality
+    # are its own cluster
+    rows = []
+    for i, base in enumerate([(1.0, 0.0), (0.0, 1.0)]):
+        for j in range(3):
+            e = [base[0] + 0.01 * j, base[1] + 0.005 * j]
+            rows.append((i * 3 + j, e, i))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["k"]: r for r in
+           knn_label_eval(emb, ks=(1, 3), stride=1, cap=10).collect()}
+    assert out[1]["n_probes"] == 6 and out[1]["n_correct"] == 6
+    assert out[3]["accuracy_ppm"] == KNN_EVAL_SCALE
+
+    # 1-1 vote tie resolves to the SMALLER label (not the nearer
+    # neighbor): probe 0 (label 0) has nearest neighbor labeled 1 and
+    # second-nearest labeled 0 — k=2 ties, pred must be 0
+    tie = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 1),
+            (2, [0.97, 0.24], 0),
+            (3, [0.0, 1.0], 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out2 = knn_label_eval(tie, ks=(2,), stride=4, cap=1).collect()
+    assert len(out2) == 1
+    assert out2[0]["n_probes"] == 1 and out2[0]["n_correct"] == 1
