@@ -1450,6 +1450,18 @@ def _q_ev_attribution(spark, sf_dir):
     return attribution_last_touch(_events(spark, sf_dir))
 
 
+def _q_ev_funnel_latency(spark, sf_dir):
+    from graphiti_spark.operators.events import funnel_latency
+
+    return funnel_latency(_events(spark, sf_dir))
+
+
+def _q_ev_attribution_linear(spark, sf_dir):
+    from graphiti_spark.operators.events import attribution_linear
+
+    return attribution_linear(_events(spark, sf_dir))
+
+
 def _q_td_novelty(spark, sf_dir):
     from graphiti_spark.operators.dedup import novelty_report
 
@@ -1497,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_transitions": _q_ev_transitions,
         "td_novelty": _q_td_novelty,
         "td_knn_eval": _q_td_knn_eval,
+        "ev_funnel_latency": _q_ev_funnel_latency,
+        "ev_attribution_linear": _q_ev_attribution_linear,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,

@@ -296,6 +296,18 @@ def funnel_events(
     :func:`asof_join_events`. Conversion rates divide the exact BIGINT
     counts, so the doubles match bit-for-bit across engines.
     """
+    per_user, cols = _funnel_user_times(events, steps)
+    return funnel_summary(per_user, steps, cols)
+
+
+def _funnel_user_times(
+    events: DataFrame, steps: tuple[str, ...]
+) -> tuple[DataFrame, list[str]]:
+    """The shared cascade of :func:`funnel_events`: per user, the
+    earliest qualifying completion time of each ordered step (running
+    min over ONE growing window — see funnel_events' scale note).
+    Returns (per_user frame, step-time column names) so
+    :func:`funnel_latency` reuses the identical qualify/tie rules."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -312,7 +324,7 @@ def funnel_events(
     per_user = df.groupBy("user_id").agg(
         *[F.min(c).alias(c) for c in cols]
     )
-    return funnel_summary(per_user, steps, cols)
+    return per_user, cols
 
 
 def funnel_summary(
@@ -819,5 +831,177 @@ def event_transitions(
             "n_users",
             F.expr(f"({TRANSITION_SCALE} * n_transitions) div _tot")
             .cast("long").alias("prob_ppm"),
+        )
+    )
+
+
+# exact rank-based percentiles reported by funnel_latency (integer
+# percent; the rank rule ceil(n*p/100) is floor-arithmetic on BIGINTs,
+# identical in both engines)
+FUNNEL_LATENCY_PCTS = (50, 90)
+
+
+def funnel_latency(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Step-to-step conversion latency: for every user who completed
+    adjacent funnel steps (the same earliest-qualifying cascade as
+    :func:`funnel_events`, shared via ``_funnel_user_times`` so the two
+    reports can never disagree on who converted), the seconds between
+    the two step times — summarized per step pair with EXACT rank-based
+    percentiles (value at rank ``ceil(n·p/100)`` under the
+    (seconds, user_id) total order — no interpolation, no float
+    quantile estimator; the number an on-call owner can re-derive by
+    hand). Output: (step_from, step_to, n_users, min_seconds,
+    p50_seconds, p90_seconds, max_seconds) — all BIGINT.
+
+    Scale design: the cascade costs the funnel's single user-keyed
+    window pass; the latency frame has one row per (converted user,
+    step pair) and the percentile rank is one window over the step-pair
+    key — cardinality |steps|, each partition the step's converter
+    count. Nothing here scans events twice."""
+    per_user, cols = _funnel_user_times(events, steps)
+    arms = F.array(*[
+        F.struct(
+            F.lit(f"{steps[i]}->{steps[i + 1]}").alias("pair"),
+            (
+                F.unix_timestamp(F.col(cols[i + 1]))
+                - F.unix_timestamp(F.col(cols[i]))
+            ).cast("long").alias("seconds"),
+        )
+        for i in range(len(steps) - 1)
+    ])
+    lat = (
+        per_user.select("user_id", F.explode(arms).alias("x"))
+        .select("user_id", F.col("x.pair").alias("pair"),
+                F.col("x.seconds").alias("seconds"))
+        .where(F.col("seconds").isNotNull())
+    )
+    w = Window.partitionBy("pair").orderBy("seconds", "user_id")
+    ranked = (
+        lat.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count("*").over(Window.partitionBy("pair"))
+        )
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_users"),
+        F.min("seconds").cast("long").alias("min_seconds"),
+    ]
+    for p in FUNNEL_LATENCY_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.expr(f"(_n * {p} + 99) div 100"),
+                    F.col("seconds"),
+                )
+            ).cast("long").alias(f"p{p}_seconds")
+        )
+    aggs.append(F.max("seconds").cast("long").alias("max_seconds"))
+    return (
+        ranked.groupBy("pair")
+        .agg(*aggs)
+        .select(
+            F.split(F.col("pair"), "->").getItem(0).alias("step_from"),
+            F.split(F.col("pair"), "->").getItem(1).alias("step_to"),
+            "n_users", "min_seconds",
+            *[f"p{p}_seconds" for p in FUNNEL_LATENCY_PCTS],
+            "max_seconds",
+        )
+    )
+
+
+# linear multi-touch attribution lookback (see attribution_linear)
+ATTRIBUTION_LOOKBACK_SECONDS = 6 * 3600
+
+
+def attribution_linear(
+    events: DataFrame,
+    touches: tuple[str, ...] = ATTRIBUTION_TOUCHES,
+    conversion: str = ATTRIBUTION_CONVERSION,
+    lookback_seconds: int = ATTRIBUTION_LOOKBACK_SECONDS,
+) -> DataFrame:
+    """Linear multi-touch attribution: every ``conversion``'s revenue
+    is split EQUALLY (integer cents, floor division) across the same
+    user's touch events inside the lookback window
+    ``[conv_ts - lookback, conv_ts)`` (strictly-earlier timestamps);
+    the division remainder goes to the LAST touch (max (ts, event_id)
+    — deterministic), so allocated cents always sum exactly to the
+    conversion's cents. Conversions with no in-window touch land in
+    the ``direct`` bucket whole. Output per channel: (attributed_type,
+    n_credits, n_conversions, revenue).
+
+    Scale design: the conversion×touch match is the same bucketed
+    range-join strategy as :func:`range_join_events` — both sides
+    bucket by ``floor(epoch / lookback)``, each conversion explodes to
+    exactly 2 candidate buckets, the join is a plain equi-join on
+    (user_id, bucket) with a residual time filter (fixed 2× fan-out,
+    never O(convs × touches) per user). Per-conversion counts and the
+    last-touch flag are two expressions over ONE conversion-keyed
+    window pass; everything downstream is map-side-combinable."""
+    w_s = int(lookback_seconds)
+    conv = events.where(F.col("event_type") == conversion).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        _cents().alias("_cents"),
+        F.floor(F.unix_timestamp("ts") / w_s).alias("_b0"),
+    )
+    cand = conv.select(
+        "conv_id", "user_id", "cts", "_cents",
+        F.explode(
+            F.array(F.col("_b0") - 1, F.col("_b0"))
+        ).alias("_bucket"),
+    )
+    touch = events.where(F.col("event_type").isin(*touches)).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+        F.floor(F.unix_timestamp("ts") / w_s).alias("_bucket"),
+    )
+    matched = cand.join(touch, ["user_id", "_bucket"]).where(
+        (F.col("tts") < F.col("cts"))
+        & (
+            F.unix_timestamp("cts") - F.unix_timestamp("tts") <= F.lit(w_s)
+        )
+    )
+    cw = Window.partitionBy("conv_id")
+    lastw = Window.partitionBy("conv_id").orderBy(
+        F.desc("tts"), F.desc("tid")
+    )
+    alloc = (
+        matched.withColumn("_n", F.count("*").over(cw))
+        .withColumn("_last", F.row_number().over(lastw) == 1)
+        .select(
+            F.col("ttype").alias("attributed_type"),
+            "conv_id",
+            (
+                F.expr("_cents div _n")
+                + F.when(
+                    F.col("_last"),
+                    F.col("_cents") - F.col("_n") * F.expr("_cents div _n"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("_alloc"),
+        )
+    )
+    direct = (
+        conv.join(
+            alloc.select("conv_id").distinct(), "conv_id", "left_anti"
+        )
+        .select(
+            F.lit(ATTRIBUTION_UNATTRIBUTED).alias("attributed_type"),
+            "conv_id",
+            F.col("_cents").cast("long").alias("_alloc"),
+        )
+    )
+    return (
+        alloc.unionByName(direct)
+        .groupBy("attributed_type")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            (F.sum("_alloc") / 100.0).alias("revenue"),
         )
     )

@@ -1765,6 +1765,93 @@ UNION ALL SELECT 4, 'purchase', n3,
     # cascade state → max-per-column batch rollup → funnel_summary)
     o["ev_funnel_stream"] = o["ev_funnel"]
 
+    # step-latency twin (operators/events.funnel_latency): SAME cascade
+    # CTEs, then exact rank-based percentiles — value at rank
+    # ceil(n·p/100) under the (seconds, user_id) order; all BIGINT
+    _fl_cascade = o["ev_funnel"].split("\nn AS")[0]
+    _fl_pcts = ",\n       ".join(
+        f"min(CASE WHEN _rn = (_n * {p} + 99) // 100 THEN seconds END)"
+        f"::BIGINT AS p{p}_seconds"
+        for p in (50, 90)
+    )
+    # _fl_cascade ends with "),\n" (the pu CTE's closer + trailing
+    # comma from the split), so the continuation starts unprefixed
+    o["ev_funnel_latency"] = _fl_cascade + f"""
+fl_lat AS (
+  SELECT user_id, 'signup' AS step_from, 'view' AS step_to,
+         date_diff('second', s0, s1)::BIGINT AS seconds
+  FROM pu WHERE s1 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 'view', 'click', date_diff('second', s1, s2)::BIGINT
+  FROM pu WHERE s2 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 'click', 'purchase', date_diff('second', s2, s3)::BIGINT
+  FROM pu WHERE s3 IS NOT NULL
+),
+fl_rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY step_from, step_to
+                            ORDER BY seconds, user_id) AS _rn,
+         count(*) OVER (PARTITION BY step_from, step_to) AS _n
+  FROM fl_lat
+)
+SELECT step_from, step_to, count(*)::BIGINT AS n_users,
+       min(seconds)::BIGINT AS min_seconds,
+       {_fl_pcts},
+       max(seconds)::BIGINT AS max_seconds
+FROM fl_rk GROUP BY 1, 2"""
+
+    # linear multi-touch attribution twin (operators/events
+    # .attribution_linear): the oracle states the RESULT as a direct
+    # theta join (the Spark side's 2-bucket equi-join strategy must
+    # produce the identical match set); floor-divided cents with the
+    # remainder on the last (tts, tid) touch
+    from graphiti_spark.operators.events import (
+        ATTRIBUTION_CONVERSION,
+        ATTRIBUTION_LOOKBACK_SECONDS as _ALW,
+        ATTRIBUTION_TOUCHES,
+        ATTRIBUTION_UNATTRIBUTED,
+    )
+
+    _touch_list = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCHES)
+    o["ev_attribution_linear"] = f"""
+WITH la_cv AS (
+  SELECT event_id AS conv_id, user_id, ts AS cts,
+         round(value * 100)::BIGINT AS _cents
+  FROM events WHERE event_type = '{ATTRIBUTION_CONVERSION}'
+),
+la_m AS (
+  SELECT c.conv_id, c._cents, t.event_type AS ttype,
+         t.ts AS tts, t.event_id AS tid
+  FROM la_cv c JOIN events t
+    ON t.user_id = c.user_id
+   AND t.event_type IN ({_touch_list})
+   AND t.ts < c.cts
+   AND date_diff('second', t.ts, c.cts) <= {_ALW}
+),
+la_al AS (
+  SELECT ttype AS attributed_type, conv_id,
+         (_cents // _n)
+         + CASE WHEN _lr = 1
+                THEN _cents - _n * (_cents // _n) ELSE 0 END AS _alloc
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY conv_id) AS _n,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY tts DESC, tid DESC) AS _lr
+    FROM la_m
+  )
+),
+la_dr AS (
+  SELECT '{ATTRIBUTION_UNATTRIBUTED}' AS attributed_type, conv_id,
+         _cents AS _alloc
+  FROM la_cv WHERE conv_id NOT IN (SELECT conv_id FROM la_m)
+)
+SELECT attributed_type, count(*)::BIGINT AS n_credits,
+       count(DISTINCT conv_id)::BIGINT AS n_conversions,
+       sum(_alloc) / 100.0 AS revenue
+FROM (SELECT * FROM la_al UNION ALL SELECT * FROM la_dr)
+GROUP BY 1"""
+
     # cohort-retention twin (operators/events.retention_cohorts):
     # (user, day) distinct grain, per-user window min as the cohort,
     # count(*) needs no DISTINCT because the grain is already unique,

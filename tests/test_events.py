@@ -182,3 +182,56 @@ def test_event_transitions_session_scoped(spark):
     # from 'view': 2 of 3 transitions go to click, 1 to purchase
     assert vc["prob_ppm"] == (TRANSITION_SCALE * 2) // 3
     assert out[("view", "purchase")]["prob_ppm"] == TRANSITION_SCALE // 3
+
+
+def test_funnel_latency_exact_percentiles(spark):
+    from graphiti_spark.operators.events import funnel_latency
+    import datetime as dt
+
+    t = lambda n: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=n)
+    ev = _ev(spark, [
+        (1, t(0), 1, "signup", 0.0, ""),
+        (2, t(10), 1, "view", 0.0, ""),
+        (3, t(30), 1, "click", 0.0, ""),
+        (4, t(90), 1, "purchase", 0.0, ""),
+        (5, t(0), 2, "signup", 0.0, ""),
+        (6, t(20), 2, "view", 0.0, ""),
+        (7, t(5), 3, "view", 0.0, ""),   # no signup: never in the funnel
+    ])
+    out = {(r["step_from"], r["step_to"]): r
+           for r in funnel_latency(ev).collect()}
+    sv = out[("signup", "view")]
+    # ranks: ceil(2*.5)=1 -> 10, ceil(2*.9)=2 -> 20
+    assert (sv["n_users"], sv["min_seconds"], sv["p50_seconds"],
+            sv["p90_seconds"], sv["max_seconds"]) == (2, 10, 10, 20, 20)
+    vc = out[("view", "click")]
+    assert (vc["n_users"], vc["p50_seconds"], vc["p90_seconds"]) == (1, 20, 20)
+    assert out[("click", "purchase")]["max_seconds"] == 60
+
+
+def test_attribution_linear_split_and_remainder(spark):
+    from graphiti_spark.operators.events import attribution_linear
+    import datetime as dt
+
+    t = lambda n: dt.datetime(2024, 6, 1) + dt.timedelta(seconds=n)
+    ev = _ev(spark, [
+        # user 1: two touches, 1001 cents -> 500 each, remainder to the
+        # LAST touch (the view)
+        (1, t(0), 1, "click", 0.0, ""),
+        (2, t(50), 1, "view", 0.0, ""),
+        (3, t(100), 1, "purchase", 10.01, ""),
+        # user 2: only touch is 7 h earlier -> outside lookback: direct
+        (4, t(-7 * 3600), 2, "click", 0.0, ""),
+        (5, t(0), 2, "purchase", 5.0, ""),
+        # user 3: touch EXACTLY 6 h earlier -> inside (<= lookback)
+        (6, t(0), 3, "view", 0.0, ""),
+        (7, t(6 * 3600), 3, "purchase", 2.0, ""),
+    ])
+    out = {r["attributed_type"]: r for r in attribution_linear(ev).collect()}
+    assert out["click"]["n_credits"] == 1
+    assert out["click"]["revenue"] == 5.0
+    assert out["view"]["n_credits"] == 2
+    assert out["view"]["n_conversions"] == 2
+    assert out["view"]["revenue"] == 5.01 + 2.0
+    assert out["direct"]["n_conversions"] == 1
+    assert out["direct"]["revenue"] == 5.0
