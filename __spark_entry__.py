@@ -1450,6 +1450,19 @@ def _q_ev_attribution(spark, sf_dir):
     return attribution_last_touch(_events(spark, sf_dir))
 
 
+def _q_kg_group_stats(spark, sf_dir):
+    from graphiti_spark.operators.temporal import group_stats
+
+    g = _graph(spark, sf_dir)
+    return group_stats(g.episodes, g.nodes, g.edges)
+
+
+def _q_td_ann_recall(spark, sf_dir):
+    from graphiti_spark.operators.similarity import ann_recall_eval
+
+    return ann_recall_eval(_emb(spark, sf_dir), _probes(spark, sf_dir))
+
+
 def _q_ev_funnel_latency(spark, sf_dir):
     from graphiti_spark.operators.events import funnel_latency
 
@@ -1511,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_knn_eval": _q_td_knn_eval,
         "ev_funnel_latency": _q_ev_funnel_latency,
         "ev_attribution_linear": _q_ev_attribution_linear,
+        "kg_group_stats": _q_kg_group_stats,
+        "td_ann_recall": _q_td_ann_recall,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,

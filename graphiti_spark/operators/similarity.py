@@ -670,3 +670,38 @@ def knn_label_eval(
         )
         out = acc if out is None else out.unionByName(acc)
     return out
+
+
+def ann_recall_eval(
+    embeddings: DataFrame, probes: DataFrame, k: int = 10
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN path against the exact
+    brute-force top-k — the ship/no-ship number for the approximate
+    index, as a first-class operator instead of a buried test assert:
+    per probe, how many of the TRUE top-k the LSH candidates recovered,
+    with recall_ppm floor-divided (exact integers cross the hash).
+    Output: (probe_id, k, n_hit, recall_ppm).
+
+    Scale: both arms are the already-scale-shaped operators
+    (:func:`knn_bruteforce` broadcast probe scan,
+    :func:`ann_hyperplane_lsh` bucket join); the comparison itself is a
+    left join + aggregation over |probes|·k rows — negligible."""
+    bf = knn_bruteforce(embeddings, probes, k=k)
+    approx = ann_hyperplane_lsh(embeddings, probes, k=k).select(
+        "probe_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        bf.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_hit"),
+        )
+        .select(
+            "probe_id",
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_hit",
+            F.expr(f"({KNN_EVAL_SCALE} * n_hit) div {int(k)}")
+            .cast("long").alias("recall_ppm"),
+        )
+    )

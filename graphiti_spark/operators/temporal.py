@@ -308,3 +308,43 @@ def entity_timeline(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("group_id", "entity", "fact", "valid_at", "invalid_at", "pos")
     )
+
+
+def group_stats(
+    episodes: DataFrame, nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Per-group ingest observability — the dashboard row a graph owner
+    reads per tenant/namespace (the reference keys everything by
+    group_id, e.g. nodes.py:663-675): episode volume and event-time
+    span, entity and fact counts, how many facts are still open, and
+    predicate diversity. Output: (group_id, n_episodes,
+    first_episode_at, last_episode_at, n_nodes, n_edges, n_current,
+    n_predicates).
+
+    Scale: three independent map-side-combinable aggregations (each
+    table shuffles once on group_id — its own storage partition key, so
+    over the bucketed store these collapse to near-local aggregation)
+    joined on the tiny per-group frame."""
+    ep = episodes.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.min("valid_at").alias("first_episode_at"),
+        F.max("valid_at").alias("last_episode_at"),
+    )
+    nd = nodes.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    ed = edges.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("invalid_at").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_current"),
+        F.countDistinct("name").cast("long").alias("n_predicates"),
+    )
+    out = ep.join(nd, "group_id", "left").join(ed, "group_id", "left")
+    return out.select(
+        "group_id", "n_episodes", "first_episode_at", "last_episode_at",
+        F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce("n_current", F.lit(0)).cast("long").alias("n_current"),
+        F.coalesce("n_predicates", F.lit(0)).cast("long")
+        .alias("n_predicates"),
+    )

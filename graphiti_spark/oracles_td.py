@@ -712,6 +712,20 @@ SELECT probe_id, vec_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= 10"""
 
+    # recall@k of the LSH arm vs brute force (operators/similarity
+    # .ann_recall_eval): both arms are the already-validated oracle
+    # queries, composed as derived tables; recall is floor-divided ppm
+    o["td_ann_recall"] = f"""
+SELECT b.probe_id, 10::BIGINT AS k,
+       sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       ((1000000 * sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+         // 10)::BIGINT AS recall_ppm
+FROM ({o["td_ann_bruteforce"]}) b
+LEFT JOIN ({ann_lsh_sql(k=10)}) l
+  ON l.probe_id = b.probe_id AND l.vec_id = b.vec_id
+GROUP BY 1"""
+
     # leave-one-out k-NN label accuracy (operators/similarity
     # .knn_label_eval): same cosine/vec_id ranking contract as
     # td_ann_bruteforce, probe sample = every stride-th vec_id capped;
@@ -2073,6 +2087,33 @@ SELECT group_id, name AS predicate,
        min(valid_at) AS first_valid_at,
        max(valid_at) AS last_valid_at
 FROM edges GROUP BY 1, 2"""
+
+    # per-group observability rollup (operators/temporal.group_stats):
+    # three independent aggregations over the derived episode/node/edge
+    # sets, left-joined on the per-group frame
+    o["kg_group_stats"] = p + """
+, gs_ep AS (
+  SELECT group_id, count(*)::BIGINT AS n_episodes,
+         min(valid_at) AS first_episode_at,
+         max(valid_at) AS last_episode_at
+  FROM episodes GROUP BY 1
+),
+gs_nd AS (SELECT group_id, count(*)::BIGINT AS n_nodes FROM nodes GROUP BY 1),
+gs_ed AS (
+  SELECT group_id, count(*)::BIGINT AS n_edges,
+         sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_current,
+         count(DISTINCT name)::BIGINT AS n_predicates
+  FROM edges GROUP BY 1
+)
+SELECT e.group_id, e.n_episodes, e.first_episode_at, e.last_episode_at,
+       coalesce(n.n_nodes, 0)::BIGINT AS n_nodes,
+       coalesce(d.n_edges, 0)::BIGINT AS n_edges,
+       coalesce(d.n_current, 0)::BIGINT AS n_current,
+       coalesce(d.n_predicates, 0)::BIGINT AS n_predicates
+FROM gs_ep e
+LEFT JOIN gs_nd n USING (group_id)
+LEFT JOIN gs_ed d USING (group_id)"""
 
     # degree distribution (operators/community.degree_stats): the pow2
     # bucket is the SAME integer CASE chain the Spark side compiles —

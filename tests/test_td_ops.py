@@ -704,3 +704,28 @@ def test_knn_label_eval_clusters_and_tie_rule(spark):
     out2 = knn_label_eval(tie, ks=(2,), stride=4, cap=1).collect()
     assert len(out2) == 1
     assert out2[0]["n_probes"] == 1 and out2[0]["n_correct"] == 1
+
+
+def test_ann_recall_eval_self_probe_at_k1(spark):
+    from graphiti_spark.operators.similarity import (
+        KNN_EVAL_SCALE,
+        ann_recall_eval,
+    )
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:4]],
+        "probe_id long, embedding array<float>",
+    )
+    # k=1: the true nearest neighbor of a probe that IS a corpus vector
+    # is itself (cos 1.0, smallest vec_id tie), and identical vectors
+    # always share every LSH bucket -> recall must be total
+    out = ann_recall_eval(emb, probes, k=1).collect()
+    assert len(out) == 4
+    assert all(r["n_hit"] == 1 and r["recall_ppm"] == KNN_EVAL_SCALE
+               for r in out)

@@ -222,3 +222,32 @@ def test_predicate_stats_counts_and_windows(spark):
     l = out["lives_in"]
     assert (l["n_facts"], l["n_current"]) == (1, 1)
     assert l["first_valid_at"] is None and l["last_valid_at"] is None
+
+
+def test_group_stats_rollup(spark):
+    from graphiti_spark.operators.temporal import group_stats
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    eps = spark.createDataFrame(
+        [("g1", "e1", t(1)), ("g1", "e2", t(5)), ("g2", "e3", t(2))],
+        "group_id string, uuid string, valid_at timestamp",
+    )
+    nodes = spark.createDataFrame(
+        [("g1", "n1"), ("g1", "n2")], "group_id string, uuid string"
+    )
+    edges = spark.createDataFrame(
+        [("g1", "works_at", t(1), None), ("g1", "works_at", t(2), t(3)),
+         ("g1", "lives_in", t(2), None)],
+        "group_id string, name string, valid_at timestamp, "
+        "invalid_at timestamp",
+    )
+    out = {r["group_id"]: r
+           for r in group_stats(eps, nodes, edges).collect()}
+    g1 = out["g1"]
+    assert (g1["n_episodes"], g1["n_nodes"], g1["n_edges"]) == (2, 2, 3)
+    assert (g1["n_current"], g1["n_predicates"]) == (2, 2)
+    assert (g1["first_episode_at"], g1["last_episode_at"]) == (t(1), t(5))
+    # group with episodes but nothing extracted: zero-filled, not absent
+    g2 = out["g2"]
+    assert (g2["n_nodes"], g2["n_edges"], g2["n_current"]) == (0, 0, 0)
