@@ -1450,6 +1450,24 @@ def _q_ev_attribution(spark, sf_dir):
     return attribution_last_touch(_events(spark, sf_dir))
 
 
+def _q_ev_transitions_stream(spark, sf_dir):
+    # stateful pairs (one last-event row per user) landed via the
+    # memory sink, rolled up by the shared batch aggregation tail —
+    # oracle = ev_transitions' SQL
+    from graphiti_spark.streaming.events import (
+        streaming_transition_pairs,
+        transitions_from_pairs,
+    )
+
+    pairs = _run_stream_to_table(
+        spark,
+        streaming_transition_pairs(_events_stream(spark, sf_dir)),
+        "ev_transitions_stream_sink",
+        "append",
+    )
+    return transitions_from_pairs(pairs)
+
+
 def _q_kg_group_stats(spark, sf_dir):
     from graphiti_spark.operators.temporal import group_stats
 
@@ -1526,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution_linear": _q_ev_attribution_linear,
         "kg_group_stats": _q_kg_group_stats,
         "td_ann_recall": _q_td_ann_recall,
+        "ev_transitions_stream": _q_ev_transitions_stream,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,

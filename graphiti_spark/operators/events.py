@@ -815,23 +815,32 @@ def event_transitions(
             "user_id",
         )
     )
+    return transition_summary(pairs)
+
+
+def transition_summary(pairs: DataFrame) -> DataFrame:
+    """The aggregation tail of :func:`event_transitions`, over a
+    (from_type, to_type, user_id) pair frame — shared with the
+    streaming twin (streaming/events.transitions_from_pairs) so the
+    landed stateful pairs roll up under the identical count/ppm rules."""
     agg = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").cast("long").alias("n_transitions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
-    totals = agg.groupBy("from_type").agg(
-        F.sum("n_transitions").cast("long").alias("_tot")
-    )
-    return (
-        agg.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n_transitions",
-            "n_users",
-            F.expr(f"({TRANSITION_SCALE} * n_transitions) div _tot")
-            .cast("long").alias("prob_ppm"),
-        )
+    # per-from totals as a window over the tiny aggregated frame (at
+    # most |types|² rows) — windowing instead of a totals self-join
+    # keeps the op valid over memory-sink views, whose fixed attribute
+    # ids break Spark's self-join disambiguation
+    tot = F.sum("n_transitions").over(
+        Window.partitionBy("from_type")
+    ).cast("long")
+    return agg.withColumn("_tot", tot).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_users",
+        F.expr(f"({TRANSITION_SCALE} * n_transitions) div _tot")
+        .cast("long").alias("prob_ppm"),
     )
 
 

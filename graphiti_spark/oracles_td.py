@@ -1971,6 +1971,10 @@ SELECT a.from_type, a.to_type, a.n_transitions, a.n_users,
          AS prob_ppm
 FROM agg a JOIN tot t USING (from_type)"""
 
+    # the streamed pair store rolls up to the same summary (stateful
+    # last-event-per-user pairs → shared transition_summary tail)
+    o["ev_transitions_stream"] = o["ev_transitions"]
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""
 WITH toks AS (

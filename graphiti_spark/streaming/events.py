@@ -330,3 +330,108 @@ def anomaly_from_store(spark, store_dir: str) -> DataFrame:
         .agg(F.sum("n_events").cast("long").alias("n_events"))
     )
     return anomaly_over_hours(hours)
+
+
+# streaming Markov transition pairs: ONE row of state per user (the
+# most recent event), pairs emitted per arriving event — the canonical
+# bounded-state form of operators/events.event_transitions
+TRANSITION_PAIR_SCHEMA = "user_id long, from_type string, to_type string"
+TRANSITION_STATE_SCHEMA = (
+    "last_ts timestamp, last_event_id long, last_type string"
+)
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+) -> Iterable["pd.DataFrame"]:
+    import pandas as pd
+
+    from graphiti_spark.operators.events import TRANSITION_GAP_SECONDS
+
+    user_id = key[0]
+    last_ts, last_eid, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
+    frames = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if last_ts is not None:
+            # late-data rule: rows at-or-before the state's (ts,
+            # event_id) already had their chance — drop them (standard
+            # beyond-watermark semantics; the single-batch harness
+            # never exercises this, the multi-batch unit test does)
+            pdf = pdf[
+                (pdf["ts"] > last_ts)
+                | ((pdf["ts"] == last_ts) & (pdf["event_id"] > last_eid))
+            ]
+            if pdf.empty:
+                continue
+            head = pd.DataFrame(
+                {
+                    "ts": [last_ts],
+                    "event_id": [last_eid],
+                    "event_type": [last_type],
+                }
+            )
+            chain = pd.concat(
+                [head, pdf[["ts", "event_id", "event_type"]]],
+                ignore_index=True,
+            )
+        else:
+            chain = pdf[["ts", "event_id", "event_type"]].reset_index(
+                drop=True
+            )
+        prev_ts = chain["ts"].shift(1)
+        prev_type = chain["event_type"].shift(1)
+        in_session = (
+            prev_ts.notna()
+            & ((chain["ts"] - prev_ts).dt.total_seconds()
+               < TRANSITION_GAP_SECONDS)
+        )
+        if in_session.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "from_type": prev_type[in_session],
+                        "to_type": chain["event_type"][in_session],
+                    }
+                )
+            )
+        tail = chain.iloc[-1]
+        last_ts = tail["ts"].to_pydatetime()
+        last_eid = int(tail["event_id"])
+        last_type = str(tail["event_type"])
+    if last_ts is not None:
+        state.update((last_ts, last_eid, last_type))
+    if frames:
+        yield from frames
+
+
+def streaming_transition_pairs(events_stream: DataFrame) -> DataFrame:
+    """Live (from_type → to_type) transition pairs via
+    ``applyInPandasWithState``: state is ONE row per user (its most
+    recent event by the shared (ts, event_id) order), each arriving
+    event emits at most one pair — bounded state, append output, the
+    session-gap rule identical to the batch
+    :func:`~graphiti_spark.operators.events.event_transitions`."""
+    return events_stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_PAIR_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transitions_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Roll landed streamed pairs up with the batch aggregation tail
+    (operators/events.transition_summary) — the ev_transitions oracle
+    hash-checks the streamed store."""
+    from graphiti_spark.operators.events import transition_summary
+
+    return transition_summary(pairs)

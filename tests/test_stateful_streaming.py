@@ -103,3 +103,57 @@ def test_saga_watermarks_accumulate_across_batches(spark, sf_dir, tmp_path_facto
         ).collect()
     }
     assert stream_sum == batch_sum
+
+
+def test_streaming_transitions_state_spans_batches(spark, tmp_path_factory):
+    """The pair chain must close ACROSS micro-batches (last-event state),
+    match the batch operator exactly, and drop beyond-state late rows."""
+    import datetime as dt
+
+    from graphiti_spark.operators.events import event_transitions
+    from graphiti_spark.streaming.events import (
+        streaming_transition_pairs,
+        transitions_from_pairs,
+    )
+
+    t = lambda n: dt.datetime(2024, 3, 1) + dt.timedelta(seconds=n)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # batch file 1: view; batch file 2: click (same session) + a later
+    # purchase — the view->click pair exists ONLY if state crossed the
+    # batch boundary
+    b1 = [(1, t(0), 1, "view", 0.0, "")]
+    b2 = [(2, t(10), 1, "click", 0.0, ""),
+          (3, t(20), 1, "purchase", 1.0, "")]
+    in_dir = str(tmp_path_factory.mktemp("tr_in"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_transition_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("tr_pairs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = spark.table("tr_pairs_out")
+    got = {(r["from_type"], r["to_type"]) for r in pairs.collect()}
+    assert got == {("view", "click"), ("click", "purchase")}
+
+    batch = event_transitions(
+        spark.createDataFrame(b1 + b2, schema)
+    ).collect()
+    streamed = transitions_from_pairs(pairs).collect()
+    key = lambda r: (r["from_type"], r["to_type"])
+    assert {key(r): tuple(r) for r in streamed} == {
+        key(r): tuple(r) for r in batch
+    }
