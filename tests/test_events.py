@@ -235,3 +235,40 @@ def test_attribution_linear_split_and_remainder(spark):
     assert out["view"]["revenue"] == 5.01 + 2.0
     assert out["direct"]["n_conversions"] == 1
     assert out["direct"]["revenue"] == 5.0
+
+
+def test_new_event_ops_plan_shapes(spark):
+    """Scale claims, plan-asserted: attribution_linear's lookback match
+    must stay an equi-join (a BroadcastNestedLoop means the bucket keys
+    got lost and the op is convs x touches per user); event_transitions'
+    boundary lag and type lag must fold into ONE Window pass, and
+    clustering/closeness callers rely on the same for their windows."""
+    import io
+    from contextlib import redirect_stdout
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import (
+        attribution_last_touch,
+        attribution_linear,
+        event_transitions,
+        funnel_latency,
+    )
+
+    ev = _ev(spark, [(1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+                     (2, datetime(2024, 1, 1, 0, 1), 1, "purchase", 2.0, "{}")])
+    for df in (attribution_linear(ev), attribution_last_touch(ev),
+               event_transitions(ev), funnel_latency(ev)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # the pair extraction's two lags share one window spec: the full
+    # summary plan carries exactly TWO Window nodes (extraction +
+    # per-from totals), not three
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        event_transitions(ev).explain()
+    assert buf.getvalue().count("Window") == 2
