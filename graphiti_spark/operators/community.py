@@ -1346,3 +1346,142 @@ def modularity_report(adjacency: DataFrame, assignment: DataFrame) -> DataFrame:
             .alias("contrib"),
         )
     )
+
+def scc_pivot_pass(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """One forward-backward pivot round of distributed strongly-connected
+    component decomposition (the FW-BW algorithm, Fleischer/Hendrickson/
+    Pinar 2000; label-propagation form as in Slota et al.'s Multistep) —
+    a DIRECTED-graph capability the reference lacks entirely (its
+    community path projects every edge undirected,
+    community_operations.py:30-90), yet cyclic fact structures (A
+    depends_on B, B depends_on A) are exactly what a KG owner audits
+    before trusting a topological consumer.
+
+    After exactly ``rounds`` synchronous min-label steps:
+
+        fwd_min(v) = min(uuid) over {v} ∪ {u : u reaches v in <= K hops}
+        bwd_min(v) = min(uuid) over {v} ∪ {u : v reaches u in <= K hops}
+
+    ``fwd_min(v) == bwd_min(v) == m`` PROVES v ∈ SCC(m): m reaches v and
+    v reaches m, both within K hops — a directed cycle through m. Nodes
+    without the equality keep ``scc_id = uuid`` (undecided THIS pass;
+    the full algorithm recurses on the ancestor / descendant / remainder
+    partitions, each recursion level being these same two propagations
+    over a shrinking remainder — at 100 TB each level is 2K keyed
+    join+min rounds, nothing else). The exactly-K contract is the same
+    oracle device as :func:`label_propagation_rounds` / PageRank: the
+    DuckDB twin unrolls identical rounds, so the trajectory itself is
+    hash-checked (labels are uuid strings; both engines take the
+    lexicographic MIN under binary collation).
+
+    Scale shape: per round and direction, ONE join of the directed edge
+    list against the label frame (both hash-partitioned on the node key)
+    and one map-side-combinable min; localCheckpoint cuts the 2K-round
+    lineage. Output: (group_id, uuid, fwd_min, bwd_min, scc_id,
+    in_pivot_scc)."""
+    de = (
+        edges.select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # reused 2*rounds times; kill the KG lineage
+    )
+    nodes = (
+        de.select("group_id", F.col("src").alias("uuid"))
+        .unionByName(de.select("group_id", F.col("dst").alias("uuid")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _min_rounds(from_col: str, to_col: str) -> DataFrame:
+        lab = nodes.withColumn("lab", F.col("uuid"))
+        for _ in range(rounds):
+            incoming = (
+                de.join(
+                    lab.select(
+                        "group_id", F.col("uuid").alias(from_col), "lab"
+                    ),
+                    ["group_id", from_col],
+                )
+                .groupBy("group_id", F.col(to_col).alias("uuid"))
+                .agg(F.min("lab").alias("_in"))
+            )
+            lab = (
+                lab.join(incoming, ["group_id", "uuid"], "left")
+                .select(
+                    "group_id",
+                    "uuid",
+                    F.least(
+                        F.col("lab"), F.coalesce(F.col("_in"), F.col("lab"))
+                    ).alias("lab"),
+                )
+                .localCheckpoint()
+            )
+        return lab
+
+    fwd = _min_rounds("src", "dst")
+    bwd = _min_rounds("dst", "src")
+    return (
+        fwd.select("group_id", "uuid", F.col("lab").alias("fwd_min"))
+        .join(
+            bwd.select("group_id", "uuid", F.col("lab").alias("bwd_min")),
+            ["group_id", "uuid"],
+        )
+        .select(
+            "group_id",
+            "uuid",
+            "fwd_min",
+            "bwd_min",
+            F.when(
+                F.col("fwd_min") == F.col("bwd_min"), F.col("fwd_min")
+            ).otherwise(F.col("uuid")).alias("scc_id"),
+            (F.col("fwd_min") == F.col("bwd_min")).alias("in_pivot_scc"),
+        )
+    )
+
+
+def skew_keys(edges: DataFrame, top_k: int = 5) -> DataFrame:
+    """Join-key skew diagnostics: the ``top_k`` heaviest source-node
+    keys per group with exact counts and group share — the report a
+    pipeline owner reads BEFORE choosing salting factors or AQE skew
+    thresholds for the fact-grain joins (PLANS.md's salting rules were
+    tuned from exactly this distribution, by hand; this op makes the
+    measurement a first-class query). Degree *histograms* exist
+    (:func:`degree_stats`); this names the actual hot keys.
+
+    Scale shape: per-key counts are ONE map-side-combinable aggregation
+    (the corpus-sized input reduces to #distinct-keys rows before any
+    wide op); the exact top-k then sorts only that aggregated frame
+    within each group. At 100 TB with adversarial key cardinality, cap
+    the sorted frame by pre-filtering on a count floor or take the
+    approximate twin (td_cms heavy hitters); for the honest exact
+    report the aggregated-frame sort IS the cost.
+
+    Output: (group_id, rnk, node_uuid, cnt, group_rows, share_ppm) with
+    ties broken by uuid ascending and share_ppm = 1e6*cnt // group_rows
+    (integer floor — engine-order-free)."""
+    per_key = edges.groupBy("group_id", "source_node_uuid").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    g = Window.partitionBy("group_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("cnt").desc(), F.col("source_node_uuid")
+    )
+    return (
+        per_key.withColumn("group_rows", F.sum("cnt").over(g).cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "group_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("source_node_uuid").alias("node_uuid"),
+            "cnt",
+            "group_rows",
+            F.expr("(1000000 * cnt) div group_rows").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+    )

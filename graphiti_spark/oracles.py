@@ -286,6 +286,44 @@ FROM {prev}"""
     return sql
 
 
+def scc_sql(rounds: int = 6, group: str = "megacorp/monorepo") -> str:
+    """DuckDB twin of operators.community.scc_pivot_pass: the K
+    synchronous min-label rounds of the FW-BW pivot pass unrolled per
+    DIRECTION as chained CTEs over the directed (src → dst) edge list.
+    Labels are uuid strings; ``least``/``min`` take the lexicographic
+    minimum under binary collation in both engines (the same contract
+    as community = min member uuid). Appended after the kg CTE prefix."""
+    sql = f"""
+, scc_e AS MATERIALIZED (
+  SELECT DISTINCT group_id, source_node_uuid AS src, target_node_uuid AS dst
+  FROM edges
+  WHERE group_id = '{group}' AND source_node_uuid <> target_node_uuid
+),
+scc_n AS MATERIALIZED (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, src AS uuid FROM scc_e
+    UNION ALL SELECT group_id, dst AS uuid FROM scc_e)
+),
+scc_f0 AS (SELECT group_id, uuid, uuid AS lab FROM scc_n),
+scc_b0 AS (SELECT group_id, uuid, uuid AS lab FROM scc_n)"""
+    for i in range(1, rounds + 1):
+        for d, s, t in (("f", "src", "dst"), ("b", "dst", "src")):
+            sql += f""",
+scc_{d}{i} AS MATERIALIZED (
+  SELECT f.group_id, f.uuid,
+         least(f.lab, coalesce(m.inlab, f.lab)) AS lab
+  FROM scc_{d}{i - 1} f LEFT JOIN (
+    SELECT e.{t} AS uuid, min(p.lab) AS inlab
+    FROM scc_e e JOIN scc_{d}{i - 1} p ON p.uuid = e.{s}
+    GROUP BY 1) m ON m.uuid = f.uuid)"""
+    sql += f"""
+SELECT f.group_id, f.uuid, f.lab AS fwd_min, b.lab AS bwd_min,
+       CASE WHEN f.lab = b.lab THEN f.lab ELSE f.uuid END AS scc_id,
+       f.lab = b.lab AS in_pivot_scc
+FROM scc_f{rounds} f JOIN scc_b{rounds} b ON b.uuid = f.uuid"""
+    return sql
+
+
 def kg_cte_prefix(documents: str = "documents") -> str:
     """The shared WITH-chain mirroring plans/pipeline.build_graph — the
     entire pipeline (synthesis → episodes → extraction → exact + FUZZY
@@ -832,6 +870,29 @@ SELECT pc.group_id, pc.community, sz.n_members, pc.internal_w, pc.degree_w,
         - pc.degree_w * pc.degree_w)::BIGINT AS contrib
 FROM mod_pc pc
 JOIN mod_sz sz ON sz.group_id = pc.group_id AND sz.community = pc.community""",
+        # FW-BW pivot pass over the DIRECTED edge list
+        # (operators/community.scc_pivot_pass): exactly-K min-label
+        # rounds per direction, fwd==bwd proves SCC(pivot) membership
+        "sr_scc": p + scc_sql(rounds=6),
+        # join-key skew diagnostics (operators/community.skew_keys):
+        # exact top-5 heaviest source keys per group, ties by uuid asc,
+        # share in integer ppm
+        "kg_skew_keys": p
+        + """
+, sk_key AS (
+  SELECT group_id, source_node_uuid AS node_uuid, count(*)::BIGINT AS cnt
+  FROM edges GROUP BY 1, 2
+),
+sk_rank AS (
+  SELECT group_id, node_uuid, cnt,
+         (sum(cnt) OVER (PARTITION BY group_id))::BIGINT AS group_rows,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY cnt DESC, node_uuid) AS rnk
+  FROM sk_key
+)
+SELECT group_id, rnk::BIGINT AS rnk, node_uuid, cnt, group_rows,
+       ((1000000 * cnt) // group_rows)::BIGINT AS share_ppm
+FROM sk_rank WHERE rnk <= 5""",
         "sr_pagerank": p + pagerank_sql(rounds=3),
         # seeded-restart variant: proximity to the 'spark' seed set
         "sr_ppr": p + ppr_sql(rounds=3),

@@ -1,0 +1,252 @@
+"""Round-5 closing batch: prefix-filtered exact Jaccard join, bloom
+decontamination, Newman modularity decomposition, FW-BW SCC pivot pass,
+join-key skew diagnostics."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import (
+    build_adjacency,
+    label_propagation_rounds,
+    modularity_report,
+    scc_pivot_pass,
+    skew_keys,
+)
+from graphiti_spark.operators.dedup import (
+    contamination_bloom,
+    prefix_filter_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "group_id string, source_node_uuid string, target_node_uuid string"
+    )
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs
+# ---------------------------------------------------------------------------
+
+def test_prefix_pairs_match_bruteforce(spark):
+    """Losslessness on a corpus with near, far, and identical pairs: the
+    prefix join must return EXACTLY the brute-force >= 0.5 pair set."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),      # high overlap with 1
+        (3, "p q r s t u v w"),      # disjoint from 1/2
+        (4, "p q r s t u v w"),      # identical to 3
+        (5, "a b c p q r s t u v"),  # mixed, below threshold vs all
+    ]
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in prefix_filter_pairs(_docs(spark, rows)).collect()
+    }
+
+    def grams(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expect = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = grams(rows[i][1]), grams(rows[j][1])
+            inter, union = len(a & b), len(a | b)
+            if 100 * inter >= 50 * union:
+                expect[(rows[i][0], rows[j][0])] = 1_000_000 * inter // union
+    assert out == expect
+    assert (4, 3) not in out and (3, 4) in out  # ordered, deduped
+
+
+def test_prefix_pairs_boundary_inclusive(spark):
+    """A pair at EXACTLY the threshold must be emitted (>= contract,
+    integer arithmetic — no float rounding can drop it)."""
+    # both docs: 6 grams each, 4 shared (the c-chain) -> J = 4/8 = 0.5
+    a = "c1 c2 c3 c4 c5 c6 a1 a2"
+    b = "c1 c2 c3 c4 c5 c6 b1 b2"
+    out = prefix_filter_pairs(_docs(spark, [(1, a), (2, b)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["inter_sh"], r["union_sh"], r["jaccard_ppm"]) == (4, 8, 500000)
+
+
+def test_prefix_pairs_no_cartesian(spark):
+    plan = _plan(prefix_filter_pairs(_docs(spark, [(1, "a b c d")])))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# contamination_bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    """Every truly contaminated doc must be flagged with bloom_hits >=
+    true_hits (the one-sided error contract)."""
+    # gram grain is 13 tokens (config.CONTAM_GRAM_TOKENS)
+    bench_text = " ".join(f"t{i}" for i in range(1, 15))  # 14 toks, 2 grams
+    rows = [
+        (1, bench_text),                                   # fully contaminated
+        (2, " ".join(f"t{i}" for i in range(2, 15)) + " x1"),  # 1 shared gram
+        (3, " ".join(f"u{i}" for i in range(1, 15))),          # clean
+    ]
+    docs = _docs(spark, rows)
+    bench = _docs(spark, [(100, bench_text)])
+    out = {r["doc_id"]: r for r in contamination_bloom(docs, bench).collect()}
+    assert out[1]["true_hits"] == out[1]["n_grams"] > 0
+    assert out[1]["flagged"]
+    assert out[2]["true_hits"] > 0 and out[2]["flagged"]
+    for r in out.values():
+        assert r["bloom_hits"] >= r["true_hits"]  # no false negatives
+    assert out[3]["true_hits"] == 0
+
+
+def test_bloom_broadcast_not_shuffle(spark):
+    """The filter side must reach the probe as a broadcast — shipping
+    the bloom table through a shuffle would defeat its purpose."""
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    plan = _plan(contamination_bloom(docs, _docs(spark, [(2, "a b c d e f g h")])))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# modularity_report
+# ---------------------------------------------------------------------------
+
+def test_modularity_exact_decomposition(spark):
+    """Two triangles joined by one bridge: LPA splits them into two
+    communities; verify the BIGINT decomposition against hand math."""
+    tri1 = [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a")]
+    tri2 = [("g", "x", "y"), ("g", "y", "z"), ("g", "z", "x")]
+    bridge = [("g", "c", "x")]
+    adj = build_adjacency(_edges(spark, tri1 + tri2 + bridge))
+    assign = label_propagation_rounds(adj, rounds=6)
+    rows = modularity_report(adj, assign).collect()
+    m2 = rows[0]["m2"]
+    assert m2 == 14  # 7 undirected edges, both orientations
+    total_internal = sum(r["internal_w"] for r in rows)
+    total_degree = sum(r["degree_w"] for r in rows)
+    assert total_degree == m2
+    # Q = sum(contrib)/m2^2; for the 2-triangle split Q = (12/14) - 2*(7/14)^2
+    q_num = sum(r["contrib"] for r in rows)
+    assert q_num == m2 * total_internal - sum(
+        r["degree_w"] ** 2 for r in rows
+    )
+    assert 0 < q_num / (m2 * m2) < 1
+
+
+def test_modularity_single_community_zero_q(spark):
+    """A clique in one community: internal == m2 and one degree term ==
+    m2, so Q = (m2*m2 - m2^2)/m2^2 = 0 — the known degenerate value."""
+    clique = [("g", a, b) for a, b in [("a", "b"), ("b", "c"), ("c", "a")]]
+    adj = build_adjacency(_edges(spark, clique))
+    assign = adj.select(
+        "group_id", F.col("a").alias("uuid"), F.lit("a").alias("community")
+    ).distinct()
+    rows = modularity_report(adj, assign).collect()
+    assert len(rows) == 1
+    assert rows[0]["contrib"] == 0
+
+
+# ---------------------------------------------------------------------------
+# scc_pivot_pass
+# ---------------------------------------------------------------------------
+
+def test_scc_finds_pivot_cycle(spark):
+    """cycle a->b->c->a plus a dangling tail c->d: the cycle containing
+    the min uuid is certified; the tail node stays undecided."""
+    e = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"), ("g", "c", "d")],
+    )
+    out = {r["uuid"]: r for r in scc_pivot_pass(e, rounds=4).collect()}
+    for u in ("a", "b", "c"):
+        assert out[u]["in_pivot_scc"] and out[u]["scc_id"] == "a"
+    assert not out["d"]["in_pivot_scc"]
+    assert out["d"]["scc_id"] == "d"
+    # d's ancestors include a; d reaches nothing
+    assert out["d"]["fwd_min"] == "a" and out["d"]["bwd_min"] == "d"
+
+
+def test_scc_direction_matters(spark):
+    """a->b and a->c with no back edges: NO non-trivial SCC — the
+    undirected projection would have merged them all."""
+    e = _edges(spark, [("g", "a", "b"), ("g", "a", "c")])
+    out = {r["uuid"]: r for r in scc_pivot_pass(e, rounds=4).collect()}
+    assert out["a"]["in_pivot_scc"]  # a is trivially in SCC(a)
+    assert out["a"]["scc_id"] == "a"
+    assert not out["b"]["in_pivot_scc"] and not out["c"]["in_pivot_scc"]
+    assert {out["b"]["scc_id"], out["c"]["scc_id"]} == {"b", "c"}
+
+
+def test_scc_two_disjoint_cycles(spark):
+    """Two disjoint 2-cycles certify DIFFERENT pivots in one pass when
+    neither reaches the other."""
+    e = _edges(
+        spark,
+        [("g", "a", "b"), ("g", "b", "a"), ("g", "x", "y"), ("g", "y", "x")],
+    )
+    out = {r["uuid"]: r["scc_id"] for r in scc_pivot_pass(e, rounds=3).collect()}
+    assert out == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
+
+def test_scc_respects_group_boundary(spark):
+    """The same uuids in different groups never propagate across."""
+    e = _edges(spark, [("g1", "a", "b"), ("g2", "b", "a")])
+    out = {
+        (r["group_id"], r["uuid"]): r["in_pivot_scc"]
+        for r in scc_pivot_pass(e, rounds=3).collect()
+    }
+    # no cycle exists within either group: only each group's min-uuid
+    # node is (trivially) certified as its own pivot
+    assert sum(out.values()) == 2
+    assert out[("g1", "a")] and out[("g2", "a")]
+    assert not out[("g1", "b")] and not out[("g2", "b")]
+
+
+# ---------------------------------------------------------------------------
+# skew_keys
+# ---------------------------------------------------------------------------
+
+def test_skew_keys_topk_and_ties(spark):
+    e = _edges(
+        spark,
+        [("g", "hub", f"t{i}") for i in range(6)]
+        + [("g", "mid", "t0"), ("g", "mid", "t1")]
+        + [("g", "aa", "t0"), ("g", "zz", "t0")],
+    )
+    rows = sorted(
+        skew_keys(e, top_k=3).collect(), key=lambda r: r["rnk"]
+    )
+    assert [r["node_uuid"] for r in rows] == ["hub", "mid", "aa"]  # tie: aa < zz
+    assert rows[0]["cnt"] == 6 and rows[0]["group_rows"] == 10
+    assert rows[0]["share_ppm"] == 600000
+    assert rows[2]["share_ppm"] == 100000
+
+
+def test_new_ops_plans_no_cartesian(spark):
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "a")])
+    adj = build_adjacency(e)
+    for df in (
+        scc_pivot_pass(e, rounds=1),
+        skew_keys(e),
+        modularity_report(adj, label_propagation_rounds(adj, rounds=1)),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
