@@ -1485,3 +1485,85 @@ def skew_keys(edges: DataFrame, top_k: int = 5) -> DataFrame:
             ),
         )
     )
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Directed triad census over the distinct (src → dst) edge list:
+    per group, the number of ordered 2-paths (a→b→c, nodes distinct),
+    TRANSITIVE triads (2-path plus the shortcut a→c — hierarchy-like
+    structure) and CYCLIC triads (2-path closed by c→a — feedback
+    structure, the 3-node SCCs :func:`scc_pivot_pass` certifies at
+    K>=2). The transitive/cyclic ratio is the classic directed-graph
+    shape signal (Holland & Leinhardt's triad census, restricted to the
+    two closed classes); the undirected count lives in
+    :func:`triangle_count`.
+
+    Canonicalization: a transitive triad has distinguishable roles
+    (source/middle/sink) so each is counted once naturally; a cyclic
+    triad is rotation-symmetric, so only the rotation starting at the
+    minimum uuid is counted (``a < b AND a < c``) — each directed
+    3-cycle counts exactly once per orientation.
+
+    Scale shape: the 2-path frame is ONE self-equi-join of the edge
+    list on the shared middle node; each census class is one further
+    equi-join against the (localCheckpoint-shared) edge list; all
+    counts are map-side-combinable per-group sums. Same join graph as
+    triangle counting — at 100 TB apply the degree-ordering cut there
+    first if the 2-path frame explodes on hubs.
+
+    Output: (group_id, n_two_paths, n_transitive, n_cyclic)."""
+    de = (
+        edges.select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # reused by the 2-path and both closures
+    )
+    tp = (
+        de.select("group_id", F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            de.select(
+                "group_id", F.col("src").alias("b"), F.col("dst").alias("c")
+            ),
+            ["group_id", "b"],
+        )
+        .where(F.col("a") != F.col("c"))
+    )
+    two_paths = tp.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_two_paths")
+    )
+    trans = (
+        tp.join(
+            de.select(
+                "group_id", F.col("src").alias("a"), F.col("dst").alias("c")
+            ),
+            ["group_id", "a", "c"],
+        )
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_transitive"))
+    )
+    cyc = (
+        tp.where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .join(
+            de.select(
+                "group_id", F.col("dst").alias("a"), F.col("src").alias("c")
+            ),
+            ["group_id", "a", "c"],
+        )
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_cyclic"))
+    )
+    return (
+        two_paths.join(trans, "group_id", "left")
+        .join(cyc, "group_id", "left")
+        .select(
+            "group_id",
+            "n_two_paths",
+            F.coalesce("n_transitive", F.lit(0)).cast("long").alias(
+                "n_transitive"
+            ),
+            F.coalesce("n_cyclic", F.lit(0)).cast("long").alias("n_cyclic"),
+        )
+    )

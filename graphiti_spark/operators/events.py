@@ -1014,3 +1014,71 @@ def attribution_linear(
             (F.sum("_alloc") / 100.0).alias("revenue"),
         )
     )
+
+SEQ_PATTERN_TOP_K = 20
+
+
+def sequence_patterns(
+    events: DataFrame,
+    gap_seconds: int = TRANSITION_GAP_SECONDS,
+    top_k: int = SEQ_PATTERN_TOP_K,
+) -> DataFrame:
+    """Sequential-pattern mining at the 3-step grain: the ``top_k`` most
+    frequent in-session (step1 → step2 → step3) event-type sequences
+    with total support and distinct-user counts — the classic market-
+    basket-over-time report (GSP/PrefixSpan's k=3 slice, materialized
+    exactly rather than grown iteratively) that extends
+    :func:`event_transitions`' first-order matrix one step deeper.
+
+    Session rule shared with transitions/sessionize: BOTH consecutive
+    gaps must be strictly under ``gap_seconds``, so a sequence never
+    spans a session boundary.
+
+    Scale design: ONE shuffle on ``user_id`` computes both lagged types
+    and both lagged timestamps (same window partition + order → one
+    exchange); the pattern aggregation is map-side combinable on a
+    |types|³-bounded key space, and the final top-k ranks that tiny
+    frame (row_number over one global partition of ≤ |types|³ rows —
+    bounded by the type vocabulary, never by the corpus).
+
+    Output: (rnk, step1, step2, step3, support, n_users); ties broken
+    by n_users desc then lexicographic steps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = int(gap_seconds)
+    triples = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_ts1", F.lag("ts", 1).over(w))
+        .withColumn("_ty1", F.lag("event_type", 1).over(w))
+        .withColumn("_ts2", F.lag("ts", 2).over(w))
+        .withColumn("_ty2", F.lag("event_type", 2).over(w))
+        .where(
+            F.col("_ts2").isNotNull()
+            & (F.unix_timestamp("ts") - F.unix_timestamp("_ts1") < gap)
+            & (F.unix_timestamp("_ts1") - F.unix_timestamp("_ts2") < gap)
+        )
+        .select(
+            F.col("_ty2").alias("step1"),
+            F.col("_ty1").alias("step2"),
+            F.col("event_type").alias("step3"),
+            "user_id",
+        )
+    )
+    agg = triples.groupBy("step1", "step2", "step3").agg(
+        F.count("*").cast("long").alias("support"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    rank = Window.orderBy(
+        F.col("support").desc(),
+        F.col("n_users").desc(),
+        "step1",
+        "step2",
+        "step3",
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(rank))
+        .where(F.col("rnk") <= int(top_k))
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "step1", "step2", "step3", "support", "n_users",
+        )
+    )

@@ -935,3 +935,52 @@ def chunk_plan(
         (end - start).cast("long").alias("chunk_len"),
         F.md5(piece).substr(1, 16).alias("chunk_sha"),
     )
+
+SHARD_HEX_CHARS = 1  # 16 shards; 2 -> 256, 3 -> 4096 ...
+
+
+def shard_plan(docs: DataFrame, shard_chars: int = SHARD_HEX_CHARS) -> DataFrame:
+    """Deterministic training-shard assignment report: every document
+    lands in shard ``substr(md5(doc_id), 1, shard_chars)`` — a pure
+    function of the stable id, so re-running the export reproduces the
+    same shards byte-for-byte on any engine (the hex STRING itself is
+    the shard key; no hex→int conversion seam — the count-min lesson).
+    The report is what an export owner reads before writing 16^k
+    training files: docs / chars / token mass per shard and the doc
+    share in integer ppm, where imbalance means a hot shard at write
+    time (md5 makes that statistically impossible past trivial corpus
+    sizes, and THIS report is the proof artifact).
+
+    Scale shape: one projection (md5 + token count) and ONE map-side-
+    combinable aggregation on the 16^k-bounded shard key; the total-doc
+    window runs over the aggregated 16^k-row frame. The physical export
+    itself is ``df.write.partitionBy(shard_key)`` downstream.
+
+    Output: (shard_key, n_docs, n_chars, n_tokens, min_doc_id,
+    max_doc_id, doc_share_ppm)."""
+    per_doc = docs.select(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, int(shard_chars)
+        ).alias("shard_key"),
+        "doc_id",
+        F.length("text").cast("long").alias("_chars"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("_toks"),
+    )
+    agg = per_doc.groupBy("shard_key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+    return agg.select(
+        "shard_key",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        "min_doc_id",
+        "max_doc_id",
+        F.expr(
+            "(1000000 * n_docs) div sum(n_docs) over ()"
+        ).cast("long").alias("doc_share_ppm"),
+    )

@@ -893,6 +893,42 @@ sk_rank AS (
 SELECT group_id, rnk::BIGINT AS rnk, node_uuid, cnt, group_rows,
        ((1000000 * cnt) // group_rows)::BIGINT AS share_ppm
 FROM sk_rank WHERE rnk <= 5""",
+        # directed triad census (operators/community.triad_census):
+        # 2-paths, transitive closures, and min-start-canonicalized
+        # directed 3-cycles per group
+        "sr_triad_census": p
+        + """
+, tc_e AS MATERIALIZED (
+  SELECT DISTINCT group_id, source_node_uuid AS src, target_node_uuid AS dst
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+tc_tp AS MATERIALIZED (
+  SELECT e1.group_id, e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM tc_e e1 JOIN tc_e e2
+    ON e2.group_id = e1.group_id AND e2.src = e1.dst
+  WHERE e1.src <> e2.dst
+),
+tc_n AS (SELECT group_id, count(*)::BIGINT AS n_two_paths
+         FROM tc_tp GROUP BY 1),
+tc_t AS (
+  SELECT tp.group_id, count(*)::BIGINT AS n_transitive
+  FROM tc_tp tp JOIN tc_e e
+    ON e.group_id = tp.group_id AND e.src = tp.a AND e.dst = tp.c
+  GROUP BY 1
+),
+tc_c AS (
+  SELECT tp.group_id, count(*)::BIGINT AS n_cyclic
+  FROM tc_tp tp JOIN tc_e e
+    ON e.group_id = tp.group_id AND e.src = tp.c AND e.dst = tp.a
+  WHERE tp.a < tp.b AND tp.a < tp.c
+  GROUP BY 1
+)
+SELECT n.group_id, n.n_two_paths,
+       coalesce(t.n_transitive, 0)::BIGINT AS n_transitive,
+       coalesce(c.n_cyclic, 0)::BIGINT AS n_cyclic
+FROM tc_n n
+LEFT JOIN tc_t t ON t.group_id = n.group_id
+LEFT JOIN tc_c c ON c.group_id = n.group_id""",
         "sr_pagerank": p + pagerank_sql(rounds=3),
         # seeded-restart variant: proximity to the 'spark' seed set
         "sr_ppr": p + ppr_sql(rounds=3),

@@ -2053,6 +2053,59 @@ FROM agg a JOIN tot t USING (from_type)"""
     # last-event-per-user pairs → shared transition_summary tail)
     o["ev_transitions_stream"] = o["ev_transitions"]
 
+    # 3-step sequential patterns (operators/events.sequence_patterns):
+    # two lags in the same window, BOTH gaps strictly inside the session
+    # rule, |types|^3-bounded aggregation, top-20 with deterministic ties
+    from graphiti_spark.operators.events import SEQ_PATTERN_TOP_K
+
+    o["ev_sequences"] = f"""
+WITH pr AS (
+  SELECT user_id, ts, event_type,
+         lag(ts, 1) OVER w AS _ts1, lag(event_type, 1) OVER w AS _ty1,
+         lag(ts, 2) OVER w AS _ts2, lag(event_type, 2) OVER w AS _ty2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT _ty2 AS step1, _ty1 AS step2, event_type AS step3, user_id
+  FROM pr
+  WHERE _ts2 IS NOT NULL
+    AND date_diff('second', _ts1, ts) < {TRANSITION_GAP_SECONDS}
+    AND date_diff('second', _ts2, _ts1) < {TRANSITION_GAP_SECONDS}
+),
+agg AS (
+  SELECT step1, step2, step3, count(*)::BIGINT AS support,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM tri GROUP BY 1, 2, 3
+)
+SELECT rnk::BIGINT AS rnk, step1, step2, step3, support, n_users FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY support DESC, n_users DESC, step1, step2, step3) AS rnk
+  FROM agg
+) WHERE rnk <= {SEQ_PATTERN_TOP_K}"""
+
+    # deterministic shard assignment (operators/textstats.shard_plan):
+    # shard key = leading hex of md5(doc_id) — the hex STRING is the
+    # key (no hex→int seam); share is integer ppm over the total
+    from graphiti_spark.operators.textstats import SHARD_HEX_CHARS
+
+    o["td_shards"] = f"""
+WITH pd AS (
+  SELECT substr(md5(doc_id::VARCHAR), 1, {SHARD_HEX_CHARS}) AS shard_key,
+         doc_id, length(text)::BIGINT AS _chars,
+         len({_toks('text')})::BIGINT AS _toks
+  FROM documents
+),
+agg AS (
+  SELECT shard_key, count(*)::BIGINT AS n_docs,
+         sum(_chars)::BIGINT AS n_chars, sum(_toks)::BIGINT AS n_tokens,
+         min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id
+  FROM pd GROUP BY 1
+)
+SELECT shard_key, n_docs, n_chars, n_tokens, min_doc_id, max_doc_id,
+       ((1000000 * n_docs) // (sum(n_docs) OVER ()))::BIGINT
+         AS doc_share_ppm
+FROM agg"""
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sr_bm25"] = f"""
 WITH toks AS (

@@ -15,6 +15,7 @@ from graphiti_spark.operators.community import (
     modularity_report,
     scc_pivot_pass,
     skew_keys,
+    triad_census,
 )
 from graphiti_spark.operators.dedup import (
     contamination_bloom,
@@ -250,3 +251,94 @@ def test_new_ops_plans_no_cartesian(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# triad_census
+# ---------------------------------------------------------------------------
+
+def test_triad_census_transitive_vs_cyclic(spark):
+    trans = triad_census(
+        _edges(spark, [("g", "a", "b"), ("g", "b", "c"), ("g", "a", "c")])
+    ).collect()[0]
+    assert (
+        trans["n_two_paths"], trans["n_transitive"], trans["n_cyclic"]
+    ) == (1, 1, 0)
+    cyc = triad_census(
+        _edges(spark, [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a")])
+    ).collect()[0]
+    assert (cyc["n_two_paths"], cyc["n_transitive"], cyc["n_cyclic"]) == (
+        3, 0, 1,
+    )
+
+
+def test_triad_census_complete_digraph(spark):
+    """All 6 directed edges on 3 nodes: 6 two-paths, every one closed
+    transitively, and exactly 2 cyclic orientations."""
+    nodes = ["a", "b", "c"]
+    e = _edges(
+        spark, [("g", x, y) for x in nodes for y in nodes if x != y]
+    )
+    r = triad_census(e).collect()[0]
+    assert (r["n_two_paths"], r["n_transitive"], r["n_cyclic"]) == (6, 6, 2)
+
+
+# ---------------------------------------------------------------------------
+# sequence_patterns
+# ---------------------------------------------------------------------------
+
+def test_sequence_patterns_session_gated(spark):
+    from datetime import datetime, timedelta
+
+    from graphiti_spark.operators.events import sequence_patterns
+
+    t0 = datetime(2024, 1, 1)
+    m = timedelta(minutes=1)
+    rows = [
+        # u1: A B C D inside one session -> (A,B,C) and (B,C,D)
+        (1, t0, 1, "A", 0.0, "{}"),
+        (2, t0 + m, 1, "B", 0.0, "{}"),
+        (3, t0 + 2 * m, 1, "C", 0.0, "{}"),
+        (4, t0 + 3 * m, 1, "D", 0.0, "{}"),
+        # u2: A B C then a 31-minute gap before D -> only (A,B,C)
+        (5, t0, 2, "A", 0.0, "{}"),
+        (6, t0 + m, 2, "B", 0.0, "{}"),
+        (7, t0 + 2 * m, 2, "C", 0.0, "{}"),
+        (8, t0 + 33 * m, 2, "D", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["step1"], r["step2"], r["step3"]): r
+        for r in sequence_patterns(ev).collect()
+    }
+    assert set(out) == {("A", "B", "C"), ("B", "C", "D")}
+    abc = out[("A", "B", "C")]
+    assert (abc["rnk"], abc["support"], abc["n_users"]) == (1, 2, 2)
+    bcd = out[("B", "C", "D")]
+    assert (bcd["rnk"], bcd["support"], bcd["n_users"]) == (2, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# shard_plan
+# ---------------------------------------------------------------------------
+
+def test_shard_plan_deterministic_md5(spark):
+    """md5('1')/md5('2') start 'c', md5('3') starts 'e' — shard keys are
+    a pure function of doc_id and the masses add up."""
+    from graphiti_spark.operators.textstats import shard_plan
+
+    docs = _docs(spark, [(1, "a b"), (2, "c d e"), (3, "f")])
+    out = {r["shard_key"]: r for r in shard_plan(docs).collect()}
+    assert set(out) == {"c", "e"}
+    assert out["c"]["n_docs"] == 2 and out["e"]["n_docs"] == 1
+    assert out["c"]["n_tokens"] == 5 and out["e"]["n_tokens"] == 1
+    assert out["c"]["min_doc_id"] == 1 and out["c"]["max_doc_id"] == 2
+    assert out["c"]["doc_share_ppm"] == 666666
+    assert out["e"]["doc_share_ppm"] == 333333
+    # wider keys split doc 1 ('c4') from doc 2 ('c8')
+    out2 = {r["shard_key"]: r["n_docs"] for r in shard_plan(docs, 2).collect()}
+    assert out2 == {"c4": 1, "c8": 1, "ec": 1}
