@@ -348,3 +348,169 @@ def group_stats(
         F.coalesce("n_predicates", F.lit(0)).cast("long")
         .alias("n_predicates"),
     )
+
+def fact_lifetime(edges: DataFrame) -> DataFrame:
+    """Survival statistics of CLOSED facts per (group, predicate): how
+    long does a fact of this relation live before a contradiction (or a
+    text-parsed ``invalid_at``) closes it — the duration-grain companion
+    to :func:`predicate_stats`' churn counts, and the number that turns
+    "this predicate gets invalidated a lot" into "facts of this
+    predicate last a median of N days". The reference stores both
+    timestamps (edges.py valid_at/invalid_at) but never aggregates them.
+
+    All durations are INTEGER SECONDS (unix difference); totals / mins /
+    maxes of integers hash identically across engines, and the mean is
+    a floor division at the edge. Negative lifetimes (a parsed close
+    BEFORE the open) are counted separately, not clamped — they are a
+    data-quality signal, not noise.
+
+    Scale: ONE map-side-combinable aggregation on (group_id, name).
+    Output: (group_id, predicate, n_closed, n_negative,
+    total_lifetime_s, min_lifetime_s, max_lifetime_s, avg_lifetime_s).
+    """
+    closed = edges.where(
+        F.col("invalid_at").isNotNull() & F.col("valid_at").isNotNull()
+    ).select(
+        "group_id",
+        F.col("name").alias("predicate"),
+        (
+            F.unix_timestamp("invalid_at") - F.unix_timestamp("valid_at")
+        ).cast("long").alias("_life"),
+    )
+    return (
+        closed.groupBy("group_id", "predicate")
+        .agg(
+            F.count("*").cast("long").alias("n_closed"),
+            F.sum(F.when(F.col("_life") < 0, 1).otherwise(0))
+            .cast("long").alias("n_negative"),
+            F.sum("_life").cast("long").alias("total_lifetime_s"),
+            F.min("_life").cast("long").alias("min_lifetime_s"),
+            F.max("_life").cast("long").alias("max_lifetime_s"),
+        )
+        .withColumn(
+            "avg_lifetime_s",
+            F.expr(
+                "CASE WHEN total_lifetime_s >= 0"
+                " THEN total_lifetime_s div n_closed"
+                " ELSE -((-total_lifetime_s) div n_closed"
+                "        + CASE WHEN (-total_lifetime_s) % n_closed > 0"
+                "               THEN 1 ELSE 0 END) END"
+            ).cast("long"),
+        )
+    )
+
+
+def integrity_report(
+    episodes: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    mentions: DataFrame,
+) -> DataFrame:
+    """Referential-integrity and hygiene audit per group — the
+    hash-checked PROOF that the pipeline's structural invariants hold
+    (dangling pointers = 0 is a guarantee the reference leaves to its
+    graph DB's constraints, driver.py build_indices_and_constraints;
+    this engine replaces the constraint with an auditable query):
+
+    - ``n_isolated_nodes``: entities no fact touches (mentioned but
+      never in a surviving triple — real rows, a curation signal);
+    - ``n_dangling_edges``: edges whose source OR target uuid is
+      missing from the node table (MUST be 0 after resolve_edge_pointers);
+    - ``n_selfloop_edges``: facts relating an entity to itself
+      (dropped by graph ops; counted here so the drop is visible);
+    - ``n_empty_episodes``: episodes that produced no mentions.
+
+    Scale: every violation class is one left-anti join on the store's
+    own partition keys plus a map-side-combinable count; the report
+    frame is #groups rows. Output: (group_id, n_episodes, n_nodes,
+    n_edges, n_isolated_nodes, n_dangling_edges, n_selfloop_edges,
+    n_empty_episodes)."""
+    node_ids = nodes.select("group_id", "uuid")
+    endpoints = (
+        edges.select("group_id", F.col("source_node_uuid").alias("uuid"))
+        .unionByName(
+            edges.select("group_id", F.col("target_node_uuid").alias("uuid"))
+        )
+        .distinct()
+    )
+    iso = (
+        node_ids.join(endpoints, ["group_id", "uuid"], "left_anti")
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_isolated_nodes"))
+    )
+    dangling = (
+        edges.select("group_id", "uuid", "source_node_uuid", "target_node_uuid")
+        .join(
+            node_ids.select(
+                "group_id", F.col("uuid").alias("source_node_uuid")
+            ),
+            ["group_id", "source_node_uuid"],
+            "left_anti",
+        )
+        .select("group_id", "uuid")
+        .unionByName(
+            edges.select(
+                "group_id", "uuid", "source_node_uuid", "target_node_uuid"
+            )
+            .join(
+                node_ids.select(
+                    "group_id", F.col("uuid").alias("target_node_uuid")
+                ),
+                ["group_id", "target_node_uuid"],
+                "left_anti",
+            )
+            .select("group_id", "uuid")
+        )
+        .distinct()
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_dangling_edges"))
+    )
+    selfloops = (
+        edges.where(F.col("source_node_uuid") == F.col("target_node_uuid"))
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_selfloop_edges"))
+    )
+    empty_ep = (
+        episodes.select("group_id", "uuid")
+        .join(
+            mentions.select(
+                "group_id", F.col("episode_uuid").alias("uuid")
+            ).distinct(),
+            ["group_id", "uuid"],
+            "left_anti",
+        )
+        .groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_empty_episodes"))
+    )
+    base = (
+        episodes.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_episodes"))
+        .join(
+            nodes.groupBy("group_id").agg(
+                F.count("*").cast("long").alias("n_nodes")
+            ),
+            "group_id",
+            "full",
+        )
+        .join(
+            edges.groupBy("group_id").agg(
+                F.count("*").cast("long").alias("n_edges")
+            ),
+            "group_id",
+            "full",
+        )
+    )
+    out = (
+        base.join(iso, "group_id", "left")
+        .join(dangling, "group_id", "left")
+        .join(selfloops, "group_id", "left")
+        .join(empty_ep, "group_id", "left")
+    )
+    fill = [
+        "n_episodes", "n_nodes", "n_edges", "n_isolated_nodes",
+        "n_dangling_edges", "n_selfloop_edges", "n_empty_episodes",
+    ]
+    return out.select(
+        "group_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in fill],
+    )

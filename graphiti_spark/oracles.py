@@ -893,6 +893,94 @@ sk_rank AS (
 SELECT group_id, rnk::BIGINT AS rnk, node_uuid, cnt, group_rows,
        ((1000000 * cnt) // group_rows)::BIGINT AS share_ppm
 FROM sk_rank WHERE rnk <= 5""",
+        # closed-fact survival stats (operators/temporal.fact_lifetime):
+        # integer-second lifetimes, floor-toward-minus-infinity mean
+        # spelled as nonnegative div/mod so both engines agree exactly
+        "kg_fact_lifetime": p
+        + """
+, fl AS (
+  SELECT group_id, name AS predicate,
+         date_diff('second', valid_at, invalid_at)::BIGINT AS _life
+  FROM edges WHERE invalid_at IS NOT NULL AND valid_at IS NOT NULL
+),
+fla AS (
+  SELECT group_id, predicate, count(*)::BIGINT AS n_closed,
+         sum(CASE WHEN _life < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+         sum(_life)::BIGINT AS total_lifetime_s,
+         min(_life)::BIGINT AS min_lifetime_s,
+         max(_life)::BIGINT AS max_lifetime_s
+  FROM fl GROUP BY 1, 2
+)
+SELECT *,
+       (CASE WHEN total_lifetime_s >= 0
+             THEN total_lifetime_s // n_closed
+             ELSE -((-total_lifetime_s) // n_closed
+                    + CASE WHEN (-total_lifetime_s) % n_closed > 0
+                           THEN 1 ELSE 0 END) END)::BIGINT
+         AS avg_lifetime_s
+FROM fla""",
+        # referential-integrity audit (operators/temporal.integrity_report):
+        # dangling pointers MUST be 0 — the constraint the reference
+        # delegates to its graph DB, here a hash-checked query
+        "kg_integrity": p
+        + """
+, ig_endpoints AS (
+  SELECT DISTINCT group_id, source_node_uuid AS uuid FROM edges
+  UNION SELECT DISTINCT group_id, target_node_uuid FROM edges
+),
+ig_iso AS (
+  SELECT n.group_id, count(*)::BIGINT AS n_isolated_nodes
+  FROM nodes n LEFT JOIN ig_endpoints ep
+    ON ep.group_id = n.group_id AND ep.uuid = n.uuid
+  WHERE ep.uuid IS NULL GROUP BY 1
+),
+ig_dang AS (
+  SELECT group_id, count(DISTINCT uuid)::BIGINT AS n_dangling_edges FROM (
+    SELECT e.group_id, e.uuid FROM edges e
+    LEFT JOIN nodes n ON n.group_id = e.group_id
+                     AND n.uuid = e.source_node_uuid
+    WHERE n.uuid IS NULL
+    UNION ALL
+    SELECT e.group_id, e.uuid FROM edges e
+    LEFT JOIN nodes n ON n.group_id = e.group_id
+                     AND n.uuid = e.target_node_uuid
+    WHERE n.uuid IS NULL
+  ) GROUP BY 1
+),
+ig_self AS (
+  SELECT group_id, count(*)::BIGINT AS n_selfloop_edges
+  FROM edges WHERE source_node_uuid = target_node_uuid GROUP BY 1
+),
+ig_empty AS (
+  SELECT ep.group_id, count(*)::BIGINT AS n_empty_episodes
+  FROM episodes ep
+  LEFT JOIN (SELECT DISTINCT group_id, episode_uuid FROM mentions) m
+    ON m.group_id = ep.group_id AND m.episode_uuid = ep.uuid
+  WHERE m.episode_uuid IS NULL GROUP BY 1
+),
+ig_base AS (
+  SELECT coalesce(e.group_id, n.group_id, g.group_id) AS group_id,
+         coalesce(e.n_episodes, 0)::BIGINT AS n_episodes,
+         coalesce(n.n_nodes, 0)::BIGINT AS n_nodes,
+         coalesce(g.n_edges, 0)::BIGINT AS n_edges
+  FROM (SELECT group_id, count(*)::BIGINT AS n_episodes
+        FROM episodes GROUP BY 1) e
+  FULL JOIN (SELECT group_id, count(*)::BIGINT AS n_nodes
+             FROM nodes GROUP BY 1) n ON n.group_id = e.group_id
+  FULL JOIN (SELECT group_id, count(*)::BIGINT AS n_edges
+             FROM edges GROUP BY 1) g
+    ON g.group_id = coalesce(e.group_id, n.group_id)
+)
+SELECT b.group_id, b.n_episodes, b.n_nodes, b.n_edges,
+       coalesce(i.n_isolated_nodes, 0)::BIGINT AS n_isolated_nodes,
+       coalesce(d.n_dangling_edges, 0)::BIGINT AS n_dangling_edges,
+       coalesce(s.n_selfloop_edges, 0)::BIGINT AS n_selfloop_edges,
+       coalesce(m.n_empty_episodes, 0)::BIGINT AS n_empty_episodes
+FROM ig_base b
+LEFT JOIN ig_iso i ON i.group_id = b.group_id
+LEFT JOIN ig_dang d ON d.group_id = b.group_id
+LEFT JOIN ig_self s ON s.group_id = b.group_id
+LEFT JOIN ig_empty m ON m.group_id = b.group_id""",
         # directed triad census (operators/community.triad_census):
         # 2-paths, transitive closures, and min-start-canonicalized
         # directed 3-cycles per group

@@ -342,3 +342,90 @@ def test_shard_plan_deterministic_md5(spark):
     # wider keys split doc 1 ('c4') from doc 2 ('c8')
     out2 = {r["shard_key"]: r["n_docs"] for r in shard_plan(docs, 2).collect()}
     assert out2 == {"c4": 1, "c8": 1, "ec": 1}
+
+
+# ---------------------------------------------------------------------------
+# integrity_report / fact_lifetime
+# ---------------------------------------------------------------------------
+
+def test_integrity_report_counts_violations(spark):
+    from graphiti_spark.operators.temporal import integrity_report
+
+    episodes = spark.createDataFrame(
+        [("g", "ep1"), ("g", "ep2")], "group_id string, uuid string"
+    )
+    nodes = spark.createDataFrame(
+        [("g", "n1"), ("g", "n2"), ("g", "n3")],  # n3 is isolated
+        "group_id string, uuid string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("g", "e1", "n1", "n2"),
+            ("g", "e2", "n1", "n1"),      # self-loop
+            ("g", "e3", "n1", "ghost"),   # dangling target
+        ],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+    mentions = spark.createDataFrame(
+        [("g", "ep1", "m1")],  # ep2 has no mentions
+        "group_id string, episode_uuid string, mention_uuid string",
+    )
+    r = integrity_report(episodes, nodes, edges, mentions).collect()[0]
+    assert (r["n_episodes"], r["n_nodes"], r["n_edges"]) == (2, 3, 3)
+    assert r["n_isolated_nodes"] == 1      # n3
+    assert r["n_dangling_edges"] == 1      # e3 (ghost)
+    assert r["n_selfloop_edges"] == 1      # e2
+    assert r["n_empty_episodes"] == 1      # ep2
+
+
+def test_integrity_clean_graph_all_zero(spark):
+    from graphiti_spark.operators.temporal import integrity_report
+
+    episodes = spark.createDataFrame(
+        [("g", "ep1")], "group_id string, uuid string"
+    )
+    nodes = spark.createDataFrame(
+        [("g", "n1"), ("g", "n2")], "group_id string, uuid string"
+    )
+    edges = spark.createDataFrame(
+        [("g", "e1", "n1", "n2")],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+    mentions = spark.createDataFrame(
+        [("g", "ep1", "m1")],
+        "group_id string, episode_uuid string, mention_uuid string",
+    )
+    r = integrity_report(episodes, nodes, edges, mentions).collect()[0]
+    assert (
+        r["n_isolated_nodes"], r["n_dangling_edges"],
+        r["n_selfloop_edges"], r["n_empty_episodes"],
+    ) == (0, 0, 0, 0)
+
+
+def test_fact_lifetime_negative_floor_mean(spark):
+    """Mean uses floor-toward-minus-infinity division spelled from
+    nonnegative div/mod — identical in Spark and DuckDB. Two facts with
+    lifetimes +100 s and -301 s: total -201, floor(-201/2) = -101."""
+    from datetime import datetime, timedelta
+
+    from graphiti_spark.operators.temporal import fact_lifetime
+
+    t0 = datetime(2024, 1, 1)
+    edges = spark.createDataFrame(
+        [
+            ("g", "likes", t0, t0 + timedelta(seconds=100)),
+            ("g", "likes", t0, t0 - timedelta(seconds=301)),
+            ("g", "owns", t0, None),  # open fact: not counted
+        ],
+        "group_id string, name string, valid_at timestamp,"
+        " invalid_at timestamp",
+    )
+    out = {r["predicate"]: r for r in fact_lifetime(edges).collect()}
+    assert set(out) == {"likes"}
+    r = out["likes"]
+    assert (r["n_closed"], r["n_negative"]) == (2, 1)
+    assert (r["total_lifetime_s"], r["min_lifetime_s"], r["max_lifetime_s"]) \
+        == (-201, -301, 100)
+    assert r["avg_lifetime_s"] == -101  # floor(-100.5), NOT trunc(-100)
