@@ -1560,6 +1560,22 @@ def _q_kg_skew_keys(spark, sf_dir):
     return skew_keys(_graph(spark, sf_dir).edges)
 
 
+def _q_ev_value_profile(spark, sf_dir):
+    """Exact discrete value quantiles per event type (rank-picked
+    observations, never interpolations)."""
+    from graphiti_spark.operators.events import value_profile
+
+    return value_profile(_events(spark, sf_dir))
+
+
+def _q_kg_comention(spark, sf_dir):
+    """Top-10 co-mentioned canonical entity pairs per group — the
+    co-occurrence network the typed edges don't capture."""
+    from graphiti_spark.operators.community import comention_pairs
+
+    return comention_pairs(_graph(spark, sf_dir).mentions)
+
+
 def _q_kg_fact_lifetime(spark, sf_dir):
     """Closed-fact survival stats per (group, predicate): integer-second
     lifetimes with negative-window counts surfaced, not clamped."""
@@ -1639,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_shards": _q_td_shards,
         "kg_fact_lifetime": _q_kg_fact_lifetime,
         "kg_integrity": _q_kg_integrity,
+        "ev_value_profile": _q_ev_value_profile,
+        "kg_comention": _q_kg_comention,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1676,9 +1694,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cms_stream": _q_td_cms_stream,
         "sr_ppr": _q_sr_ppr,
         "ev_anomaly": _q_ev_anomaly,
+        # ---- driver 50-row cap boundary ----
+        # (lag_features / rfm demoted for the value-profile and
+        # co-mention promotions; both stay in the full sweep)
         "ev_lag_features": _q_ev_lag_features,
         "ev_rfm": _q_ev_rfm,
-        # ---- driver 50-row cap boundary ----
         # (neighbor_agg demoted: benched per-round in bench.py;
         # chunk_plan demoted: stable since mid-round — both stay in the
         # full compare_oracle sweep)

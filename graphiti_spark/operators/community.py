@@ -1567,3 +1567,61 @@ def triad_census(edges: DataFrame) -> DataFrame:
             F.coalesce("n_cyclic", F.lit(0)).cast("long").alias("n_cyclic"),
         )
     )
+
+def comention_pairs(mention_edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """Entity co-occurrence network at the episode grain: the ``top_k``
+    most frequently co-mentioned CANONICAL entity pairs per group — the
+    co-occurrence signal that exists even where extraction produced no
+    typed relation between the pair (the classic co-mention graph;
+    the reference's episodic edges record entity↔episode only,
+    edge_operations.py build_episodic_edges — the entity↔entity
+    co-occurrence view is never materialized there). Input is the
+    episodic MENTIONS edge table, whose ``node_uuid`` is already the
+    canonical entity — no resolution join is needed here.
+
+    Scale shape: the pair self-join is keyed on (group, episode) and
+    bounded per episode by the mention count the chunking caps already
+    impose (an M-mention episode yields M·(M-1)/2 ordered pairs — cap M
+    at ingest, not here); the pair aggregation is map-side combinable
+    and the top-k ranks the aggregated frame.
+
+    Output: (group_id, rnk, uuid_a, uuid_b, n_episodes), uuid_a <
+    uuid_b, ties broken lexicographically."""
+    cme = (
+        mention_edges.select(
+            "group_id",
+            "episode_uuid",
+            F.col("node_uuid").alias("canonical_uuid"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cme.select(
+            "group_id", "episode_uuid", F.col("canonical_uuid").alias("uuid_a")
+        )
+        .join(
+            cme.select(
+                "group_id",
+                "episode_uuid",
+                F.col("canonical_uuid").alias("uuid_b"),
+            ),
+            ["group_id", "episode_uuid"],
+        )
+        .where(F.col("uuid_a") < F.col("uuid_b"))
+        .groupBy("group_id", "uuid_a", "uuid_b")
+        .agg(F.count("*").cast("long").alias("n_episodes"))
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("n_episodes").desc(), "uuid_a", "uuid_b"
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(top_k))
+        .select(
+            "group_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "uuid_a",
+            "uuid_b",
+            "n_episodes",
+        )
+    )

@@ -1082,3 +1082,48 @@ def sequence_patterns(
             "step1", "step2", "step3", "support", "n_users",
         )
     )
+
+VALUE_PROFILE_QS = (25, 50, 75, 90)
+
+
+def value_profile(events: DataFrame) -> DataFrame:
+    """Exact discrete quantiles of ``value`` per event type — the
+    latency/size/revenue distribution card next to the funnel. DISCRETE
+    percentile semantics (the value AT rank ``ceil(q·n/100)``, 1-indexed
+    over ascending order): the reported number is always a real
+    observation picked by integer rank arithmetic, never an
+    interpolation — so no float-blend seam exists between engines, and
+    only the proven round-4 idiom touches the values themselves.
+
+    Scale: ONE window pass partitioned by event_type (rank + count share
+    the partition/order → one exchange), then a map-side-combinable
+    conditional aggregation. The per-type sort is the honest cost of
+    EXACT quantiles; at 100 TB with hot types, pre-aggregate duplicate
+    values per (type, value) first or reach for a mergeable sketch —
+    this op is the exact twin those sketches are validated against.
+
+    Output: (event_type, n_events, min_value, p25, p50, p75, p90,
+    max_value), values rounded to 4 decimals."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = events.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(cw))
+    qcols = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr(f"(_n * {q} + 99) div 100"),
+                F.round("value", 4),
+            )
+        ).alias(f"p{q}")
+        for q in VALUE_PROFILE_QS
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("_n").cast("long").alias("n_events"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        *qcols,
+        F.round(F.max("value"), 4).alias("max_value"),
+    ).select(
+        "event_type", "n_events", "min_value",
+        *[f"p{q}" for q in VALUE_PROFILE_QS], "max_value",
+    )

@@ -981,6 +981,28 @@ LEFT JOIN ig_iso i ON i.group_id = b.group_id
 LEFT JOIN ig_dang d ON d.group_id = b.group_id
 LEFT JOIN ig_self s ON s.group_id = b.group_id
 LEFT JOIN ig_empty m ON m.group_id = b.group_id""",
+        # entity co-mention network (operators/community.comention_pairs):
+        # top-10 canonical pairs per group by shared-episode count
+        "kg_comention": p
+        + """
+, cme AS MATERIALIZED (
+  SELECT DISTINCT m.group_id, m.episode_uuid, c.canonical_uuid
+  FROM mentions m JOIN canonical_map c
+    ON c.group_id = m.group_id AND c.alias_uuid = m.mention_uuid
+),
+cmp AS (
+  SELECT a.group_id, a.canonical_uuid AS uuid_a,
+         b.canonical_uuid AS uuid_b, count(*)::BIGINT AS n_episodes
+  FROM cme a JOIN cme b
+    ON b.group_id = a.group_id AND b.episode_uuid = a.episode_uuid
+   AND a.canonical_uuid < b.canonical_uuid
+  GROUP BY 1, 2, 3
+)
+SELECT group_id, rnk::BIGINT AS rnk, uuid_a, uuid_b, n_episodes FROM (
+  SELECT *, row_number() OVER (PARTITION BY group_id
+    ORDER BY n_episodes DESC, uuid_a, uuid_b) AS rnk
+  FROM cmp
+) WHERE rnk <= 10""",
         # directed triad census (operators/community.triad_census):
         # 2-paths, transitive closures, and min-start-canonicalized
         # directed 3-cycles per group

@@ -2083,6 +2083,30 @@ SELECT rnk::BIGINT AS rnk, step1, step2, step3, support, n_users FROM (
   FROM agg
 ) WHERE rnk <= {SEQ_PATTERN_TOP_K}"""
 
+    # exact discrete value quantiles (operators/events.value_profile):
+    # the value AT integer rank ceil(q*n/100) under (value, event_id)
+    # order — a picked observation, never an interpolation
+    from graphiti_spark.operators.events import VALUE_PROFILE_QS
+
+    _vq = ",\n       ".join(
+        f"round(max(CASE WHEN _rn = (_n * {q} + 99) // 100"
+        f" THEN value END), 4) AS p{q}"
+        for q in VALUE_PROFILE_QS
+    )
+    o["ev_value_profile"] = f"""
+WITH vr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS _rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM events
+)
+SELECT event_type, max(_n)::BIGINT AS n_events,
+       round(min(value), 4) AS min_value,
+       {_vq},
+       round(max(value), 4) AS max_value
+FROM vr GROUP BY event_type"""
+
     # deterministic shard assignment (operators/textstats.shard_plan):
     # shard key = leading hex of md5(doc_id) — the hex STRING is the
     # key (no hex→int seam); share is integer ppm over the total

@@ -429,3 +429,47 @@ def test_fact_lifetime_negative_floor_mean(spark):
     assert (r["total_lifetime_s"], r["min_lifetime_s"], r["max_lifetime_s"]) \
         == (-201, -301, 100)
     assert r["avg_lifetime_s"] == -101  # floor(-100.5), NOT trunc(-100)
+
+
+# ---------------------------------------------------------------------------
+# value_profile / comention_pairs
+# ---------------------------------------------------------------------------
+
+def test_value_profile_discrete_ranks(spark):
+    """Values 1..10: p25 is the 3rd (ceil 2.5), p50 the 5th, p75 the 8th
+    (ceil 7.5), p90 the 9th — picked observations, not interpolations."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import value_profile
+
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "buy", float(i), "{}")
+        for i in range(1, 11)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = value_profile(ev).collect()[0]
+    assert r["n_events"] == 10
+    assert (r["min_value"], r["max_value"]) == (1.0, 10.0)
+    assert (r["p25"], r["p50"], r["p75"], r["p90"]) == (3.0, 5.0, 8.0, 9.0)
+
+
+def test_comention_pairs_counts_and_rank(spark):
+    from graphiti_spark.operators.community import comention_pairs
+
+    me = spark.createDataFrame(
+        [
+            ("g", "ep1", "a"), ("g", "ep1", "b"), ("g", "ep1", "c"),
+            ("g", "ep2", "a"), ("g", "ep2", "b"),
+            ("g", "ep2", "b"),  # duplicate mention row: counted once
+        ],
+        "group_id string, episode_uuid string, node_uuid string",
+    )
+    rows = sorted(comention_pairs(me).collect(), key=lambda r: r["rnk"])
+    assert [(r["uuid_a"], r["uuid_b"], r["n_episodes"]) for r in rows] == [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+    ]
+    assert [r["rnk"] for r in rows] == [1, 2, 3]
