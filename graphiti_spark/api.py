@@ -1494,6 +1494,30 @@ class GraphitiSpark:
             out = out.where(F.col("episode_uuid").isin(*episode_uuids))
         return out
 
+    def integrity_report(self) -> DataFrame:
+        """Referential-integrity audit over the LIVE graph (store-backed
+        when attached): isolated nodes, dangling edge pointers (must be
+        0), self-loops, mention-less episodes per group — the auditable
+        replacement for the constraint set the reference delegates to
+        its graph DB (driver build_indices_and_constraints). See
+        operators/temporal.integrity_report for the violation classes."""
+        from graphiti_spark.operators.temporal import integrity_report
+
+        return integrity_report(
+            self._table("episodes"),
+            self._table("nodes"),
+            self._table("edges"),
+            self._table("mentions"),
+        )
+
+    def fact_lifetime(self) -> DataFrame:
+        """Closed-fact survival stats per (group, predicate) over the
+        LIVE graph — integer-second lifetimes of invalidated facts
+        (operators/temporal.fact_lifetime)."""
+        from graphiti_spark.operators.temporal import fact_lifetime
+
+        return fact_lifetime(self._table("edges"))
+
     def get_mentioned_nodes(self, episode_uuids: list[str]) -> DataFrame:
         """Entities mentioned by the given episodes (search_utils.py:116)."""
         m = self._table("mentions").where(F.col("episode_uuid").isin(*episode_uuids))

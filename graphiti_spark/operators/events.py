@@ -1127,3 +1127,37 @@ def value_profile(events: DataFrame) -> DataFrame:
         "event_type", "n_events", "min_value",
         *[f"p{q}" for q in VALUE_PROFILE_QS], "max_value",
     )
+
+VALUE_HIST_WIDTH = 10
+
+
+def value_histogram(events: DataFrame, width: int = VALUE_HIST_WIDTH) -> DataFrame:
+    """Fixed-width value histogram per event type — the MERGEABLE
+    approximate twin of :func:`value_profile`: counts per (type,
+    bucket) merge by addition across partitions, micro-batches, or
+    snapshots, so at 100 TB this is the one you maintain incrementally
+    and :func:`value_profile` is the exact query you validate it
+    against (quantile-from-histogram reads the first bucket whose
+    ``cum_cnt`` crosses ceil(q·n/100); its error is bounded by the
+    bucket width by construction).
+
+    Scale shape: ONE map-side-combinable aggregation on the (type,
+    bucket) key; the cumulative sum runs over the aggregated per-type
+    frame (cardinality = value_range/width, never the corpus). All
+    hashed values are integers — bucket = floor(value/width) is the
+    same IEEE divide+floor in both engines.
+
+    Output: (event_type, bucket, bucket_lo, cnt, cum_cnt)."""
+    w = int(width)
+    agg = events.groupBy(
+        "event_type",
+        F.floor(F.col("value") / w).cast("long").alias("bucket"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    cw = Window.partitionBy("event_type").orderBy("bucket")
+    return agg.select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * w).cast("long").alias("bucket_lo"),
+        "cnt",
+        F.sum("cnt").over(cw).cast("long").alias("cum_cnt"),
+    )

@@ -2107,6 +2107,23 @@ SELECT event_type, max(_n)::BIGINT AS n_events,
        round(max(value), 4) AS max_value
 FROM vr GROUP BY event_type"""
 
+    # mergeable fixed-width value histogram (operators/events
+    # .value_histogram): the approximate, addition-mergeable twin of
+    # ev_value_profile; bucket = floor(value/width), all-integer hash
+    from graphiti_spark.operators.events import VALUE_HIST_WIDTH
+
+    o["ev_value_hist"] = f"""
+WITH hb AS (
+  SELECT event_type, floor(value / {VALUE_HIST_WIDTH})::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, (bucket * {VALUE_HIST_WIDTH})::BIGINT AS bucket_lo,
+       cnt,
+       (sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket))::BIGINT
+         AS cum_cnt
+FROM hb"""
+
     # deterministic shard assignment (operators/textstats.shard_plan):
     # shard key = leading hex of md5(doc_id) — the hex STRING is the
     # key (no hex→int seam); share is integer ppm over the total

@@ -473,3 +473,83 @@ def test_comention_pairs_counts_and_rank(spark):
         ("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
     ]
     assert [r["rnk"] for r in rows] == [1, 2, 3]
+
+
+def test_facade_integrity_and_lifetime(spark, tmp_path_factory):
+    """The facade exposes the audit over the STORE-backed graph: a clean
+    two-episode ingest has zero violations in every class, and
+    fact_lifetime returns rows only once facts are closed."""
+    import hashlib
+
+    from graphiti_spark.api import GraphitiSpark
+    from graphiti_spark.storage.writer import GraphStore
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [("org/r", path, "c" * 40, "en", c,
+              hashlib.sha256(c.encode()).hexdigest(), seq)
+             for path, c, seq in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, content_sha256 string, file_seq long",
+        )
+
+    store = GraphStore(
+        spark, str(tmp_path_factory.mktemp("integ")), n_buckets=4
+    )
+    g = GraphitiSpark(spark, store=store)
+    g.add_episode_bulk(batch([
+        ("app/pkg1/a.py", "alpha merge table beta", 10),
+        ("app/pkg1/b.py", "gamma join column delta", 30),
+    ]))
+    r = g.integrity_report().collect()
+    assert len(r) == 1 and r[0]["group_id"] == "org/r"
+    assert (
+        r[0]["n_dangling_edges"], r[0]["n_selfloop_edges"],
+        r[0]["n_empty_episodes"],
+    ) == (0, 0, 0)
+    assert r[0]["n_episodes"] == 2 and r[0]["n_edges"] >= 1
+    # open facts only -> no closed-fact survival rows yet
+    lt = g.fact_lifetime().collect()
+    closed = {x["predicate"]: x for x in lt}
+    for x in closed.values():
+        assert x["n_closed"] >= 1  # any row present must be a real closure
+
+
+def test_value_histogram_mergeable(spark):
+    """Counts per (type, bucket) merge by addition: the histogram of a
+    union equals the summed histograms of the parts — and cum_cnt ends
+    at n."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.events import value_histogram
+
+    def ev(rows, base=0):
+        return spark.createDataFrame(
+            [(base + i, datetime(2024, 1, 1), 1, t, float(v), "{}")
+             for i, (t, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    a = ev([("buy", 5), ("buy", 15), ("view", 3)])
+    b = ev([("buy", 5.5), ("view", 25)], base=100)
+    h_union = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in value_histogram(a.unionByName(b)).collect()
+    }
+    h_a = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in value_histogram(a).collect()
+    }
+    h_b = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in value_histogram(b).collect()
+    }
+    merged = dict(h_a)
+    for k, v in h_b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert h_union == merged
+    assert h_union[("buy", 0)] == 2  # 5 and 5.5 share the [0,10) bucket
+    rows = value_histogram(a.unionByName(b)).collect()
+    last = {r["event_type"]: r for r in sorted(rows, key=lambda r: r["bucket"])}
+    assert last["buy"]["cum_cnt"] == 3 and last["view"]["cum_cnt"] == 2
