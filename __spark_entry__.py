@@ -1576,6 +1576,55 @@ def _q_kg_comention(spark, sf_dir):
     return comention_pairs(_graph(spark, sf_dir).mentions)
 
 
+def _q_ev_value_hist(spark, sf_dir):
+    """Mergeable fixed-width value histogram per event type — the
+    addition-mergeable approximate twin of ev_value_profile."""
+    from graphiti_spark.operators.events import value_histogram
+
+    return value_histogram(_events(spark, sf_dir))
+
+
+def _q_kg_validity_timeline(spark, sf_dir):
+    """Sweep-line count of concurrently-valid facts per group: each
+    bi-temporal window emits +1/-1 boundary rows; running sum over the
+    aggregated boundary frame — O(n), never O(n · probe-instants)."""
+    from graphiti_spark.operators.temporal import validity_timeline
+
+    return validity_timeline(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_shortest_path(spark, sf_dir):
+    """Single-source shortest paths with deterministic (lexicographic-
+    min chain) path reconstruction from the 'spark' hub, depth <= 3."""
+    from graphiti_spark.operators.search import shortest_paths
+
+    g = _graph(spark, sf_dir)
+    origins = sorted(
+        r["uuid"]
+        for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo")
+            & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    )
+    return shortest_paths(g.edges, origins, max_depth=3)
+
+
+def _q_sr_assortativity(spark, sf_dir):
+    """Degree-assortativity integer moments per group (Newman's r is
+    one downstream division; the sums merge by addition)."""
+    from graphiti_spark.operators.community import degree_assortativity
+
+    return degree_assortativity(_graph(spark, sf_dir).edges)
+
+
+def _q_td_embed_moments(spark, sf_dir):
+    """Per-dimension int8 quantization audit of the embeddings corpus:
+    exact integer sufficient statistics (mergeable by addition)."""
+    from graphiti_spark.operators.similarity import embedding_moments
+
+    return embedding_moments(_emb(spark, sf_dir))
+
+
 def _q_kg_fact_lifetime(spark, sf_dir):
     """Closed-fact survival stats per (group, predicate): integer-second
     lifetimes with negative-window counts surfaced, not clamped."""
@@ -1657,6 +1706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_integrity": _q_kg_integrity,
         "ev_value_profile": _q_ev_value_profile,
         "kg_comention": _q_kg_comention,
+        "ev_value_hist": _q_ev_value_hist,
+        "kg_validity_timeline": _q_kg_validity_timeline,
+        "sr_shortest_path": _q_sr_shortest_path,
+        "sr_assortativity": _q_sr_assortativity,
+        "td_embed_moments": _q_td_embed_moments,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1681,11 +1735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_quantized": _q_td_ann_quantized,
         "td_pack_sequences": _q_td_pack_sequences,
         "td_curation": _q_td_curation,
-        "td_repetition": _q_td_repetition,
-        "td_common_spans": _q_td_common_spans,
-        "td_scrub_spans": _q_td_scrub_spans,
-        "sr_entity_timeline": _q_sr_entity_timeline,
-        "sr_degree_stats": _q_sr_degree_stats,
         "sr_triangles": _q_sr_triangles,
         "sr_kcore": _q_sr_kcore,
         "sr_link_prediction": _q_sr_link_prediction,
@@ -1693,8 +1742,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_hll": _q_td_hll,
         "td_cms_stream": _q_td_cms_stream,
         "sr_ppr": _q_sr_ppr,
-        "ev_anomaly": _q_ev_anomaly,
+        "sr_degree_stats": _q_sr_degree_stats,
         # ---- driver 50-row cap boundary ----
+        # (ev_anomaly demoted for the value-histogram promotion; its
+        # streaming twin's oracle row and the full sweep still cover it.
+        # td_repetition / td_common_spans / td_scrub_spans /
+        # sr_entity_timeline demoted for the validity-timeline /
+        # shortest-path / assortativity / embed-moments promotions —
+        # all four are mid-round-stable and stay in the full sweep.)
+        "ev_anomaly": _q_ev_anomaly,
+        "td_repetition": _q_td_repetition,
+        "td_common_spans": _q_td_common_spans,
+        "td_scrub_spans": _q_td_scrub_spans,
+        "sr_entity_timeline": _q_sr_entity_timeline,
         # (lag_features / rfm demoted for the value-profile and
         # co-mention promotions; both stay in the full sweep)
         "ev_lag_features": _q_ev_lag_features,

@@ -1625,3 +1625,49 @@ def comention_pairs(mention_edges: DataFrame, top_k: int = 10) -> DataFrame:
             "n_episodes",
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity SUFFICIENT STATISTICS per group — does this
+    graph wire hubs to hubs (assortative, r > 0) or hubs to leaves
+    (disassortative, r < 0)? The single number that predicts whether
+    the entity graph's joins have a skew problem beyond what the degree
+    histogram (:func:`degree_stats`) shows: a disassortative graph
+    concentrates wedge mass at the hubs.
+
+    Following the integer-moments contract used across this module, the
+    output is the EXACT integer sums over all directed orientations of
+    distinct neighbor pairs — (n, Σx, Σx², Σxy) with x = deg(src),
+    y = deg(dst) — not the float coefficient: integer sums hash
+    identically in both engines and MERGE BY ADDITION across partitions
+    or snapshots; Newman's r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) is one
+    downstream division the caller controls (by symmetry of the
+    orientation set, Σy = Σx and Σy² = Σx²).
+
+    Scale: degree is one aggregation of the adjacency; the two
+    degree joins shuffle on the adjacency's own (group, endpoint) keys;
+    the final per-group aggregation is map-side combinable with
+    #groups output rows.
+
+    Output: (group_id, n_pairs, sum_deg, sum_deg_sq, sum_deg_prod)."""
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    deg = adj.groupBy("group_id", "a").agg(
+        F.count("*").cast("long").alias("_deg")
+    )
+    dx = deg.select("group_id", "a", F.col("_deg").alias("_dx"))
+    dy = deg.select(
+        "group_id", F.col("a").alias("b"), F.col("_deg").alias("_dy")
+    )
+    return (
+        adj.join(dx, ["group_id", "a"])
+        .join(dy, ["group_id", "b"])
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("_dx").cast("long").alias("sum_deg"),
+            F.sum(F.col("_dx") * F.col("_dx")).cast("long")
+            .alias("sum_deg_sq"),
+            F.sum(F.col("_dx") * F.col("_dy")).cast("long")
+            .alias("sum_deg_prod"),
+        )
+    )

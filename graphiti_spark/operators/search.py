@@ -480,3 +480,73 @@ def bfs_nodes(
     return nodes.join(node_depth, "uuid").select(
         "uuid", "name", "group_id", "depth"
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    origin_uuids: list[str],
+    max_depth: int = config.MAX_SEARCH_DEPTH,
+) -> DataFrame:
+    """Single-source shortest paths WITH deterministic path
+    reconstruction — the "how are these two entities related?" answer
+    the reference can only approximate with get_between_nodes /
+    node-distance (search_utils.py:1782-1841 scores 0/1/∞; a Cypher
+    user would write ``shortestPath((a)-[*..d]->(b))``). Returns, for
+    every node reachable in 1..max_depth directed hops, its BFS depth
+    and the full uuid chain from the origin set, as a ``'>'``-joined
+    string.
+
+    Determinism rule (engine-neutral, hash-checkable): among the equal-
+    length shortest paths to a node, keep the LEXICOGRAPHICALLY SMALLEST
+    chain. Because every uuid is fixed-width hex, string order on the
+    joined chain factorizes per component, so keeping only the min chain
+    per frontier node at each level provably yields the global min chain
+    per reached node (the prefix of a shortest path is a shortest path).
+
+    Scale shape: the standard distributed BFS — max_depth frontier
+    equi-joins on the edge table's source key, a min() aggregation per
+    level (map-side combinable; frontier rows are (node, chain) with the
+    chain bounded by depth × 65 chars), anti-join against the visited
+    set, localCheckpoint per level to cut lineage. No corpus-sized
+    state on the driver; ``isEmpty`` per level is the loop's only
+    action. Reference: search_utils.py:439-561 (BFS machinery).
+
+    Output: (uuid, group_id, depth, path)."""
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(u, u) for u in origin_uuids], "node string, path string"
+    )
+    visited = frontier.select("node")
+    e = edges.select(
+        F.col("source_node_uuid").alias("_src"),
+        F.col("target_node_uuid").alias("_dst"),
+        F.col("group_id").alias("_gid"),
+    ).where(F.col("_src") != F.col("_dst"))
+    out = None
+    for depth in range(1, max_depth + 1):
+        reached = (
+            e.join(frontier, e._src == frontier.node)
+            .join(visited.withColumnRenamed("node", "_dst"), "_dst", "left_anti")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(
+                F.min(F.concat_ws(">", "path", "_dst")).alias("path"),
+                F.min("_gid").alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        if reached.isEmpty():
+            break
+        lvl = reached.select(
+            F.col("node").alias("uuid"),
+            "group_id",
+            F.lit(depth).cast("long").alias("depth"),
+            "path",
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        visited = visited.unionByName(reached.select("node")).localCheckpoint()
+        frontier = reached.select("node", "path")
+    if out is None:
+        return spark.createDataFrame(
+            [], "uuid string, group_id string, depth long, path string"
+        )
+    return out

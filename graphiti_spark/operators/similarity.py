@@ -705,3 +705,35 @@ def ann_recall_eval(
             .cast("long").alias("recall_ppm"),
         )
     )
+
+
+def embedding_moments(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution audit of the QUANTIZED embedding
+    corpus — the QA table a vector-store owner reads before trusting an
+    int8 deployment (:func:`quantize_int8` is the 4× memory lever; this
+    is the check that no dimension collapsed or saturated under it).
+    For every vector dimension: count, sum, sum-of-squares, min, max of
+    the int8 codes — the sufficient statistics for mean/variance, kept
+    as EXACT INTEGERS so (a) the result merges by addition across
+    partitions, micro-batches, or snapshot deltas (the sketch property
+    that makes the audit incrementally maintainable at 100 TB) and (b)
+    nothing float-sensitive ever crosses the hash (downstream divides
+    for the mean; the moments themselves are the contract).
+
+    Scale: posexplode is a per-row flatMap (no shuffle); the single
+    groupBy(dim) aggregation is map-side combinable and its output
+    cardinality is the embedding dimension, never the corpus.
+
+    Output: (dim, n, sum_q, sum_q2, min_q, max_q) — all BIGINT."""
+    q = embeddings.select(
+        F.posexplode(quantize_int8(F.col("embedding"))["q"]).alias(
+            "dim", "_q"
+        )
+    ).select(F.col("dim").cast("long"), F.col("_q").cast("long"))
+    return q.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_q").cast("long").alias("sum_q"),
+        F.sum(F.col("_q") * F.col("_q")).cast("long").alias("sum_q2"),
+        F.min("_q").cast("long").alias("min_q"),
+        F.max("_q").cast("long").alias("max_q"),
+    )

@@ -514,3 +514,59 @@ def integrity_report(
         "group_id",
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in fill],
     )
+
+
+def validity_timeline(edges: DataFrame) -> DataFrame:
+    """How many facts were VALID at each instant the graph changed — the
+    interval-counting view of the bi-temporal store (every edge carries
+    a [valid_at, invalid_at) window; the reference stores the window,
+    edges.py valid_at/invalid_at, but has no aggregate over it). Each
+    window contributes +1 at its open and -1 at its close; the running
+    sum over the boundary stream IS the number of concurrently-valid
+    facts, per group.
+
+    This is the O(n) sweep-line formulation: the naive answer ("for each
+    timestamp, count rows whose window covers it") rescans the edge set
+    per probe instant — O(n · t); here every edge emits at most two
+    boundary rows, ONE aggregation collapses ties, and the cumulative
+    sum runs over the aggregated per-group boundary frame (cardinality =
+    distinct change instants, never the corpus). All hashed values are
+    integer counts and stored timestamps.
+
+    Scale: union of two projections of the same scan (Spark reuses the
+    exchange), one map-side-combinable groupBy (group_id, ts), one
+    window over the aggregated frame partitioned by group — the window's
+    input is #distinct-instants rows, so the per-group sort is bounded
+    by change cardinality, not edge count. A GROWING frame (running
+    sum) is incremental, never re-aggregated per row.
+
+    Output: (group_id, ts, n_opened, n_closed, delta, n_valid)."""
+    opens = edges.where(F.col("valid_at").isNotNull()).select(
+        "group_id",
+        F.col("valid_at").alias("ts"),
+        F.lit(1).alias("_open"),
+        F.lit(0).alias("_close"),
+    )
+    closes = edges.where(F.col("invalid_at").isNotNull()).select(
+        "group_id",
+        F.col("invalid_at").alias("ts"),
+        F.lit(0).alias("_open"),
+        F.lit(1).alias("_close"),
+    )
+    agg = (
+        opens.unionByName(closes)
+        .groupBy("group_id", "ts")
+        .agg(
+            F.sum("_open").cast("long").alias("n_opened"),
+            F.sum("_close").cast("long").alias("n_closed"),
+        )
+        .withColumn(
+            "delta", (F.col("n_opened") - F.col("n_closed")).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.withColumn("n_valid", F.sum("delta").over(w).cast("long"))

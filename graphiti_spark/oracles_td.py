@@ -1428,6 +1428,29 @@ SELECT probe_id, vec_id, qcos_sim, rank FROM (
   FROM d CROSS JOIN p
 ) WHERE rank <= 10"""
 
+    # per-dimension int8 quantization audit (operators/similarity
+    # .embedding_moments): exact integer sufficient statistics of the
+    # quantize_int8 codes — same floor(x*scale+0.5) quantizer as
+    # td_ann_quantized, zipped unnest pairs each dim with its value
+    o["td_embed_moments"] = """
+WITH c AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT e, CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                 THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                 ELSE 1.0 END AS scale
+  FROM c
+),
+u AS (
+  SELECT unnest(range(len(e)))::BIGINT AS dim,
+         least(greatest(floor(unnest(e) * scale + 0.5), -127.0),
+               127.0)::BIGINT AS qv
+  FROM s
+)
+SELECT dim, count(*)::BIGINT AS n, sum(qv)::BIGINT AS sum_q,
+       sum(qv * qv)::BIGINT AS sum_q2,
+       min(qv)::BIGINT AS min_q, max(qv)::BIGINT AS max_q
+FROM u GROUP BY dim"""
+
     # concatenative sequence packing (operators/textstats.pack_sequences):
     # shard = doc_id % 8, placement = running token sum per shard
     # (growing frame), bin = seq_len-token training sequence (512)
@@ -2731,6 +2754,87 @@ SELECT uuid, source_node_uuid, target_node_uuid, name, group_id,
        min(depth) AS depth
 FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
 GROUP BY uuid, source_node_uuid, target_node_uuid, name, group_id"""
+
+    # single-source shortest paths WITH path reconstruction (operators/
+    # search.shortest_paths): unrolled 3-level BFS; at each level keep
+    # the lexicographically-min '>'-joined uuid chain per reached node
+    # (uuids are fixed-width, so per-level min provably composes to the
+    # global min shortest chain); visited pruning via NOT IN over the
+    # MATERIALIZED prior levels
+    sp_levels = []
+    for i in (1, 2, 3):
+        visited = " UNION ALL ".join(
+            f"SELECT node FROM sp{j}" for j in range(i)
+        )
+        sp_levels.append(f"""sp{i} AS MATERIALIZED (
+  SELECT e.t AS node, min(f.path || '>' || e.t) AS path,
+         min(e.group_id) AS group_id
+  FROM spe e JOIN sp{i - 1} f ON e.s = f.node
+  WHERE e.t NOT IN ({visited})
+  GROUP BY e.t
+)""")
+    o["sr_shortest_path"] = p + """
+, sp0 AS MATERIALIZED (
+  SELECT uuid AS node, uuid AS path FROM nodes
+  WHERE group_id = 'megacorp/monorepo' AND name = 'spark'
+),
+spe AS MATERIALIZED (
+  SELECT source_node_uuid AS s, target_node_uuid AS t, group_id
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+""" + ",\n".join(sp_levels) + """
+SELECT node AS uuid, group_id, 1::BIGINT AS depth, path FROM sp1
+UNION ALL
+SELECT node, group_id, 2::BIGINT, path FROM sp2
+UNION ALL
+SELECT node, group_id, 3::BIGINT, path FROM sp3"""
+
+    # sweep-line count of concurrently-valid facts (operators/temporal
+    # .validity_timeline): each bi-temporal window emits +1/-1 boundary
+    # rows; running sum over the per-group aggregated boundary frame
+    o["kg_validity_timeline"] = p + """
+, vt AS (
+  SELECT group_id, valid_at AS ts, 1 AS _open, 0 AS _close
+  FROM edges WHERE valid_at IS NOT NULL
+  UNION ALL
+  SELECT group_id, invalid_at, 0, 1
+  FROM edges WHERE invalid_at IS NOT NULL
+),
+vta AS (
+  SELECT group_id, ts,
+         sum(_open)::BIGINT AS n_opened, sum(_close)::BIGINT AS n_closed
+  FROM vt GROUP BY 1, 2
+)
+SELECT group_id, ts, n_opened, n_closed,
+       (n_opened - n_closed)::BIGINT AS delta,
+       (sum(n_opened - n_closed)
+          OVER (PARTITION BY group_id ORDER BY ts))::BIGINT AS n_valid
+FROM vta"""
+
+    # degree-assortativity integer moments (operators/community
+    # .degree_assortativity): exact sums over all directed orientations
+    # of distinct neighbor pairs; Newman's r is a downstream division
+    o["sr_assortativity"] = p + """
+, asj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+asd AS MATERIALIZED (
+  SELECT group_id, a, count(*)::BIGINT AS deg FROM asj GROUP BY 1, 2
+)
+SELECT j.group_id, count(*)::BIGINT AS n_pairs,
+       sum(dx.deg)::BIGINT AS sum_deg,
+       sum(dx.deg * dx.deg)::BIGINT AS sum_deg_sq,
+       sum(dx.deg * dy.deg)::BIGINT AS sum_deg_prod
+FROM asj j
+JOIN asd dx ON dx.group_id = j.group_id AND dx.a = j.a
+JOIN asd dy ON dy.group_id = j.group_id AND dy.a = j.b
+GROUP BY j.group_id"""
 
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,

@@ -1,0 +1,113 @@
+"""Round-5 batch B: shortest-path reconstruction, validity sweep-line,
+degree-assortativity moments, int8 embedding-moments audit."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import degree_assortativity
+from graphiti_spark.operators.search import shortest_paths
+from graphiti_spark.operators.similarity import embedding_moments
+from graphiti_spark.operators.temporal import validity_timeline
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [("g", f"e{i}", s, t) for i, (s, t) in enumerate(rows)],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+
+
+def test_shortest_paths_lexicographic_min_chain(spark):
+    """Two equal-length routes o>a>z and o>b>z: the lexicographically
+    smaller chain wins; depth is the BFS minimum (z is NOT also
+    reported at depth 3 via a longer detour)."""
+    e = _edges(spark, [
+        ("o", "a"), ("o", "b"), ("a", "z"), ("b", "z"),
+        ("z", "w"),          # depth-3 continuation
+        ("a", "o"),          # back-edge: visited pruning
+        ("w", "w"),          # self-loop: ignored
+    ])
+    rows = {r["uuid"]: r for r in shortest_paths(e, ["o"], 3).collect()}
+    assert set(rows) == {"a", "b", "z", "w"}
+    assert rows["a"]["depth"] == 1 and rows["a"]["path"] == "o>a"
+    assert rows["z"]["depth"] == 2 and rows["z"]["path"] == "o>a>z"
+    assert rows["w"]["depth"] == 3 and rows["w"]["path"] == "o>a>z>w"
+    assert rows["b"]["path"] == "o>b"
+
+
+def test_shortest_paths_multi_origin_and_empty(spark):
+    e = _edges(spark, [("o1", "x"), ("o2", "x")])
+    rows = {r["uuid"]: r for r in shortest_paths(e, ["o1", "o2"], 2).collect()}
+    # min over BOTH origins' chains
+    assert rows["x"]["path"] == "o1>x" and rows["x"]["depth"] == 1
+    none = shortest_paths(e, ["isolated"], 2)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        "uuid", "group_id", "depth", "path",
+    ]
+
+
+def test_validity_timeline_sweep(spark):
+    """Overlapping windows: n_valid tracks the interval cover; an open
+    and a close at the SAME instant collapse into one boundary row."""
+    t = datetime
+    df = spark.createDataFrame(
+        [
+            ("g", "f1", t(2024, 1, 1), t(2024, 1, 3)),
+            ("g", "f2", t(2024, 1, 2), None),
+            ("g", "f3", t(2024, 1, 3), t(2024, 1, 4)),  # opens as f1 closes
+        ],
+        "group_id string, uuid string, valid_at timestamp,"
+        " invalid_at timestamp",
+    )
+    rows = sorted(validity_timeline(df).collect(), key=lambda r: r["ts"])
+    assert [(r["ts"].day, r["delta"], r["n_valid"]) for r in rows] == [
+        (1, 1, 1), (2, 1, 2), (3, 0, 2), (4, -1, 1),
+    ]
+    d3 = [r for r in rows if r["ts"].day == 3][0]
+    assert (d3["n_opened"], d3["n_closed"]) == (1, 1)
+
+
+def test_degree_assortativity_star(spark):
+    """Star K_{1,3}: hub degree 3, leaves degree 1 → over the 6 directed
+    orientations n=6, Σx=12, Σx²=30, Σxy=18; r = (nΣxy−(Σx)²)/(nΣx²−(Σx)²)
+    = (108−144)/(180−144) = −1 (perfectly disassortative)."""
+    e = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    r = degree_assortativity(e).collect()[0]
+    assert (r["n_pairs"], r["sum_deg"], r["sum_deg_sq"],
+            r["sum_deg_prod"]) == (6, 12, 30, 18)
+    num = r["n_pairs"] * r["sum_deg_prod"] - r["sum_deg"] ** 2
+    den = r["n_pairs"] * r["sum_deg_sq"] - r["sum_deg"] ** 2
+    assert num / den == -1.0
+
+
+def test_embedding_moments_merge_and_bounds(spark):
+    """Moments merge by addition across corpus splits, and every code
+    respects the int8 clamp."""
+    def emb(rows, base=0):
+        return spark.createDataFrame(
+            [(base + i, [float(x) for x in v]) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<float>",
+        )
+
+    a = emb([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0]])
+    b = emb([[3.0, 1.5, -3.0]], base=10)
+    m_union = {r["dim"]: r for r in
+               embedding_moments(a.unionByName(b)).collect()}
+    m_a = {r["dim"]: r for r in embedding_moments(a).collect()}
+    m_b = {r["dim"]: r for r in embedding_moments(b).collect()}
+    for d in m_union:
+        for c in ("n", "sum_q", "sum_q2"):
+            assert m_union[d][c] == m_a[d][c] + m_b[d][c]
+    assert all(
+        -127 <= r["min_q"] and r["max_q"] <= 127 for r in m_union.values()
+    )
+    # zero vector quantizes to all-zero codes (scale fallback = 1), so
+    # dim 0 of split a = floor(1.0·(127/2) + 0.5) + 0 = 64
+    assert m_a[0]["n"] == 2 and m_a[0]["sum_q"] == 64
+    # saturation: each vector's max-|x| dim hits ±127 exactly
+    assert m_b[2]["min_q"] == -127 and m_b[0]["max_q"] == 127
