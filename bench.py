@@ -43,6 +43,21 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
+def _shortest_from_hub(g):
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.search import shortest_paths
+
+    origins = sorted(
+        r["uuid"]
+        for r in g.nodes.where(
+            (F.col("group_id") == "megacorp/monorepo")
+            & (F.col("name") == "spark")
+        ).select("uuid").collect()
+    )
+    return shortest_paths(g.edges, origins, max_depth=3)
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.plans.pipeline import build_graph, current_triples
     from graphiti_spark.sources import synth_source_files
@@ -85,6 +100,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("sr_link_prediction", lambda: predict_links(g.edges)),
         ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
         ("sr_walk_pairs", lambda: walk_pairs(g.edges)),
+        # path reconstruction: origin lookup + 3 frontier joins, timed
+        # end-to-end (the collect IS part of the operator's cost)
+        ("sr_shortest_path", lambda: _shortest_from_hub(g)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -113,7 +131,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         retention_cohorts,
     )
     from graphiti_spark.operators.bpe import bpe_merges
-    from graphiti_spark.operators.similarity import ann_pq
+    from graphiti_spark.operators.similarity import ann_pq, embedding_moments
     from graphiti_spark.operators.textstats import (
         cms_token_counts,
         doc_keywords,
@@ -138,6 +156,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_bpe_merges", lambda: bpe_merges(docs)),
         ("td_cms", lambda: cms_token_counts(docs)),
         ("ev_anomaly", lambda: anomaly_flags(events)),
+        ("td_embed_moments", lambda: embedding_moments(emb)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

@@ -724,12 +724,31 @@ def embedding_moments(embeddings: DataFrame) -> DataFrame:
     groupBy(dim) aggregation is map-side combinable and its output
     cardinality is the embedding dimension, never the corpus.
 
-    Output: (dim, n, sum_q, sum_q2, min_q, max_q) — all BIGINT."""
+    Output: (dim, n, sum_q, sum_q2, min_q, max_q) — all BIGINT.
+
+    Implementation note: this computes exactly :func:`quantize_int8`'s
+    codes but HOISTS the per-vector scale out of the per-element lambda
+    — inlining quantize_int8 here would re-evaluate array_max(|x|)
+    inside the transform for every element (O(d²) per vector; Spark
+    does not hoist loop-invariant subexpressions out of HOF lambdas),
+    which at a 1024-dim deployment is a 1000× per-row blowup. Scale is
+    a per-ROW projection column, the clamp runs per exploded element —
+    O(d); tests assert code-for-code equality with quantize_int8."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
     q = embeddings.select(
-        F.posexplode(quantize_int8(F.col("embedding"))["q"]).alias(
-            "dim", "_q"
-        )
-    ).select(F.col("dim").cast("long"), F.col("_q").cast("long"))
+        scale.alias("_scale"), F.posexplode(e).alias("dim", "_x")
+    ).select(
+        F.col("dim").cast("long"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("_x") * F.col("_scale") + F.lit(0.5)),
+                F.lit(-127.0),
+            ),
+            F.lit(127.0),
+        ).cast("long").alias("_q"),
+    )
     return q.groupBy("dim").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("_q").cast("long").alias("sum_q"),

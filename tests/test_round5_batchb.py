@@ -111,3 +111,30 @@ def test_embedding_moments_merge_and_bounds(spark):
     assert m_a[0]["n"] == 2 and m_a[0]["sum_q"] == 64
     # saturation: each vector's max-|x| dim hits ±127 exactly
     assert m_b[2]["min_q"] == -127 and m_b[0]["max_q"] == 127
+
+
+def test_embedding_moments_match_quantize_int8(spark):
+    """The hoisted-scale code path produces code-for-code the same int8
+    assignment as quantize_int8 (the O(d) vs O(d²) plans must not
+    diverge in VALUES)."""
+    import numpy as np
+
+    from graphiti_spark.operators.similarity import quantize_int8
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    via_q = (
+        df.select(F.posexplode(quantize_int8(F.col("embedding"))["q"])
+                  .alias("dim", "q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("q").cast("long")).alias("s"),
+             F.min("q").alias("lo"), F.max("q").alias("hi"))
+    )
+    got = {r["dim"]: r for r in embedding_moments(df).collect()}
+    for r in via_q.collect():
+        assert got[r["dim"]]["sum_q"] == r["s"]
+        assert got[r["dim"]]["min_q"] == r["lo"]
+        assert got[r["dim"]]["max_q"] == r["hi"]
