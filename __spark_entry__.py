@@ -1625,6 +1625,41 @@ def _q_td_embed_moments(spark, sf_dir):
     return embedding_moments(_emb(spark, sf_dir))
 
 
+def _q_sr_negative_samples(spark, sf_dir):
+    """Deterministic (hash-ranked, pool-capped) negative sampling for
+    skip-gram graph training — walks → pairs → NEGATIVES."""
+    from graphiti_spark.operators.community import negative_samples
+
+    return negative_samples(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_validity_stream(spark, sf_dir):
+    """Streaming twin of kg_validity_timeline: per-micro-batch boundary
+    deltas landed by batch_id, live timeline = re-aggregation + running
+    sum; stream == batch by merge algebra, so the oracle is the batch
+    SQL verbatim. The edge stream replays the pipeline's edges in 4
+    file-batches."""
+    import tempfile
+
+    from graphiti_spark.streaming.sketches import (
+        streaming_validity,
+        validity_from_store,
+    )
+
+    g = _graph(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="vt_edges_")
+    g.edges.repartition(4).write.mode("overwrite").parquet(src)
+    store = tempfile.mkdtemp(prefix="vt_store_")
+    ckpt = tempfile.mkdtemp(prefix="vt_ckpt_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _await_drained(streaming_validity(stream, store, ckpt))
+    return validity_from_store(spark, store)
+
+
 def _q_kg_fact_lifetime(spark, sf_dir):
     """Closed-fact survival stats per (group, predicate): integer-second
     lifetimes with negative-window counts surfaced, not clamped."""
@@ -1711,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_shortest_path": _q_sr_shortest_path,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
+        "sr_negative_samples": _q_sr_negative_samples,
+        "kg_validity_stream": _q_kg_validity_stream,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1722,7 +1759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution_linear": _q_ev_attribution_linear,
         "kg_group_stats": _q_kg_group_stats,
         "td_ann_recall": _q_td_ann_recall,
-        "ev_transitions_stream": _q_ev_transitions_stream,
         "sr_pagerank": _q_sr_pagerank,
         "kg_asof_diff": _q_kg_asof_diff,
         "kg_lineage": _q_kg_lineage,
@@ -1742,15 +1778,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_hll": _q_td_hll,
         "td_cms_stream": _q_td_cms_stream,
         "sr_ppr": _q_sr_ppr,
-        "sr_degree_stats": _q_sr_degree_stats,
         # ---- driver 50-row cap boundary ----
         # (ev_anomaly demoted for the value-histogram promotion; its
         # streaming twin's oracle row and the full sweep still cover it.
         # td_repetition / td_common_spans / td_scrub_spans /
         # sr_entity_timeline demoted for the validity-timeline /
-        # shortest-path / assortativity / embed-moments promotions —
-        # all four are mid-round-stable and stay in the full sweep.)
+        # shortest-path / assortativity / embed-moments promotions;
+        # sr_degree_stats / ev_transitions_stream demoted for the
+        # negative-sampling and validity-stream promotions — all are
+        # mid-round-stable and stay in the full sweep.)
         "ev_anomaly": _q_ev_anomaly,
+        "sr_degree_stats": _q_sr_degree_stats,
+        "ev_transitions_stream": _q_ev_transitions_stream,
         "td_repetition": _q_td_repetition,
         "td_common_spans": _q_td_common_spans,
         "td_scrub_spans": _q_td_scrub_spans,

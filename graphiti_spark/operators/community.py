@@ -1671,3 +1671,69 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             .alias("sum_deg_prod"),
         )
     )
+
+
+NEG_POOL = 64
+NEG_PER_CENTER = 5
+
+
+def negative_samples(
+    edges: DataFrame,
+    k: int = NEG_PER_CENTER,
+    pool: int = NEG_POOL,
+) -> DataFrame:
+    """Deterministic negative sampling for skip-gram graph training —
+    the third leg of the DeepWalk pipeline this module already feeds
+    (random_walks → walk_pairs → NEGATIVES; word2vec's negative-
+    sampling objective needs k non-neighbors per center, Mikolov et al.
+    2013 §2.2). The sampler is the same hash-replaces-RNG trick as the
+    walks: candidates are ranked by sha256, so the sample is
+    reproducible across engines, retries, and cluster sizes.
+
+    Two-stage cap keeps it off the O(|V|²) cliff: (1) a per-group
+    candidate POOL of ``pool`` nodes (rank by sha256 over the node
+    frame — one window over the aggregated node list, never the edge
+    corpus); (2) centers join the pool (|V|·pool rows, bounded), drop
+    self, anti-join the adjacency to enforce negative ∉ N(center), and
+    keep the ``k`` hash-smallest survivors per center. Sampling from a
+    capped pool instead of the full complement is the documented
+    approximation — at word2vec scale the pool IS the unigram table.
+
+    Output: (group_id, center, negative, rank), rank 1..k by the pair
+    hash. A hub adjacent to the whole pool yields fewer than k rows —
+    real sparsity, not an error."""
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    nodes = adj.select("group_id", "a").distinct()
+    wp = Window.partitionBy("group_id").orderBy("_h", "a")
+    pool_df = (
+        nodes.withColumn(
+            "_h",
+            F.sha2(F.concat_ws("|", F.lit("negpool"), "group_id", "a"), 256),
+        )
+        .withColumn("_r", F.row_number().over(wp))
+        .where(F.col("_r") <= pool)
+        .select("group_id", F.col("a").alias("cand"))
+    )
+    cand = (
+        nodes.join(pool_df, "group_id")
+        .where(F.col("a") != F.col("cand"))
+        .join(
+            adj.withColumnRenamed("b", "cand"),
+            ["group_id", "a", "cand"],
+            "left_anti",
+        )
+        .withColumn(
+            "_s", F.sha2(F.concat_ws("|", F.lit("neg"), "a", "cand"), 256)
+        )
+    )
+    wk = Window.partitionBy("group_id", "a").orderBy("_s", "cand")
+    return (
+        cand.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "group_id",
+            F.col("a").alias("center"),
+            F.col("cand").alias("negative"),
+            "rank",
+        )
+    )

@@ -540,7 +540,20 @@ def validity_timeline(edges: DataFrame) -> DataFrame:
     by change cardinality, not edge count. A GROWING frame (running
     sum) is incremental, never re-aggregated per row.
 
-    Output: (group_id, ts, n_opened, n_closed, delta, n_valid)."""
+    Output: (group_id, ts, n_opened, n_closed, delta, n_valid).
+
+    The boundary frame (:func:`validity_boundaries`) is ADDITION-
+    MERGEABLE — per-micro-batch deltas land keyed by batch_id and the
+    live timeline is a re-aggregation plus this same running sum
+    (streaming/sketches.streaming_validity), the lambda shape shared
+    with the CMS/HLL sketch stores."""
+    return _with_running_valid(validity_boundaries(edges))
+
+
+def validity_boundaries(edges: DataFrame) -> DataFrame:
+    """The mergeable half of :func:`validity_timeline`: per (group, ts)
+    boundary counts (+opens, +closes). Counts merge by addition across
+    partitions, micro-batches, or snapshot deltas."""
     opens = edges.where(F.col("valid_at").isNotNull()).select(
         "group_id",
         F.col("valid_at").alias("ts"),
@@ -553,20 +566,24 @@ def validity_timeline(edges: DataFrame) -> DataFrame:
         F.lit(0).alias("_open"),
         F.lit(1).alias("_close"),
     )
-    agg = (
+    return (
         opens.unionByName(closes)
         .groupBy("group_id", "ts")
         .agg(
             F.sum("_open").cast("long").alias("n_opened"),
             F.sum("_close").cast("long").alias("n_closed"),
         )
-        .withColumn(
-            "delta", (F.col("n_opened") - F.col("n_closed")).cast("long")
-        )
     )
+
+
+def _with_running_valid(boundaries: DataFrame) -> DataFrame:
+    """Finish a (merged) boundary frame into the timeline: delta plus
+    the growing-frame running sum per group."""
     w = (
         Window.partitionBy("group_id")
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return agg.withColumn("n_valid", F.sum("delta").over(w).cast("long"))
+    return boundaries.withColumn(
+        "delta", (F.col("n_opened") - F.col("n_closed")).cast("long")
+    ).withColumn("n_valid", F.sum("delta").over(w).cast("long"))

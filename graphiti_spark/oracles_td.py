@@ -2836,6 +2836,54 @@ JOIN asd dx ON dx.group_id = j.group_id AND dx.a = j.a
 JOIN asd dy ON dy.group_id = j.group_id AND dy.a = j.b
 GROUP BY j.group_id"""
 
+    # streaming twin: boundary deltas merge by addition, so the live
+    # timeline equals the batch derivation — SAME SQL
+    o["kg_validity_stream"] = o["kg_validity_timeline"]
+
+    # deterministic pool-capped negative sampling (operators/community
+    # .negative_samples): hash-ranked pool of NEG_POOL nodes per group,
+    # k = NEG_PER_CENTER hash-smallest non-neighbors per center — the
+    # same sha256-replaces-RNG rule as the random walks
+    from graphiti_spark.operators.community import NEG_PER_CENTER, NEG_POOL
+
+    o["sr_negative_samples"] = p + f"""
+, nsadj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+nsn AS MATERIALIZED (SELECT DISTINCT group_id, a FROM nsadj),
+nsp AS MATERIALIZED (
+  SELECT group_id, a AS cand FROM (
+    SELECT group_id, a,
+           row_number() OVER (
+             PARTITION BY group_id
+             ORDER BY sha256('negpool|' || group_id || '|' || a), a
+           ) AS r
+    FROM nsn
+  ) WHERE r <= {NEG_POOL}
+),
+nsc AS (
+  SELECT n.group_id, n.a, pl.cand
+  FROM nsn n JOIN nsp pl USING (group_id)
+  WHERE n.a <> pl.cand
+    AND NOT EXISTS (SELECT 1 FROM nsadj j
+                    WHERE j.group_id = n.group_id
+                      AND j.a = n.a AND j.b = pl.cand)
+)
+SELECT group_id, a AS center, cand AS negative, rank FROM (
+  SELECT group_id, a, cand,
+         row_number() OVER (
+           PARTITION BY group_id, a
+           ORDER BY sha256('neg|' || a || '|' || cand), cand
+         )::BIGINT AS rank
+  FROM nsc
+) WHERE rank <= {NEG_PER_CENTER}"""
+
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,
        coalesce(array_to_string(

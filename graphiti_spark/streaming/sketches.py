@@ -150,3 +150,53 @@ def compact_sketch_store(
         shutil.rmtree(os.path.join(store_dir, d))
     os.rename(staged, os.path.join(store_dir, "batch_id=-1"))
     return len(olds)
+
+
+def land_validity_batch(
+    batch_edges: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """Land this batch's bi-temporal boundary delta (operators/temporal
+    .validity_boundaries) keyed by batch_id — boundary counts merge by
+    addition, exactly like CMS cells."""
+    from graphiti_spark.operators.temporal import validity_boundaries
+
+    validity_boundaries(batch_edges).write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id={batch_id}"
+    )
+
+
+def streaming_validity(
+    edge_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """foreachBatch maintenance of the validity-timeline boundary store
+    over an edge stream (replay-idempotent: overwrite per batch_id)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        land_validity_batch(batch_df, batch_id, store_dir)
+
+    return (
+        edge_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def validity_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live timeline: boundary counts summed across landed deltas,
+    then the same running sum as the batch operator — stream == batch
+    by the merge algebra (oracle row kg_validity_stream reuses the
+    batch SQL verbatim)."""
+    from graphiti_spark.operators.temporal import _with_running_valid
+
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("group_id", "ts")
+        .agg(
+            F.sum("n_opened").cast("long").alias("n_opened"),
+            F.sum("n_closed").cast("long").alias("n_closed"),
+        )
+    )
+    return _with_running_valid(merged)

@@ -138,3 +138,64 @@ def test_embedding_moments_match_quantize_int8(spark):
         assert got[r["dim"]]["sum_q"] == r["s"]
         assert got[r["dim"]]["min_q"] == r["lo"]
         assert got[r["dim"]]["max_q"] == r["hi"]
+
+
+def test_negative_samples_invariants(spark):
+    """No sampled negative is a true neighbor or the center itself;
+    ranks are 1..k dense per center; a center adjacent to the whole
+    pool yields fewer rows (sparsity, not error)."""
+    from graphiti_spark.operators.community import negative_samples
+
+    # hub h adjacent to a,b,c; chain a-b; d isolated-ish (edge to c)
+    e = _edges(spark, [
+        ("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("d", "c"),
+    ])
+    rows = negative_samples(e, k=2, pool=10).collect()
+    adj = {("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("d", "c")}
+    und = adj | {(b, a) for a, b in adj}
+    by_center: dict[str, list] = {}
+    for r in rows:
+        assert (r["center"], r["negative"]) not in und
+        assert r["center"] != r["negative"]
+        by_center.setdefault(r["center"], []).append(r["rank"])
+    for ranks in by_center.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # h's non-neighbors among {a,b,c,d} = {d} only -> exactly 1 row
+    assert len(by_center["h"]) == 1
+    # determinism: a second run returns the identical sample
+    again = negative_samples(e, k=2, pool=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_streaming_validity_matches_batch(spark, tmp_path):
+    """Boundary deltas landed per batch merge to the batch operator's
+    exact timeline; replaying a batch (overwrite) does not double-count."""
+    from datetime import datetime as t
+
+    from graphiti_spark.streaming.sketches import (
+        land_validity_batch,
+        validity_from_store,
+    )
+
+    def ed(rows):
+        return spark.createDataFrame(
+            rows, "group_id string, uuid string, valid_at timestamp,"
+            " invalid_at timestamp",
+        )
+
+    b1 = ed([("g", "f1", t(2024, 1, 1), t(2024, 1, 3)),
+             ("g", "f2", t(2024, 1, 2), None)])
+    b2 = ed([("g", "f3", t(2024, 1, 2), t(2024, 1, 4))])
+    store = str(tmp_path / "vt_store")
+    land_validity_batch(b1, 0, store)
+    land_validity_batch(b2, 1, store)
+    live = {(r["ts"], r["n_valid"], r["n_opened"], r["n_closed"])
+            for r in validity_from_store(spark, store).collect()}
+    batch = {(r["ts"], r["n_valid"], r["n_opened"], r["n_closed"])
+             for r in validity_timeline(b1.unionByName(b2)).collect()}
+    assert live == batch
+    # at-least-once replay of batch 1 overwrites, never double-counts
+    land_validity_batch(b2, 1, store)
+    live2 = {(r["ts"], r["n_valid"], r["n_opened"], r["n_closed"])
+             for r in validity_from_store(spark, store).collect()}
+    assert live2 == batch
