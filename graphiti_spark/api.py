@@ -1463,6 +1463,40 @@ class GraphitiSpark:
             | ((F.col("source_node_uuid") == n2) & (F.col("target_node_uuid") == n1))
         )
 
+    def shortest_path(
+        self,
+        source_uuid: str,
+        target_uuid: str | None = None,
+        max_depth: int = 3,
+        group_id: str | None = None,
+    ) -> DataFrame:
+        """Shortest route(s) from an entity over the LIVE graph — the
+        "HOW are these related?" companion to :meth:`get_between_nodes`'
+        direct-edge lookup (the reference's Cypher users write
+        ``shortestPath((a)-[*..d]->(b))``; search_utils.py:1782-1841
+        only scores 0/1/∞). Returns every node reachable in
+        1..max_depth hops with its BFS depth and the deterministic
+        (lexicographically-min) uuid chain; pass ``target_uuid`` to
+        filter to one destination. ``group_id`` prunes the stored scan
+        to the entity's bucket."""
+        from graphiti_spark.operators.search import shortest_paths
+
+        e = self._group_pruned(
+            self._table("edges"), [group_id] if group_id else None
+        )
+        out = shortest_paths(e, [source_uuid], max_depth=max_depth)
+        if target_uuid is not None:
+            out = out.where(F.col("uuid") == target_uuid)
+        return out
+
+    def validity_timeline(self) -> DataFrame:
+        """Concurrently-valid fact counts over the LIVE graph's change
+        instants (operators/temporal.validity_timeline — the O(n)
+        sweep-line over the bi-temporal windows)."""
+        from graphiti_spark.operators.temporal import validity_timeline
+
+        return validity_timeline(self._table("edges"))
+
     def episodes_with_entity_edges(
         self, episode_uuids: list[str] | None = None
     ) -> DataFrame:

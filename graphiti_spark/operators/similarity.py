@@ -756,3 +756,56 @@ def embedding_moments(embeddings: DataFrame) -> DataFrame:
         F.min("_q").cast("long").alias("min_q"),
         F.max("_q").cast("long").alias("max_q"),
     )
+
+
+def cluster_label_purity(
+    embeddings: DataFrame, n_centroids: int = 16, iterations: int = 2
+) -> DataFrame:
+    """Quality audit of the IVF k-means coarse quantizer against the
+    corpus's ground-truth ``label`` column — the table that answers "is
+    the ANN index's clustering actually semantic?" before trusting IVF
+    recall at scale (SemDeDup and IVF share the quantizer, so this
+    audits both). Per (cluster, label): the exact contingency count,
+    plus per-cluster size, majority label, and the majority count — the
+    integer numerators of purity = Σ n_majority / N; the division stays
+    downstream, nothing float crosses the hash.
+
+    Reuses the trained :func:`kmeans_centroids` + :func:`assign_to_lists`
+    assignment VERBATIM (same rounded-cosine determinism contract, so
+    this cannot diverge from the ANN/SemDeDup clustering it audits).
+    Scale: assignment is the broadcast-join + max_by aggregation the
+    IVF path already pays; the contingency is one map-side-combinable
+    groupBy; both windows run over the aggregated (k × |labels|) frame.
+
+    Output: (cent_id, label, n, cluster_n, majority_label, n_majority).
+    """
+    cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    assigned = assign_to_lists(
+        embeddings.select("vec_id", "embedding"), cent
+    )
+    lab = (
+        assigned.join(
+            embeddings.select(
+                "vec_id", F.col("label").cast("long").alias("label")
+            ),
+            "vec_id",
+        )
+        .groupBy("cent_id", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("cent_id")
+    wo = (
+        Window.partitionBy("cent_id")
+        .orderBy(F.desc("n"), F.asc("label"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return lab.select(
+        "cent_id",
+        "label",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("cluster_n"),
+        F.first("label").over(wo).cast("long").alias("majority_label"),
+        F.first("n").over(wo).cast("long").alias("n_majority"),
+    )

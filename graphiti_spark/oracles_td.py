@@ -713,6 +713,24 @@ FROM assigned a JOIN assigned b
   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"""
 
+    # label-contingency purity audit of the SAME unrolled-Lloyd
+    # assignment (operators/similarity.cluster_label_purity): integer
+    # numerators only; both windows run over the k x |labels| frame
+    o["td_cluster_purity"] = f"""
+WITH {_kmeans_assign_ctes(16, 2, 64)},
+lab AS (
+  SELECT a.cent_id, e.label::BIGINT AS label, count(*)::BIGINT AS n
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT cent_id, label, n,
+       (sum(n) OVER (PARTITION BY cent_id))::BIGINT AS cluster_n,
+       (first_value(label) OVER w)::BIGINT AS majority_label,
+       (first_value(n) OVER w)::BIGINT AS n_majority
+FROM lab
+WINDOW w AS (PARTITION BY cent_id ORDER BY n DESC, label ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
     o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)
     o["td_dedup_keep_list"] = dedup_keep_list_sql(threshold=0.5)

@@ -199,3 +199,67 @@ def test_streaming_validity_matches_batch(spark, tmp_path):
     live2 = {(r["ts"], r["n_valid"], r["n_opened"], r["n_closed"])
              for r in validity_from_store(spark, store).collect()}
     assert live2 == batch
+
+
+def test_facade_shortest_path_and_timeline(spark, tmp_path_factory):
+    """The facade exposes route reconstruction and the validity sweep
+    over the STORE-backed live graph; target filter narrows to one
+    destination."""
+    import hashlib
+
+    from graphiti_spark.api import GraphitiSpark
+    from graphiti_spark.storage.writer import GraphStore
+
+    store = GraphStore(
+        spark, str(tmp_path_factory.mktemp("sp_store")), n_buckets=4
+    )
+    g = GraphitiSpark(spark, store=store)
+    # consecutive-qualifying-token grammar: entities {alpha, merge,
+    # gamma}, triples alpha->merge and merge->gamma
+    content = "alpha merge gamma"
+    g.add_episode_bulk(spark.createDataFrame(
+        [("org/r", "app/pkg1/a.py", "c" * 40, "en", content,
+          hashlib.sha256(content.encode()).hexdigest(), 10)],
+        "repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string, file_seq long",
+    ))
+    nodes = {r["name"]: r["uuid"]
+             for r in g._table("nodes").select("uuid", "name").collect()}
+    assert {"alpha", "merge", "gamma"} <= set(nodes)
+    hops = {r["uuid"]: r for r in
+            g.shortest_path(nodes["alpha"], group_id="org/r").collect()}
+    assert hops[nodes["merge"]]["depth"] == 1
+    assert hops[nodes["gamma"]]["depth"] == 2
+    assert hops[nodes["gamma"]]["path"] == (
+        f"{nodes['alpha']}>{nodes['merge']}>{nodes['gamma']}"
+    )
+    only = g.shortest_path(nodes["alpha"], target_uuid=nodes["gamma"],
+                           group_id="org/r").collect()
+    assert len(only) == 1 and only[0]["depth"] == 2
+    vt = g.validity_timeline().collect()
+    assert vt and max(r["n_valid"] for r in vt) >= 1
+
+
+def test_cluster_purity_contingency(spark):
+    """Two well-separated label groups along orthogonal axes: with 2
+    seeded centroids the contingency is pure — every cluster's majority
+    count equals its size; totals cover the corpus."""
+    from graphiti_spark.operators.similarity import cluster_label_purity
+
+    rows = []
+    for i in range(8):
+        axis = i % 2  # label 0 -> +x, label 1 -> +y
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[2 + axis] = 0.01 * (i // 2)  # slight within-group spread
+        rows.append((i, v, axis))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = cluster_label_purity(df, n_centroids=2, iterations=2).collect()
+    assert sum(r["n"] for r in out) == 8
+    for r in out:
+        assert r["n_majority"] == r["cluster_n"]  # pure clusters
+        assert r["majority_label"] == r["label"]
+        assert r["cluster_n"] == 4
