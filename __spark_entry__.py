@@ -1633,6 +1633,14 @@ def _q_td_cluster_purity(spark, sf_dir):
     return cluster_label_purity(_emb(spark, sf_dir))
 
 
+def _q_td_split_leakage(spark, sf_dir):
+    """Cross-split near-dup contamination: the verified LSH pair list
+    joined to the content-hash split assignment, with leak flags."""
+    from graphiti_spark.operators.dedup import split_leakage
+
+    return split_leakage(_docs(spark, sf_dir))
+
+
 def _q_sr_negative_samples(spark, sf_dir):
     """Deterministic (hash-ranked, pool-capped) negative sampling for
     skip-gram graph training — walks → pairs → NEGATIVES."""
@@ -1757,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_negative_samples": _q_sr_negative_samples,
         "kg_validity_stream": _q_kg_validity_stream,
         "td_cluster_purity": _q_td_cluster_purity,
+        "td_split_leakage": _q_td_split_leakage,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1784,7 +1793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_kcore": _q_sr_kcore,
         "sr_link_prediction": _q_sr_link_prediction,
         "td_cms": _q_td_cms,
-        "td_cms_stream": _q_td_cms_stream,
         "sr_ppr": _q_sr_ppr,
         # ---- driver 50-row cap boundary ----
         # (ev_anomaly demoted for the value-histogram promotion; its
@@ -1793,12 +1801,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sr_entity_timeline demoted for the validity-timeline /
         # shortest-path / assortativity / embed-moments promotions;
         # sr_degree_stats / ev_transitions_stream demoted for the
-        # negative-sampling and validity-stream promotions; td_hll for
-        # the cluster-purity promotion (its stream twin td_cms_stream
-        # keeps the sketch-store family in-window) — all are
-        # mid-round-stable and stay in the full sweep.)
+        # negative-sampling and validity-stream promotions; td_hll and
+        # td_cms_stream for the cluster-purity and split-leakage
+        # promotions (td_cms keeps the sketch family in-window) — all
+        # are mid-round-stable and stay in the full sweep.)
         "ev_anomaly": _q_ev_anomaly,
         "td_hll": _q_td_hll,
+        "td_cms_stream": _q_td_cms_stream,
         "sr_degree_stats": _q_sr_degree_stats,
         "ev_transitions_stream": _q_ev_transitions_stream,
         "td_repetition": _q_td_repetition,

@@ -1026,3 +1026,47 @@ def contamination_bloom(
             (F.col("bloom_hits") > 0).alias("flagged"),
         )
     )
+
+
+def split_leakage(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Cross-split near-duplicate contamination audit — the check that
+    makes :func:`~graphiti_spark.operators.textstats.train_split`'s
+    eval sets honest: a near-duplicate pair that straddles train/val or
+    train/test is evaluation leakage (the dedup-before-split lesson;
+    the reference has no analog — its corpus never meets a training
+    split). Composes the two production operators VERBATIM — the
+    MinHash/LSH verified pairs (:func:`dedup_minhash_lsh`) and the
+    content-hash split assignment — so the audit can never drift from
+    the pipeline it audits.
+
+    Output: one row per verified near-dup pair with both assignments
+    and the leak flag — (doc_a, doc_b, jaccard_sim, split_a, split_b,
+    is_cross). The actionable artifact IS the pair list (drop one side
+    of every is_cross row); the per-split-pair rollup is one downstream
+    groupBy.
+
+    Scale: the pair frame is the LSH output (∝ collisions, capped);
+    the two split joins key on the pair's own doc ids against a
+    zero-shuffle projection of the corpus."""
+    from graphiti_spark.operators.textstats import train_split
+
+    pairs = dedup_minhash_lsh(docs, threshold=threshold).select(
+        "doc_a", "doc_b", "jaccard_sim"
+    )
+    sp = train_split(docs).select("doc_id", "split")
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "jaccard_sim", "split_a", "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_cross"),
+        )
+    )

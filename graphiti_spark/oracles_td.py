@@ -731,6 +731,30 @@ FROM lab
 WINDOW w AS (PARTITION BY cent_id ORDER BY n DESC, label ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
 
+    # cross-split near-dup leakage (operators/dedup.split_leakage):
+    # the verified LSH pair set joined to the content-hash split — both
+    # component SQLs reused verbatim (the pair SQL nests as a derived
+    # table; td_split's CASE chain inlines)
+    o["td_split_leakage"] = f"""
+WITH mh AS (
+  SELECT doc_a, doc_b, jaccard_sim FROM ({minhash_lsh_sql(threshold=0.5)})
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) < 'c0'
+                THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR || ':' || text), 1, 2) < 'e0'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT m.doc_a, m.doc_b, m.jaccard_sim,
+       sa.split AS split_a, sb.split AS split_b,
+       sa.split <> sb.split AS is_cross
+FROM mh m
+JOIN sp sa ON sa.doc_id = m.doc_a
+JOIN sp sb ON sb.doc_id = m.doc_b"""
+
     o["td_dedup_minhash_lsh"] = minhash_lsh_sql(threshold=0.5)
     o["td_dedup_clusters"] = dedup_clusters_sql(threshold=0.5)
     o["td_dedup_keep_list"] = dedup_keep_list_sql(threshold=0.5)

@@ -263,3 +263,28 @@ def test_cluster_purity_contingency(spark):
         assert r["n_majority"] == r["cluster_n"]  # pure clusters
         assert r["majority_label"] == r["label"]
         assert r["cluster_n"] == 4
+
+
+def test_split_leakage_consistency(spark):
+    """Every verified near-dup pair appears exactly once, with split
+    assignments matching train_split and is_cross = (split_a != split_b)."""
+    from graphiti_spark.operators.dedup import dedup_minhash_lsh, split_leakage
+    from graphiti_spark.operators.textstats import train_split
+
+    base = ("spark shuffles data between stages using hash partitioning "
+            "and sorts within partitions before the merge join runs")
+    docs = spark.createDataFrame(
+        [(i, base if i < 4 else f"{base} variant number {i} here")
+         for i in range(8)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    leaks = split_leakage(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup_minhash_lsh(docs, threshold=0.5).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in leaks} == pairs
+    assert len(leaks) == len(pairs) > 0
+    split = {r["doc_id"]: r["split"] for r in train_split(docs).collect()}
+    for r in leaks:
+        assert r["split_a"] == split[r["doc_a"]]
+        assert r["split_b"] == split[r["doc_b"]]
+        assert r["is_cross"] == (r["split_a"] != r["split_b"])
