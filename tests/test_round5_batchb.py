@@ -288,3 +288,41 @@ def test_split_leakage_consistency(spark):
         assert r["split_a"] == split[r["doc_a"]]
         assert r["split_b"] == split[r["doc_b"]]
         assert r["is_cross"] == (r["split_a"] != r["split_b"])
+
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_batchb_plan_shapes(spark):
+    """The PLANS.md claims, asserted: embed_moments partial-aggregates
+    map-side and reads ONLY the embedding column; validity_timeline has
+    exactly one aggregation exchange + one window exchange (the window
+    input is the aggregated boundary frame); assortativity plans no
+    cartesian product."""
+    from graphiti_spark.operators.temporal import validity_timeline as vt
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(embedding_moments(emb))
+    assert "partial_sum" in p          # map-side combine before the dim exchange
+    assert "ReadSchema: struct<embedding" in p  # label/vec_id pruned from the scan
+    assert "label" not in p.split("ReadSchema")[1].split("\n")[0]
+
+    e = _edges(spark, [("a", "b"), ("b", "c")]).select(
+        "group_id", "uuid",
+        F.col("source_node_uuid"), F.col("target_node_uuid"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_at"),
+        F.lit("2024-02-01").cast("timestamp").alias("invalid_at"),
+    )
+    pv = _plan(vt(e))
+    assert pv.count("Exchange") == 2   # one for the (group, ts) agg, one for the group window
+    assert pv.count("Window") == 1     # a single growing-frame running sum
+
+    pa = _plan(degree_assortativity(e))
+    assert "Cartesian" not in pa and "BroadcastNestedLoop" not in pa
