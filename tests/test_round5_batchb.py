@@ -326,3 +326,61 @@ def test_batchb_plan_shapes(spark):
 
     pa = _plan(degree_assortativity(e))
     assert "Cartesian" not in pa and "BroadcastNestedLoop" not in pa
+
+
+def test_validity_timeline_matches_bruteforce(spark):
+    """Seeded random interval set: at every boundary instant t the
+    running n_valid equals the brute-force count of windows covering t
+    (valid_at <= t < invalid_at, open windows never closing)."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        start = base + timedelta(hours=rng.randrange(0, 200))
+        end = (start + timedelta(hours=rng.randrange(1, 100))
+               if rng.random() < 0.7 else None)
+        rows.append(("g", f"f{i}", start, end))
+    df = spark.createDataFrame(
+        rows, "group_id string, uuid string, valid_at timestamp,"
+        " invalid_at timestamp",
+    )
+    got = {r["ts"]: r["n_valid"] for r in validity_timeline(df).collect()}
+    for t, n in got.items():
+        expect = sum(
+            1 for _, _, s, e in rows if s <= t and (e is None or e > t)
+        )
+        assert n == expect, (t, n, expect)
+
+
+def test_shortest_paths_matches_bruteforce(spark):
+    """Seeded random digraph: depth and lexicographic-min chain agree
+    with a driver-side BFS that tracks the min path exactly."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(70)})
+    origin = "n00"
+    # python brute force: level-synchronous BFS keeping min path per node
+    level = {origin: origin}
+    seen = {origin}
+    expect: dict[str, tuple[int, str]] = {}
+    for depth in range(1, 4):
+        nxt: dict[str, str] = {}
+        for s, t in edges:
+            if s in level and t not in seen and s != t:
+                cand = f"{level[s]}>{t}"
+                if t not in nxt or cand < nxt[t]:
+                    nxt[t] = cand
+        for t, pth in nxt.items():
+            expect[t] = (depth, pth)
+        seen |= set(nxt)
+        level = nxt
+    e = _edges(spark, edges)
+    got = {r["uuid"]: (r["depth"], r["path"])
+           for r in shortest_paths(e, [origin], 3).collect()}
+    assert got == expect
