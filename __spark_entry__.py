@@ -1633,6 +1633,22 @@ def _q_td_cluster_purity(spark, sf_dir):
     return cluster_label_purity(_emb(spark, sf_dir))
 
 
+def _q_ev_quantile_check(spark, sf_dir):
+    """Exact↔approximate quantile bridge: the rank-picked exact value
+    located inside the mergeable histogram, error bound audited."""
+    from graphiti_spark.operators.events import quantile_check
+
+    return quantile_check(_events(spark, sf_dir))
+
+
+def _q_kg_invalidation_chains(spark, sf_dir):
+    """WHO invalidated WHOM: the contradiction edge recovered from the
+    invalidation rule's own key; text-parsed closings reported as such."""
+    from graphiti_spark.operators.temporal import invalidation_chains
+
+    return invalidation_chains(_graph(spark, sf_dir).edges)
+
+
 def _q_td_split_leakage(spark, sf_dir):
     """Cross-split near-dup contamination: the verified LSH pair list
     joined to the content-hash split assignment, with leak flags."""
@@ -1766,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validity_stream": _q_kg_validity_stream,
         "td_cluster_purity": _q_td_cluster_purity,
         "td_split_leakage": _q_td_split_leakage,
+        "ev_quantile_check": _q_ev_quantile_check,
+        "kg_invalidation_chains": _q_kg_invalidation_chains,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
@@ -1785,8 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_keywords": _q_td_keywords,
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
-        "td_dedup_incremental": _q_td_dedup_incremental,
-        "td_ann_quantized": _q_td_ann_quantized,
         "td_pack_sequences": _q_td_pack_sequences,
         "td_curation": _q_td_curation,
         "sr_triangles": _q_sr_triangles,
@@ -1803,11 +1819,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sr_degree_stats / ev_transitions_stream demoted for the
         # negative-sampling and validity-stream promotions; td_hll and
         # td_cms_stream for the cluster-purity and split-leakage
-        # promotions (td_cms keeps the sketch family in-window) — all
-        # are mid-round-stable and stay in the full sweep.)
+        # promotions (td_cms keeps the sketch family in-window);
+        # td_dedup_incremental / td_ann_quantized for the quantile-
+        # bridge and invalidation-chain promotions — all are
+        # mid-round-stable and stay in the full sweep.)
         "ev_anomaly": _q_ev_anomaly,
         "td_hll": _q_td_hll,
         "td_cms_stream": _q_td_cms_stream,
+        "td_dedup_incremental": _q_td_dedup_incremental,
+        "td_ann_quantized": _q_td_ann_quantized,
         "sr_degree_stats": _q_sr_degree_stats,
         "ev_transitions_stream": _q_ev_transitions_stream,
         "td_repetition": _q_td_repetition,

@@ -1161,3 +1161,59 @@ def value_histogram(events: DataFrame, width: int = VALUE_HIST_WIDTH) -> DataFra
         "cnt",
         F.sum("cnt").over(cw).cast("long").alias("cum_cnt"),
     )
+
+
+def quantile_check(
+    events: DataFrame, width: int = VALUE_HIST_WIDTH
+) -> DataFrame:
+    """The exact↔approximate QUANTILE BRIDGE: for every (event type,
+    percentile) the exact rank-picked observation (:func:`value_profile`)
+    is located inside the mergeable histogram (:func:`value_histogram`)
+    — approx = the first bucket whose cumulative count crosses
+    ceil(q·n/100), and ``within_bound`` certifies exact ∈ [bucket_lo,
+    bucket_lo+width). This is the validation contract the docstrings
+    promise, as a hash-checked ROW: at 100 TB you maintain the
+    histogram incrementally and run the exact twin on samples; this op
+    is the comparison, so the error bound is audited, not assumed.
+
+    Scale: the profile/histogram inputs aggregate as documented on
+    their own operators; the bridge join fans each (type, q) row out to
+    that type's bucket list (bounded by value_range/width) and reduces
+    with one min().
+
+    Output: (event_type, q, n_events, exact_value, approx_lo,
+    approx_hi, within_bound)."""
+    prof = value_profile(events)
+    stacked = prof.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "stack({n}, {args}) as (q, exact_value)".format(
+                n=len(VALUE_PROFILE_QS),
+                args=", ".join(
+                    f"{q}L, p{q}" for q in VALUE_PROFILE_QS
+                ),
+            )
+        ),
+    ).withColumn(
+        "_rank", F.expr("(n_events * q + 99) div 100")
+    )
+    hist = value_histogram(events, width).select(
+        "event_type", "bucket_lo", "cum_cnt"
+    )
+    w = int(width)
+    return (
+        stacked.join(hist, "event_type")
+        .where(F.col("cum_cnt") >= F.col("_rank"))
+        .groupBy("event_type", "q", "n_events", "exact_value")
+        .agg(F.min("bucket_lo").cast("long").alias("approx_lo"))
+        .withColumn("approx_hi", (F.col("approx_lo") + w).cast("long"))
+        .select(
+            "event_type", "q", "n_events", "exact_value",
+            "approx_lo", "approx_hi",
+            (
+                (F.col("exact_value") >= F.col("approx_lo"))
+                & (F.col("exact_value") < F.col("approx_hi"))
+            ).alias("within_bound"),
+        )
+    )

@@ -587,3 +587,71 @@ def _with_running_valid(boundaries: DataFrame) -> DataFrame:
     return boundaries.withColumn(
         "delta", (F.col("n_opened") - F.col("n_closed")).cast("long")
     ).withColumn("n_valid", F.sum("delta").over(w).cast("long"))
+
+
+def invalidation_chains(edges: DataFrame) -> DataFrame:
+    """WHO invalidated WHOM — the causal provenance the reference loses
+    when it stamps ``expired_at`` (edge_operations.py:822-823 records
+    THAT a fact was closed, not WHICH newer fact closed it). For every
+    closed fact, the contradicting fact is recoverable by the
+    invalidation rule itself: within the same (group, subject,
+    predicate) key, the invalidator is the fact whose ``valid_at``
+    equals the closed fact's ``invalid_at`` (min-over-strictly-later =
+    the earliest newer candidate — resolve_edge_contradictions'
+    definition). No match means the window was closed by a TEXT-PARSED
+    ``invalid_at`` (the second-chance channel), reported as cause
+    'parsed_text' instead of being guessed.
+
+    Determinism: several facts can open at the closing instant; the
+    reported invalidator is the min uuid among them (ties are real —
+    the count is carried so nothing is hidden).
+
+    Scale: ONE equi-join on (group, subject, predicate, instant) — the
+    same key the invalidation window already shuffles on — followed by
+    a map-side-combinable min/count aggregation.
+
+    Output: (group_id, source_node_uuid, predicate, closed_uuid,
+    valid_at, invalid_at, invalidator_uuid, n_candidates, cause)."""
+    closed = edges.where(F.col("invalid_at").isNotNull()).select(
+        "group_id",
+        "source_node_uuid",
+        F.col("name").alias("predicate"),
+        F.col("uuid").alias("closed_uuid"),
+        "valid_at",
+        "invalid_at",
+    )
+    openers = edges.where(F.col("valid_at").isNotNull()).select(
+        F.col("group_id").alias("_g"),
+        F.col("source_node_uuid").alias("_s"),
+        F.col("name").alias("_p"),
+        F.col("uuid").alias("_cand_uuid"),
+        F.col("valid_at").alias("_iv"),
+    )
+    # the self-exclusion (<>) must be PART of the left-join condition: as
+    # a post-join filter it would DROP a closed fact whose only
+    # same-instant candidate is itself instead of keeping it null-matched
+    joined = closed.join(
+        openers,
+        (F.col("_g") == F.col("group_id"))
+        & (F.col("_s") == F.col("source_node_uuid"))
+        & (F.col("_p") == F.col("predicate"))
+        & (F.col("_iv") == F.col("invalid_at"))
+        & (F.col("_cand_uuid") != F.col("closed_uuid")),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            "group_id", "source_node_uuid", "predicate", "closed_uuid",
+            "valid_at", "invalid_at",
+        )
+        .agg(
+            F.min("_cand_uuid").alias("invalidator_uuid"),
+            F.count("_cand_uuid").cast("long").alias("n_candidates"),
+        )
+        .withColumn(
+            "cause",
+            F.when(
+                F.col("invalidator_uuid").isNull(), F.lit("parsed_text")
+            ).otherwise(F.lit("contradiction")),
+        )
+    )

@@ -2189,6 +2189,33 @@ SELECT event_type, bucket, (bucket * {VALUE_HIST_WIDTH})::BIGINT AS bucket_lo,
          AS cum_cnt
 FROM hb"""
 
+    # exact<->approximate quantile bridge (operators/events
+    # .quantile_check): both component SQLs nested verbatim; rank =
+    # ceil(q*n/100) in integer arithmetic; approx = first bucket whose
+    # cum_cnt crosses the rank
+    _w = VALUE_HIST_WIDTH
+    o["ev_quantile_check"] = f"""
+WITH prof AS ({o["ev_value_profile"]}),
+hist AS ({o["ev_value_hist"]}),
+st AS (
+  SELECT event_type, n_events, q, exact_value,
+         (n_events * q + 99) // 100 AS _rank
+  FROM (
+    SELECT event_type, n_events, 25::BIGINT AS q, p25 AS exact_value FROM prof
+    UNION ALL SELECT event_type, n_events, 50, p50 FROM prof
+    UNION ALL SELECT event_type, n_events, 75, p75 FROM prof
+    UNION ALL SELECT event_type, n_events, 90, p90 FROM prof
+  )
+)
+SELECT s.event_type, s.q, s.n_events, s.exact_value,
+       min(h.bucket_lo)::BIGINT AS approx_lo,
+       (min(h.bucket_lo) + {_w})::BIGINT AS approx_hi,
+       (s.exact_value >= min(h.bucket_lo)
+        AND s.exact_value < min(h.bucket_lo) + {_w}) AS within_bound
+FROM st s JOIN hist h
+  ON h.event_type = s.event_type AND h.cum_cnt >= s._rank
+GROUP BY s.event_type, s.q, s.n_events, s.exact_value"""
+
     # deterministic shard assignment (operators/textstats.shard_plan):
     # shard key = leading hex of md5(doc_id) — the hex STRING is the
     # key (no hex→int seam); share is integer ppm over the total
@@ -2881,6 +2908,35 @@ GROUP BY j.group_id"""
     # streaming twin: boundary deltas merge by addition, so the live
     # timeline equals the batch derivation — SAME SQL
     o["kg_validity_stream"] = o["kg_validity_timeline"]
+
+    # invalidation provenance (operators/temporal.invalidation_chains):
+    # the invalidator is the same-key fact opening AT the closing
+    # instant (the invalidation rule inverted); self-exclusion lives in
+    # the LEFT JOIN condition so text-closed facts stay null-matched
+    o["kg_invalidation_chains"] = p + """
+, icl AS (
+  SELECT group_id, source_node_uuid, name AS predicate,
+         uuid AS closed_uuid, valid_at, invalid_at
+  FROM edges WHERE invalid_at IS NOT NULL
+),
+ico AS (
+  SELECT group_id, source_node_uuid, name AS predicate,
+         uuid AS _cand_uuid, valid_at AS invalid_at
+  FROM edges WHERE valid_at IS NOT NULL
+)
+SELECT c.group_id, c.source_node_uuid, c.predicate, c.closed_uuid,
+       c.valid_at, c.invalid_at,
+       min(o._cand_uuid) AS invalidator_uuid,
+       count(o._cand_uuid)::BIGINT AS n_candidates,
+       CASE WHEN min(o._cand_uuid) IS NULL THEN 'parsed_text'
+            ELSE 'contradiction' END AS cause
+FROM icl c LEFT JOIN ico o
+  ON o.group_id = c.group_id
+ AND o.source_node_uuid = c.source_node_uuid
+ AND o.predicate = c.predicate
+ AND o.invalid_at = c.invalid_at
+ AND o._cand_uuid <> c.closed_uuid
+GROUP BY 1, 2, 3, 4, 5, 6"""
 
     # deterministic pool-capped negative sampling (operators/community
     # .negative_samples): hash-ranked pool of NEG_POOL nodes per group,

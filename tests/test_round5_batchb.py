@@ -384,3 +384,59 @@ def test_shortest_paths_matches_bruteforce(spark):
     got = {r["uuid"]: (r["depth"], r["path"])
            for r in shortest_paths(e, [origin], 3).collect()}
     assert got == expect
+
+
+def test_quantile_check_bridge(spark):
+    """Exact quantiles land inside their histogram bucket; ranks use
+    ceil(q·n/100) — verified on a hand-computable value set."""
+    from graphiti_spark.operators.events import quantile_check
+
+    vals = [1.0, 3.0, 7.0, 12.0, 15.0, 22.0, 29.0, 31.0, 44.0, 58.0]
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1), 1, "buy", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = {r["q"]: r for r in quantile_check(df).collect()}
+    # n=10: p25 -> rank ceil(2.5)=3 -> 7.0 (bucket [0,10));
+    # p50 -> rank 5 -> 15.0 in [10,20); p90 -> rank 9 -> 44.0 in [40,50)
+    assert rows[25]["exact_value"] == 7.0 and rows[25]["approx_lo"] == 0
+    assert rows[50]["exact_value"] == 15.0 and rows[50]["approx_lo"] == 10
+    assert rows[90]["exact_value"] == 44.0 and rows[90]["approx_lo"] == 40
+    assert all(r["within_bound"] for r in rows.values())
+    assert all(r["approx_hi"] - r["approx_lo"] == 10 for r in rows.values())
+
+
+def test_invalidation_chains_causality(spark):
+    """B (opens at A's close) is reported as A's invalidator; a
+    text-closed fact with no same-instant opener reports 'parsed_text';
+    two same-instant openers -> min uuid, n_candidates=2."""
+    from datetime import datetime as t
+
+    from graphiti_spark.operators.temporal import invalidation_chains
+
+    rows = [
+        # A closed at 2024-02-01, B opens exactly then -> contradiction
+        ("g", "eA", "s1", "uses", t(2024, 1, 1), t(2024, 2, 1)),
+        ("g", "eB", "s1", "uses", t(2024, 2, 1), None),
+        # C closed by parsed text: nothing opens at its close
+        ("g", "eC", "s2", "uses", t(2024, 1, 1), t(2024, 3, 15)),
+        # D closed; TWO candidates open at that instant -> min uuid wins
+        ("g", "eD", "s3", "uses", t(2024, 1, 1), t(2024, 4, 1)),
+        ("g", "eX", "s3", "uses", t(2024, 4, 1), None),
+        ("g", "eW", "s3", "uses", t(2024, 4, 1), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "group_id string, uuid string, source_node_uuid string,"
+        " name string, valid_at timestamp, invalid_at timestamp",
+    )
+    out = {r["closed_uuid"]: r for r in invalidation_chains(df).collect()}
+    assert set(out) == {"eA", "eC", "eD"}
+    assert out["eA"]["invalidator_uuid"] == "eB"
+    assert out["eA"]["cause"] == "contradiction"
+    assert out["eC"]["invalidator_uuid"] is None
+    assert out["eC"]["cause"] == "parsed_text"
+    assert out["eC"]["n_candidates"] == 0
+    assert out["eD"]["invalidator_uuid"] == "eW"
+    assert out["eD"]["n_candidates"] == 2
