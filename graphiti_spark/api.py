@@ -1497,6 +1497,15 @@ class GraphitiSpark:
 
         return validity_timeline(self._table("edges"))
 
+    def invalidation_chains(self) -> DataFrame:
+        """WHO invalidated WHOM over the LIVE graph: per closed fact,
+        the contradicting fact recovered from the invalidation rule's
+        own key, or cause='parsed_text' for text-closed windows
+        (operators/temporal.invalidation_chains)."""
+        from graphiti_spark.operators.temporal import invalidation_chains
+
+        return invalidation_chains(self._table("edges"))
+
     def episodes_with_entity_edges(
         self, episode_uuids: list[str] | None = None
     ) -> DataFrame:

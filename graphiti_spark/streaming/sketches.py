@@ -139,10 +139,14 @@ def compact_sketch_store(
     import os
     import shutil
 
-    merged = (
-        cms_from_store(spark, store_dir) if kind == "cms"
-        else hll_from_store(spark, store_dir)
-    )
+    mergers = {
+        "cms": cms_from_store,
+        "hll": hll_from_store,
+        # boundary counts re-merge by addition; n_valid/delta are
+        # derived on read, so compaction stores ONLY the mergeable half
+        "validity": _validity_merged,
+    }
+    merged = mergers[kind](spark, store_dir)
     staged = f"{store_dir}.compact_stage"
     merged.write.mode("overwrite").parquet(staged)
     olds = [d for d in os.listdir(store_dir) if d.startswith("batch_id=")]
@@ -184,14 +188,10 @@ def streaming_validity(
     )
 
 
-def validity_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The live timeline: boundary counts summed across landed deltas,
-    then the same running sum as the batch operator — stream == batch
-    by the merge algebra (oracle row kg_validity_stream reuses the
-    batch SQL verbatim)."""
-    from graphiti_spark.operators.temporal import _with_running_valid
-
-    merged = (
+def _validity_merged(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Boundary counts summed across landed deltas — the mergeable half
+    shared by the live read and compaction."""
+    return (
         spark.read.parquet(store_dir)
         .groupBy("group_id", "ts")
         .agg(
@@ -199,4 +199,13 @@ def validity_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
             F.sum("n_closed").cast("long").alias("n_closed"),
         )
     )
-    return _with_running_valid(merged)
+
+
+def validity_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live timeline: boundary counts summed across landed deltas,
+    then the same running sum as the batch operator — stream == batch
+    by the merge algebra (oracle row kg_validity_stream reuses the
+    batch SQL verbatim)."""
+    from graphiti_spark.operators.temporal import _with_running_valid
+
+    return _with_running_valid(_validity_merged(spark, store_dir))

@@ -440,3 +440,34 @@ def test_invalidation_chains_causality(spark):
     assert out["eC"]["n_candidates"] == 0
     assert out["eD"]["invalidator_uuid"] == "eW"
     assert out["eD"]["n_candidates"] == 2
+
+
+def test_validity_store_compaction(spark, tmp_path):
+    """Compacting the validity delta store to one merged delta leaves
+    the live timeline byte-identical (merge is idempotent)."""
+    from datetime import datetime as t
+
+    from graphiti_spark.streaming.sketches import (
+        compact_sketch_store,
+        land_validity_batch,
+        validity_from_store,
+    )
+
+    store = str(tmp_path / "vt_store")
+    for bid, rows in enumerate([
+        [("g", "f1", t(2024, 1, 1), t(2024, 1, 3))],
+        [("g", "f2", t(2024, 1, 2), None)],
+        [("g", "f3", t(2024, 1, 1), t(2024, 1, 5))],
+    ]):
+        land_validity_batch(
+            spark.createDataFrame(
+                rows, "group_id string, uuid string, valid_at timestamp,"
+                " invalid_at timestamp",
+            ),
+            bid, store,
+        )
+    before = sorted(map(tuple, validity_from_store(spark, store).collect()))
+    n = compact_sketch_store(spark, store, kind="validity")
+    assert n == 3
+    after = sorted(map(tuple, validity_from_store(spark, store).collect()))
+    assert after == before
