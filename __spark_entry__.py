@@ -1171,6 +1171,37 @@ def _q_td_common_spans(spark, sf_dir):
     return common_spans(_docs(spark, sf_dir))
 
 
+def _q_td_line_dedup(spark, sf_dir):
+    from graphiti_spark.operators.dedup import line_dedup_report
+
+    return line_dedup_report(_docs(spark, sf_dir))
+
+
+def _q_sr_neighborhood(spark, sf_dir):
+    from graphiti_spark.operators.community import neighborhood_sketch
+
+    return neighborhood_sketch(_graph(spark, sf_dir).edges)
+
+
+def _q_ev_stream_join(spark, sf_dir):
+    # stream-stream time-interval join: anchors and follow-ups arrive as
+    # two independent file streams; the joined (anchor, cents) pairs
+    # land in append mode, then the batch tail restores zero-follow
+    # anchors — hash-checked by the batch ev_range_join oracle
+    from graphiti_spark.operators.events import range_rollup_from_pairs
+    from graphiti_spark.streaming.events import streaming_range_pairs
+
+    pairs = _run_stream_to_table(
+        spark,
+        streaming_range_pairs(
+            _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
+        ),
+        "ev_stream_join_pairs",
+        "append",
+    )
+    return range_rollup_from_pairs(_events(spark, sf_dir), pairs)
+
+
 def _docs_stream(spark, sf_dir):
     return _file_stream(
         spark, sf_dir, "documents.parquet", _docs(spark, sf_dir).schema
@@ -1761,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
+        "sr_neighborhood": _q_sr_neighborhood,
+        "td_line_dedup": _q_td_line_dedup,
+        "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,
         "sr_modularity": _q_sr_modularity,
         "td_contamination_bloom": _q_td_contamination_bloom,

@@ -83,6 +83,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.operators.community import (
         clustering_coeff,
         neighbor_agg,
+        neighborhood_sketch,
         predict_links,
         triangle_count,
         walk_pairs,
@@ -100,6 +101,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("sr_link_prediction", lambda: predict_links(g.edges)),
         ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
         ("sr_walk_pairs", lambda: walk_pairs(g.edges)),
+        # HyperBall register propagation: 2 rounds = 2 groupBys over the
+        # (node, register) frame + the shared adjacency checkpoint
+        ("sr_neighborhood", lambda: neighborhood_sketch(g.edges)),
         # path reconstruction: origin lookup + 3 frontier joins, timed
         # end-to-end (the collect IS part of the operator's cost)
         ("sr_shortest_path", lambda: _shortest_from_hub(g)),
@@ -113,7 +117,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # training-data ops over the documents/embeddings tables
     from pyspark.sql import functions as F
 
-    from graphiti_spark.operators.dedup import dedup_minhash_lsh
+    from graphiti_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        line_dedup_report,
+    )
     from graphiti_spark.operators.search import bm25_scores
     from graphiti_spark.operators.similarity import knn_bruteforce
 
@@ -155,6 +162,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("ev_retention", lambda: retention_cohorts(events)),
         ("td_bpe_merges", lambda: bpe_merges(docs)),
         ("td_cms", lambda: cms_token_counts(docs)),
+        ("td_line_dedup", lambda: line_dedup_report(docs)),
         ("ev_anomaly", lambda: anomaly_flags(events)),
         ("td_embed_moments", lambda: embedding_moments(emb)),
     ]:

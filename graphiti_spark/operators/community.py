@@ -1737,3 +1737,100 @@ def negative_samples(
             "rank",
         )
     )
+
+
+HB_ROUNDS = 2
+
+
+def neighborhood_registers(
+    edges: DataFrame, rounds: int = HB_ROUNDS
+) -> DataFrame:
+    """HyperBall / ANF register propagation (Boldi, Rosa & Vigna 2011
+    "HyperANF"; Palmer, Gibbons & Faloutsos 2002 "ANF"): per-node HLL
+    registers of the ≤ ``rounds``-hop neighborhood ball, computed by
+    ``rounds`` register-wise max-merges along the undirected entity
+    adjacency. THE technique for neighborhood-function / effective-
+    diameter / harmonic-centrality estimation on graphs too large for
+    per-node BFS: per-node state is ≤ 256 (register, max_rank) pairs
+    regardless of graph size, and each round is ONE map-side-combinable
+    groupBy — contrast the exact ball, whose state is the ball itself.
+
+    Registers reuse the corpus HLL construction contract
+    (textstats._hll_cols: address = first 2 hex chars of
+    sha256('hb:' uuid), rank = 1 + leading-zero bits of the next 60
+    bits, derived nibble-wise so no engine-specific hex→int conversion
+    exists) — the DuckDB twin replays the same K rounds as materialized
+    CTEs.
+
+    Output: one row per (group_id, uuid, register) hit at round K with
+    ``max_rank`` — the mergeable sketch store (register-wise max merges
+    ACROSS snapshots too, the td_hll_stream delta contract). Nodes are
+    the edge-incident vertices; self-loops are dropped with the same
+    rule as the triangle family."""
+    from graphiti_spark.operators.textstats import _hll_cols
+
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    register, rank = _hll_cols(col="uuid", prefix="hb:")
+    regs = (
+        adj.select("group_id", F.col("a").alias("uuid"))
+        .distinct()
+        .select(
+            "group_id",
+            "uuid",
+            register.alias("register"),
+            rank.cast("long").alias("max_rank"),
+        )
+    )
+    for _ in range(rounds):
+        # neighbors' round-(k-1) registers flow in; register-wise max.
+        # localCheckpoint per round — the CC/LPA lineage rule (each
+        # round otherwise re-executes every prior round per consumer)
+        inflow = adj.join(
+            regs.select(
+                "group_id",
+                F.col("uuid").alias("b"),
+                "register",
+                "max_rank",
+            ),
+            ["group_id", "b"],
+        ).select(
+            "group_id", F.col("a").alias("uuid"), "register", "max_rank"
+        )
+        regs = (
+            regs.unionByName(inflow)
+            .groupBy("group_id", "uuid", "register")
+            .agg(F.max("max_rank").cast("long").alias("max_rank"))
+            .localCheckpoint()
+        )
+    return regs
+
+
+def neighborhood_sketch(
+    edges: DataFrame, rounds: int = HB_ROUNDS
+) -> DataFrame:
+    """Per-node digest of the :func:`neighborhood_registers` sketch:
+    ``(group_id, uuid, n_regs, rank_sum)`` — hit-register count and the
+    integer rank total, the hash-stable summary of the ball-size
+    estimate (the harmonic HyperLogLog fold over the same registers is
+    a driver-side float; tests assert it lands within the standard
+    ~1.04/√m error band of the exact ball on a known graph). One
+    map-side-combinable rollup over the register frame."""
+    return (
+        neighborhood_registers(edges, rounds)
+        .groupBy("group_id", "uuid")
+        .agg(
+            F.count("*").cast("long").alias("n_regs"),
+            F.sum("max_rank").cast("long").alias("rank_sum"),
+        )
+    )

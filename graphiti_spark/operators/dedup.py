@@ -1070,3 +1070,72 @@ def split_leakage(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_cross"),
         )
     )
+
+
+LINE_DUP_SCALE = 1_000_000
+
+
+def line_dedup_report(docs: DataFrame) -> DataFrame:
+    """CCNet-style line-level duplication report (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): the share of a document's line instances whose normalized
+    text (lower + trim) also appears in at least one OTHER document —
+    web boilerplate (nav menus, footers, license headers, cookie
+    banners) that paragraph/doc-level dedup misses because the
+    SURROUNDING text differs. The reference has no corpus analog; this
+    is the line-grain complement of :func:`common_spans` (token spans)
+    and :func:`dedup_exact` (whole docs).
+
+    Output per doc: ``(doc_id, n_lines, n_dup_lines, dup_line_ppm)`` —
+    non-empty line instances, instances whose normalized line occurs in
+    >= 2 DISTINCT docs, and the floor-divided ppm share. All integers,
+    so the hash cannot straddle a float boundary.
+
+    100 TB shape: ONE corpus scan → split+explode; the doc-frequency
+    aggregation is map-side combinable on the line hash (line instances
+    collapse per partition first); the boilerplate set (df >= 2) joins
+    back on the SAME hash key — co-partitioned with the aggregation's
+    exchange, and bounded by the count of *distinct duplicated lines*,
+    not the corpus. Per-doc rollups are map-side-combinable counts. No
+    doc×doc pair frame anywhere — linear in corpus size like
+    :func:`novelty_report`."""
+    inst = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\n")).alias("_l"),
+        )
+        .select("doc_id", F.lower(F.trim(F.col("_l"))).alias("_line"))
+        .where(F.length("_line") > 0)
+        .select("doc_id", F.md5(F.col("_line")).alias("_h"))
+    )
+    dup_hashes = (
+        inst.distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_ndocs"))
+        .where(F.col("_ndocs") >= 2)
+        .select("_h")
+    )
+    totals = inst.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    dups = (
+        inst.join(dup_hashes, "_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup_lines"))
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+    )
+    n_lines = F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("n_dup_lines"), F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        F.expr(
+            f"({LINE_DUP_SCALE} * coalesce(n_dup_lines, 0))"
+            " div greatest(coalesce(n_lines, 0), 1)"
+        ).cast("long").alias("dup_line_ppm"),
+    )

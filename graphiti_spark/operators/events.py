@@ -273,6 +273,35 @@ def range_join_events(
     )
 
 
+def range_rollup_from_pairs(
+    events: DataFrame, pairs: DataFrame, anchor_type: str = "error"
+) -> DataFrame:
+    """Batch tail of the streaming range join: aggregate landed
+    ``(anchor_id, follow_cents)`` pairs per anchor and left-join back to
+    the anchors so zero-follow anchors appear with 0 — the same output
+    schema and values as :func:`range_join_events`, so the batch oracle
+    hash-checks the STREAM-joined pairs (the ``transitions_from_pairs``
+    lambda shape)."""
+    agg = pairs.groupBy("anchor_id").agg(
+        F.count("*").cast("long").alias("n_follow"),
+        F.sum("follow_cents").alias("_c"),
+    )
+    anchors = events.filter(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("anchor_ts"),
+        "user_id",
+    )
+    return anchors.join(agg, "anchor_id", "left").select(
+        "anchor_id",
+        "anchor_ts",
+        "user_id",
+        F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"),
+        (F.coalesce(F.col("_c"), F.lit(0)) / 100.0).alias(
+            "sum_follow_value"
+        ),
+    )
+
+
 def funnel_events(
     events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
 ) -> DataFrame:

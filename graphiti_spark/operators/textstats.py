@@ -801,10 +801,14 @@ _HEX_LZ = {
 }
 
 
-def _hll_cols() -> tuple[F.Column, F.Column]:
-    """(register, rank) expressions over a `token` column — shared by
-    the batch report and the streaming per-batch register deltas."""
-    h = F.sha2(F.concat(F.lit("hll:"), F.col("token")), 256)
+def _hll_cols(
+    col: str = "token", prefix: str = "hll:"
+) -> tuple[F.Column, F.Column]:
+    """(register, rank) expressions over a string column — shared by
+    the batch report, the streaming per-batch register deltas, and the
+    HyperBall neighborhood sketch (community.neighborhood_registers,
+    which keys registers by node uuid under its own hash prefix)."""
+    h = F.sha2(F.concat(F.lit(prefix), F.col(col)), 256)
     tail = h.substr(HLL_REG_HEX + 1, HLL_RANK_HEX)
     zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
     first_nz = F.substring(

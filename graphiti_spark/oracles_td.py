@@ -1014,6 +1014,34 @@ SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac,
         OR dup_trigram_frac > 0.3) AS repetitive
 FROM m"""
 
+    # CCNet-style line-level duplication (operators/dedup.
+    # line_dedup_report): normalized (lower+trim) non-empty line
+    # instances whose md5 appears in >= 2 DISTINCT docs; floor-divided
+    # ppm so no float crosses the hash
+    o["td_line_dedup"] = """
+WITH li AS (
+  SELECT doc_id, md5(lower(trim(x))) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+        FROM documents)
+  WHERE length(trim(x)) > 0
+),
+ldf AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM li)
+  GROUP BY h HAVING count(*) >= 2
+),
+ltot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM li GROUP BY 1),
+ldup AS (SELECT li.doc_id, count(*)::BIGINT AS n_dup
+         FROM li JOIN ldf USING (h) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(ltot.n_lines, 0)::BIGINT AS n_lines,
+       COALESCE(ldup.n_dup, 0)::BIGINT AS n_dup_lines,
+       ((1000000 * COALESCE(ldup.n_dup, 0))
+        // greatest(COALESCE(ltot.n_lines, 0), 1))::BIGINT
+         AS dup_line_ppm
+FROM documents d
+LEFT JOIN ltot ON d.doc_id = ltot.doc_id
+LEFT JOIN ldup ON d.doc_id = ldup.doc_id"""
+
     # exact-substring overlap at 8-token spans; doc-frequency window
     # [2, SPAN_DOC_FREQ_CAP] mirrors operators/dedup.common_spans
     from graphiti_spark import config as _cfg
@@ -1868,6 +1896,12 @@ FROM events GROUP BY 2, 3"""
     o["ev_asof_stream"] = o["ev_asof"]
     o["ev_rollup_stream"] = _rollup_level("minute")
     o["ev_sessions_stream"] = o["ev_sessions"]
+    # the stream-stream interval join (streaming/events.
+    # streaming_range_pairs) lands raw (anchor, cents) pairs; the batch
+    # rollup tail (operators/events.range_rollup_from_pairs) restores
+    # zero-follow anchors, so the drained stream equals the batch range
+    # join and shares its oracle verbatim
+    o["ev_stream_join"] = o["ev_range_join"]
 
     # ordered-funnel twin (operators/events.funnel_events, steps
     # signup→view→click→purchase): the same chained running-min cascade
@@ -2981,6 +3015,63 @@ SELECT group_id, a AS center, cand AS negative, rank FROM (
          )::BIGINT AS rank
   FROM nsc
 ) WHERE rank <= {NEG_PER_CENTER}"""
+
+    # HyperBall/ANF neighborhood sketch (community.neighborhood_sketch):
+    # K register-max-merge rounds along the undirected adjacency,
+    # unrolled as MATERIALIZED CTEs (the LPA-trajectory pattern);
+    # register address/rank reuse the td_hll nibble construction under
+    # the 'hb:' prefix, keyed by node uuid
+    from graphiti_spark.operators.community import HB_ROUNDS as _HBR
+    from graphiti_spark.operators.textstats import (
+        _HEX_LZ as _HB_HEX,
+        HLL_RANK_HEX as _HB_RK,
+        HLL_REG_HEX as _HB_RG,
+    )
+
+    _hb_lz = "CASE d " + " ".join(
+        f"WHEN '{d}' THEN {lz}" for d, lz in _HB_HEX.items()
+    ) + " ELSE 4 END"
+    _hb = f"""
+, hb_und AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+hb_adj AS MATERIALIZED (
+  SELECT group_id, a AS src, b AS dst FROM hb_und
+  UNION ALL SELECT group_id, b, a FROM hb_und
+),
+hb_r0 AS MATERIALIZED (
+  SELECT group_id, uuid, substr(h, 1, {_HB_RG}) AS register,
+         (CASE WHEN z = {_HB_RK} THEN {4 * _HB_RK + 1}
+               ELSE 4 * z + ({_hb_lz}) + 1 END)::BIGINT AS max_rank
+  FROM (
+    SELECT group_id, uuid, h, z, substr(t, z + 1, 1) AS d FROM (
+      SELECT group_id, uuid, h,
+             substr(h, {_HB_RG + 1}, {_HB_RK}) AS t,
+             length(regexp_extract(
+               substr(h, {_HB_RG + 1}, {_HB_RK}), '^(0*)', 1)) AS z
+      FROM (SELECT DISTINCT group_id, src AS uuid,
+                   sha256('hb:' || src) AS h FROM hb_adj)
+    )
+  )
+)"""
+    for _k in range(1, _HBR + 1):
+        _hb += f""",
+hb_r{_k} AS MATERIALIZED (
+  SELECT group_id, uuid, register, max(max_rank) AS max_rank FROM (
+    SELECT group_id, uuid, register, max_rank FROM hb_r{_k - 1}
+    UNION ALL
+    SELECT a.group_id, a.src AS uuid, r.register, r.max_rank
+    FROM hb_adj a
+    JOIN hb_r{_k - 1} r ON r.group_id = a.group_id AND r.uuid = a.dst
+  ) GROUP BY 1, 2, 3
+)"""
+    o["sr_neighborhood"] = p + _hb + f"""
+SELECT group_id, uuid, count(*)::BIGINT AS n_regs,
+       sum(max_rank)::BIGINT AS rank_sum
+FROM hb_r{_HBR} GROUP BY 1, 2"""
 
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,

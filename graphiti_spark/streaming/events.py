@@ -435,3 +435,61 @@ def transitions_from_pairs(pairs: DataFrame) -> DataFrame:
     from graphiti_spark.operators.events import transition_summary
 
     return transition_summary(pairs)
+
+
+def streaming_range_pairs(
+    anchor_stream: DataFrame,
+    event_stream: DataFrame,
+    anchor_type: str = "error",
+    window_seconds: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM time-interval join — the live twin of
+    ``operators.events.range_join_events``'s candidate generation: each
+    ``anchor_type`` event joins the same user's follow-up events inside
+    the half-open window ``(anchor_ts, anchor_ts + W]``, both sides
+    arriving as streams.
+
+    This is the one Structured Streaming join class the other twins
+    don't exercise: a watermarked stream×stream inner join with an
+    event-time range condition. Spark derives the state bound FROM the
+    condition — an anchor row is held only until the event-side
+    watermark passes ``anchor_ts + W``, and an event row only until the
+    anchor-side watermark passes its ``ts``, so state is bounded by the
+    window width × arrival rate, never the stream length.
+
+    Emitted pairs carry integer cents; the batch tail
+    (``operators.events.range_rollup_from_pairs``) aggregates landed
+    pairs per anchor and restores zero-follow anchors, landing EXACTLY
+    the batch ``range_join_events`` result — hash-checked by the same
+    oracle (the lambda shape of ``ev_transitions_stream``)."""
+    from graphiti_spark.operators.events import RANGE_WINDOW_SECONDS
+
+    w_s = int(window_seconds or RANGE_WINDOW_SECONDS)
+    anchors = (
+        anchor_stream.filter(F.col("event_type") == anchor_type)
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").cast("timestamp").alias("anchor_ts"),
+        )
+        .withWatermark("anchor_ts", watermark)
+    )
+    follows = (
+        event_stream.select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
+            _cents().alias("_cents"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return anchors.join(
+        follows,
+        (F.col("a_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("anchor_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("anchor_ts") + F.expr(f"INTERVAL {w_s} SECOND")
+        ),
+        "inner",
+    ).select("anchor_id", F.col("_cents").alias("follow_cents"))

@@ -1,0 +1,186 @@
+"""Round-5 final batch: CCNet line-level dedup, HyperBall/ANF
+neighborhood sketches, and the stream-stream time-interval join twin."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import (
+    neighborhood_registers,
+    neighborhood_sketch,
+)
+from graphiti_spark.operators.dedup import line_dedup_report
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_counts_and_normalization(spark):
+    """Duplicate detection is on lower+trim normalized lines across
+    DISTINCT docs; empty/whitespace lines are ignored; a line repeated
+    only WITHIN one doc is not boilerplate."""
+    docs = _docs(spark, [
+        (1, "Copyright ACME\nalpha\n\n   \nonly-in-one\nonly-in-one"),
+        (2, "  copyright acme  \nbeta"),
+        (3, "gamma"),
+    ])
+    out = {r["doc_id"]: r for r in line_dedup_report(docs).collect()}
+    # doc 1: 4 non-empty lines; only the copyright line is cross-doc
+    assert out[1]["n_lines"] == 4 and out[1]["n_dup_lines"] == 1
+    assert out[1]["dup_line_ppm"] == 250_000
+    # doc 2's variant normalizes to the same line
+    assert out[2]["n_lines"] == 2 and out[2]["n_dup_lines"] == 1
+    assert out[2]["dup_line_ppm"] == 500_000
+    assert out[3]["n_dup_lines"] == 0 and out[3]["dup_line_ppm"] == 0
+
+
+def test_line_dedup_empty_doc_row_survives(spark):
+    """A doc with no non-empty lines still reports (0, 0, 0) — the
+    left-join contract every per-doc report in the family follows."""
+    docs = _docs(spark, [(1, "\n \n"), (2, "x\ny"), (3, "x\nz")])
+    out = {r["doc_id"]: r for r in line_dedup_report(docs).collect()}
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_ppm"] == 0
+    assert out[2]["n_dup_lines"] == 1  # "x" is in docs 2 and 3
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [("g", f"e{i}", s, t) for i, (s, t) in enumerate(rows)],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+
+
+def test_neighborhood_registers_monotone_and_ball_scoped(spark):
+    """On a path a-b-c-d: round-2 registers of a = own ∪ b's ∪ c's own
+    registers (the ≤2-hop ball), register-wise max — d's register never
+    reaches a."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    r0 = {
+        (r["uuid"], r["register"]): r["max_rank"]
+        for r in neighborhood_registers(e, rounds=0).collect()
+    }
+    r2 = neighborhood_registers(e, rounds=2)
+    got_a = {
+        (r["register"], r["max_rank"])
+        for r in r2.where(F.col("uuid") == "a").collect()
+    }
+    want: dict[str, int] = {}
+    for node in ("a", "b", "c"):
+        for (u, reg), rk in r0.items():
+            if u == node:
+                want[reg] = max(want.get(reg, 0), rk)
+    assert got_a == set(want.items())
+    # sketch digest agrees with the register frame
+    sk = {
+        r["uuid"]: (r["n_regs"], r["rank_sum"])
+        for r in neighborhood_sketch(e, rounds=2).collect()
+    }
+    assert sk["a"] == (len(want), sum(want.values()))
+
+
+def test_neighborhood_estimate_within_hll_band(spark):
+    """Harmonic HLL fold over the round-2 registers of a hub node lands
+    within the standard ~1.04/√m relative-error band of the exact ball
+    size (m=256 → σ≈6.5%; assert 4σ)."""
+    # hub h connected to 120 spokes: ball(h, 2) = 121 nodes
+    e = _edges(spark, [("h", f"s{i}") for i in range(120)])
+    regs = {
+        r["register"]: r["max_rank"]
+        for r in neighborhood_registers(e, rounds=2)
+        .where(F.col("uuid") == "h")
+        .collect()
+    }
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv_sum = (m - len(regs)) * 1.0 + sum(2.0 ** -rk for rk in regs.values())
+    est = alpha * m * m / inv_sum
+    if est <= 2.5 * m and m - len(regs) > 0:  # small-range correction
+        import math
+
+        est = m * math.log(m / (m - len(regs)))
+    assert abs(est - 121) / 121 < 4 * 1.04 / (m ** 0.5)
+
+
+def test_neighborhood_registers_groups_isolated(spark):
+    """Propagation never crosses group_id; self-loops are dropped."""
+    edges = spark.createDataFrame(
+        [
+            ("g1", "e0", "a", "b"),
+            ("g2", "e1", "a", "c"),
+            ("g1", "e2", "a", "a"),
+        ],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+    out = neighborhood_sketch(edges, rounds=2)
+    per = {
+        (r["group_id"], r["uuid"]): r["n_regs"] for r in out.collect()
+    }
+    assert set(per) == {
+        ("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "c"),
+    }
+    # a 2-node component's sketch holds exactly the union of both nodes'
+    # single registers (2 regs unless they collide)
+    assert per[("g1", "a")] in (1, 2)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+
+
+def test_streaming_range_pairs_matches_batch(spark, tmp_path):
+    """The drained stream-stream interval join + batch rollup equals
+    range_join_events row-for-row, including zero-follow anchors and
+    the half-open (anchor, anchor+W] boundary."""
+    from graphiti_spark.operators.events import (
+        range_join_events,
+        range_rollup_from_pairs,
+    )
+    from graphiti_spark.streaming.events import streaming_range_pairs
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "error", 1.0),
+        # inside (t0, t0+6h]: counted; exactly at +6h: counted (closed)
+        (2, t0 + timedelta(hours=1), 7, "click", 2.5),
+        (3, t0 + timedelta(hours=6), 7, "view", 1.5),
+        # boundary: at anchor ts (open) and past window — excluded
+        (4, t0, 7, "view", 9.0),
+        (5, t0 + timedelta(hours=7), 7, "click", 9.0),
+        # other user inside the window — excluded
+        (6, t0 + timedelta(hours=2), 8, "click", 9.0),
+        # zero-follow anchor
+        (7, t0 + timedelta(days=2), 9, "error", 3.0),
+    ]
+    batch = _events(spark, rows)
+    d = str(tmp_path / "ev")
+    batch.coalesce(1).write.parquet(d)
+    stream = lambda: spark.readStream.schema(batch.schema).parquet(d)  # noqa: E731
+    q = (
+        streaming_range_pairs(stream(), stream())
+        .writeStream.format("memory")
+        .queryName("t_range_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = range_rollup_from_pairs(
+        batch, spark.table("t_range_pairs")
+    ).collect()
+    want = range_join_events(batch).collect()
+    key = lambda r: r["anchor_id"]  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
+        map(tuple, want), key=lambda t: t[0]
+    )
+    by_id = {r["anchor_id"]: r for r in got}
+    assert by_id[1]["n_follow"] == 2
+    assert abs(by_id[1]["sum_follow_value"] - 4.0) < 1e-9
+    assert by_id[7]["n_follow"] == 0
