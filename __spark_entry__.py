@@ -1177,6 +1177,12 @@ def _q_td_line_dedup(spark, sf_dir):
     return line_dedup_report(_docs(spark, sf_dir))
 
 
+def _q_kg_motifs(spark, sf_dir):
+    from graphiti_spark.operators.community import predicate_motifs
+
+    return predicate_motifs(_graph(spark, sf_dir).edges)
+
+
 def _q_sr_neighborhood(spark, sf_dir):
     from graphiti_spark.operators.community import neighborhood_sketch
 
@@ -1793,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
         "sr_neighborhood": _q_sr_neighborhood,
+        "kg_motifs": _q_kg_motifs,
         "td_line_dedup": _q_td_line_dedup,
         "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,

@@ -1834,3 +1834,57 @@ def neighborhood_sketch(
             F.sum("max_rank").cast("long").alias("rank_sum"),
         )
     )
+
+
+def predicate_motifs(edges: DataFrame) -> DataFrame:
+    """Typed 2-path motif census: per group, how often a
+    ``pred_from`` fact's object is the subject of a ``pred_to`` fact
+    (a —pred_from→ b —pred_to→ c, nodes distinct) — the SEMANTIC
+    companion of :func:`triad_census`'s structural classes. On the code
+    corpus this surfaces composition rules ("X DEFINED_IN Y, Y IMPORTS
+    Z"); on any KG it is the predicate-transition matrix that schema
+    inference, join-order statistics and path-query planners read
+    (analogous to characteristic sets in RDF cardinality estimation).
+
+    Output: (group_id, pred_from, pred_to, n_paths, n_middles) —
+    ordered-pair path instances plus distinct shared middle nodes (a
+    high paths/middles ratio = a few hub middles fan the motif out;
+    the skew signal for planning the 2-path join).
+
+    Scale shape: the same single self-equi-join on the middle node as
+    :func:`triad_census` (de checkpointed for its two uses), with the
+    (src, dst, predicate)-grain dedup BEFORE the join; rollup keys are
+    bounded by |predicates|² per group, map-side combinable."""
+    de = (
+        edges.select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+            F.col("name").alias("pred"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tp = (
+        de.select(
+            "group_id",
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("pred").alias("pred_from"),
+        )
+        .join(
+            de.select(
+                "group_id",
+                F.col("src").alias("b"),
+                F.col("dst").alias("c"),
+                F.col("pred").alias("pred_to"),
+            ),
+            ["group_id", "b"],
+        )
+        .where(F.col("a") != F.col("c"))
+    )
+    return tp.groupBy("group_id", "pred_from", "pred_to").agg(
+        F.count("*").cast("long").alias("n_paths"),
+        F.countDistinct("b").cast("long").alias("n_middles"),
+    )

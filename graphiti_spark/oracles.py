@@ -1039,6 +1039,23 @@ SELECT n.group_id, n.n_two_paths,
 FROM tc_n n
 LEFT JOIN tc_t t ON t.group_id = n.group_id
 LEFT JOIN tc_c c ON c.group_id = n.group_id""",
+        # typed 2-path motif census (operators/community.
+        # predicate_motifs): ordered predicate pairs sharing a middle
+        # node, with the distinct-middle fan-out signal
+        "kg_motifs": p
+        + """
+, pm_e AS MATERIALIZED (
+  SELECT DISTINCT group_id, source_node_uuid AS src,
+         target_node_uuid AS dst, name AS pred
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+)
+SELECT e1.group_id, e1.pred AS pred_from, e2.pred AS pred_to,
+       count(*)::BIGINT AS n_paths,
+       count(DISTINCT e1.dst)::BIGINT AS n_middles
+FROM pm_e e1 JOIN pm_e e2
+  ON e2.group_id = e1.group_id AND e2.src = e1.dst
+WHERE e1.src <> e2.dst
+GROUP BY 1, 2, 3""",
         "sr_pagerank": p + pagerank_sql(rounds=3),
         # seeded-restart variant: proximity to the 'spark' seed set
         "sr_ppr": p + ppr_sql(rounds=3),

@@ -184,3 +184,34 @@ def test_streaming_range_pairs_matches_batch(spark, tmp_path):
     assert by_id[1]["n_follow"] == 2
     assert abs(by_id[1]["sum_follow_value"] - 4.0) < 1e-9
     assert by_id[7]["n_follow"] == 0
+
+
+def test_predicate_motifs_census(spark):
+    """Typed 2-paths: (src,dst,pred)-grain dedup before the join, a→b→a
+    returns excluded, n_middles counts distinct shared middles."""
+    from graphiti_spark.operators.community import predicate_motifs
+
+    edges = spark.createDataFrame(
+        [
+            # two IMPORTS→CALLS paths through DIFFERENT middles
+            ("g", "e0", "a", "m1", "IMPORTS", "f"),
+            ("g", "e1", "m1", "c", "CALLS", "f"),
+            ("g", "e2", "a2", "m2", "IMPORTS", "f"),
+            ("g", "e3", "m2", "c2", "CALLS", "f"),
+            # duplicate fact at the same (src, dst, pred): collapses
+            ("g", "e4", "a", "m1", "IMPORTS", "f2"),
+            # return path a→m1→a: excluded (nodes distinct)
+            ("g", "e5", "m1", "a", "CALLS", "f"),
+            # self-loop: dropped before the join
+            ("g", "e6", "m1", "m1", "CALLS", "f"),
+        ],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string, name string, fact string",
+    )
+    out = {
+        (r["pred_from"], r["pred_to"]): (r["n_paths"], r["n_middles"])
+        for r in predicate_motifs(edges).collect()
+    }
+    assert out[("IMPORTS", "CALLS")] == (2, 2)
+    # the only CALLS→IMPORTS chain is m1→a→m1, a return path (a == c)
+    assert ("CALLS", "IMPORTS") not in out
