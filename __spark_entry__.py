@@ -1177,6 +1177,14 @@ def _q_td_line_dedup(spark, sf_dir):
     return line_dedup_report(_docs(spark, sf_dir))
 
 
+def _q_kg_entity_link(spark, sf_dir):
+    from graphiti_spark.operators.textstats import entity_link_report
+
+    return entity_link_report(
+        _docs(spark, sf_dir), _graph(spark, sf_dir).nodes
+    )
+
+
 def _q_kg_motifs(spark, sf_dir):
     from graphiti_spark.operators.community import predicate_motifs
 
@@ -1800,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "sr_neighborhood": _q_sr_neighborhood,
         "kg_motifs": _q_kg_motifs,
+        "kg_entity_link": _q_kg_entity_link,
         "td_line_dedup": _q_td_line_dedup,
         "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,

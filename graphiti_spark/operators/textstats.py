@@ -988,3 +988,46 @@ def shard_plan(docs: DataFrame, shard_chars: int = SHARD_HEX_CHARS) -> DataFrame
             "(1000000 * n_docs) div sum(n_docs) over ()"
         ).cast("long").alias("doc_share_ppm"),
     )
+
+
+def entity_link_report(docs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Ground the documents corpus against the knowledge graph's
+    canonical entity catalog — the cross-table op that makes the two
+    halves of this engine compose: for RAG/grounding pipelines, which
+    training docs mention which canonical entities (and how densely) is
+    the join between corpus curation and the KG the reference builds
+    per-episode (its MENTIONS edges, edge_operations.py:52-96, exist
+    only for ingested episodes; this scores an ARBITRARY corpus against
+    the already-built graph).
+
+    Per doc: ``(doc_id, n_mention_tokens, n_entities)`` — token
+    instances equal to a canonical entity name, and distinct entities
+    hit. Matching is at the shared tokenizer grain (lower, punctuation
+    stripped), so only single-token names can match — dotted/spaced
+    names never collide with a token; documented, not silently lossy.
+
+    100 TB shape: the name catalog is DISTINCT canonical names —
+    vocabulary-sized, not corpus-sized — so the token join broadcasts
+    (AQE picks it); the corpus is scanned ONCE and the per-doc rollup
+    is map-side combinable. The left-join restore keeps zero-mention
+    docs, the per-doc-report family contract."""
+    names = nodes.select(F.col("name").alias("token")).distinct()
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    per = (
+        toks.join(names, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_mention_tokens"),
+            F.countDistinct("token").cast("long").alias("n_entities"),
+        )
+    )
+    joined = docs.select("doc_id").join(per, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_mention_tokens"), F.lit(0))
+        .cast("long").alias("n_mention_tokens"),
+        F.coalesce(F.col("n_entities"), F.lit(0))
+        .cast("long").alias("n_entities"),
+    )

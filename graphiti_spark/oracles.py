@@ -1039,6 +1039,28 @@ SELECT n.group_id, n.n_two_paths,
 FROM tc_n n
 LEFT JOIN tc_t t ON t.group_id = n.group_id
 LEFT JOIN tc_c c ON c.group_id = n.group_id""",
+        # corpus grounding vs the canonical entity catalog
+        # (operators/textstats.entity_link_report): token instances of
+        # the documents table equal to a canonical node name, at the
+        # shared tokenizer grain
+        "kg_entity_link": p
+        + """
+, el_names AS MATERIALIZED (SELECT DISTINCT name AS token FROM nodes),
+el_toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+    lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
+    x -> length(x) > 0)) AS token
+  FROM documents
+),
+el_hits AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_mention_tokens,
+         count(DISTINCT t.token)::BIGINT AS n_entities
+  FROM el_toks t JOIN el_names n USING (token) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_mention_tokens, 0)::BIGINT AS n_mention_tokens,
+       COALESCE(h.n_entities, 0)::BIGINT AS n_entities
+FROM documents d LEFT JOIN el_hits h ON h.doc_id = d.doc_id""",
         # typed 2-path motif census (operators/community.
         # predicate_motifs): ordered predicate pairs sharing a middle
         # node, with the distinct-middle fan-out signal

@@ -215,3 +215,25 @@ def test_predicate_motifs_census(spark):
     assert out[("IMPORTS", "CALLS")] == (2, 2)
     # the only CALLS→IMPORTS chain is m1→a→m1, a return path (a == c)
     assert ("CALLS", "IMPORTS") not in out
+
+
+def test_entity_link_report_grounding(spark):
+    """Corpus grounding vs the canonical catalog: instance and distinct
+    counts at the tokenizer grain; dotted names never match; docs with
+    no mentions survive with zeros."""
+    from graphiti_spark.operators.textstats import entity_link_report
+
+    docs = _docs(spark, [
+        (1, "spark merges Spark! via query engine"),
+        (2, "nothing relevant here"),
+    ])
+    nodes = spark.createDataFrame(
+        [("n1", "spark"), ("n2", "query"), ("n3", "pkg.mod"),
+         ("n4", "spark")],  # duplicate catalog name: counted once
+        "uuid string, name string",
+    )
+    out = {r["doc_id"]: r for r in entity_link_report(docs, nodes).collect()}
+    # 'spark' twice (case-normalized) + 'query' once = 3 instances
+    assert out[1]["n_mention_tokens"] == 3
+    assert out[1]["n_entities"] == 2
+    assert out[2]["n_mention_tokens"] == 0 and out[2]["n_entities"] == 0
