@@ -1171,6 +1171,12 @@ def _q_td_common_spans(spark, sf_dir):
     return common_spans(_docs(spark, sf_dir))
 
 
+def _q_td_dedup_agreement(spark, sf_dir):
+    from graphiti_spark.operators.dedup import dedup_agreement
+
+    return dedup_agreement(_docs(spark, sf_dir))
+
+
 def _q_td_line_dedup(spark, sf_dir):
     from graphiti_spark.operators.dedup import line_dedup_report
 
@@ -1809,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_neighborhood": _q_sr_neighborhood,
         "kg_motifs": _q_kg_motifs,
         "kg_entity_link": _q_kg_entity_link,
+        "td_dedup_agreement": _q_td_dedup_agreement,
         "td_line_dedup": _q_td_line_dedup,
         "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,

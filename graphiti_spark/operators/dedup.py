@@ -1139,3 +1139,36 @@ def line_dedup_report(docs: DataFrame) -> DataFrame:
             " div greatest(coalesce(n_lines, 0), 1)"
         ).cast("long").alias("dup_line_ppm"),
     )
+
+
+def dedup_agreement(docs: DataFrame, threshold_pct: int = 50) -> DataFrame:
+    """Recall audit of the production MinHash/LSH dedup path against the
+    LOSSLESS exact all-pairs join: one row per true near-dup pair (exact
+    word-3-gram Jaccard >= threshold, from :func:`prefix_filter_pairs`)
+    flagged with whether :func:`dedup_minhash_lsh` ALSO surfaced it —
+    the measured S-curve recall (~P(candidate | J) for 32 perms / bands
+    of 4) instead of the textbook formula, per pair, with the Jaccard
+    the miss happened at. Precision needs no audit: the LSH path
+    verifies candidates with exact Jaccard, so its false-positive rate
+    is zero by construction — recall is the ONLY free parameter, and
+    this makes it a hash-checked number.
+
+    Composes the two production operators VERBATIM (the split_leakage
+    rule: an audit that re-derives its inputs can drift from the
+    pipeline it audits). Scale: both inputs are pair frames (∝ matches
+    / collisions, both sub-quadratic); the agreement join keys on the
+    pair itself."""
+    exact = prefix_filter_pairs(docs, threshold_pct).select(
+        "doc_a", "doc_b", "jaccard_ppm"
+    )
+    lsh = (
+        dedup_minhash_lsh(docs, threshold=threshold_pct / 100.0)
+        .select("doc_a", "doc_b")
+        .withColumn("_f", F.lit(True))
+    )
+    return exact.join(lsh, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard_ppm",
+        F.coalesce(F.col("_f"), F.lit(False)).alias("found_by_lsh"),
+    )

@@ -608,6 +608,37 @@ SELECT doc_a, doc_b, inter_sh, union_sh,
        ((1000000 * inter_sh) // union_sh)::BIGINT AS jaccard_ppm
 FROM pp WHERE 100 * inter_sh >= 50 * union_sh"""
 
+    # LSH recall audit vs the lossless exact join (operators/dedup.
+    # dedup_agreement): both production derivations composed verbatim —
+    # the exact prefix-pair chain LEFT JOINed to the verified MinHash
+    # pair set, the found flag from the null pattern
+    o["td_dedup_agreement"] = f"""
+WITH {_minhash_pair_ctes(threshold=0.5)},
+agsh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+),
+agnz AS (SELECT doc_id, grams FROM agsh WHERE len(grams) > 0),
+agpp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams))::BIGINT AS inter_sh,
+         len(list_distinct(list_concat(a.grams, b.grams)))::BIGINT AS union_sh
+  FROM agnz a JOIN agnz b ON a.doc_id < b.doc_id
+),
+agex AS (
+  SELECT doc_a, doc_b,
+         ((1000000 * inter_sh) // union_sh)::BIGINT AS jaccard_ppm
+  FROM agpp WHERE 100 * inter_sh >= 50 * union_sh
+)
+SELECT e.doc_a, e.doc_b, e.jaccard_ppm,
+       (v.doc_a IS NOT NULL) AS found_by_lsh
+FROM agex e LEFT JOIN vpairs v
+  ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b"""
+
     # prefix novelty (operators/dedup.novelty_report): a gram is novel
     # in the corpus-minimum doc_id owning it; same word-3-gram contract
     # as the Jaccard family; ppm is floor division, gram-free docs are

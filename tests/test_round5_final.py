@@ -237,3 +237,24 @@ def test_entity_link_report_grounding(spark):
     assert out[1]["n_mention_tokens"] == 3
     assert out[1]["n_entities"] == 2
     assert out[2]["n_mention_tokens"] == 0 and out[2]["n_entities"] == 0
+
+
+def test_dedup_agreement_audit(spark):
+    """Every exact pair appears once; identical docs (J=1, all bands
+    collide) are always found; the flag column is total (no nulls)."""
+    from graphiti_spark.operators.dedup import (
+        dedup_agreement,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [
+        (1, base), (2, base),                     # identical: J = 1
+        (3, "one two three four five six seven"),  # unrelated
+    ])
+    rows = dedup_agreement(docs).collect()
+    exact = prefix_filter_pairs(docs).count()
+    assert len(rows) == exact == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["jaccard_ppm"] == 1_000_000 and r["found_by_lsh"] is True
