@@ -1191,6 +1191,12 @@ def _q_kg_entity_link(spark, sf_dir):
     )
 
 
+def _q_sr_neighborhood_function(spark, sf_dir):
+    from graphiti_spark.operators.community import neighborhood_function
+
+    return neighborhood_function(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_motifs(spark, sf_dir):
     from graphiti_spark.operators.community import predicate_motifs
 
@@ -1813,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
         "sr_neighborhood": _q_sr_neighborhood,
+        "sr_neighborhood_function": _q_sr_neighborhood_function,
         "kg_motifs": _q_kg_motifs,
         "kg_entity_link": _q_kg_entity_link,
         "td_dedup_agreement": _q_td_dedup_agreement,

@@ -1888,3 +1888,73 @@ def predicate_motifs(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_paths"),
         F.countDistinct("b").cast("long").alias("n_middles"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame, rounds: int = HB_ROUNDS
+) -> DataFrame:
+    """The neighborhood function N(k) — HyperANF's actual output: per
+    group and round k ≤ ``rounds``, the integer digest of every node's
+    k-hop ball sketch (summed hit-register count and rank total). The
+    round-over-round growth of ``sum_n_regs`` is the effective-diameter
+    curve: the k where it stops growing bounds the group's diameter,
+    measured with ≤ 256 registers of per-node state instead of
+    all-pairs BFS (Boldi, Rosa & Vigna 2011 §5 — the web-graph
+    measurement this technique was built for).
+
+    Emits round 0 (the nodes themselves) through K, so the curve's base
+    is in the hash too. Shares :func:`neighborhood_registers`'s loop —
+    one extra map-side-combinable rollup per round over frames the
+    propagation already localCheckpoints."""
+    from graphiti_spark.operators.textstats import _hll_cols
+
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    register, rank = _hll_cols(col="uuid", prefix="hb:")
+    regs = (
+        adj.select("group_id", F.col("a").alias("uuid"))
+        .distinct()
+        .select(
+            "group_id",
+            "uuid",
+            register.alias("register"),
+            rank.cast("long").alias("max_rank"),
+        )
+        .localCheckpoint()
+    )
+
+    def _digest(frame: DataFrame, k: int) -> DataFrame:
+        return frame.groupBy("group_id").agg(
+            F.lit(k).cast("long").alias("round"),
+            F.count("*").cast("long").alias("sum_n_regs"),
+            F.sum("max_rank").cast("long").alias("sum_rank"),
+        )
+
+    out = _digest(regs, 0)
+    for k in range(1, rounds + 1):
+        inflow = adj.join(
+            regs.select(
+                "group_id", F.col("uuid").alias("b"), "register", "max_rank"
+            ),
+            ["group_id", "b"],
+        ).select(
+            "group_id", F.col("a").alias("uuid"), "register", "max_rank"
+        )
+        regs = (
+            regs.unionByName(inflow)
+            .groupBy("group_id", "uuid", "register")
+            .agg(F.max("max_rank").cast("long").alias("max_rank"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(_digest(regs, k))
+    return out

@@ -3104,6 +3104,16 @@ SELECT group_id, uuid, count(*)::BIGINT AS n_regs,
        sum(max_rank)::BIGINT AS rank_sum
 FROM hb_r{_HBR} GROUP BY 1, 2"""
 
+    # the neighborhood function N(k): per-round digest of the same
+    # unrolled register chain (community.neighborhood_function)
+    o["sr_neighborhood_function"] = p + _hb + "\n" + "\nUNION ALL\n".join(
+        f"""SELECT group_id, {k}::BIGINT AS round,
+       count(*)::BIGINT AS sum_n_regs,
+       sum(max_rank)::BIGINT AS sum_rank
+FROM hb_r{k} GROUP BY 1"""
+        for k in range(_HBR + 1)
+    )
+
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,
        coalesce(array_to_string(

@@ -258,3 +258,23 @@ def test_dedup_agreement_audit(spark):
     r = rows[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["jaccard_ppm"] == 1_000_000 and r["found_by_lsh"] is True
+
+
+def test_neighborhood_function_growth(spark):
+    """N(k) on a path graph a-b-c-d: round-0 digest counts the nodes;
+    sum_n_regs grows monotonically with k and saturates at the
+    component sketch-union once k >= diameter."""
+    from graphiti_spark.operators.community import neighborhood_function
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    rows = {
+        r["round"]: (r["sum_n_regs"], r["sum_rank"])
+        for r in neighborhood_function(e, rounds=4).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[0][0] == 4  # one register row per node at round 0
+    # monotone non-decreasing digest (register sets only ever grow)
+    assert rows[0][0] <= rows[1][0] <= rows[2][0] <= rows[3][0]
+    assert rows[1][0] > rows[0][0]  # a path graph MUST grow at k=1
+    # diameter 3: the curve saturates — round 4 adds nothing
+    assert rows[4] == rows[3]
