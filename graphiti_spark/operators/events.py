@@ -1246,3 +1246,35 @@ def quantile_check(
             ).alias("within_bound"),
         )
     )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_matrix(
+    events: DataFrame, types: tuple[str, ...] = PIVOT_TYPES
+) -> DataFrame:
+    """Per-user event-type count matrix via an explicit PIVOT — the
+    wide feature frame a churn/propensity model trains on, and the one
+    relational surface the rest of the suite expresses only as
+    conditional aggregation. The value list is FIXED (the canonical
+    type vocabulary) so the output schema is static — a pivot on
+    discovered values needs an extra distinct pass AND makes the schema
+    data-dependent, both wrong for a production feature table.
+
+    Scale: one shuffle on user_id with map-side combine (each pivot
+    cell is a partial-aggregable count); output width = |types|, rows =
+    |users|. Zero-filled so the matrix is dense for the model."""
+    counted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(types))
+        .count()
+    )
+    return counted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0))
+            .cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )

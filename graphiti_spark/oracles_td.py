@@ -1927,6 +1927,21 @@ FROM events GROUP BY 2, 3"""
     o["ev_asof_stream"] = o["ev_asof"]
     o["ev_rollup_stream"] = _rollup_level("minute")
     o["ev_sessions_stream"] = o["ev_sessions"]
+    # explicit PIVOT feature matrix (operators/events.user_type_matrix):
+    # fixed type vocabulary -> static schema; DuckDB twin is the
+    # equivalent conditional aggregation
+    from graphiti_spark.operators.events import PIVOT_TYPES
+
+    _pv_cols = ",\n       ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    o["ev_pivot"] = f"""
+SELECT user_id,
+       {_pv_cols}
+FROM events GROUP BY 1"""
+
     # the stream-stream interval join (streaming/events.
     # streaming_range_pairs) lands raw (anchor, cents) pairs; the batch
     # rollup tail (operators/events.range_rollup_from_pairs) restores

@@ -278,3 +278,23 @@ def test_neighborhood_function_growth(spark):
     assert rows[1][0] > rows[0][0]  # a path graph MUST grow at k=1
     # diameter 3: the curve saturates — round 4 adds nothing
     assert rows[4] == rows[3]
+
+
+def test_user_type_matrix_pivot(spark):
+    """Fixed-vocabulary pivot: static schema, zero-filled cells, types
+    outside the vocabulary ignored."""
+    from graphiti_spark.operators.events import user_type_matrix
+
+    t0 = datetime(2024, 1, 1)
+    ev = _events(spark, [
+        (1, t0, 7, "click", 1.0),
+        (2, t0, 7, "click", 1.0),
+        (3, t0, 7, "error", 1.0),
+        (4, t0, 8, "view", 1.0),
+        (5, t0, 8, "weird_type", 1.0),
+    ])
+    out = {r["user_id"]: r for r in user_type_matrix(ev).collect()}
+    assert out[7]["n_click"] == 2 and out[7]["n_error"] == 1
+    assert out[7]["n_view"] == 0  # zero-filled, not null
+    assert out[8]["n_view"] == 1 and out[8]["n_click"] == 0
+    assert "n_weird_type" not in out[8].asDict()
