@@ -1209,6 +1209,12 @@ def _q_sr_neighborhood(spark, sf_dir):
     return neighborhood_sketch(_graph(spark, sf_dir).edges)
 
 
+def _q_td_embed_outliers(spark, sf_dir):
+    from graphiti_spark.operators.similarity import embed_outliers
+
+    return embed_outliers(_emb(spark, sf_dir))
+
+
 def _q_ev_pivot(spark, sf_dir):
     from graphiti_spark.operators.events import user_type_matrix
 
@@ -1830,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_link": _q_kg_entity_link,
         "td_dedup_agreement": _q_td_dedup_agreement,
         "ev_pivot": _q_ev_pivot,
+        "td_embed_outliers": _q_td_embed_outliers,
         "td_line_dedup": _q_td_line_dedup,
         "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,

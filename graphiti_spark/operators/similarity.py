@@ -809,3 +809,47 @@ def cluster_label_purity(
         F.first("label").over(wo).cast("long").alias("majority_label"),
         F.first("n").over(wo).cast("long").alias("n_majority"),
     )
+
+
+OUTLIERS_PER_CLUSTER = 5
+
+
+def embed_outliers(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    k: int = OUTLIERS_PER_CLUSTER,
+) -> DataFrame:
+    """The curation complement of SemDeDup: per k-means cluster, the
+    ``k`` vectors LEAST similar to their own centroid — the mislabeled
+    / noise / off-distribution review queue (SemDeDup prunes what is
+    too close together; this surfaces what belongs nowhere). On a
+    100 TB embedding corpus this is the human-review sampler: bounded
+    output (k × clusters rows) regardless of corpus size.
+
+    Reuses the trained :func:`kmeans_centroids` +
+    :func:`assign_to_lists` assignment VERBATIM (the
+    cluster_label_purity rule — an audit that re-derives its clustering
+    can drift from the index it audits). Cost beyond the shared
+    assignment: one broadcast re-join to the final centroids for the
+    own-centroid cosine, and a per-cluster bottom-k window over the
+    assigned frame. Determinism: rounded cosine asc, vec_id asc.
+
+    Output: (cent_id, vec_id, cos_sim, rnk)."""
+    cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
+        "cent_id", F.col("cvec").alias("_cent")
+    )
+    assigned = assign_to_lists(
+        embeddings.select("vec_id", "embedding"), cent
+    )
+    scored = assigned.join(F.broadcast(cent), "cent_id").withColumn(
+        "cos_sim", F.round(cosine(F.col("embedding"), F.col("_cent")), 4)
+    )
+    w = Window.partitionBy("cent_id").orderBy(
+        F.asc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("cent_id", "vec_id", "cos_sim", "rnk")
+    )

@@ -762,6 +762,22 @@ FROM lab
 WINDOW w AS (PARTITION BY cent_id ORDER BY n DESC, label ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
 
+    # per-cluster bottom-k outliers vs the SAME unrolled-Lloyd
+    # assignment (operators/similarity.embed_outliers): own-centroid
+    # rounded cosine asc, vec_id asc
+    o["td_embed_outliers"] = f"""
+WITH {_kmeans_assign_ctes(16, 2, 64)}
+SELECT cent_id, vec_id, cos_sim, rnk FROM (
+  SELECT a.cent_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding, c.cvec), 4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY a.cent_id
+           ORDER BY round(list_cosine_similarity(a.embedding, c.cvec), 4)
+                      ASC, a.vec_id ASC
+         )::BIGINT AS rnk
+  FROM assigned a JOIN cent2 c USING (cent_id)
+) WHERE rnk <= 5"""
+
     # cross-split near-dup leakage (operators/dedup.split_leakage):
     # the verified LSH pair set joined to the content-hash split — both
     # component SQLs reused verbatim (the pair SQL nests as a derived

@@ -298,3 +298,29 @@ def test_user_type_matrix_pivot(spark):
     assert out[7]["n_view"] == 0  # zero-filled, not null
     assert out[8]["n_view"] == 1 and out[8]["n_click"] == 0
     assert "n_weird_type" not in out[8].asDict()
+
+
+def test_embed_outliers_bottom_k(spark):
+    """The outlier queue is per-cluster bottom-k by own-centroid cosine:
+    a vector far from everything ranks first; output is bounded at
+    k × clusters regardless of corpus size."""
+    from graphiti_spark.operators.similarity import embed_outliers
+
+    # 9 near-identical vectors + one orthogonal outlier
+    rows = [(i, [1.0, 0.0, 0.01 * i, 0.0], 0) for i in range(9)]
+    rows.append((9, [0.0, 1.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = embed_outliers(emb, n_centroids=2, iterations=2, k=3).collect()
+    assert all(r["rnk"] <= 3 for r in out)
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r["cent_id"], []).append(r)
+    for members in per_cluster.values():
+        # ranks are contiguous from 1 and cosine is non-decreasing
+        ranks = sorted(m["rnk"] for m in members)
+        assert ranks == list(range(1, len(ranks) + 1))
+        by_rank = sorted(members, key=lambda m: m["rnk"])
+        sims = [m["cos_sim"] for m in by_rank]
+        assert sims == sorted(sims)
