@@ -324,3 +324,46 @@ def test_embed_outliers_bottom_k(spark):
         by_rank = sorted(members, key=lambda m: m["rnk"])
         sims = [m["cos_sim"] for m in by_rank]
         assert sims == sorted(sims)
+
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_final_batch_plan_shapes(spark, sf_dir):
+    """The PLANS.md claims, asserted: no cartesian/nested-loop join
+    anywhere in the batch; the entity-link catalog join broadcasts
+    (sized from parquet stats — createDataFrame inputs have none, so
+    the docs side comes from testdata); the line-dedup and pivot
+    aggregations partial-aggregate map-side."""
+    from graphiti_spark.operators.community import predicate_motifs
+    from graphiti_spark.operators.events import user_type_matrix
+    from graphiti_spark.operators.textstats import entity_link_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = spark.createDataFrame(
+        [("n1", "spark", "g")], "uuid string, name string, group_id string"
+    )
+    t0 = datetime(2024, 1, 1)
+    ev = _events(spark, [(1, t0, 7, "click", 1.0)])
+    edges = spark.createDataFrame(
+        [("g", "e1", "a", "b", "R", "f")],
+        "group_id string, uuid string, source_node_uuid string,"
+        " target_node_uuid string, name string, fact string",
+    )
+    pl = _plan(line_dedup_report(docs))
+    pe = _plan(entity_link_report(docs, nodes))
+    pp = _plan(user_type_matrix(ev))
+    pm = _plan(predicate_motifs(edges))
+    for p in (pl, pe, pp, pm):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in pe  # vocabulary-sized catalog side
+    assert "partial_count" in pl      # map-side combine on the line hash
+    assert "partial_" in pp           # pivot cells combine map-side
