@@ -1037,6 +1037,18 @@ def _q_td_lm_score(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir))
 
 
+def _q_td_bigram_lm(spark, sf_dir):
+    from graphiti_spark.operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
+def _q_kg_interval_census(spark, sf_dir):
+    from graphiti_spark.operators.temporal import interval_relation_census
+
+    return interval_relation_census(_graph(spark, sf_dir).edges)
+
+
 def _await_drained(q, timeout: int = 600) -> None:
     """Block until the availableNow stream drains; a timeout must FAIL
     loudly here — reading a partially-landed store would otherwise
@@ -1830,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
+        "kg_interval_census": _q_kg_interval_census,
+        "td_bigram_lm": _q_td_bigram_lm,
         "sr_neighborhood": _q_sr_neighborhood,
         "sr_neighborhood_function": _q_sr_neighborhood_function,
         "kg_motifs": _q_kg_motifs,

@@ -1031,3 +1031,78 @@ def entity_link_report(docs: DataFrame, nodes: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_entities"), F.lit(0))
         .cast("long").alias("n_entities"),
     )
+
+
+def bigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
+    """Bigram extension of :func:`unigram_lm_score` — the CCNet-style
+    corpus-LM quality signal at order 2: build a top-``top_v`` bigram
+    vocabulary from the corpus itself, then score every document by its
+    out-of-vocabulary BIGRAM rate and its mean in-vocabulary bigram
+    frequency. Word order now matters (a scrambled document keeps its
+    unigram score but collapses here), which is exactly what the
+    perplexity filters used on web-scale pretraining corpora measure.
+
+    Scale design: identical to the unigram operator — TWO corpus scans
+    (one map-side-combinable bigram count whose top-V is a distributed
+    TakeOrdered, one scoring pass with the V-row vocabulary BROADCAST
+    onto the bigram explode). The bigram construction is a pure column
+    expression (``zip_with`` over two ``slice`` views of the SAME token
+    array — no posexplode self-join, no Python), so it rides the
+    tokenize projection inside the same whole-stage-codegen span.
+
+    Exactness contract: per-doc sums are exact BIGINT counts; the two
+    output doubles are single division chains over identical BIGINT
+    operands in both engines. Vocabulary ties break on
+    (count DESC, bigram ASC).
+    """
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # slice(t,1,n-1) zip slice(t,2,n-1): adjacent pairs; guard n<2 (a
+    # negative slice length throws, and sequence() would run DESCENDING)
+    bigram_arr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.expr("slice(t, 2, size(t) - 1)"),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = toked.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    vocab = (
+        bgs.groupBy("bg")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(int(top_v))
+    )
+    vtotal = vocab.agg(F.sum("cnt").cast("long").alias("vtotal"))
+    per_doc = (
+        bgs.join(F.broadcast(vocab), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count(F.when(F.col("cnt").isNull(), True))
+            .cast("long").alias("n_oov"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("sum_vocab_cnt"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(vtotal))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.coalesce("n_oov", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))
+            ).alias("oov_rate"),
+            F.coalesce("sum_vocab_cnt", F.lit(0))
+            .cast("long").alias("sum_vocab_cnt"),
+            (
+                F.coalesce("sum_vocab_cnt", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))
+                / F.col("vtotal")
+            ).alias("mean_bigram_freq"),
+        )
+    )

@@ -919,6 +919,34 @@ SELECT *,
                            THEN 1 ELSE 0 END) END)::BIGINT
          AS avg_lifetime_s
 FROM fla""",
+        # Allen-interval relation census
+        # (operators/temporal.interval_relation_census): same canonical
+        # pair ordering (start, then uuid), same open-end sentinel, same
+        # 8-way CASE — the join keys on (group, subject) only, never a
+        # time range
+        "kg_interval_census": p
+        + """
+, ivf AS (
+  SELECT group_id, source_node_uuid AS subject_uuid, uuid,
+         name AS predicate, valid_at AS s,
+         coalesce(invalid_at, TIMESTAMP '9999-12-31 00:00:00') AS e
+  FROM edges WHERE valid_at IS NOT NULL
+)
+SELECT a.group_id AS group_id, a.predicate AS pred_a,
+       b.predicate AS pred_b,
+       CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+            WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+            WHEN a.s = b.s THEN 'started_by'
+            WHEN a.e < b.s THEN 'precedes'
+            WHEN a.e = b.s THEN 'meets'
+            WHEN a.e < b.e THEN 'overlaps'
+            WHEN a.e = b.e THEN 'finished_by'
+            ELSE 'contains' END AS relation,
+       count(*)::BIGINT AS n_pairs
+FROM ivf a JOIN ivf b
+  ON a.group_id = b.group_id AND a.subject_uuid = b.subject_uuid
+ AND (a.s < b.s OR (a.s = b.s AND a.uuid < b.uuid))
+GROUP BY 1, 2, 3, 4""",
         # referential-integrity audit (operators/temporal.integrity_report):
         # dangling pointers MUST be 0 — the constraint the reference
         # delegates to its graph DB, here a hash-checked query

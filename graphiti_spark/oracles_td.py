@@ -933,6 +933,41 @@ SELECT d.doc_id,
          / vt.vtotal AS mean_token_freq
 FROM documents d LEFT JOIN pd p USING (doc_id) CROSS JOIN vt"""
 
+    # bigram-LM twin (operators/textstats.bigram_lm_score): adjacent
+    # pairs of the SAME shared tokenizer (1-based list indexing; DuckDB
+    # range(a, b) is [a, b) so i runs over the len-1 bigram starts),
+    # identical BIGINT count / top-V / broadcast-score shape as the
+    # unigram twin above
+    o["td_bigram_lm"] = f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END) AS bg
+  FROM t
+),
+cnts AS (SELECT bg, count(*)::BIGINT AS cnt FROM bgs GROUP BY 1),
+vocab AS (SELECT bg, cnt FROM cnts ORDER BY cnt DESC, bg ASC LIMIT {_LMV}),
+vt AS (SELECT sum(cnt)::BIGINT AS vtotal FROM vocab),
+pd AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         count(CASE WHEN v.bg IS NULL THEN 1 END)::BIGINT AS n_oov,
+         sum(coalesce(v.cnt, 0))::BIGINT AS sum_vocab_cnt
+  FROM bgs b LEFT JOIN vocab v ON b.bg = v.bg
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+       coalesce(p.n_oov, 0)
+         / greatest(coalesce(p.n_bigrams, 0), 1) AS oov_rate,
+       coalesce(p.sum_vocab_cnt, 0)::BIGINT AS sum_vocab_cnt,
+       coalesce(p.sum_vocab_cnt, 0)
+         / greatest(coalesce(p.n_bigrams, 0), 1)
+         / vt.vtotal AS mean_bigram_freq
+FROM documents d LEFT JOIN pd p USING (doc_id) CROSS JOIN vt"""
+
     # TF-IDF keyword twin (operators/textstats.doc_keywords): rational
     # idf (tf * n_docs / df — no log), same (weight DESC, token ASC)
     # rank order; df aggregates over the tf grain in both engines

@@ -1,0 +1,205 @@
+"""Round-5 session-2 batch: Allen interval-relation census over fact
+validity windows and the bigram corpus-LM quality score."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.temporal import interval_relation_census
+from graphiti_spark.operators.textstats import bigram_lm_score
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "uuid string, group_id string, source_node_uuid string, "
+        "name string, valid_at timestamp, invalid_at timestamp",
+    ).select(
+        "uuid", "group_id", "source_node_uuid", "name",
+        F.col("valid_at").cast("timestamp").alias("valid_at"),
+        F.col("invalid_at").cast("timestamp").alias("invalid_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval_relation_census
+# ---------------------------------------------------------------------------
+
+def _census(spark, rows):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s) if s else None
+
+    prepared = [
+        (u, g, s, p, ts(va), ts(ia)) for (u, g, s, p, va, ia) in rows
+    ]
+    out = interval_relation_census(_edges(spark, prepared))
+    return {
+        (r["pred_a"], r["pred_b"], r["relation"]): r["n_pairs"]
+        for r in out.collect()
+    }
+
+
+def test_interval_census_all_eight_relations(spark):
+    """One subject exercising every relation against a fixed anchor
+    window [02-01, 03-01); pair order is (start, uuid) ascending so the
+    anchor is always side A against later starts and side B against the
+    earlier one."""
+    rows = [
+        ("e1", "g", "s", "ANCHOR", "2024-02-01", "2024-03-01"),
+        # precedes: anchor ends before this starts
+        ("e2", "g", "s", "AFTER_GAP", "2024-04-01", "2024-05-01"),
+        # meets: anchor end == start
+        ("e3", "g", "s", "MEETS", "2024-03-01", "2024-04-01"),
+        # overlaps: starts inside the anchor, ends after it
+        ("e4", "g", "s", "OVERLAPS", "2024-02-15", "2024-03-15"),
+        # contains: strictly inside the anchor
+        ("e5", "g", "s", "INSIDE", "2024-02-10", "2024-02-20"),
+        # finished_by: starts inside, same end
+        ("e6", "g", "s", "FINISH", "2024-02-15", "2024-03-01"),
+        # starts / started_by / equals: same start as the anchor —
+        # shorter, longer (open), and identical windows
+        ("e7", "g", "s", "SHORTER", "2024-02-01", "2024-02-10"),
+        ("e8", "g", "s", "LONGER_OPEN", "2024-02-01", None),
+        ("e9", "g", "s", "TWIN", "2024-02-01", "2024-03-01"),
+    ]
+    got = _census(spark, rows)
+    assert got[("ANCHOR", "AFTER_GAP", "precedes")] == 1
+    assert got[("ANCHOR", "MEETS", "meets")] == 1
+    assert got[("ANCHOR", "OVERLAPS", "overlaps")] == 1
+    assert got[("ANCHOR", "INSIDE", "contains")] == 1
+    assert got[("ANCHOR", "FINISH", "finished_by")] == 1
+    # same-start trio, tie-broken by uuid: e1 < e7/e8/e9
+    assert got[("ANCHOR", "SHORTER", "started_by")] == 1
+    assert got[("ANCHOR", "LONGER_OPEN", "starts")] == 1
+    assert got[("ANCHOR", "TWIN", "equals")] == 1
+
+
+def test_interval_census_open_windows_and_scoping(spark):
+    """Two open windows compare at the shared sentinel end (equals when
+    starts match, starts/started_by otherwise is impossible — later
+    start inside an open window is finished_by? No: both ends equal →
+    finished_by), and pairs never cross subjects or groups."""
+    rows = [
+        ("a1", "g", "s1", "P", "2024-01-01", None),
+        ("a2", "g", "s1", "Q", "2024-02-01", None),
+        # same predicate pair, other subject: must not mix with s1
+        ("b1", "g", "s2", "P", "2024-01-01", "2024-06-01"),
+        # other group entirely
+        ("c1", "h", "s1", "P", "2024-01-01", None),
+    ]
+    got = _census(spark, rows)
+    # both open → ends equal at the sentinel; starts differ → finished_by
+    assert got == {("P", "Q", "finished_by"): 1}
+
+
+def test_interval_census_block_cap_raises(spark):
+    """A hub subject over the cap must raise, not run O(n²)."""
+    rows = [
+        (f"u{i}", "g", "hub", "P", "2024-01-01", None) for i in range(12)
+    ]
+    with pytest.raises(ValueError, match="interval_relation_census"):
+        _census_capped(spark, rows, cap=10)
+
+
+def _census_capped(spark, rows, cap):
+    import datetime as dt
+
+    prepared = [
+        (u, g, s, p, dt.datetime.fromisoformat(va), ia)
+        for (u, g, s, p, va, ia) in rows
+    ]
+    return interval_relation_census(
+        _edges(spark, prepared), max_block=cap
+    ).collect()
+
+
+def test_interval_census_plan_shape(spark):
+    """ONE shuffle class for the join (group, subject equi-join — no
+    range-join nested loop) and a partial census aggregate."""
+    rows = [
+        ("e1", "g", "s", "P", "2024-01-01", "2024-02-01"),
+        ("e2", "g", "s", "Q", "2024-03-01", None),
+    ]
+    import datetime as dt
+
+    prepared = [
+        (u, g, s, p, dt.datetime.fromisoformat(va),
+         dt.datetime.fromisoformat(ia) if ia else None)
+        for (u, g, s, p, va, ia) in rows
+    ]
+    plan = _plan(interval_relation_census(_edges(spark, prepared)))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    # the census rollup partial-aggregates map-side
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # the time comparisons ride the join condition/filter, never a
+    # BroadcastNestedLoopJoin range join
+    assert "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_lm_order_sensitivity(spark):
+    """The signal the unigram score cannot see: a scrambled document
+    keeps its unigram profile but its bigrams fall out of vocabulary."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(8)] + [
+        (100, "dog the lazy over jumps fox brown quick the"),  # scrambled
+    ]
+    # top_v = the fluent doc's 8 distinct bigrams — the corpus-frequent
+    # ones (count 8+) crowd the scrambled one-offs out of the vocabulary
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(_docs(spark, rows), top_v=8).collect()
+    }
+    assert out[0]["n_oov"] == 0  # in-distribution doc: every bigram in vocab
+    assert out[100]["n_oov"] > 0  # scrambled doc: novel bigrams
+    assert out[100]["oov_rate"] > out[0]["oov_rate"]
+
+
+def test_bigram_lm_short_and_empty_docs(spark):
+    """Zero- and one-token documents produce zero bigrams (the slice
+    guard), not an error, and score as all-zero rows."""
+    rows = [(1, "solo"), (2, ""), (3, "!!! ???"), (4, "a b a b")]
+    out = {r["doc_id"]: r for r in bigram_lm_score(_docs(spark, rows)).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["n_oov"] == 0
+        assert out[d]["oov_rate"] == 0.0
+    assert out[4]["n_bigrams"] == 3  # a b / b a / a b
+
+
+def test_bigram_lm_vocab_cap_and_plan(spark):
+    """top_v caps the vocabulary (ties broken cnt DESC, bigram ASC) and
+    the scoring join BROADCASTS the vocab — the corpus side must not
+    shuffle for it."""
+    rows = [(1, "x y x y x y"), (2, "p q"), (3, "p q")]
+    # top_v=1 keeps only "x y" (cnt 3); "y x" (2) and "p q" (2) are OOV
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(_docs(spark, rows), top_v=1).collect()
+    }
+    assert out[1]["n_oov"] == 2  # the two "y x" occurrences
+    assert out[2]["n_oov"] == 1 and out[3]["n_oov"] == 1
+    plan = _plan(bigram_lm_score(_docs(spark, rows)))
+    assert "BroadcastHashJoin" in plan
