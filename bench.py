@@ -58,6 +58,12 @@ def _shortest_from_hub(g):
     return shortest_paths(g.edges, origins, max_depth=3)
 
 
+def _interval_census(g):
+    from graphiti_spark.operators.temporal import interval_relation_census
+
+    return interval_relation_census(g.edges)
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.plans.pipeline import build_graph, current_triples
     from graphiti_spark.sources import synth_source_files
@@ -107,6 +113,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         # path reconstruction: origin lookup + 3 frontier joins, timed
         # end-to-end (the collect IS part of the operator's cost)
         ("sr_shortest_path", lambda: _shortest_from_hub(g)),
+        # capped (group, subject) self-join + census rollup; td_bigram_lm
+        # shares td_lm_score's exact two-scan broadcast shape
+        ("kg_interval_census", lambda: _interval_census(g)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
