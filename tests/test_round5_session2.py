@@ -88,10 +88,9 @@ def test_interval_census_all_eight_relations(spark):
 
 
 def test_interval_census_open_windows_and_scoping(spark):
-    """Two open windows compare at the shared sentinel end (equals when
-    starts match, starts/started_by otherwise is impossible — later
-    start inside an open window is finished_by? No: both ends equal →
-    finished_by), and pairs never cross subjects or groups."""
+    """Two open windows share the sentinel end, so different starts
+    classify as finished_by (same end, later start); and pairs never
+    cross subjects or groups."""
     rows = [
         ("a1", "g", "s1", "P", "2024-01-01", None),
         ("a2", "g", "s1", "Q", "2024-02-01", None),
@@ -203,3 +202,64 @@ def test_bigram_lm_vocab_cap_and_plan(spark):
     assert out[2]["n_oov"] == 1 and out[3]["n_oov"] == 1
     plan = _plan(bigram_lm_score(_docs(spark, rows)))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# property: the census partitions every same-block pair exactly once
+# ---------------------------------------------------------------------------
+
+def test_interval_census_partitions_all_pairs(spark):
+    """Σ n_pairs over the census == Σ C(n_b, 2) over (group, subject)
+    blocks: the 8-relation CASE is total and the canonical ordering
+    counts each unordered pair exactly once — no relation leaks, none
+    double-counts. Randomized windows across 3 subjects / 2 groups."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    rows, blocks = [], {}
+    for i in range(40):
+        g = rng.choice(["g1", "g2"])
+        s = rng.choice(["s1", "s2", "s3"])
+        start = base + dt.timedelta(days=rng.randrange(0, 60))
+        end = (
+            None
+            if rng.random() < 0.3
+            else start + dt.timedelta(days=rng.randrange(0, 30))
+        )
+        rows.append((f"u{i:02d}", g, s, f"P{rng.randrange(3)}", start, end))
+        blocks[(g, s)] = blocks.get((g, s), 0) + 1
+    out = interval_relation_census(_edges(spark, rows)).collect()
+    expected = sum(n * (n - 1) // 2 for n in blocks.values())
+    assert sum(r["n_pairs"] for r in out) == expected
+    assert {r["relation"] for r in out} <= {
+        "equals", "starts", "started_by", "precedes", "meets",
+        "overlaps", "finished_by", "contains",
+    }
+
+
+def test_bigram_count_identity(spark):
+    """n_bigrams == max(0, n_tokens - 1) per document — the adjacency
+    construction drops exactly one position, whatever the text shape
+    (unicode, punctuation runs, repeated words)."""
+    from graphiti_spark.operators.textstats import token_stats
+
+    rows = [
+        (1, "a b c"),
+        (2, "x"),
+        (3, ""),
+        (4, "héllo, wörld!! héllo"),
+        (5, "one-two three_four five  six\tseven\neight"),
+        (6, "a a a a a a a a a a"),
+    ]
+    docs = _docs(spark, rows)
+    ntok = {
+        r["doc_id"]: r["n_tokens"] for r in token_stats(docs).collect()
+    }
+    nbg = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in bigram_lm_score(docs).collect()
+    }
+    for d, n in ntok.items():
+        assert nbg[d] == max(0, n - 1), (d, n, nbg[d])
