@@ -1233,6 +1233,18 @@ def _q_ev_pivot(spark, sf_dir):
     return user_type_matrix(_events(spark, sf_dir))
 
 
+def _q_ev_unpivot(spark, sf_dir):
+    from graphiti_spark.operators.events import unpivot_type_matrix
+
+    return unpivot_type_matrix(_events(spark, sf_dir))
+
+
+def _q_ev_cube(spark, sf_dir):
+    from graphiti_spark.operators.events import cube_events
+
+    return cube_events(_events(spark, sf_dir))
+
+
 def _q_ev_stream_join(spark, sf_dir):
     # stream-stream time-interval join: anchors and follow-ups arrive as
     # two independent file streams; the joined (anchor, cents) pairs
@@ -1844,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "kg_interval_census": _q_kg_interval_census,
         "td_bigram_lm": _q_td_bigram_lm,
+        "ev_unpivot": _q_ev_unpivot,
+        "ev_cube": _q_ev_cube,
         "sr_neighborhood": _q_sr_neighborhood,
         "sr_neighborhood_function": _q_sr_neighborhood_function,
         "kg_motifs": _q_kg_motifs,

@@ -1278,3 +1278,80 @@ def user_type_matrix(
             for t in types
         ],
     )
+
+
+def unpivot_type_matrix(
+    events: DataFrame, types: tuple[str, ...] = PIVOT_TYPES
+) -> DataFrame:
+    """Melt (UNPIVOT) of the :func:`user_type_matrix` feature frame back
+    to long form, dropping zero cells — the classic relational inverse
+    of the explicit PIVOT, and the round-trip identity that validates
+    both: ``melt(pivot(events))`` must equal the plain per-(user, type)
+    counts restricted to the fixed vocabulary, which is exactly what the
+    oracle computes WITHOUT going wide. A feature store needs both
+    directions (wide for training, long for storage/joins).
+
+    Scale design: the melt itself is ``DataFrame.unpivot`` — an Expand
+    projection (fixed |types|× row fan-out), NO additional shuffle
+    beyond the matrix's own user_id aggregation; the zero-cell filter
+    prunes inside the same stage. Output is bounded by the nonzero
+    cells, i.e. never larger than a distinct (user, type) count.
+    """
+    wide = user_type_matrix(events, types)
+    long = wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in types],
+        "feature",
+        "n_events",
+    )
+    return long.where(F.col("n_events") > 0).select(
+        "user_id",
+        # strip the matrix's "n_" column prefix back to the type value
+        F.expr("substring(feature, 3)").alias("event_type"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def cube_events(events: DataFrame) -> DataFrame:
+    """CUBE aggregation over (event_type, day-of-week): all four
+    grouping combinations — per (type, dow), per type, per dow, and the
+    grand total — in ONE pass; the OLAP completion of the GROUPING SETS
+    rollup (:func:`rollup_events` walks a time hierarchy; CUBE crosses
+    independent dimensions).
+
+    Grouping-set membership is emitted via ``grouping()`` flags rather
+    than inferring from NULLs (a NULL dimension VALUE would alias the
+    subtotal rows), then baked into a text ``level`` so the row's
+    meaning is self-describing. Sums ride the suite's exact-cents
+    integer contract.
+
+    Scale design: one raw scan, one Expand (fixed 4× fan-out), one
+    map-side-combinable shuffle on the grouping keys — identical cost
+    class to the rollup; output cardinality is the sum of the four
+    groupings' key spaces (|types|·7 + |types| + 7 + 1).
+    """
+    base = events.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        _cents().alias("_cents"),
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_cents").cast("long").alias("sum_cents"),
+            F.grouping("event_type").cast("long").alias("_gt"),
+            F.grouping("dow").cast("long").alias("_gd"),
+        )
+        .select(
+            F.when((F.col("_gt") == 0) & (F.col("_gd") == 0), F.lit("type_dow"))
+            .when(F.col("_gt") == 0, F.lit("type"))
+            .when(F.col("_gd") == 0, F.lit("dow"))
+            .otherwise(F.lit("total"))
+            .alias("level"),
+            "event_type",
+            "dow",
+            "n_events",
+            "sum_cents",
+        )
+    )

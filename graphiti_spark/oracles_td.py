@@ -1993,6 +1993,35 @@ SELECT user_id,
        {_pv_cols}
 FROM events GROUP BY 1"""
 
+    # UNPIVOT round-trip (operators/events.unpivot_type_matrix):
+    # melt(pivot(events)) with zero cells dropped IS the plain long-form
+    # count restricted to the fixed vocabulary — the oracle computes the
+    # identity directly, never going wide, so a melt bug cannot hide
+    _pv_in = ", ".join(f"'{t}'" for t in PIVOT_TYPES)
+    o["ev_unpivot"] = f"""
+SELECT user_id, event_type, count(*)::BIGINT AS n_events
+FROM events WHERE event_type IN ({_pv_in})
+GROUP BY 1, 2"""
+
+    # CUBE twin (operators/events.cube_events): GROUPING() flags decide
+    # the level (NULL-valued dimensions would alias subtotal rows);
+    # DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1, hence the +1
+    o["ev_cube"] = """
+SELECT CASE WHEN grouping(event_type) = 0 AND grouping(dow) = 0
+            THEN 'type_dow'
+            WHEN grouping(event_type) = 0 THEN 'type'
+            WHEN grouping(dow) = 0 THEN 'dow'
+            ELSE 'total' END AS level,
+       event_type, dow,
+       count(*)::BIGINT AS n_events,
+       sum(_cents)::BIGINT AS sum_cents
+FROM (
+  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
+         round(value * 100)::BIGINT AS _cents
+  FROM events
+)
+GROUP BY CUBE (event_type, dow)"""
+
     # the stream-stream interval join (streaming/events.
     # streaming_range_pairs) lands raw (anchor, cents) pairs; the batch
     # rollup tail (operators/events.range_rollup_from_pairs) restores

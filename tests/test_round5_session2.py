@@ -263,3 +263,102 @@ def test_bigram_count_identity(spark):
     }
     for d, n in ntok.items():
         assert nbg[d] == max(0, n - 1), (d, n, nbg[d])
+
+
+# ---------------------------------------------------------------------------
+# unpivot_type_matrix / cube_events
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    import datetime as dt
+
+    prepared = [
+        (i, dt.datetime.fromisoformat(ts), u, t, v, "{}")
+        for i, (ts, u, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        prepared,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_unpivot_round_trips_the_pivot(spark):
+    """melt(pivot(events)) with zero cells dropped == the plain long
+    per-(user, type) counts — users and types they never fired are
+    absent, not zero rows."""
+    from graphiti_spark.operators.events import unpivot_type_matrix
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, "click", 1.0),
+        ("2024-01-01 10:01:00", 1, "click", 2.0),
+        ("2024-01-01 10:02:00", 1, "view", 3.0),
+        ("2024-01-01 10:03:00", 2, "purchase", 4.0),
+        # a type OUTSIDE the fixed vocabulary: dropped by the pivot, so
+        # it must not resurface in the melt
+        ("2024-01-01 10:04:00", 2, "exotic", 5.0),
+    ]
+    got = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in unpivot_type_matrix(_events(spark, rows)).collect()
+    }
+    assert got == {(1, "click"): 2, (1, "view"): 1, (2, "purchase"): 1}
+
+
+def test_unpivot_plan_is_expand_no_extra_shuffle(spark):
+    """The melt is an Expand projection over the matrix: it adds ZERO
+    exchanges beyond the pivot's own (Spark's pivot plans two — the
+    (user, type) count and the pivotfirst by user)."""
+    from graphiti_spark.operators.events import (
+        unpivot_type_matrix,
+        user_type_matrix,
+    )
+
+    rows = [("2024-01-01 10:00:00", 1, "click", 1.0)]
+    ev = _events(spark, rows)
+    wide_plan = _plan(user_type_matrix(ev))
+    melt_plan = _plan(unpivot_type_matrix(ev))
+    assert "Expand" in melt_plan
+    assert melt_plan.count("Exchange") == wide_plan.count("Exchange")
+
+
+def test_cube_levels_and_totals_identity(spark):
+    """All four grouping combinations come out of one pass, and each
+    level's n_events re-sums to the raw count — the CUBE consistency
+    identity."""
+    from graphiti_spark.operators.events import cube_events
+
+    rows = [
+        ("2024-01-07 10:00:00", 1, "click", 1.25),     # Sunday → dow 1
+        ("2024-01-08 11:00:00", 1, "view", 2.50),      # Monday → dow 2
+        ("2024-01-08 12:00:00", 2, "click", 0.25),     # Monday → dow 2
+    ]
+    out = cube_events(_events(spark, rows)).collect()
+    by_level: dict[str, list] = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {"type_dow", "type", "dow", "total"}
+    total = by_level["total"][0]
+    assert total["n_events"] == 3 and total["sum_cents"] == 400
+    for lvl in ("type_dow", "type", "dow"):
+        assert sum(r["n_events"] for r in by_level[lvl]) == 3
+        assert sum(r["sum_cents"] for r in by_level[lvl]) == 400
+    assert {
+        (r["event_type"], r["dow"]): r["n_events"]
+        for r in by_level["type_dow"]
+    } == {("click", 1): 1, ("view", 2): 1, ("click", 2): 1}
+    # subtotal rows carry NULL for the rolled-up dimension
+    assert all(r["dow"] is None for r in by_level["type"])
+    assert all(r["event_type"] is None for r in by_level["dow"])
+
+
+def test_cube_plan_single_pass(spark):
+    """One raw scan + one Expand + one aggregation exchange — never a
+    union of four separate groupBys."""
+    from graphiti_spark.operators.events import cube_events
+
+    rows = [("2024-01-01 10:00:00", 1, "click", 1.0)]
+    plan = _plan(cube_events(_events(spark, rows)))
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert "Union" not in plan
