@@ -1689,17 +1689,12 @@ def _q_kg_validity_timeline(spark, sf_dir):
 def _q_sr_shortest_path(spark, sf_dir):
     """Single-source shortest paths with deterministic (lexicographic-
     min chain) path reconstruction from the 'spark' hub, depth <= 3."""
-    from graphiti_spark.operators.search import shortest_paths
+    from graphiti_spark.operators.search import shortest_paths_from_named
 
     g = _graph(spark, sf_dir)
-    origins = sorted(
-        r["uuid"]
-        for r in g.nodes.where(
-            (F.col("group_id") == "megacorp/monorepo")
-            & (F.col("name") == "spark")
-        ).select("uuid").collect()
+    return shortest_paths_from_named(
+        g.nodes, g.edges, "megacorp/monorepo", "spark", max_depth=3
     )
-    return shortest_paths(g.edges, origins, max_depth=3)
 
 
 def _q_sr_assortativity(spark, sf_dir):

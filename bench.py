@@ -44,18 +44,13 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
 
 
 def _shortest_from_hub(g):
-    from pyspark.sql import functions as F
+    # the SAME composed call the driver query times (sr_shortest_path):
+    # origin rule lives in shortest_paths_from_named, shared by both
+    from graphiti_spark.operators.search import shortest_paths_from_named
 
-    from graphiti_spark.operators.search import shortest_paths
-
-    origins = sorted(
-        r["uuid"]
-        for r in g.nodes.where(
-            (F.col("group_id") == "megacorp/monorepo")
-            & (F.col("name") == "spark")
-        ).select("uuid").collect()
+    return shortest_paths_from_named(
+        g.nodes, g.edges, "megacorp/monorepo", "spark", max_depth=3
     )
-    return shortest_paths(g.edges, origins, max_depth=3)
 
 
 def _interval_census(g):

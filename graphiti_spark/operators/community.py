@@ -1767,6 +1767,22 @@ def neighborhood_registers(
     ACROSS snapshots too, the td_hll_stream delta contract). Nodes are
     the edge-incident vertices; self-loops are dropped with the same
     rule as the triangle family."""
+    regs = None
+    for _k, regs in _register_rounds(edges, rounds):
+        pass
+    return regs
+
+
+def _register_rounds(edges: DataFrame, rounds: int):
+    """THE HyperBall register propagation, yielded round by round —
+    the single implementation both :func:`neighborhood_registers`
+    (final-round sketch) and :func:`neighborhood_function` (per-round
+    digests) fold, so the register/rank construction and the self-loop
+    rule cannot drift between the two hash-checked consumers.
+    Yields ``(k, regs_k)`` for k = 0 (the nodes themselves) .. rounds;
+    every yielded frame is localCheckpointed — the CC/LPA lineage rule
+    (each round otherwise re-executes every prior round per consumer).
+    """
     from graphiti_spark.operators.textstats import _hll_cols
 
     und = (
@@ -1791,11 +1807,11 @@ def neighborhood_registers(
             register.alias("register"),
             rank.cast("long").alias("max_rank"),
         )
+        .localCheckpoint()
     )
-    for _ in range(rounds):
-        # neighbors' round-(k-1) registers flow in; register-wise max.
-        # localCheckpoint per round — the CC/LPA lineage rule (each
-        # round otherwise re-executes every prior round per consumer)
+    yield 0, regs
+    for k in range(1, rounds + 1):
+        # neighbors' round-(k-1) registers flow in; register-wise max
         inflow = adj.join(
             regs.select(
                 "group_id",
@@ -1813,7 +1829,7 @@ def neighborhood_registers(
             .agg(F.max("max_rank").cast("long").alias("max_rank"))
             .localCheckpoint()
         )
-    return regs
+        yield k, regs
 
 
 def neighborhood_sketch(
@@ -1903,35 +1919,9 @@ def neighborhood_function(
     measurement this technique was built for).
 
     Emits round 0 (the nodes themselves) through K, so the curve's base
-    is in the hash too. Shares :func:`neighborhood_registers`'s loop —
-    one extra map-side-combinable rollup per round over frames the
-    propagation already localCheckpoints."""
-    from graphiti_spark.operators.textstats import _hll_cols
-
-    und = (
-        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
-        .select(
-            "group_id",
-            F.least("source_node_uuid", "target_node_uuid").alias("a"),
-            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
-        )
-        .distinct()
-    )
-    adj = und.unionByName(
-        und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    register, rank = _hll_cols(col="uuid", prefix="hb:")
-    regs = (
-        adj.select("group_id", F.col("a").alias("uuid"))
-        .distinct()
-        .select(
-            "group_id",
-            "uuid",
-            register.alias("register"),
-            rank.cast("long").alias("max_rank"),
-        )
-        .localCheckpoint()
-    )
+    is in the hash too. Folds :func:`_register_rounds` — the SAME
+    propagation :func:`neighborhood_registers` returns the tail of —
+    with one extra map-side-combinable rollup per yielded round."""
 
     def _digest(frame: DataFrame, k: int) -> DataFrame:
         return frame.groupBy("group_id").agg(
@@ -1940,21 +1930,8 @@ def neighborhood_function(
             F.sum("max_rank").cast("long").alias("sum_rank"),
         )
 
-    out = _digest(regs, 0)
-    for k in range(1, rounds + 1):
-        inflow = adj.join(
-            regs.select(
-                "group_id", F.col("uuid").alias("b"), "register", "max_rank"
-            ),
-            ["group_id", "b"],
-        ).select(
-            "group_id", F.col("a").alias("uuid"), "register", "max_rank"
-        )
-        regs = (
-            regs.unionByName(inflow)
-            .groupBy("group_id", "uuid", "register")
-            .agg(F.max("max_rank").cast("long").alias("max_rank"))
-            .localCheckpoint()
-        )
-        out = out.unionByName(_digest(regs, k))
+    out = None
+    for k, regs in _register_rounds(edges, rounds):
+        d = _digest(regs, k)
+        out = d if out is None else out.unionByName(d)
     return out

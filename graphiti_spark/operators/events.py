@@ -786,11 +786,21 @@ def anomaly_over_hours(
             F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
         ).cast("long").alias("trail_sumsq"),
     )
-    num = F.col("trail_n") * F.col("n_events") - F.col("trail_sum")
+    # the z² comparison squares num (≈ trail·x), which would wrap BIGINT
+    # silently in Spark (and error in DuckDB) once x exceeds ~4.3e8 — so
+    # the QUADRATIC terms run in DECIMAL(38,0) in BOTH engines (same
+    # escape as modularity_report). Remaining documented bound: the
+    # BIGINT trail_sumsq/den inputs hold while per-(hour, type) counts
+    # stay under ~3.0e9 (Σn² < 2⁶³) — ~0.8M events/sec sustained per
+    # type, beyond any real hourly series
+    dec = "decimal(38,0)"
+    num = (
+        F.col("trail_n") * F.col("n_events") - F.col("trail_sum")
+    ).cast(dec)
     den = (
         F.col("trail_n") * F.col("trail_sumsq")
         - F.col("trail_sum") * F.col("trail_sum")
-    )
+    ).cast(dec)
     return scored.withColumn(
         "is_anomaly",
         (F.col("trail_n") == trail) & (num * num > F.lit(z2) * den),
@@ -1133,11 +1143,7 @@ def value_profile(events: DataFrame) -> DataFrame:
 
     Output: (event_type, n_events, min_value, p25, p50, p75, p90,
     max_value), values rounded to 4 decimals."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    cw = Window.partitionBy("event_type")
-    ranked = events.select("event_type", "event_id", "value").withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count("*").over(cw))
+    ranked = _ranked_values(events)
     qcols = [
         F.max(
             F.when(
@@ -1156,6 +1162,17 @@ def value_profile(events: DataFrame) -> DataFrame:
         "event_type", "n_events", "min_value",
         *[f"p{q}" for q in VALUE_PROFILE_QS], "max_value",
     )
+
+def _ranked_values(events: DataFrame) -> DataFrame:
+    """Shared per-type rank spine of the exact-quantile family: one
+    window pass (rank + count share the partition/order → one
+    exchange)."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    return events.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(cw))
+
 
 VALUE_HIST_WIDTH = 10
 
@@ -1211,19 +1228,37 @@ def quantile_check(
     with one min().
 
     Output: (event_type, q, n_events, exact_value, approx_lo,
-    approx_hi, within_bound)."""
-    prof = value_profile(events)
-    stacked = prof.select(
+    approx_hi, within_bound). ``exact_value`` keeps value_profile's
+    4-decimal display rounding, but the CERTIFICATE compares the RAW
+    rank-picked observation to the bucket — an observation within 5e-5
+    of a bucket edge must not flip within_bound just because its
+    display form rounds across the edge."""
+    ranked = _ranked_values(events)
+    raw = ranked.groupBy("event_type").agg(
+        F.max("_n").cast("long").alias("n_events"),
+        *[
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"(_n * {q} + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias(f"_raw{q}")
+            for q in VALUE_PROFILE_QS
+        ],
+    )
+    stacked = raw.select(
         "event_type",
         "n_events",
         F.expr(
-            "stack({n}, {args}) as (q, exact_value)".format(
+            "stack({n}, {args}) as (q, _exact_raw)".format(
                 n=len(VALUE_PROFILE_QS),
                 args=", ".join(
-                    f"{q}L, p{q}" for q in VALUE_PROFILE_QS
+                    f"{q}L, _raw{q}" for q in VALUE_PROFILE_QS
                 ),
             )
         ),
+    ).withColumn(
+        "exact_value", F.round("_exact_raw", 4)
     ).withColumn(
         "_rank", F.expr("(n_events * q + 99) div 100")
     )
@@ -1234,15 +1269,15 @@ def quantile_check(
     return (
         stacked.join(hist, "event_type")
         .where(F.col("cum_cnt") >= F.col("_rank"))
-        .groupBy("event_type", "q", "n_events", "exact_value")
+        .groupBy("event_type", "q", "n_events", "exact_value", "_exact_raw")
         .agg(F.min("bucket_lo").cast("long").alias("approx_lo"))
         .withColumn("approx_hi", (F.col("approx_lo") + w).cast("long"))
         .select(
             "event_type", "q", "n_events", "exact_value",
             "approx_lo", "approx_hi",
             (
-                (F.col("exact_value") >= F.col("approx_lo"))
-                & (F.col("exact_value") < F.col("approx_hi"))
+                (F.col("_exact_raw") >= F.col("approx_lo"))
+                & (F.col("_exact_raw") < F.col("approx_hi"))
             ).alias("within_bound"),
         )
     )

@@ -550,3 +550,27 @@ def shortest_paths(
             [], "uuid string, group_id string, depth long, path string"
         )
     return out
+
+
+def shortest_paths_from_named(
+    nodes: DataFrame,
+    edges: DataFrame,
+    group_id: str,
+    name: str,
+    max_depth: int = 3,
+) -> DataFrame:
+    """:func:`shortest_paths` from the nodes matching a (group, name)
+    lookup — the composed "paths from this entity" call. Shared by the
+    driver query (__spark_entry__ sr_shortest_path) and bench.py so the
+    benched origin rule cannot drift from the hash-checked one. The
+    origin collect is bounded by the name's duplicate-cluster size
+    (canonical names are deduped), sorted for a deterministic chain."""
+    from pyspark.sql import functions as F
+
+    origins = sorted(
+        r["uuid"]
+        for r in nodes.where(
+            (F.col("group_id") == group_id) & (F.col("name") == name)
+        ).select("uuid").collect()
+    )
+    return shortest_paths(edges, origins, max_depth=max_depth)

@@ -1816,8 +1816,10 @@ an_sc AS (
 )
 SELECT event_type, window_start, n_events, trail_n, trail_sum, trail_sumsq,
        trail_n = {ANOMALY_TRAIL}
-       AND (trail_n * n_events - trail_sum) * (trail_n * n_events - trail_sum)
-           > {ANOMALY_Z2} * (trail_n * trail_sumsq - trail_sum * trail_sum)
+       AND (trail_n * n_events - trail_sum)::DECIMAL(38,0)
+           * (trail_n * n_events - trail_sum)::DECIMAL(38,0)
+           > {ANOMALY_Z2}
+             * (trail_n * trail_sumsq - trail_sum * trail_sum)::DECIMAL(38,0)
          AS is_anomaly
 FROM an_sc"""
 
@@ -2353,28 +2355,48 @@ FROM hb"""
     # .quantile_check): both component SQLs nested verbatim; rank =
     # ceil(q*n/100) in integer arithmetic; approx = first bucket whose
     # cum_cnt crosses the rank
+    # the certificate compares the RAW rank-picked observation to the
+    # bucket (display rounding near an edge must not flip it); the
+    # reported exact_value stays the rounded display form
     _w = VALUE_HIST_WIDTH
+    _qcr = ", ".join(
+        f"max(CASE WHEN _rn = (_n * {q} + 99) // 100 THEN value END)"
+        f" AS r{q}"
+        for q in (25, 50, 75, 90)
+    )
     o["ev_quantile_check"] = f"""
-WITH prof AS ({o["ev_value_profile"]}),
+WITH vr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS _rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM events
+),
+rprof AS (
+  SELECT event_type, max(_n)::BIGINT AS n_events, {_qcr}
+  FROM vr GROUP BY event_type
+),
 hist AS ({o["ev_value_hist"]}),
 st AS (
-  SELECT event_type, n_events, q, exact_value,
+  SELECT event_type, n_events, q, _exact_raw,
+         round(_exact_raw, 4) AS exact_value,
          (n_events * q + 99) // 100 AS _rank
   FROM (
-    SELECT event_type, n_events, 25::BIGINT AS q, p25 AS exact_value FROM prof
-    UNION ALL SELECT event_type, n_events, 50, p50 FROM prof
-    UNION ALL SELECT event_type, n_events, 75, p75 FROM prof
-    UNION ALL SELECT event_type, n_events, 90, p90 FROM prof
+    SELECT event_type, n_events, 25::BIGINT AS q, r25 AS _exact_raw
+    FROM rprof
+    UNION ALL SELECT event_type, n_events, 50, r50 FROM rprof
+    UNION ALL SELECT event_type, n_events, 75, r75 FROM rprof
+    UNION ALL SELECT event_type, n_events, 90, r90 FROM rprof
   )
 )
 SELECT s.event_type, s.q, s.n_events, s.exact_value,
        min(h.bucket_lo)::BIGINT AS approx_lo,
        (min(h.bucket_lo) + {_w})::BIGINT AS approx_hi,
-       (s.exact_value >= min(h.bucket_lo)
-        AND s.exact_value < min(h.bucket_lo) + {_w}) AS within_bound
+       (s._exact_raw >= min(h.bucket_lo)
+        AND s._exact_raw < min(h.bucket_lo) + {_w}) AS within_bound
 FROM st s JOIN hist h
   ON h.event_type = s.event_type AND h.cum_cnt >= s._rank
-GROUP BY s.event_type, s.q, s.n_events, s.exact_value"""
+GROUP BY s.event_type, s.q, s.n_events, s.exact_value, s._exact_raw"""
 
     # deterministic shard assignment (operators/textstats.shard_plan):
     # shard key = leading hex of md5(doc_id) — the hex STRING is the

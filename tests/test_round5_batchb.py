@@ -300,7 +300,7 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_batchb_plan_shapes(spark):
+def test_batchb_plan_shapes(spark, sf_dir):
     """The PLANS.md claims, asserted: embed_moments partial-aggregates
     map-side and reads ONLY the embedding column; validity_timeline has
     exactly one aggregation exchange + one window exchange (the window
@@ -308,7 +308,7 @@ def test_batchb_plan_shapes(spark):
     cartesian product."""
     from graphiti_spark.operators.temporal import validity_timeline as vt
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = _plan(embedding_moments(emb))
     assert "partial_sum" in p          # map-side combine before the dim exchange
     assert "ReadSchema: struct<embedding" in p  # label/vec_id pruned from the scan

@@ -362,3 +362,44 @@ def test_cube_plan_single_pass(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
     assert "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions: decimal z² and raw-value bucket certificate
+# ---------------------------------------------------------------------------
+
+def test_anomaly_huge_burst_not_wrapped(spark):
+    """A ~5e8-count burst after a quiet trail squares past BIGINT; the
+    DECIMAL(38,0) comparison must flag it instead of wrapping negative
+    and silently passing it (the pre-fix behavior)."""
+    import datetime as dt
+
+    from graphiti_spark.operators.events import anomaly_over_hours
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), "click", 10 if h < 7 else 500_000_000)
+        for h in range(8)
+    ]
+    hours = spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, n_events long"
+    )
+    out = {
+        r["window_start"].hour: r["is_anomaly"]
+        for r in anomaly_over_hours(hours).collect()
+    }
+    assert out[7] is True          # the burst
+    assert not any(out[h] for h in range(7))  # flat trail stays quiet
+
+
+def test_quantile_check_rounding_edge(spark):
+    """An exact observation 5e-5 under a bucket edge rounds ACROSS it
+    for display; within_bound must still certify from the raw value."""
+    from graphiti_spark.operators.events import quantile_check
+
+    # 4 equal values → every percentile picks 9.99996 (bucket [0, 10))
+    rows = [("2024-01-01 10:00:00", 1, "click", 9.99996)] * 4
+    out = quantile_check(_events(spark, rows)).collect()
+    assert all(r["exact_value"] == 10.0 for r in out)  # display rounds up
+    assert all(r["approx_lo"] == 0 and r["approx_hi"] == 10 for r in out)
+    assert all(r["within_bound"] for r in out)  # raw 9.99996 ∈ [0, 10)
