@@ -1043,6 +1043,18 @@ def _q_td_bigram_lm(spark, sf_dir):
     return bigram_lm_score(_docs(spark, sf_dir))
 
 
+def _q_td_collocations(spark, sf_dir):
+    from graphiti_spark.operators.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir))
+
+
+def _q_sr_local_bridges(spark, sf_dir):
+    from graphiti_spark.operators.community import local_bridges
+
+    return local_bridges(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_interval_census(spark, sf_dir):
     from graphiti_spark.operators.temporal import interval_relation_census
 
@@ -1849,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
+        "td_collocations": _q_td_collocations,
+        "sr_local_bridges": _q_sr_local_bridges,
         "kg_interval_census": _q_kg_interval_census,
         "td_bigram_lm": _q_td_bigram_lm,
         "ev_unpivot": _q_ev_unpivot,

@@ -1935,3 +1935,58 @@ def neighborhood_function(
         d = _digest(regs, k)
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """Local bridges (Granovetter's weak ties, the span > 2 edges): the
+    undirected edges whose endpoints share NO common neighbor — removing
+    one leaves its endpoints at distance ≥ 3. These are exactly the
+    zero-support edges of the triangle census: every inter-community
+    shortcut, none of the redundant intra-cluster ties. The structural
+    dual of :func:`clustering_coeff` (which scores CLOSURE; this lists
+    the edges with none), and the edge set a graph-partitioner or a
+    community-boundary auditor reads first.
+
+    Implementation: reuses the shared degree-ordered orientation
+    (:func:`_triangle_frames`, the Suri–Vassilvitskii wedge bound) —
+    each CLOSED wedge emits its three member edges in (least, greatest)
+    form; the distinct supported-edge set anti-joins the undirected edge
+    set. No new shuffle class: the wedge machinery is the sr_triangles
+    plan, the anti-join and the two degree joins key on the same
+    (group_id, node) the orientation already shuffled by. Output rows
+    are bounded by |E|.
+
+    Output: (group_id, u, w, deg_u, deg_w) per bridge with u < w."""
+    und, deg, _oriented, closed = _triangle_frames(edges)
+    tri = closed.where(F.col("_hit") == 1)
+
+    def _pair(p: str, q: str) -> DataFrame:
+        return tri.select(
+            "group_id",
+            F.least(F.col(p), F.col(q)).alias("a"),
+            F.greatest(F.col(p), F.col(q)).alias("b"),
+        )
+
+    supported = (
+        _pair("u", "x")
+        .unionByName(_pair("u", "y"))
+        .unionByName(_pair("x", "y"))
+        .distinct()
+    )
+    bridges = und.join(supported, ["group_id", "a", "b"], "left_anti")
+    da = deg.select(
+        "group_id", F.col("v").alias("a"), F.col("degree").alias("deg_u")
+    )
+    db = deg.select(
+        "group_id", F.col("v").alias("b"), F.col("degree").alias("deg_w")
+    )
+    return (
+        bridges.join(da, ["group_id", "a"]).join(db, ["group_id", "b"])
+        .select(
+            "group_id",
+            F.col("a").alias("u"),
+            F.col("b").alias("w"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_w").cast("long").alias("deg_w"),
+        )
+    )

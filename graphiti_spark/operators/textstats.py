@@ -1106,3 +1106,94 @@ def bigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
             ).alias("mean_bigram_freq"),
         )
     )
+
+
+# collocation mining floor/cap: pairs below the count floor are noise
+# (PMI's classic failure mode — a hapax pair scores the maximum), the
+# top-k bound keeps the output a constant-size report. SCALE makes the
+# lift integral: lift_units = SCALE * N * c(l,r) / (c(l) * c(r)), floor
+# division, so both engines agree bit-for-bit with no transcendentals
+# (log is monotone — ranking by lift IS ranking by PMI).
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 100
+COLLOC_SCALE = 1_000_000
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = COLLOC_MIN_COUNT,
+    top_k: int = COLLOC_TOP_K,
+) -> DataFrame:
+    """PMI-ranked collocation mining (Church & Hanks 1990): the corpus
+    bigrams whose joint frequency most exceeds the independence
+    expectation. Complements :func:`bigram_lm_score` (which SCORES docs
+    against the frequent-bigram vocabulary): collocations rank the PAIRS
+    themselves by association strength, the report a curation pipeline
+    uses to spot boilerplate phrases and multi-word entities worth
+    protecting from tokenizer splits.
+
+    Exactness: lift_units = ``SCALE * N * c(l,r) div (c(l) * c(r))``
+    computed in DECIMAL(38,0) (HUGEINT in the oracle) so the
+    intermediate never overflows (bound: SCALE·N·c_pair < 1e38 — holds
+    past 1e12-doc corpora); the floor-divided result is cast to BIGINT.
+    Ranking by lift is ranking by PMI (log is monotone), with
+    (lift DESC, bigram ASC) total tie order. ``min_count`` floors the
+    joint count first — PMI's hapax-pair pathology never reaches the
+    ranking.
+
+    Scale shape: the bigram construction is the same zip_with-over-two-
+    slices column expression as :func:`bigram_lm_score` (no posexplode
+    self-join, no Python); ONE map-side-combinable bigram count and ONE
+    unigram count each shuffle once; the count floor prunes the pair
+    frame BEFORE the two unigram joins (post-floor cardinality is
+    bounded by N/min_count, and the unigram side is vocabulary-sized —
+    AQE broadcasts it at any realistic vocab); top-k is a distributed
+    TakeOrdered, and the rank window runs over the ≤ top_k survivors,
+    never the corpus."""
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    bigram_arr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.expr("slice(t, 2, size(t) - 1)"),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = toked.select(F.explode("t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    ntotal = toks.agg(F.count("*").cast("long").alias("n_total"))
+    pairs = (
+        toked.select(F.explode(bigram_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c_pair"))
+        .where(F.col("c_pair") >= int(min_count))
+        # the tokenizer splits on whitespace, so a bigram has exactly
+        # one space: split_part is total here
+        .withColumn("l", F.element_at(F.split("bg", " "), 1))
+        .withColumn("r", F.element_at(F.split("bg", " "), 2))
+    )
+    scored = (
+        pairs
+        .join(uni.select(F.col("tok").alias("l"),
+                         F.col("c").alias("c_left")), "l")
+        .join(uni.select(F.col("tok").alias("r"),
+                         F.col("c").alias("c_right")), "r")
+        .crossJoin(F.broadcast(ntotal))
+        .select(
+            "bg", "c_pair", "c_left", "c_right",
+            F.expr(
+                f"CAST(c_pair AS DECIMAL(38,0))"
+                f" * CAST(n_total AS DECIMAL(38,0)) * {COLLOC_SCALE}"
+                f" div (CAST(c_left AS DECIMAL(38,0)) * c_right)"
+            ).cast("long").alias("lift_units"),
+        )
+    )
+    topk = (
+        scored.orderBy(F.desc("lift_units"), F.asc("bg"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.desc("lift_units"), F.asc("bigram"))
+    return topk.select(
+        F.col("bg").alias("bigram"),
+        "c_pair", "c_left", "c_right", "lift_units",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))

@@ -3746,4 +3746,79 @@ SELECT s.community_uuid AS uuid,
        s.n_members
 FROM ic_stats s LEFT JOIN ic_commname k ON k.uuid = s.community_uuid"""
 
+    # PMI collocation twin (operators/textstats.collocations): same
+    # shared tokenizer + adjacent-pair construction as td_bigram_lm;
+    # lift_units is HUGEINT floor division (DECIMAL(38,0) `div` on the
+    # Spark side) — no log, ranking by lift IS ranking by PMI
+    from graphiti_spark.operators.textstats import (
+        COLLOC_MIN_COUNT as _CMC,
+        COLLOC_SCALE as _CSC,
+        COLLOC_TOP_K as _CTK,
+    )
+
+    o["td_collocations"] = f"""
+WITH ct AS (SELECT {_toks('text')} AS t FROM documents),
+ctoks AS (SELECT unnest(t) AS tok FROM ct),
+cuni AS (SELECT tok, count(*)::BIGINT AS c FROM ctoks GROUP BY 1),
+cn AS (SELECT count(*)::BIGINT AS n_total FROM ctoks),
+cbg AS (
+  SELECT unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END) AS bg
+  FROM ct
+),
+cp AS (
+  SELECT bg, count(*)::BIGINT AS c_pair
+  FROM cbg GROUP BY 1 HAVING count(*) >= {_CMC}
+),
+cps AS (
+  SELECT bg, c_pair,
+         split_part(bg, ' ', 1) AS l, split_part(bg, ' ', 2) AS r
+  FROM cp
+),
+csc AS (
+  SELECT cps.bg AS bigram, cps.c_pair, ul.c AS c_left, ur.c AS c_right,
+         ((cps.c_pair::HUGEINT * cn.n_total::HUGEINT * {_CSC})
+           // (ul.c::HUGEINT * ur.c::HUGEINT))::BIGINT AS lift_units
+  FROM cps JOIN cuni ul ON ul.tok = cps.l
+           JOIN cuni ur ON ur.tok = cps.r
+  CROSS JOIN cn
+)
+SELECT bigram, c_pair, c_left, c_right, lift_units,
+       (row_number() OVER (ORDER BY lift_units DESC, bigram ASC))::INT AS rank
+FROM csc
+ORDER BY lift_units DESC, bigram ASC
+LIMIT {_CTK}"""
+
+    # local-bridge twin (operators/community.local_bridges): the oracle
+    # deliberately does NOT mirror the degree-ordered orientation — it
+    # states the definition directly (an edge with no common neighbor,
+    # NOT EXISTS over the symmetric adjacency), so an orientation bug on
+    # the Spark side cannot be masked by a matching oracle bug
+    o["sr_local_bridges"] = p + """
+, lb_und AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+lb_adj AS MATERIALIZED (
+  SELECT group_id, a, b FROM lb_und
+  UNION ALL SELECT group_id, b, a FROM lb_und
+),
+lb_deg AS (
+  SELECT group_id, a AS v, count(*)::BIGINT AS degree
+  FROM lb_adj GROUP BY 1, 2
+)
+SELECT e.group_id, e.a AS u, e.b AS w,
+       da.degree AS deg_u, db.degree AS deg_w
+FROM lb_und e
+JOIN lb_deg da ON da.group_id = e.group_id AND da.v = e.a
+JOIN lb_deg db ON db.group_id = e.group_id AND db.v = e.b
+WHERE NOT EXISTS (
+  SELECT 1 FROM lb_adj n1, lb_adj n2
+  WHERE n1.group_id = e.group_id AND n2.group_id = e.group_id
+    AND n1.a = e.a AND n2.a = e.b AND n1.b = n2.b
+)"""
+
     return o

@@ -1,0 +1,157 @@
+"""Round-5 session-3 batch: PMI collocation mining and local-bridge
+(zero-common-neighbor edge) detection."""
+
+from __future__ import annotations
+
+import io
+import itertools
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import local_bridges
+from graphiti_spark.operators.textstats import COLLOC_SCALE, collocations
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(g, a, b) for (g, a, b) in pairs],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+def test_collocations_ranks_association_not_frequency(spark):
+    """The PMI property: "san francisco" (always together, rare words)
+    must outrank "the cat" (frequent pair of frequent words) even though
+    the latter has the higher joint count."""
+    rows = [(i, "the cat sat on the mat") for i in range(10)] + [
+        (100 + i, "san francisco") for i in range(5)
+    ]
+    out = collocations(_docs(spark, rows), min_count=5, top_k=10).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["bigram"] == "san francisco"
+    # exact lift arithmetic: c_pair=5, c_left=c_right=5, N=70 tokens
+    assert by_rank[1]["lift_units"] == COLLOC_SCALE * 5 * 70 // (5 * 5)
+    # the frequent-but-independent pair is present yet ranked below
+    cat = next(r for r in out if r["bigram"] == "the cat")
+    assert cat["rank"] > 1 and cat["c_pair"] == 10
+
+
+def test_collocations_min_count_floor_and_topk(spark):
+    """Hapax pairs never reach the ranking (PMI's pathology) and the
+    report is capped at top_k with dense 1-based ranks."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta")] + [
+        (2 + i, "red green red green") for i in range(6)
+    ]
+    out = collocations(_docs(spark, rows), min_count=5, top_k=1).collect()
+    assert len(out) == 1 and out[0]["rank"] == 1
+    bigrams = {r["bigram"] for r in out}
+    assert "alpha beta" not in bigrams  # count 1 < floor
+    # both surviving pairs have count >= 5; top_k=1 keeps the better one
+    assert out[0]["bigram"] in ("red green", "green red")
+
+
+def test_collocations_tie_order_and_plan(spark):
+    """Equal-lift pairs break ties on bigram ASC, and the plan is a
+    distributed TakeOrdered into a bounded rank window — the corpus
+    never moves to one partition before the top-k cut."""
+    # two disjoint perfect collocations with identical counts -> equal lift
+    rows = [(i, "aa bb") for i in range(5)] + [(10 + i, "zz yy") for i in range(5)]
+    out = collocations(_docs(spark, rows), min_count=5, top_k=10).collect()
+    assert [r["bigram"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "aa bb", "zz yy"
+    ]
+    assert out[0]["lift_units"] == out[1]["lift_units"]
+    plan = _plan(collocations(_docs(spark, rows)))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# local_bridges
+# ---------------------------------------------------------------------------
+
+def test_local_bridges_barbell(spark):
+    """Two triangles joined by one edge: ONLY the connecting edge is a
+    local bridge (its endpoints share no neighbor); every triangle edge
+    has support and is excluded."""
+    pairs = [
+        ("g", "a1", "a2"), ("g", "a2", "a3"), ("g", "a1", "a3"),
+        ("g", "b1", "b2"), ("g", "b2", "b3"), ("g", "b1", "b3"),
+        ("g", "a1", "b1"),  # the bridge
+    ]
+    out = local_bridges(_edges(spark, pairs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["w"]) == ("a1", "b1")
+    assert r["deg_u"] == 3 and r["deg_w"] == 3
+
+
+def test_local_bridges_path_graph_all_bridges(spark):
+    """A path has no triangles: every edge is a local bridge, degrees
+    reported from the distinct undirected adjacency (duplicate and
+    reversed input edges collapse)."""
+    pairs = [
+        ("g", "v1", "v2"), ("g", "v2", "v1"),  # duplicate reversed
+        ("g", "v2", "v3"), ("g", "v3", "v4"),
+    ]
+    out = {(r["u"], r["w"]): r for r in local_bridges(_edges(spark, pairs)).collect()}
+    assert set(out) == {("v1", "v2"), ("v2", "v3"), ("v3", "v4")}
+    assert out[("v2", "v3")]["deg_u"] == 2 and out[("v3", "v4")]["deg_w"] == 1
+
+
+def test_local_bridges_randomized_vs_bruteforce(spark):
+    """Randomized cross-check: the distributed orientation/anti-join
+    answer equals the direct definition (zero common neighbors) computed
+    in plain Python, across two groups."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(14)]
+    pairs = set()
+    for g in ("g1", "g2"):
+        for _ in range(30):
+            a, b = rng.sample(nodes, 2)
+            pairs.add((g, min(a, b), max(a, b)))
+    out = {
+        (r["group_id"], r["u"], r["w"])
+        for r in local_bridges(_edges(spark, sorted(pairs))).collect()
+    }
+    expected = set()
+    for g in ("g1", "g2"):
+        und = {(a, b) for (gg, a, b) in pairs if gg == g}
+        adj: dict[str, set[str]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in und:
+            if not (adj[a] & adj[b]):
+                expected.add((g, a, b))
+    assert out == expected
+
+
+def test_local_bridges_disjoint_from_triangle_support(spark):
+    """Structural invariant vs the triangle census: in a graph where
+    every edge closes a triangle (K4), there are NO local bridges."""
+    k4 = [("g", a, b) for a, b in itertools.combinations("wxyz", 2)]
+    assert local_bridges(_edges(spark, k4)).count() == 0
+    plan = _plan(local_bridges(_edges(spark, k4)))
+    assert "BatchEvalPython" not in plan
+    # the anti-join against the supported-edge set is a hash join, not
+    # a nested loop over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
