@@ -83,6 +83,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # only the final materialize would silently exclude that work
     from graphiti_spark.operators.community import (
         clustering_coeff,
+        local_bridges,
         neighbor_agg,
         neighborhood_sketch,
         predict_links,
@@ -100,6 +101,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         # ev_funnel's and predicate aggregation's benched shapes)
         ("sr_clustering", lambda: clustering_coeff(g.edges)),
         ("sr_link_prediction", lambda: predict_links(g.edges)),
+        # zero-support anti-join off the same shared triangle frames
+        ("sr_local_bridges", lambda: local_bridges(g.edges)),
         ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
         ("sr_walk_pairs", lambda: walk_pairs(g.edges)),
         # HyperBall register propagation: 2 rounds = 2 groupBys over the
@@ -145,6 +148,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.operators.similarity import ann_pq, embedding_moments
     from graphiti_spark.operators.textstats import (
         cms_token_counts,
+        collocations,
         doc_keywords,
         unigram_lm_score,
     )
@@ -169,6 +173,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_line_dedup", lambda: line_dedup_report(docs)),
         ("ev_anomaly", lambda: anomaly_flags(events)),
         ("td_embed_moments", lambda: embedding_moments(emb)),
+        # two counting scans + vocab-keyed joins + TakeOrdered top-k
+        ("td_collocations", lambda: collocations(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
