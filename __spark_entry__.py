@@ -1055,6 +1055,21 @@ def _q_sr_local_bridges(spark, sf_dir):
     return local_bridges(_graph(spark, sf_dir).edges)
 
 
+def _q_kg_entity_salience(spark, sf_dir):
+    from graphiti_spark.operators.search import entity_salience
+
+    g = _graph(spark, sf_dir)
+    return entity_salience(g.mentions, g.nodes)
+
+
+def _q_ev_markov_stationary(spark, sf_dir):
+    from graphiti_spark.operators.events import markov_stationary
+
+    return markov_stationary(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def _q_kg_interval_census(spark, sf_dir):
     from graphiti_spark.operators.temporal import interval_relation_census
 
@@ -1863,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
+        "ev_markov_stationary": _q_ev_markov_stationary,
+        "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
         "td_bigram_lm": _q_td_bigram_lm,
         "ev_unpivot": _q_ev_unpivot,

@@ -833,8 +833,18 @@ def event_transitions(
     the pair aggregation is map-side combinable on a |types|²-bounded
     key space, and the per-from totals ride a broadcast join back onto
     that tiny frame. No corpus-sized window, no second event scan."""
+    return transition_summary(in_session_pairs(events, gap_seconds))
+
+
+def in_session_pairs(
+    events: DataFrame, gap_seconds: int = TRANSITION_GAP_SECONDS
+) -> DataFrame:
+    """The (from_type, to_type, user_id) consecutive in-session pair
+    frame shared by :func:`event_transitions` and
+    :func:`markov_stationary` — ONE user_id window pass computes both
+    the session boundary (lag ts) and the previous type (lag type)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    return (
         events.select("user_id", "ts", "event_id", "event_type")
         .withColumn("_prev_ts", F.lag("ts").over(w))
         .withColumn("_prev_type", F.lag("event_type").over(w))
@@ -854,7 +864,6 @@ def event_transitions(
             "user_id",
         )
     )
-    return transition_summary(pairs)
 
 
 def transition_summary(pairs: DataFrame) -> DataFrame:
@@ -1389,4 +1398,104 @@ def cube_events(events: DataFrame) -> DataFrame:
             "n_events",
             "sum_cents",
         )
+    )
+
+
+# stationary-distribution power iteration: exactly-K synchronous rounds
+# in BIGINT mass units (same trajectory-hashing idea as pagerank_rounds
+# / label_propagation_rounds — floor division per (i,j) term, so both
+# engines walk identical integer states)
+MARKOV_ROUNDS = 4
+MARKOV_SCALE = 1_000_000_000
+
+
+def markov_stationary(
+    events: DataFrame,
+    rounds: int = MARKOV_ROUNDS,
+    gap_seconds: int = TRANSITION_GAP_SECONDS,
+) -> DataFrame:
+    """Where the user journey settles: exactly-``rounds`` power-iteration
+    steps of the observed first-order transition chain
+    (:func:`event_transitions`' matrix), from a uniform start. The
+    steady-state companion to the one-step journey matrix — the profile
+    an analyst reads as "long-run share of attention per event type".
+
+    Semantics: mass moves as ``(m_i * c_ij) div r_i`` (floor division
+    per term — deterministic, engine-identical); a DANGLING state (no
+    outgoing in-session transition) keeps its own mass, the self-loop
+    convention, so mass never silently drains. Floor remainders make
+    total mass non-increasing; that loss is deterministic and identical
+    in both engines — the trajectory, not an idealized fixed point, is
+    what the oracle hash checks (the DuckDB twin unrolls the same K
+    rounds as MATERIALIZED CTEs).
+
+    Scale: the only corpus-sized work is the ONE user_id window pass
+    shared via :func:`in_session_pairs`; the counted matrix is
+    |types|²-bounded and checkpointed once, and every round is a join +
+    map-side-combinable sum over that tiny frame. Output:
+    (event_type, mass_units, stationary, n_out, rank)."""
+    cnt = (
+        in_session_pairs(events, gap_seconds)
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    out_tot = (
+        cnt.groupBy("from_type")
+        .agg(F.sum("c").cast("long").alias("_r"))
+        .localCheckpoint()
+    )
+    states = events.select(
+        F.col("event_type").alias("state")
+    ).distinct().localCheckpoint()
+    ns = states.agg(F.count("*").cast("long").alias("n_states"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "state",
+        F.expr(f"{MARKOV_SCALE} div n_states").cast("long").alias("m"),
+    )
+    for _ in range(int(rounds)):
+        moved = (
+            v.join(out_tot.withColumnRenamed("from_type", "state"), "state")
+            .join(cnt.withColumnRenamed("from_type", "state"), "state")
+            .select(
+                F.col("to_type").alias("_to"),
+                F.expr("(m * c) div _r").alias("_mi"),
+            )
+            .groupBy("_to")
+            .agg(F.sum("_mi").cast("long").alias("_in"))
+        )
+        dangling = v.join(
+            out_tot.withColumnRenamed("from_type", "state"),
+            "state",
+            "left_anti",
+        ).select("state", F.col("m").alias("_keep"))
+        v = (
+            states
+            .join(moved.withColumnRenamed("_to", "state"), "state", "left")
+            .join(dangling, "state", "left")
+            .select(
+                "state",
+                (
+                    F.coalesce("_in", F.lit(0)) + F.coalesce("_keep", F.lit(0))
+                ).cast("long").alias("m"),
+            )
+            .localCheckpoint()
+        )
+    w = Window.orderBy(F.desc("mass_units"), F.asc("event_type"))
+    return (
+        v.join(
+            out_tot.select(F.col("from_type").alias("state"),
+                           F.col("_r").alias("n_out")),
+            "state",
+            "left",
+        )
+        .select(
+            F.col("state").alias("event_type"),
+            F.col("m").alias("mass_units"),
+            (F.col("m") / MARKOV_SCALE).alias("stationary"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+        )
+        # the rank window runs over the |types|-sized result, never the
+        # event log
+        .withColumn("rank", F.row_number().over(w).cast("int"))
     )

@@ -574,3 +574,52 @@ def shortest_paths_from_named(
         ).select("uuid").collect()
     )
     return shortest_paths(edges, origins, max_depth=max_depth)
+
+
+# mention-share salience: ppm floor division (the LINKPRED/CLUSTERING
+# integer-scale convention)
+SALIENCE_SCALE = 1_000_000
+
+
+def entity_salience(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-group entity salience from episodic coverage: for every
+    canonical node, how many distinct episodes mention it
+    (the MENTIONS provenance grain, edge_operations.py:52-96) and what
+    share of the group's total mention-pairs that is —
+    ``share_ppm = SCALE · n_episodes div Σ_group n_episodes`` (floor
+    division, engine-identical), ranked within the group by
+    (n_episodes DESC, uuid ASC). The retrieval PRIOR next to the
+    per-query rerankers: episode_mentions_reranker scores candidates
+    for ONE query; this materializes the corpus-wide importance table
+    a search pipeline fuses as a static signal (and a KG summarizer
+    reads as "which entities carry this group").
+
+    Scale: one map-side-combinable count over the mentions pairs, a
+    group-total window + the rank window over the AGGREGATED per-node
+    frame (bounded by distinct nodes per group, never the mention
+    stream), one join to nodes for the display name."""
+    per = mentions.groupBy("group_id", "node_uuid").agg(
+        F.count("*").cast("long").alias("n_episodes")
+    )
+    w_tot = Window.partitionBy("group_id")
+    w_rank = Window.partitionBy("group_id").orderBy(
+        F.desc("n_episodes"), F.asc("node_uuid")
+    )
+    return (
+        per.withColumn(
+            "_tot", F.sum("n_episodes").over(w_tot).cast("long")
+        )
+        .join(
+            nodes.select(F.col("uuid").alias("node_uuid"), "name"),
+            "node_uuid",
+        )
+        .select(
+            "group_id",
+            F.col("node_uuid").alias("uuid"),
+            "name",
+            "n_episodes",
+            F.expr(f"({SALIENCE_SCALE} * n_episodes) div _tot")
+            .cast("long").alias("share_ppm"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+    )

@@ -3790,6 +3790,97 @@ FROM csc
 ORDER BY lift_units DESC, bigram ASC
 LIMIT {_CTK}"""
 
+    # mention-share salience twin (operators/search.entity_salience):
+    # the sr_mentions_rerank pair grain (DISTINCT episode × canonical
+    # node), ppm floor division, per-group rank windows over the
+    # aggregated frame
+    from graphiti_spark.operators.search import SALIENCE_SCALE as _SAL
+
+    o["kg_entity_salience"] = p + f"""
+, sal_me AS (
+  SELECT DISTINCT m.episode_uuid, m.group_id,
+         c.canonical_uuid AS node_uuid
+  FROM mentions m JOIN canonical_map c ON c.alias_uuid = m.mention_uuid
+),
+sal AS (
+  SELECT group_id, node_uuid, count(*)::BIGINT AS n_episodes
+  FROM sal_me GROUP BY 1, 2
+),
+sal_t AS (
+  SELECT group_id, sum(n_episodes)::BIGINT AS _tot FROM sal GROUP BY 1
+)
+SELECT s.group_id, s.node_uuid AS uuid, n.name, s.n_episodes,
+       (({_SAL} * s.n_episodes) // t._tot)::BIGINT AS share_ppm,
+       (row_number() OVER (
+          PARTITION BY s.group_id
+          ORDER BY s.n_episodes DESC, s.node_uuid ASC))::INT AS rank
+FROM sal s
+JOIN sal_t t USING (group_id)
+JOIN nodes n ON n.uuid = s.node_uuid"""
+
+    # stationary-distribution twin (operators/events.markov_stationary):
+    # the SAME in-session pair window as ev_transitions, then exactly-K
+    # power-iteration rounds unrolled as MATERIALIZED CTEs — per-term
+    # floor division and the dangling-state self-loop convention, so the
+    # integer trajectory matches the Spark loop state-for-state
+    from graphiti_spark.operators.events import (
+        MARKOV_ROUNDS as _MKR,
+        MARKOV_SCALE as _MKS,
+    )
+
+    _mk_rounds = []
+    for _k in range(1, _MKR + 1):
+        _prev = f"mk_v{_k - 1}"
+        _mk_rounds.append(f"""
+mk_v{_k} AS MATERIALIZED (
+  SELECT s.state, (coalesce(mv._in, 0) + coalesce(dg.m, 0))::BIGINT AS m
+  FROM mk_states s
+  LEFT JOIN (
+    SELECT c.to_type AS state, sum((v.m * c.c) // t._r)::BIGINT AS _in
+    FROM {_prev} v
+    JOIN mk_tot t ON t.from_type = v.state
+    JOIN mk_cnt c ON c.from_type = v.state
+    GROUP BY 1
+  ) mv ON mv.state = s.state
+  LEFT JOIN (
+    SELECT v.state, v.m FROM {_prev} v
+    WHERE NOT EXISTS (SELECT 1 FROM mk_tot t WHERE t.from_type = v.state)
+  ) dg ON dg.state = s.state
+)""")
+    o["ev_markov_stationary"] = f"""
+WITH pr AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER w AS _prev_ts,
+         lag(event_type) OVER w AS _prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+mk_pairs AS (
+  SELECT _prev_type AS from_type, event_type AS to_type
+  FROM pr
+  WHERE _prev_ts IS NOT NULL
+    AND date_diff('second', _prev_ts, ts) < {TRANSITION_GAP_SECONDS}
+),
+mk_cnt AS MATERIALIZED (
+  SELECT from_type, to_type, count(*)::BIGINT AS c
+  FROM mk_pairs GROUP BY 1, 2
+),
+mk_tot AS MATERIALIZED (
+  SELECT from_type, sum(c)::BIGINT AS _r FROM mk_cnt GROUP BY 1
+),
+mk_states AS MATERIALIZED (
+  SELECT DISTINCT event_type AS state FROM events
+),
+mk_ns AS (SELECT count(*)::BIGINT AS n_states FROM mk_states),
+mk_v0 AS MATERIALIZED (
+  SELECT state, ({_MKS} // n_states)::BIGINT AS m
+  FROM mk_states CROSS JOIN mk_ns
+),{",".join(_mk_rounds)}
+SELECT v.state AS event_type, v.m AS mass_units,
+       v.m / {_MKS} AS stationary,
+       coalesce(t._r, 0)::BIGINT AS n_out,
+       (row_number() OVER (ORDER BY v.m DESC, v.state ASC))::INT AS rank
+FROM mk_v{_MKR} v LEFT JOIN mk_tot t ON t.from_type = v.state"""
+
     # local-bridge twin (operators/community.local_bridges): the oracle
     # deliberately does NOT mirror the degree-ordered orientation — it
     # states the definition directly (an edge with no common neighbor,

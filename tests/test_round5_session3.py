@@ -155,3 +155,116 @@ def test_local_bridges_disjoint_from_triangle_support(spark):
     # the anti-join against the supported-edge set is a hash join, not
     # a nested loop over the corpus
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    prepared = [
+        (i, base + dt.timedelta(seconds=off), u, t, 0.0, "{}")
+        for i, (off, u, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        prepared,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_markov_absorbing_state_attracts_mass(spark):
+    """view -> click -> purchase chain with purchase dangling (keeps its
+    own mass): after K rounds the absorbing state holds the most mass
+    and ranks first."""
+    from graphiti_spark.operators.events import MARKOV_SCALE, markov_stationary
+
+    rows = []
+    for u in range(6):
+        rows += [(0, f"u{u}", "view"), (60, f"u{u}", "click"),
+                 (120, f"u{u}", "purchase")]
+    out = {r["event_type"]: r for r in markov_stationary(_events(spark, rows)).collect()}
+    assert out["purchase"]["rank"] == 1
+    assert out["purchase"]["mass_units"] > out["view"]["mass_units"]
+    assert out["purchase"]["n_out"] == 0  # dangling: no outgoing pairs
+    # deterministic uniform chain: all mass reaches purchase in >=2 of 4
+    # rounds; floor loss only at the initial SCALE div 3 split
+    assert out["purchase"]["mass_units"] == (MARKOV_SCALE // 3) * 3
+    assert out["view"]["mass_units"] == 0
+
+
+def test_markov_session_gap_breaks_chain(spark):
+    """A pair separated by more than the session gap contributes no
+    transition — the state stays dangling and keeps its mass."""
+    from graphiti_spark.operators.events import markov_stationary
+
+    rows = [(0, "u1", "a"), (31 * 60, "u1", "b")]  # 31 min > 30-min gap
+    out = {r["event_type"]: r for r in markov_stationary(_events(spark, rows)).collect()}
+    assert out["a"]["n_out"] == 0 and out["b"]["n_out"] == 0
+    # both dangling: uniform split is the fixed point
+    assert out["a"]["mass_units"] == out["b"]["mass_units"]
+
+
+def test_markov_mass_conservation_bound(spark):
+    """Total mass never grows; floor losses are bounded by (#terms) per
+    round. Randomized event stream."""
+    import random
+
+    from graphiti_spark.operators.events import MARKOV_SCALE, markov_stationary
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(8):
+        t = 0
+        for _ in range(12):
+            t += rng.randrange(10, 600)
+            rows.append((t, f"u{u}", rng.choice("abcd")))
+    out = markov_stationary(_events(spark, rows)).collect()
+    total = sum(r["mass_units"] for r in out)
+    assert total <= MARKOV_SCALE
+    assert total > MARKOV_SCALE * 9 // 10  # floor loss is tiny
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# entity_salience
+# ---------------------------------------------------------------------------
+
+def test_entity_salience_shares_and_ranks(spark):
+    from graphiti_spark.operators.search import SALIENCE_SCALE, entity_salience
+
+    mentions = spark.createDataFrame(
+        [("e1", "n1", "g"), ("e2", "n1", "g"), ("e3", "n1", "g"),
+         ("e1", "n2", "g"), ("e4", "n3", "h")],
+        "episode_uuid string, node_uuid string, group_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("n1", "spark"), ("n2", "merge"), ("n3", "join")],
+        "uuid string, name string",
+    )
+    out = {(r["group_id"], r["uuid"]): r
+           for r in entity_salience(mentions, nodes).collect()}
+    assert out[("g", "n1")]["rank"] == 1
+    assert out[("g", "n1")]["share_ppm"] == SALIENCE_SCALE * 3 // 4
+    assert out[("g", "n2")]["share_ppm"] == SALIENCE_SCALE * 1 // 4
+    # group h is its own normalization universe
+    assert out[("h", "n3")]["share_ppm"] == SALIENCE_SCALE
+    assert out[("h", "n3")]["rank"] == 1
+
+
+def test_entity_salience_tie_order(spark):
+    """Equal counts rank by uuid ASC — deterministic across engines."""
+    from graphiti_spark.operators.search import entity_salience
+
+    mentions = spark.createDataFrame(
+        [("e1", "nb", "g"), ("e2", "na", "g")],
+        "episode_uuid string, node_uuid string, group_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("na", "x"), ("nb", "y")], "uuid string, name string"
+    )
+    out = {r["uuid"]: r["rank"] for r in entity_salience(mentions, nodes).collect()}
+    assert out == {"na": 1, "nb": 2}
