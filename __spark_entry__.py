@@ -1055,6 +1055,18 @@ def _q_sr_local_bridges(spark, sf_dir):
     return local_bridges(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_effective_diameter(spark, sf_dir):
+    from graphiti_spark.operators.community import effective_diameter
+
+    return effective_diameter(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_reciprocity(spark, sf_dir):
+    from graphiti_spark.operators.community import reciprocity
+
+    return reciprocity(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_entity_salience(spark, sf_dir):
     from graphiti_spark.operators.search import entity_salience
 
@@ -1876,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit tailward (the judge re-verifies the full set via
         # tools/compare_oracle.py each round).
         "kg_current_triples": _q_current_triples,
+        "sr_effective_diameter": _q_sr_effective_diameter,
+        "sr_reciprocity": _q_sr_reciprocity,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,

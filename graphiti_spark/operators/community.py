@@ -1990,3 +1990,97 @@ def local_bridges(edges: DataFrame) -> DataFrame:
             F.col("deg_w").cast("long").alias("deg_w"),
         )
     )
+
+
+# effective-diameter threshold (Palmer/ANF convention: the hop count
+# reaching 90% of the final neighborhood mass)
+HB_EFF_PCT = 90
+
+
+def effective_diameter(
+    edges: DataFrame, rounds: int = HB_ROUNDS, pct: int = HB_EFF_PCT
+) -> DataFrame:
+    """Effective diameter from the HyperBall curve (Palmer, Gibbons &
+    Faloutsos 2002's ANF metric; Boldi, Rosa & Vigna 2011 §5): per
+    group, the smallest hop count k whose neighborhood-function digest
+    reaches ``pct``% of the round-K mass — measured on the SAME
+    register-mass proxy :func:`neighborhood_function` hashes
+    (``sum_n_regs``; monotone in ball size), with a ceil-division
+    integer threshold ``(pct·final + 99) div 100`` so no float ratio
+    crosses the oracle hash.
+
+    Scale: pure derivation — the K-round propagation is the
+    already-checkpointed :func:`_register_rounds` chain; everything
+    here joins and filters the (groups × K+1)-row digest frame. Output:
+    (group_id, effective_diameter, final_regs, threshold_regs)."""
+    nf = neighborhood_function(edges, rounds).localCheckpoint()
+    fin = nf.where(F.col("round") == int(rounds)).select(
+        "group_id", F.col("sum_n_regs").alias("_final")
+    )
+    return (
+        nf.join(fin, "group_id")
+        .withColumn(
+            "_thr", F.expr(f"(({int(pct)} * _final) + 99) div 100")
+        )
+        .where(F.col("sum_n_regs") >= F.col("_thr"))
+        .groupBy("group_id")
+        .agg(
+            F.min("round").cast("long").alias("effective_diameter"),
+            F.max("_final").cast("long").alias("final_regs"),
+            F.max("_thr").cast("long").alias("threshold_regs"),
+        )
+    )
+
+
+RECIPROCITY_SCALE = 1_000_000
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed reciprocity per group: of the distinct directed
+    (source → target) pairs, how many have the reverse edge too —
+    ``reciprocity_ppm = SCALE · n_reciprocal div n_directed`` (each
+    mutual pair counts BOTH its directed edges as reciprocal, the
+    standard definition). High reciprocity in an extracted KG flags
+    symmetric predicates (depends_on both ways = a cycle smell the
+    integrity audit wants); near-zero flags a cleanly layered graph.
+
+    Scale: ONE equi-join of the distinct directed set against its own
+    reversal on the (group, src, dst) key — hash-partitioned both
+    sides, no wedge fan-out, no window. Output:
+    (group_id, n_directed, n_reciprocal, n_mutual_pairs,
+    reciprocity_ppm)."""
+    d = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.col("source_node_uuid").alias("s"),
+            F.col("target_node_uuid").alias("t"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = d.select("group_id", F.col("t").alias("s"), F.col("s").alias("t"))
+    mutual = d.join(rev, ["group_id", "s", "t"]).select(
+        "group_id", "s", "t"
+    )
+    per = d.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_directed")
+    )
+    rec = mutual.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_reciprocal")
+    )
+    return (
+        per.join(rec, "group_id", "left")
+        .select(
+            "group_id",
+            "n_directed",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+            .alias("n_reciprocal"),
+            (F.coalesce("n_reciprocal", F.lit(0)) / F.lit(2))
+            .cast("long").alias("n_mutual_pairs"),
+            F.expr(
+                f"({RECIPROCITY_SCALE} * coalesce(n_reciprocal, 0))"
+                f" div n_directed"
+            ).cast("long").alias("reciprocity_ppm"),
+        )
+    )

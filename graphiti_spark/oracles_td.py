@@ -3231,6 +3231,60 @@ FROM hb_r{k} GROUP BY 1"""
         for k in range(_HBR + 1)
     )
 
+    # effective diameter (community.effective_diameter): smallest round
+    # whose N(k) digest reaches HB_EFF_PCT% of the round-K mass, with
+    # the SAME ceil-division integer threshold as the Spark side — the
+    # hb register chain is reused verbatim
+    from graphiti_spark.operators.community import (
+        HB_EFF_PCT as _HBP,
+        RECIPROCITY_SCALE,
+    )
+
+    _hb_nf = "\n  UNION ALL\n".join(
+        f"""  SELECT group_id, {k}::BIGINT AS round,
+         count(*)::BIGINT AS sum_n_regs
+  FROM hb_r{k} GROUP BY 1"""
+        for k in range(_HBR + 1)
+    )
+    o["sr_effective_diameter"] = p + _hb + f"""
+, ed_nf AS MATERIALIZED (
+{_hb_nf}
+),
+ed_fin AS (
+  SELECT group_id, sum_n_regs AS final_regs
+  FROM ed_nf WHERE round = {_HBR}
+)
+SELECT n.group_id,
+       min(n.round)::BIGINT AS effective_diameter,
+       max(f.final_regs)::BIGINT AS final_regs,
+       max(({_HBP} * f.final_regs + 99) // 100)::BIGINT AS threshold_regs
+FROM ed_nf n JOIN ed_fin f USING (group_id)
+WHERE n.sum_n_regs >= ({_HBP} * f.final_regs + 99) // 100
+GROUP BY 1"""
+
+    # directed reciprocity (community.reciprocity): the oracle joins the
+    # distinct directed pair set against its own reversal — stated from
+    # the definition, independent of the Spark-side rename/union shape
+    o["sr_reciprocity"] = p + f"""
+, rc_d AS MATERIALIZED (
+  SELECT DISTINCT group_id, source_node_uuid AS s, target_node_uuid AS t
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+rc_m AS (
+  SELECT d.group_id, count(*)::BIGINT AS n_reciprocal
+  FROM rc_d d
+  JOIN rc_d r ON r.group_id = d.group_id AND r.s = d.t AND r.t = d.s
+  GROUP BY 1
+)
+SELECT d.group_id,
+       count(*)::BIGINT AS n_directed,
+       coalesce(max(m.n_reciprocal), 0)::BIGINT AS n_reciprocal,
+       (coalesce(max(m.n_reciprocal), 0) // 2)::BIGINT AS n_mutual_pairs,
+       (({RECIPROCITY_SCALE} * coalesce(max(m.n_reciprocal), 0))
+        // count(*))::BIGINT AS reciprocity_ppm
+FROM rc_d d LEFT JOIN rc_m m ON m.group_id = d.group_id
+GROUP BY 1"""
+
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,
        coalesce(array_to_string(

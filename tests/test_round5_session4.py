@@ -1,0 +1,146 @@
+"""Round-5 session-4 batch: effective diameter (HyperBall curve
+readout) and directed reciprocity."""
+
+from __future__ import annotations
+
+import io
+import random
+from contextlib import redirect_stdout
+
+from graphiti_spark.operators.community import (
+    HB_EFF_PCT,
+    HB_ROUNDS,
+    RECIPROCITY_SCALE,
+    effective_diameter,
+    neighborhood_function,
+    reciprocity,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(g, a, b) for (g, a, b) in pairs],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# effective_diameter
+# ---------------------------------------------------------------------------
+
+def _expected_ed(nf_rows):
+    """Python twin: per group, min round whose sum_n_regs crosses the
+    ceil-division HB_EFF_PCT% threshold of the round-K mass."""
+    by_group = {}
+    for r in nf_rows:
+        by_group.setdefault(r["group_id"], {})[r["round"]] = r["sum_n_regs"]
+    out = {}
+    for g, curve in by_group.items():
+        final = curve[HB_ROUNDS]
+        thr = (HB_EFF_PCT * final + 99) // 100
+        ed = min(k for k, v in curve.items() if v >= thr)
+        out[g] = (ed, final, thr)
+    return out
+
+
+def test_effective_diameter_matches_curve_readout(spark):
+    """On a clique group and a path group the operator's row must equal
+    the threshold readout of its own neighborhood_function curve."""
+    pairs = [("kq", f"q{i}", f"q{j}") for i in range(4) for j in range(i)]
+    pairs += [("pth", f"p{i}", f"p{i + 1}") for i in range(6)]
+    e = _edges(spark, pairs)
+    expected = _expected_ed(neighborhood_function(e).collect())
+    got = {
+        r["group_id"]: (
+            r["effective_diameter"], r["final_regs"], r["threshold_regs"]
+        )
+        for r in effective_diameter(e).collect()
+    }
+    assert got == expected
+    # a clique saturates its ball by round 1
+    assert got["kq"][0] <= 1
+
+
+def test_effective_diameter_randomized_vs_python_twin(spark):
+    rng = random.Random(54)
+    pairs = set()
+    for g in ("a", "b", "c"):
+        n = rng.randint(4, 12)
+        for _ in range(n * 2):
+            u, v = rng.sample(range(n), 2)
+            pairs.add((g, f"{g}{u}", f"{g}{v}"))
+    e = _edges(spark, sorted(pairs))
+    expected = _expected_ed(neighborhood_function(e).collect())
+    got = {
+        r["group_id"]: (
+            r["effective_diameter"], r["final_regs"], r["threshold_regs"]
+        )
+        for r in effective_diameter(e).collect()
+    }
+    assert got == expected
+    assert all(0 <= v[0] <= HB_ROUNDS for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# reciprocity
+# ---------------------------------------------------------------------------
+
+def test_reciprocity_counts_mutual_pair_both_ways(spark):
+    """One mutual pair among three directed edges: both directions of
+    the pair count as reciprocal (the standard definition)."""
+    e = _edges(
+        spark, [("g", "a", "b"), ("g", "b", "a"), ("g", "a", "c")]
+    )
+    row = reciprocity(e).collect()[0]
+    assert row["n_directed"] == 3
+    assert row["n_reciprocal"] == 2
+    assert row["n_mutual_pairs"] == 1
+    assert row["reciprocity_ppm"] == RECIPROCITY_SCALE * 2 // 3
+
+
+def test_reciprocity_ignores_self_loops_and_duplicate_edges(spark):
+    e = _edges(
+        spark,
+        [
+            ("g", "a", "a"),  # self-loop: dropped
+            ("g", "a", "b"),
+            ("g", "a", "b"),  # duplicate directed edge: counted once
+            ("g", "b", "c"),
+        ],
+    )
+    row = reciprocity(e).collect()[0]
+    assert row["n_directed"] == 2
+    assert row["n_reciprocal"] == 0
+    assert row["n_mutual_pairs"] == 0
+    assert row["reciprocity_ppm"] == 0
+
+
+def test_reciprocity_per_group_and_full_cycle(spark):
+    """A fully mutual group reaches SCALE exactly; a DAG group stays 0;
+    groups do not bleed into each other."""
+    e = _edges(
+        spark,
+        [
+            ("mut", "x", "y"), ("mut", "y", "x"),
+            ("mut", "y", "z"), ("mut", "z", "y"),
+            ("dag", "x", "y"), ("dag", "y", "z"),
+        ],
+    )
+    rows = {r["group_id"]: r for r in reciprocity(e).collect()}
+    assert rows["mut"]["reciprocity_ppm"] == RECIPROCITY_SCALE
+    assert rows["mut"]["n_mutual_pairs"] == 2
+    assert rows["dag"]["reciprocity_ppm"] == 0
+
+
+def test_reciprocity_plan_is_equijoin(spark):
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "a")])
+    plan = _plan(reciprocity(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
