@@ -1067,6 +1067,18 @@ def _q_sr_reciprocity(spark, sf_dir):
     return reciprocity(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_harmonic_centrality(spark, sf_dir):
+    from graphiti_spark.operators.community import harmonic_centrality
+
+    return harmonic_centrality(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_rich_club(spark, sf_dir):
+    from graphiti_spark.operators.community import rich_club
+
+    return rich_club(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_entity_salience(spark, sf_dir):
     from graphiti_spark.operators.search import entity_salience
 
@@ -1890,6 +1902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_triples": _q_current_triples,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
+        "sr_harmonic_centrality": _q_sr_harmonic_centrality,
+        "sr_rich_club": _q_sr_rich_club,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,

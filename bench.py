@@ -83,10 +83,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # only the final materialize would silently exclude that work
     from graphiti_spark.operators.community import (
         clustering_coeff,
+        effective_diameter,
+        harmonic_centrality,
         local_bridges,
         neighbor_agg,
         neighborhood_sketch,
         predict_links,
+        reciprocity,
+        rich_club,
         triangle_count,
         walk_pairs,
     )
@@ -108,6 +112,16 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         # HyperBall register propagation: 2 rounds = 2 groupBys over the
         # (node, register) frame + the shared adjacency checkpoint
         ("sr_neighborhood", lambda: neighborhood_sketch(g.edges)),
+        # curve readout over the same register chain: K+1 tiny digests
+        # + one threshold join — measures the derivation, not new work
+        ("sr_effective_diameter", lambda: effective_diameter(g.edges)),
+        # one equi-join of the distinct directed set vs its reversal
+        ("sr_reciprocity", lambda: reciprocity(g.edges)),
+        # per-node curve readout: K+1 node-grain rollups + one lag
+        # window whose exchange the final rollup reuses
+        ("sr_harmonic_centrality", lambda: harmonic_centrality(g.edges)),
+        # degree histograms + two histogram-sized suffix joins
+        ("sr_rich_club", lambda: rich_club(g.edges)),
         # path reconstruction: origin lookup + 3 frontier joins, timed
         # end-to-end (the collect IS part of the operator's cost)
         ("sr_shortest_path", lambda: _shortest_from_hub(g)),

@@ -2084,3 +2084,131 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             ).cast("long").alias("reciprocity_ppm"),
         )
     )
+
+
+# harmonic-centrality weight scale: lcm(1..8) so SCALE div k is exact
+# for every round depth the register chain will realistically run
+HC_SCALE = 840
+
+
+def harmonic_centrality(
+    edges: DataFrame, rounds: int = HB_ROUNDS
+) -> DataFrame:
+    """Harmonic centrality estimate per node — THE HyperBall
+    application (Boldi & Vigna 2014 "Axioms for centrality";
+    HyperANF §6): H(v) = Σ_{u≠v} 1/d(v,u), estimated from the ball
+    growth curve as Σ_k (|B(v,k)| − |B(v,k−1)|)/k. Ball mass is the
+    SAME per-node register-count proxy the sketch/digest consumers
+    hash (monotone in ball size); the 1/k weights are exact integers
+    (``HC_SCALE div k`` with HC_SCALE = lcm(1..8)), so the score is
+    hash-stable: ``harmonic_score = Σ_k (n_k − n_{k−1}) · (840 div
+    k)``. Output: (group_id, uuid, harmonic_score, ball_regs) with
+    ball_regs the round-K register count (the node's reach proxy).
+
+    Scale: folds the already-checkpointed :func:`_register_rounds`
+    chain with one map-side-combinable per-round rollup each; the
+    delta/weight stage is ONE shuffle by (group, uuid) shared between
+    the lag window and the final rollup (same keys — the exchange is
+    reused)."""
+    per_round = None
+    for k, regs in _register_rounds(edges, rounds):
+        d = regs.groupBy("group_id", "uuid").agg(
+            F.lit(k).cast("long").alias("round"),
+            F.count("*").cast("long").alias("n_regs"),
+        )
+        per_round = d if per_round is None else per_round.unionByName(d)
+    w = Window.partitionBy("group_id", "uuid").orderBy("round")
+    return (
+        per_round.withColumn("_prev", F.lag("n_regs").over(w))
+        .where(F.col("round") >= 1)
+        .groupBy("group_id", "uuid")
+        .agg(
+            F.sum(
+                (F.col("n_regs") - F.col("_prev"))
+                * F.expr(f"{HC_SCALE} div round")
+            ).cast("long").alias("harmonic_score"),
+            F.max(
+                F.when(F.col("round") == int(rounds), F.col("n_regs"))
+            ).cast("long").alias("ball_regs"),
+        )
+    )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragón 2004; Colizza et
+    al. 2006): per group and degree threshold k, the density of the
+    subgraph induced by nodes of degree > k —
+    ``phi_ppm = SCALE · 2·E_k div (N_k · (N_k − 1))``. A rising curve
+    means the extracted KG's hubs wire to each other (an elite core —
+    the planner should expect a dense hot partition); a flat one means
+    hubs spread. Thresholds are the distinct observed degrees with
+    N_k ≥ 2, so the output is histogram-sized.
+
+    Scale: degrees and the per-min-degree edge histogram are two
+    map-side-combinable rollups over the distinct undirected edge set;
+    the suffix counts (E_k, N_k) come from range joins of
+    DEGREE-HISTOGRAM-sized frames (|distinct degrees|² per group at
+    worst — thousands of rows, never the edge stream). Output:
+    (group_id, k, n_nodes, n_edges, phi_ppm)."""
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = und.unionByName(
+        und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("group_id", F.col("a").alias("v")).agg(
+        F.count("*").cast("long").alias("degree")
+    ).localCheckpoint()
+    # per-edge min endpoint degree → histogram over m
+    em = (
+        und.join(
+            deg.select("group_id", F.col("v").alias("a"),
+                       F.col("degree").alias("da")),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select("group_id", F.col("v").alias("b"),
+                       F.col("degree").alias("db")),
+            ["group_id", "b"],
+        )
+        .select("group_id", F.least("da", "db").alias("m"))
+        .groupBy("group_id", "m")
+        .agg(F.count("*").cast("long").alias("e_cnt"))
+    )
+    nd = deg.groupBy("group_id", "degree").agg(
+        F.count("*").cast("long").alias("v_cnt")
+    ).localCheckpoint()
+    ks = nd.select("group_id", F.col("degree").alias("k"))
+    n_k = (
+        ks.join(nd, "group_id")
+        .where(F.col("degree") > F.col("k"))
+        .groupBy("group_id", "k")
+        .agg(F.sum("v_cnt").cast("long").alias("n_nodes"))
+        .where(F.col("n_nodes") >= 2)
+    )
+    e_k = (
+        ks.join(em, "group_id")
+        .where(F.col("m") > F.col("k"))
+        .groupBy("group_id", "k")
+        .agg(F.sum("e_cnt").cast("long").alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, ["group_id", "k"], "left")
+        .select(
+            "group_id",
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                f"({RECIPROCITY_SCALE} * 2 * coalesce(n_edges, 0))"
+                " div (n_nodes * (n_nodes - 1))"
+            ).cast("long").alias("phi_ppm"),
+        )
+    )

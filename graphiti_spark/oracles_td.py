@@ -3285,6 +3285,79 @@ SELECT d.group_id,
 FROM rc_d d LEFT JOIN rc_m m ON m.group_id = d.group_id
 GROUP BY 1"""
 
+    # harmonic centrality (community.harmonic_centrality): per-node
+    # ball-growth readout of the same hb register chain — deltas
+    # weighted by the exact-integer lcm weights (HC_SCALE div k)
+    from graphiti_spark.operators.community import HC_SCALE as _HCS
+
+    _hc_nk = "\n  UNION ALL\n".join(
+        f"""  SELECT group_id, uuid, {k}::BIGINT AS round,
+         count(*)::BIGINT AS n_regs
+  FROM hb_r{k} GROUP BY 1, 2"""
+        for k in range(_HBR + 1)
+    )
+    o["sr_harmonic_centrality"] = p + _hb + f"""
+, hc AS MATERIALIZED (
+{_hc_nk}
+)
+SELECT c.group_id, c.uuid,
+       sum((c.n_regs - pr.n_regs) * ({_HCS} // c.round))::BIGINT
+         AS harmonic_score,
+       max(CASE WHEN c.round = {_HBR} THEN c.n_regs END)::BIGINT
+         AS ball_regs
+FROM hc c
+JOIN hc pr ON pr.group_id = c.group_id AND pr.uuid = c.uuid
+          AND pr.round = c.round - 1
+GROUP BY 1, 2"""
+
+    # rich-club curve (community.rich_club): stated from the definition
+    # over the degree histograms — the suffix counts are theta-joins of
+    # histogram-sized frames in BOTH engines
+    o["sr_rich_club"] = p + f"""
+, rcb_und AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+rcb_deg AS MATERIALIZED (
+  SELECT group_id, v, count(*)::BIGINT AS degree FROM (
+    SELECT group_id, a AS v FROM rcb_und
+    UNION ALL SELECT group_id, b FROM rcb_und
+  ) GROUP BY 1, 2
+),
+rcb_em AS (
+  SELECT e.group_id, least(da.degree, db.degree) AS m,
+         count(*)::BIGINT AS e_cnt
+  FROM rcb_und e
+  JOIN rcb_deg da ON da.group_id = e.group_id AND da.v = e.a
+  JOIN rcb_deg db ON db.group_id = e.group_id AND db.v = e.b
+  GROUP BY 1, 2
+),
+rcb_nd AS MATERIALIZED (
+  SELECT group_id, degree, count(*)::BIGINT AS v_cnt
+  FROM rcb_deg GROUP BY 1, 2
+),
+rcb_n AS (
+  SELECT k.group_id, k.degree AS k, sum(n.v_cnt)::BIGINT AS n_nodes
+  FROM rcb_nd k
+  JOIN rcb_nd n ON n.group_id = k.group_id AND n.degree > k.degree
+  GROUP BY 1, 2
+  HAVING sum(n.v_cnt) >= 2
+),
+rcb_e AS (
+  SELECT k.group_id, k.degree AS k, sum(e.e_cnt)::BIGINT AS n_edges
+  FROM rcb_nd k
+  JOIN rcb_em e ON e.group_id = k.group_id AND e.m > k.degree
+  GROUP BY 1, 2
+)
+SELECT n.group_id, n.k::BIGINT AS k, n.n_nodes,
+       coalesce(e.n_edges, 0)::BIGINT AS n_edges,
+       (({RECIPROCITY_SCALE} * 2 * coalesce(e.n_edges, 0))
+        // (n.n_nodes * (n.n_nodes - 1)))::BIGINT AS phi_ppm
+FROM rcb_n n
+LEFT JOIN rcb_e e ON e.group_id = n.group_id AND e.k = n.k"""
+
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,
        coalesce(array_to_string(

@@ -10,10 +10,13 @@ from contextlib import redirect_stdout
 from graphiti_spark.operators.community import (
     HB_EFF_PCT,
     HB_ROUNDS,
+    HC_SCALE,
     RECIPROCITY_SCALE,
     effective_diameter,
+    harmonic_centrality,
     neighborhood_function,
     reciprocity,
+    rich_club,
 )
 
 
@@ -144,3 +147,137 @@ def test_reciprocity_plan_is_equijoin(spark):
     plan = _plan(reciprocity(e))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality
+# ---------------------------------------------------------------------------
+
+def _hb_register(uuid: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(f"hb:{uuid}".encode()).hexdigest()[:2]
+
+
+def _distinct_register_uuids(n, salt=0):
+    """Deterministically pick n uuids whose hb registers are pairwise
+    distinct, so register counts equal exact ball sizes."""
+    out, seen, i = [], set(), 0
+    while len(out) < n:
+        u = f"hcn{salt}_{i}"
+        r = _hb_register(u)
+        if r not in seen:
+            seen.add(r)
+            out.append(u)
+        i += 1
+    return out
+
+
+def test_harmonic_centrality_exact_on_collision_free_tree(spark):
+    """With pairwise-distinct registers the sketch is exact, so the
+    score must equal the true truncated harmonic sum
+    840·|dist=1| + 420·|dist=2| computed by BFS."""
+    from collections import deque
+
+    rng = random.Random(7)
+    uuids = _distinct_register_uuids(10)
+    adj = {u: set() for u in uuids}
+    pairs = []
+    for i in range(1, len(uuids)):
+        j = rng.randrange(i)
+        pairs.append(("g", uuids[i], uuids[j]))
+        adj[uuids[i]].add(uuids[j])
+        adj[uuids[j]].add(uuids[i])
+
+    def bfs_counts(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        d1 = sum(1 for d in dist.values() if d == 1)
+        d2 = sum(1 for d in dist.values() if d == 2)
+        return d1, d2
+
+    got = {
+        r["uuid"]: (r["harmonic_score"], r["ball_regs"])
+        for r in harmonic_centrality(_edges(spark, pairs)).collect()
+    }
+    for u in uuids:
+        d1, d2 = bfs_counts(u)
+        assert got[u] == (HC_SCALE * d1 + HC_SCALE // 2 * d2,
+                          1 + d1 + d2), u
+
+
+def test_harmonic_centrality_clique_saturates_round_one(spark):
+    """In a collision-free clique every node scores 840·(n−1) — the
+    round-2 delta is zero because the ball saturates at round 1."""
+    uuids = _distinct_register_uuids(4, salt=1)
+    pairs = [
+        ("g", uuids[i], uuids[j])
+        for i in range(4) for j in range(i)
+    ]
+    rows = harmonic_centrality(_edges(spark, pairs)).collect()
+    assert {r["harmonic_score"] for r in rows} == {HC_SCALE * 3}
+    assert {r["ball_regs"] for r in rows} == {4}
+
+
+def test_harmonic_centrality_center_outranks_leaves(spark):
+    uuids = _distinct_register_uuids(5, salt=2)
+    c, leaves = uuids[0], uuids[1:]
+    pairs = [("g", c, l) for l in leaves]
+    rows = {r["uuid"]: r["harmonic_score"]
+            for r in harmonic_centrality(_edges(spark, pairs)).collect()}
+    assert all(rows[c] > rows[l] for l in leaves)
+
+
+# ---------------------------------------------------------------------------
+# rich_club
+# ---------------------------------------------------------------------------
+
+def test_rich_club_two_hubs(spark):
+    """Two degree-3 hubs wired to each other + leaves: at k=1 the club
+    is exactly the hub pair with its one edge → phi = 1.0; higher
+    thresholds have N_k < 2 and emit nothing."""
+    pairs = [
+        ("g", "h1", "h2"),
+        ("g", "h1", "l1"), ("g", "h1", "l2"),
+        ("g", "h2", "l3"), ("g", "h2", "l4"),
+    ]
+    rows = rich_club(_edges(spark, pairs)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["n_nodes"], r["n_edges"], r["phi_ppm"]) == (
+        1, 2, 1, RECIPROCITY_SCALE
+    )
+
+
+def test_rich_club_clique_with_pendant(spark):
+    """K4 plus one pendant: at k=1 the club is the K4 (density 0.6 of
+    the 5-node count... the pendant is excluded, 6 edges over C(4,2)
+    scaled against N_k=4)."""
+    pairs = [("g", f"x{i}", f"x{j}") for i in range(4) for j in range(i)]
+    pairs.append(("g", "x0", "pend"))
+    rows = {r["k"]: r for r in rich_club(_edges(spark, pairs)).collect()}
+    # degrees: x0=4, x1..x3=3, pend=1 → thresholds with N_k≥2: k=1
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 6
+    assert r["phi_ppm"] == RECIPROCITY_SCALE * 2 * 6 // (4 * 3)
+
+
+def test_rich_club_groups_isolated_and_dupes_dropped(spark):
+    pairs = [
+        ("a", "u", "v"), ("a", "u", "v"), ("a", "v", "u"),  # one edge
+        ("a", "u", "u"),                                    # self-loop
+        ("b", "h1", "h2"), ("b", "h1", "l1"), ("b", "h1", "l2"),
+        ("b", "h2", "l3"), ("b", "h2", "l4"),
+    ]
+    rows = rich_club(_edges(spark, pairs)).collect()
+    # group a: both nodes degree 1 → no threshold with N_k ≥ 2
+    assert {r["group_id"] for r in rows} == {"b"}
+    plan = _plan(rich_club(_edges(spark, pairs)))
+    assert "CartesianProduct" not in plan
