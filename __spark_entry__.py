@@ -1079,6 +1079,18 @@ def _q_sr_rich_club(spark, sf_dir):
     return rich_club(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_edge_support(spark, sf_dir):
+    from graphiti_spark.operators.community import edge_support
+
+    return edge_support(_graph(spark, sf_dir).edges)
+
+
+def _q_sr_truss(spark, sf_dir):
+    from graphiti_spark.operators.community import truss_edges
+
+    return truss_edges(_graph(spark, sf_dir).edges)
+
+
 def _q_kg_entity_salience(spark, sf_dir):
     from graphiti_spark.operators.search import entity_salience
 
@@ -1904,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
         "sr_rich_club": _q_sr_rich_club,
+        "sr_edge_support": _q_sr_edge_support,
+        "sr_truss": _q_sr_truss,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,

@@ -92,6 +92,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         reciprocity,
         rich_club,
         triangle_count,
+        truss_edges,
         walk_pairs,
     )
 
@@ -122,6 +123,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("sr_harmonic_centrality", lambda: harmonic_centrality(g.edges)),
         # degree histograms + two histogram-sized suffix joins
         ("sr_rich_club", lambda: rich_club(g.edges)),
+        # R peeling rounds × (oriented wedge enumeration + edge rollup)
+        # over a shrinking survivor set
+        ("sr_truss", lambda: truss_edges(g.edges)),
         # path reconstruction: origin lookup + 3 frontier joins, timed
         # end-to-end (the collect IS part of the operator's cost)
         ("sr_shortest_path", lambda: _shortest_from_hub(g)),

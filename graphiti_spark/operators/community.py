@@ -714,6 +714,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 def _triangle_frames(
     edges: DataFrame,
+    _und: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared degree-ordered triangle machinery: returns (und, deg,
     oriented, closed) where ``closed`` is the wedge frame left-joined
@@ -721,12 +722,16 @@ def _triangle_frames(
     center u and out-neighbors (x, y) form a triangle, with the wedge's
     center uuid carried as ``u``). Factored out of :func:`triangle_count`
     so :func:`clustering_coeff` reuses the identical orientation + wedge
-    keys instead of re-deriving them with subtly different tie rules."""
+    keys instead of re-deriving them with subtly different tie rules.
+
+    ``_und`` (internal): a pre-normalized, checkpointed distinct
+    (group_id, a<b) frame — the truss peel passes each round's
+    survivor set here so re-orientation skips the normalize/distinct."""
     # und feeds THREE consumers (deg, oriented, sizes) and oriented TWO
     # (wedge self-join, closing probe) — checkpoint both so the distinct
     # and the degree joins run once, not per consumer (measured 2× on
     # the sf0.1 suite; the frames are ≤ edge-sized, executor-local)
-    und = (
+    und = _und if _und is not None else (
         edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
         .select(
             "group_id",
@@ -2212,3 +2217,99 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).cast("long").alias("phi_ppm"),
         )
     )
+
+
+def _und_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a pre-normalized undirected
+    frame: each closed wedge from the shared degree-ordered
+    enumeration emits its THREE member edges (3·T rows, never the
+    wedge count), rolled up by one map-side-combinable groupBy on the
+    (group, a, b) key; edges in no triangle come back support 0 via
+    the left join against the edge set itself."""
+    _u, _deg, _o, closed = _triangle_frames(None, _und=und)
+    tri = closed.where(F.col("_hit") == 1).select("group_id", "u", "x", "y")
+    member = None
+    for s, t in (("u", "x"), ("u", "y"), ("x", "y")):
+        m = tri.select(
+            "group_id",
+            F.least(F.col(s), F.col(t)).alias("a"),
+            F.greatest(F.col(s), F.col(t)).alias("b"),
+        )
+        member = m if member is None else member.unionByName(m)
+    sup = member.groupBy("group_id", "a", "b").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return und.join(sup, ["group_id", "a", "b"], "left").select(
+        "group_id", "a", "b",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Triangle support per undirected edge — |N(a) ∩ N(b)| for every
+    distinct edge (a, b), the k-truss membership bound (Cohen 2008: an
+    edge can sit in the k-truss only if support ≥ k−2, so
+    ``k_bound = support + 2`` is its truss ceiling). The edge-grain
+    refinement of :func:`triangle_count` / :func:`clustering_coeff`,
+    and the quantity every peeling round of :func:`truss_edges` reads.
+
+    Output: (group_id, a, b, support, k_bound) — every edge appears,
+    support 0 included. Scale: the Suri–Vassilvitskii degree-ordered
+    wedge enumeration (never the unoriented neighbor product) + one
+    edge-keyed rollup."""
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    return _und_support(und).withColumn(
+        "k_bound", (F.col("support") + F.lit(2)).cast("long")
+    )
+
+
+K_TRUSS = 4
+TRUSS_ROUNDS = 3
+
+
+def truss_edges(
+    edges: DataFrame, k: int = K_TRUSS, rounds: int = TRUSS_ROUNDS
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008; the dense-subgraph
+    decomposition used for cohesive-core extraction): ``rounds``
+    synchronous rounds of "recount per-edge triangle support over the
+    survivors, drop edges with support < k−2". Exactly-R rounds is the
+    repo's LPA/pagerank/HyperBall convention — the trajectory itself is
+    the hash-checked contract, and the DuckDB twin recounts each round
+    from the DEFINITION (common-neighbor count over the survivor set),
+    so an orientation bug in the wedge enumeration cannot hide.
+
+    Output: the survivor edges after round R with their round-R support
+    (support ≥ k−2 by construction). Cascades are real: removing an
+    edge can drop a neighbor edge's support below threshold only in a
+    LATER round (synchronous semantics, like LPA's simultaneous vote).
+
+    Scale: each round is one degree-ordered wedge enumeration + one
+    edge rollup over a shrinking, checkpointed survivor set — the
+    standard distributed truss shape (rounds × triangle-count cost,
+    monotonically cheaper per round)."""
+    cur = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    out = None
+    for _r in range(int(rounds)):
+        sup = _und_support(cur)
+        out = sup.where(F.col("support") >= int(k) - 2)
+        cur = out.select("group_id", "a", "b").localCheckpoint()
+    return out

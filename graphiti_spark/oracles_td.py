@@ -3358,6 +3358,56 @@ SELECT n.group_id, n.k::BIGINT AS k, n.n_nodes,
 FROM rcb_n n
 LEFT JOIN rcb_e e ON e.group_id = n.group_id AND e.k = n.k"""
 
+    # per-edge triangle support + bounded k-truss peeling
+    # (community.edge_support / truss_edges): the oracle counts COMMON
+    # NEIGHBORS per edge from the definition — independent of the
+    # Spark side's degree-ordered wedge orientation (the local_bridges
+    # convention); truss rounds unroll as MATERIALIZED CTEs
+    from graphiti_spark.operators.community import (
+        K_TRUSS as _KTR,
+        TRUSS_ROUNDS as _TRR,
+    )
+
+    _ts = """
+, ts_und0 AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+ts_adj0 AS MATERIALIZED (
+  SELECT group_id, a AS v, b AS n FROM ts_und0
+  UNION ALL SELECT group_id, b, a FROM ts_und0
+)"""
+    for _r in range(1, _TRR + 1):
+        _ts += f""",
+ts_cn{_r} AS (
+  SELECT n1.group_id, n1.v AS a, n2.v AS b, count(*)::BIGINT AS c
+  FROM ts_adj{_r - 1} n1
+  JOIN ts_adj{_r - 1} n2
+    ON n2.group_id = n1.group_id AND n2.n = n1.n AND n1.v < n2.v
+  GROUP BY 1, 2, 3
+),
+ts_sup{_r} AS MATERIALIZED (
+  SELECT e.group_id, e.a, e.b, coalesce(c.c, 0)::BIGINT AS support
+  FROM ts_und{_r - 1} e
+  LEFT JOIN ts_cn{_r} c
+    ON c.group_id = e.group_id AND c.a = e.a AND c.b = e.b
+),
+ts_und{_r} AS MATERIALIZED (
+  SELECT group_id, a, b FROM ts_sup{_r} WHERE support >= {_KTR - 2}
+),
+ts_adj{_r} AS MATERIALIZED (
+  SELECT group_id, a AS v, b AS n FROM ts_und{_r}
+  UNION ALL SELECT group_id, b, a FROM ts_und{_r}
+)"""
+    o["sr_edge_support"] = p + _ts + """
+SELECT group_id, a, b, support, (support + 2)::BIGINT AS k_bound
+FROM ts_sup1"""
+    o["sr_truss"] = p + _ts + f"""
+SELECT group_id, a, b, support
+FROM ts_sup{_TRR} WHERE support >= {_KTR - 2}"""
+
     o["sr_previous_episodes"] = p + """
 SELECT group_id, uuid, valid_at,
        coalesce(array_to_string(

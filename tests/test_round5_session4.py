@@ -12,11 +12,13 @@ from graphiti_spark.operators.community import (
     HB_ROUNDS,
     HC_SCALE,
     RECIPROCITY_SCALE,
+    edge_support,
     effective_diameter,
     harmonic_centrality,
     neighborhood_function,
     reciprocity,
     rich_club,
+    truss_edges,
 )
 
 
@@ -281,3 +283,60 @@ def test_rich_club_groups_isolated_and_dupes_dropped(spark):
     assert {r["group_id"] for r in rows} == {"b"}
     plan = _plan(rich_club(_edges(spark, pairs)))
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# edge_support / truss_edges
+# ---------------------------------------------------------------------------
+
+def test_edge_support_k4_and_pendant(spark):
+    """Every K4 edge has the other two vertices as common neighbors
+    (support 2, k_bound 4); the pendant edge has support 0 and still
+    appears."""
+    pairs = [("g", f"x{i}", f"x{j}") for i in range(4) for j in range(i)]
+    pairs.append(("g", "x0", "zz_pend"))
+    rows = {(r["a"], r["b"]): (r["support"], r["k_bound"])
+            for r in edge_support(_edges(spark, pairs)).collect()}
+    assert len(rows) == 7
+    assert rows[("x0", "zz_pend")] == (0, 2)
+    for e, (s, kb) in rows.items():
+        if e != ("x0", "zz_pend"):
+            assert (s, kb) == (2, 4), e
+
+
+def test_truss_diamond_cascade_peels_to_empty(spark):
+    """Two triangles sharing an edge: only the shared edge survives
+    round 1 (support 2), loses its triangles, and is peeled in round 2
+    — the synchronous cascade the bounded rounds must realize."""
+    pairs = [
+        ("g", "v0", "v1"), ("g", "v0", "v2"), ("g", "v1", "v2"),
+        ("g", "v1", "v3"), ("g", "v2", "v3"),
+    ]
+    assert truss_edges(_edges(spark, pairs)).count() == 0
+
+
+def test_truss_k5_survives_with_support_three(spark):
+    pairs = [("g", f"k{i}", f"k{j}") for i in range(5) for j in range(i)]
+    rows = truss_edges(_edges(spark, pairs)).collect()
+    assert len(rows) == 10
+    assert {r["support"] for r in rows} == {3}
+
+
+def test_truss_k4_with_noise_keeps_exactly_k4(spark):
+    """K4 plus a pendant and a weakly-attached triangle: the triangle
+    (support 1 each) and the pendant peel off; the K4 core survives
+    intact with support 2."""
+    pairs = [("g", f"x{i}", f"x{j}") for i in range(4) for j in range(i)]
+    pairs += [("g", "x0", "p"),
+              ("g", "x0", "t1"), ("g", "t1", "t2"), ("g", "x0", "t2")]
+    rows = {(r["a"], r["b"]) for r in
+            truss_edges(_edges(spark, pairs)).collect()}
+    assert rows == {(f"x{j}", f"x{i}") for i in range(4) for j in range(i)}
+
+
+def test_truss_groups_do_not_bleed(spark):
+    pairs = [("a", f"k{i}", f"k{j}") for i in range(4) for j in range(i)]
+    pairs += [("b", "u", "v"), ("b", "v", "w"), ("b", "u", "w")]
+    rows = truss_edges(_edges(spark, pairs)).collect()
+    # group b's lone triangle has support 1 < k-2: fully peeled
+    assert {r["group_id"] for r in rows} == {"a"}
