@@ -1091,6 +1091,15 @@ def _q_sr_truss(spark, sf_dir):
     return truss_edges(_graph(spark, sf_dir).edges)
 
 
+def _q_mm_phash_dedup(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import (
+        media_near_dupes,
+        synth_media,
+    )
+
+    return media_near_dupes(synth_media(_docs(spark, sf_dir)))
+
+
 def _q_kg_entity_salience(spark, sf_dir):
     from graphiti_spark.operators.search import entity_salience
 
@@ -1918,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_rich_club": _q_sr_rich_club,
         "sr_edge_support": _q_sr_edge_support,
         "sr_truss": _q_sr_truss,
+        "mm_phash_dedup": _q_mm_phash_dedup,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,

@@ -59,6 +59,15 @@ def _interval_census(g):
     return interval_relation_census(g.edges)
 
 
+def _mm_phash(docs):
+    from graphiti_spark.operators.multimodal import (
+        media_near_dupes,
+        synth_media,
+    )
+
+    return media_near_dupes(synth_media(docs))
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.plans.pipeline import build_graph, current_triples
     from graphiti_spark.sources import synth_source_files
@@ -193,6 +202,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_embed_moments", lambda: embedding_moments(emb)),
         # two counting scans + vocab-keyed joins + TakeOrdered top-k
         ("td_collocations", lambda: collocations(docs)),
+        # simhash over the decoded payload stream + pigeonhole banding
+        ("mm_phash_dedup", lambda: _mm_phash(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

@@ -163,3 +163,88 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             F.least(F.col("_span"), F.col("_total") - F.col("frame_idx") * F.col("_span")).alias("byte_len"),
         )
     )
+
+
+# perceptual-hash analog: Hamming radius the 9 pigeonhole tables cover
+PHASH_MAX_HAMMING = 8
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Locality-sensitive 64-bit fingerprint per media row — the
+    deterministic stand-in for a perceptual hash (pHash/dHash). A real
+    pHash decodes the payload, normalizes it (resize / resample), and
+    derives 64 bits from local features so a localized edit flips few
+    bits; the fake keeps that CONTRACT by simhashing the decoded
+    payload's token stream (an insertion or deletion leaves every
+    other token's vote unchanged — shift-robust, which a fixed-offset
+    byte slicing is not). Swap the feature source at the
+    ``decode_stub`` boundary on a real cluster; the signature type,
+    banding, and verify plumbing downstream are production-shaped
+    either way.
+
+    The signed 64-bit pack matches the SimHash convention, so
+    :func:`~graphiti_spark.functions.hashing.simhash_block_keys` and
+    ``hamming64`` apply unchanged and the DuckDB twin reuses the
+    simhash_sql reconstruction on the payload expression."""
+    from graphiti_spark.functions.hashing import simhash64_sha
+    from graphiti_spark.functions.text import tokenize
+
+    return media.select(
+        "media_id",
+        simhash64_sha(
+            tokenize(F.decode(F.col("payload"), "utf-8"))
+        ).alias("phash"),
+    )
+
+
+def media_near_dupes(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate media pairs at Hamming distance ≤ ``max_hamming``
+    over :func:`media_phash` fingerprints — the multimodal member of
+    the dedup family (reference dedup covers text only; this is the
+    binary-column analog a 100 TB media corpus needs).
+
+    Blocking is the SAME Manku pigeonhole contract as
+    ``dedup.dedup_simhash``: 9 bit-field tables give full recall at
+    H ≤ 8 by construction, per-table volume bounded by
+    SIMHASH_BUCKET_CAP, survivors verified with exact ``hamming64``.
+    Output: (media_a, media_b, hamming)."""
+    from pyspark.sql import Window
+
+    from graphiti_spark import config
+    from graphiti_spark.functions.hashing import hamming64, simhash_block_keys
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    d = (
+        media_phash(media.repartition(par, "media_id"))
+        .withColumn("bk", F.explode(simhash_block_keys(F.col("phash"))))
+    )
+    w = Window.partitionBy("bk")
+    d = d.withColumn("_bw", F.count("*").over(w)).where(
+        F.col("_bw") <= config.SIMHASH_BUCKET_CAP
+    ).persist()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("_sa"),
+            F.col("b.phash").alias("_sb"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+        .withColumn(
+            "hamming", hamming64(F.col("_sa"), F.col("_sb")).cast("long")
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .drop("_sa", "_sb")
+    )
+    # persist-release contract as dedup_simhash: materialize, then free
+    pairs = pairs.localCheckpoint()
+    d.unpersist()
+    return pairs

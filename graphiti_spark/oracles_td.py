@@ -177,13 +177,19 @@ kp AS (
     )
 
 
-def simhash_sql(max_hamming: int = 8, cap: int | None = None) -> str:
+def simhash_sql(
+    max_hamming: int = 8, cap: int | None = None, text_expr: str = "text"
+) -> str:
     """DuckDB twin of operators/dedup.dedup_simhash: reconstructs the
     64-bit sha256-based SimHash nibble-by-nibble (hashing.simhash64_sha),
     blocks on the SAME 9 pigeonhole bit-field tables
     (hashing.SIMHASH_BLOCKS — full recall at Hamming <= 8 by
     construction), applies the identical per-table bucket cap, and
-    verifies full Hamming distance on candidate survivors."""
+    verifies full Hamming distance on candidate survivors.
+
+    ``text_expr``: the tokenized source expression over ``documents``
+    ('text' for the td twin; mm_phash_dedup passes the payload
+    expression so the media fingerprint reuses this reconstruction)."""
     from graphiti_spark import config
     from graphiti_spark.functions.hashing import SIMHASH_BLOCKS
 
@@ -225,7 +231,7 @@ def simhash_sql(max_hamming: int = 8, cap: int | None = None) -> str:
 WITH th AS (
   SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
     SELECT doc_id, unnest(t) AS tok
-    FROM (SELECT doc_id, {_toks('text')} AS t FROM documents)
+    FROM (SELECT doc_id, {_toks(text_expr)} AS t FROM documents)
   )
 ),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
@@ -3442,6 +3448,17 @@ SELECT media_id, kind,
        sha256(payload) AS payload_sha256,
        sha256(concat('feat|', payload)) AS feature_digest
 FROM media"""
+
+    # perceptual-hash near-dup pairs (multimodal.media_near_dupes):
+    # the fake pHash IS a simhash over the decoded payload's token
+    # stream, so the twin is the simhash reconstruction evaluated on
+    # the payload expression — banding, cap and Hamming verify are the
+    # SAME pigeonhole contract as td_dedup_simhash
+    from graphiti_spark.operators.multimodal import PHASH_MAX_HAMMING as _PHH
+
+    o["mm_phash_dedup"] = f"""
+SELECT doc_a AS media_a, doc_b AS media_b, hamming
+FROM ({simhash_sql(max_hamming=_PHH, text_expr="repeat(text, 3)")})"""
 
     # CC communities (min-label propagation to fixpoint) over the megacorp
     # entity graph — recursive-CTE min-label closure, community = min

@@ -340,3 +340,75 @@ def test_truss_groups_do_not_bleed(spark):
     rows = truss_edges(_edges(spark, pairs)).collect()
     # group b's lone triangle has support 1 < k-2: fully peeled
     assert {r["group_id"] for r in rows} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# media_phash / media_near_dupes
+# ---------------------------------------------------------------------------
+
+def _media(spark, rows):
+    from graphiti_spark.operators.multimodal import synth_media
+
+    return synth_media(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_media_phash_identical_payloads_collide_at_zero(spark):
+    from graphiti_spark.operators.multimodal import media_near_dupes
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    m = _media(spark, [(1, base), (2, base), (3, "entirely different corpus "
+                                                 "tokens about spark plans " * 10)])
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in media_near_dupes(m).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_media_phash_shift_robust_to_insertion(spark):
+    """One token inserted mid-payload leaves every other token's vote
+    unchanged — the near-dup must survive at small Hamming (the
+    property the byte-slice scheme would fail)."""
+    from graphiti_spark.operators.multimodal import media_near_dupes
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             * 15).split()
+    a = " ".join(words)
+    b = " ".join(words[:70] + ["inserted"] + words[70:])
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in media_near_dupes(_media(spark, [(1, a), (2, b)])).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 8
+
+
+def test_media_near_dupes_full_recall_vs_bruteforce(spark):
+    """Pigeonhole banding must find EVERY pair the brute-force Hamming
+    check accepts (Manku full-recall contract, on media signatures)."""
+    from graphiti_spark.operators.multimodal import (
+        media_near_dupes,
+        media_phash,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(12):
+        words = [vocab[rng.randrange(40)] for _ in range(120)]
+        rows.append((d, " ".join(words)))
+        if d % 3 == 0:  # planted near-dup: one substitution
+            words2 = list(words)
+            words2[50] = "sub"
+            rows.append((100 + d, " ".join(words2)))
+    m = _media(spark, rows)
+    sig = {r["media_id"]: r["phash"] for r in media_phash(m).collect()}
+    expected = set()
+    ids = sorted(sig)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            if bin((sig[x] ^ sig[y]) & ((1 << 64) - 1)).count("1") <= 8:
+                expected.add((x, y))
+    got = {(r["media_a"], r["media_b"])
+           for r in media_near_dupes(m).collect()}
+    assert got == expected
+    assert expected, "corpus must contain at least one near-dup pair"
