@@ -1002,6 +1002,96 @@ def predict_links(
     )
 
 
+NBRSIM_SCALE = 1_000_000
+
+
+def neighbor_similarity(
+    edges: DataFrame,
+    center_cap: int = LINKPRED_CENTER_CAP,
+    top_k: int = LINKPRED_TOP_K,
+) -> DataFrame:
+    """Structural neighbor-set similarity per node pair — the
+    set-overlap member of the link-score family next to
+    :func:`predict_links`' resource allocation: for every pair (u, w)
+    sharing at least one common neighbor, ``jaccard_ppm =
+    SCALE·|N∩| div (deg_u + deg_w − |N∩|)`` and ``cosine_sq_ppm =
+    SCALE·|N∩|² div (deg_u·deg_w)`` (Salton index, squared so no sqrt
+    enters the hash) — both floor divisions, identical in both engines.
+    The reference scores entity-merge candidates with embedding cosine
+    only (node_operations.py:64-65); this is the graph-structural
+    second opinion a resolver cross-checks it against.
+
+    Common neighbors are counted through centers of degree ≤
+    ``center_cap`` (the same vanishing-weight hub bound as
+    :func:`predict_links`, part of the operator's DEFINITION and
+    mirrored by the oracle); the denominators use TRUE degrees.
+    ``adjacent`` marks pairs that are already an edge, so the frame
+    serves both dedup-suggestion (adjacent=false, high jaccard ⇒ maybe
+    the same entity) and redundancy audits (adjacent=true).
+
+    Scale: the wedge self-join is bounded by cap² per center; degree
+    joins are node-grain; the final top-k window runs over the
+    AGGREGATED candidate frame per group, never the corpus."""
+    adj = (
+        build_adjacency(edges)
+        .select("group_id", "a", "b")
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
+    nbrs = adj.join(
+        deg.where(F.col("_dz") <= center_cap), ["group_id", "a"]
+    )
+    n1, n2 = nbrs.alias("n1"), nbrs.alias("n2")
+    cn = (
+        n1.join(n2, ["group_id", "a"])
+        .where(F.col("n1.b") < F.col("n2.b"))
+        .select(
+            "group_id",
+            F.col("n1.b").alias("u"),
+            F.col("n2.b").alias("w"),
+        )
+        .groupBy("group_id", "u", "w")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    du = deg.select(
+        "group_id", F.col("a").alias("u"), F.col("_dz").alias("deg_u")
+    )
+    dw = deg.select(
+        "group_id", F.col("a").alias("w"), F.col("_dz").alias("deg_w")
+    )
+    und = adj.where(F.col("a") < F.col("b")).select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("w")
+    ).withColumn("_adj", F.lit(1))
+    scored = (
+        cn.join(du, ["group_id", "u"])
+        .join(dw, ["group_id", "w"])
+        .join(und, ["group_id", "u", "w"], "left")
+        .select(
+            "group_id", "u", "w", "common_neighbors",
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_w").cast("long").alias("deg_w"),
+            F.expr(
+                f"({NBRSIM_SCALE} * common_neighbors)"
+                " div (deg_u + deg_w - common_neighbors)"
+            ).cast("long").alias("jaccard_ppm"),
+            F.expr(
+                f"({NBRSIM_SCALE} * common_neighbors * common_neighbors)"
+                " div (deg_u * deg_w)"
+            ).cast("long").alias("cosine_sq_ppm"),
+            F.col("_adj").isNotNull().alias("adjacent"),
+        )
+    )
+    win = Window.partitionBy("group_id").orderBy(
+        F.col("jaccard_ppm").desc(),
+        F.col("common_neighbors").desc(),
+        "u", "w",
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def component_size_stats(edges: DataFrame) -> DataFrame:
     """Connected-component size histogram per group — the macro view a
     graph owner reads next to :func:`degree_stats`: one giant component

@@ -400,6 +400,81 @@ def fact_lifetime(edges: DataFrame) -> DataFrame:
     )
 
 
+def graph_growth(edges: DataFrame) -> DataFrame:
+    """Event-time graph evolution per (group, month): how fast does the
+    knowledge graph accrete and churn — the longitudinal view over the
+    bitemporal columns the reference stores (edges.py valid_at /
+    invalid_at) but never rolls up. Per month bucket (date_trunc of the
+    EVENT time, not ingest time): ``edges_opened`` (valid_at in month),
+    ``edges_closed`` (invalid_at in month), ``nodes_first_seen``
+    (entities whose earliest incident-edge valid_at lands in the month
+    — the node-birth proxy a store without node timestamps uses), and
+    running ``cum_edges_opened`` / ``cum_nodes_seen``.
+
+    Scale: three map-side-combinable month-grain rollups (the node
+    births need one node-grain min() first) unioned long-form into one
+    pivot aggregation; the cumulative window runs over the MONTH-grain
+    frame (groups × months rows), never the edge stream. All counts are
+    longs; months are date_trunc timestamps — both hash exactly."""
+    opened = edges.where(F.col("valid_at").isNotNull()).select(
+        "group_id",
+        F.date_trunc("month", "valid_at").alias("month"),
+        F.lit("o").alias("_k"),
+    )
+    closed = edges.where(F.col("invalid_at").isNotNull()).select(
+        "group_id",
+        F.date_trunc("month", "invalid_at").alias("month"),
+        F.lit("c").alias("_k"),
+    )
+    births = (
+        edges.where(F.col("valid_at").isNotNull())
+        .select(
+            "group_id",
+            F.col("source_node_uuid").alias("uuid"),
+            F.col("valid_at"),
+        )
+        .unionByName(
+            edges.where(F.col("valid_at").isNotNull()).select(
+                "group_id",
+                F.col("target_node_uuid").alias("uuid"),
+                F.col("valid_at"),
+            )
+        )
+        .groupBy("group_id", "uuid")
+        .agg(F.min("valid_at").alias("first_seen"))
+        .select(
+            "group_id",
+            F.date_trunc("month", "first_seen").alias("month"),
+            F.lit("n").alias("_k"),
+        )
+    )
+    monthly = (
+        opened.unionByName(closed).unionByName(births)
+        .groupBy("group_id", "month")
+        .agg(
+            F.sum(F.when(F.col("_k") == "o", 1).otherwise(0))
+            .cast("long").alias("edges_opened"),
+            F.sum(F.when(F.col("_k") == "c", 1).otherwise(0))
+            .cast("long").alias("edges_closed"),
+            F.sum(F.when(F.col("_k") == "n", 1).otherwise(0))
+            .cast("long").alias("nodes_first_seen"),
+        )
+    )
+    win = (
+        Window.partitionBy("group_id")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "group_id", "month", "edges_opened", "edges_closed",
+        "nodes_first_seen",
+        F.sum("edges_opened").over(win).cast("long")
+        .alias("cum_edges_opened"),
+        F.sum("nodes_first_seen").over(win).cast("long")
+        .alias("cum_nodes_seen"),
+    )
+
+
 def integrity_report(
     episodes: DataFrame,
     nodes: DataFrame,

@@ -433,6 +433,56 @@ def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     )
 
 
+ZIPF_TOP_K = 100
+
+
+def zipf_report(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
+    """Corpus rank-frequency (Zipf) table: the ``top_k`` tokens by
+    occurrence count with 1-based rank, cumulative occurrences, and
+    integer-ppm corpus coverage — the one-page vocabulary audit a
+    training-data owner reads before sizing a tokenizer vocab (what
+    fraction of the token stream do the head terms carry) and the
+    companion to :func:`unigram_lm_score`'s top-V vocabulary (same
+    (count DESC, token ASC) tie rule, so the two heads agree).
+
+    Scale: ONE token rollup (map-side combinable), then a TakeOrdered
+    head of ``top_k`` rows — the rank/cumsum window runs over those
+    ≤ top_k rows only, never the vocabulary. The corpus total is the
+    sum over the rollup (no second scan) broadcast into the head.
+    coverage_ppm is floor division, identical in both engines."""
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    ).localCheckpoint()
+    total = counts.agg(
+        F.sum("n_occurrences").cast("long").alias("total_tokens")
+    )
+    head = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(int(top_k))
+    win = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    cum = Window.orderBy(F.desc("n_occurrences"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.withColumn("rank", F.row_number().over(win).cast("long"))
+        .withColumn(
+            "cum_occurrences", F.sum("n_occurrences").over(cum).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage_ppm",
+            F.expr("(1000000 * cum_occurrences) div total_tokens")
+            .cast("long"),
+        )
+        .select(
+            "rank", "token", "n_occurrences", "cum_occurrences",
+            "total_tokens", "coverage_ppm",
+        )
+    )
+
+
 # secret/PII redaction patterns — every regex is written to mean the
 # same thing under Java regex (Spark) and RE2 (DuckDB): character
 # classes, bounded quantifiers, (?i), and ASCII \b only — no lookaround,

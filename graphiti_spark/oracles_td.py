@@ -914,6 +914,38 @@ FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
     # transcendentals anywhere, so the doubles match bit-for-bit.
     from graphiti_spark.operators.textstats import LM_TOP_VOCAB as _LMV
 
+    # corpus rank-frequency table (operators/textstats.zipf_report):
+    # same (count DESC, token ASC) head rule as the LM vocab; rank and
+    # cumulative sum windows run over the LIMITed head in both engines;
+    # coverage is floor-division ppm
+    from graphiti_spark.operators.textstats import ZIPF_TOP_K as _ZK
+
+    o["td_zipf"] = f"""
+WITH ztoks AS (
+  SELECT unnest({_toks('text')}) AS token FROM documents
+),
+zc AS (
+  SELECT token, count(*)::BIGINT AS n_occurrences FROM ztoks GROUP BY 1
+),
+zt AS (SELECT sum(n_occurrences)::BIGINT AS total_tokens FROM zc),
+zh AS (
+  SELECT token, n_occurrences FROM zc
+  ORDER BY n_occurrences DESC, token ASC LIMIT {_ZK}
+)
+SELECT rank, token, n_occurrences, cum_occurrences, total_tokens,
+       ((1000000 * cum_occurrences) // total_tokens)::BIGINT AS coverage_ppm
+FROM (
+  SELECT token, n_occurrences,
+         row_number() OVER (
+           ORDER BY n_occurrences DESC, token ASC
+         )::BIGINT AS rank,
+         sum(n_occurrences) OVER (
+           ORDER BY n_occurrences DESC, token ASC
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_occurrences
+  FROM zh
+), zt"""
+
     o["td_lm_score"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents
@@ -2868,6 +2900,108 @@ SELECT group_id, u, w, ra_units, common_neighbors, rank FROM (
   )::BIGINT AS rank
   FROM lp_c
 ) WHERE rank <= {LINKPRED_TOP_K}"""
+
+    # structural neighbor-set similarity (operators/community
+    # .neighbor_similarity): capped-center common-neighbor counts, TRUE
+    # degrees in the denominators, integer-ppm Jaccard and squared
+    # Salton cosine, identical (jaccard DESC, cn DESC, u, w) tie-break
+    o["sr_neighbor_sim"] = p + f"""
+, ns_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+ns_deg AS MATERIALIZED (
+  SELECT group_id, a, count(*)::BIGINT AS dz
+  FROM ns_adj GROUP BY 1, 2
+),
+ns_nbr AS MATERIALIZED (
+  SELECT j.group_id, j.a, j.b
+  FROM ns_adj j JOIN ns_deg d ON d.group_id = j.group_id AND d.a = j.a
+  WHERE d.dz <= {LINKPRED_CENTER_CAP}
+),
+ns_cn AS (
+  SELECT n1.group_id, n1.b AS u, n2.b AS w,
+         count(*)::BIGINT AS common_neighbors
+  FROM ns_nbr n1
+  JOIN ns_nbr n2 ON n2.group_id = n1.group_id AND n2.a = n1.a
+  WHERE n1.b < n2.b
+  GROUP BY 1, 2, 3
+),
+ns_s AS (
+  SELECT c.group_id, c.u, c.w, c.common_neighbors,
+         du.dz::BIGINT AS deg_u, dw.dz::BIGINT AS deg_w,
+         ((1000000 * c.common_neighbors)
+          // (du.dz + dw.dz - c.common_neighbors))::BIGINT AS jaccard_ppm,
+         ((1000000 * c.common_neighbors * c.common_neighbors)
+          // (du.dz * dw.dz))::BIGINT AS cosine_sq_ppm,
+         e.u IS NOT NULL AS adjacent
+  FROM ns_cn c
+  JOIN ns_deg du ON du.group_id = c.group_id AND du.a = c.u
+  JOIN ns_deg dw ON dw.group_id = c.group_id AND dw.a = c.w
+  LEFT JOIN (SELECT group_id, a AS u, b AS w FROM ns_adj WHERE a < b) e
+    ON e.group_id = c.group_id AND e.u = c.u AND e.w = c.w
+)
+SELECT group_id, u, w, common_neighbors, deg_u, deg_w,
+       jaccard_ppm, cosine_sq_ppm, adjacent, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id
+    ORDER BY jaccard_ppm DESC, common_neighbors DESC, u, w
+  )::BIGINT AS rank
+  FROM ns_s
+) WHERE rank <= {LINKPRED_TOP_K}"""
+
+    # event-time graph evolution (operators/temporal.graph_growth):
+    # month-grain open/close/node-birth rollups over the bitemporal
+    # columns plus running totals — the window runs over the month
+    # grain in both engines
+    o["kg_graph_growth"] = p + """
+, gg_opened AS (
+  SELECT group_id, date_trunc('month', valid_at)::TIMESTAMP AS month,
+         'o' AS _k
+  FROM edges WHERE valid_at IS NOT NULL
+),
+gg_closed AS (
+  SELECT group_id, date_trunc('month', invalid_at)::TIMESTAMP AS month,
+         'c' AS _k
+  FROM edges WHERE invalid_at IS NOT NULL
+),
+gg_births AS (
+  SELECT group_id, date_trunc('month', min(valid_at))::TIMESTAMP AS month,
+         'n' AS _k
+  FROM (
+    SELECT group_id, source_node_uuid AS uuid, valid_at
+    FROM edges WHERE valid_at IS NOT NULL
+    UNION ALL
+    SELECT group_id, target_node_uuid, valid_at
+    FROM edges WHERE valid_at IS NOT NULL
+  ) GROUP BY group_id, uuid
+),
+gg_monthly AS (
+  SELECT group_id, month,
+         count(CASE WHEN _k = 'o' THEN 1 END)::BIGINT AS edges_opened,
+         count(CASE WHEN _k = 'c' THEN 1 END)::BIGINT AS edges_closed,
+         count(CASE WHEN _k = 'n' THEN 1 END)::BIGINT AS nodes_first_seen
+  FROM (
+    SELECT * FROM gg_opened
+    UNION ALL SELECT * FROM gg_closed
+    UNION ALL SELECT * FROM gg_births
+  ) GROUP BY 1, 2
+)
+SELECT group_id, month, edges_opened, edges_closed, nodes_first_seen,
+       sum(edges_opened) OVER (
+         PARTITION BY group_id ORDER BY month
+         ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS cum_edges_opened,
+       sum(nodes_first_seen) OVER (
+         PARTITION BY group_id ORDER BY month
+         ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS cum_nodes_seen
+FROM gg_monthly"""
 
     # checkpoint lineage row (storage/writer.lineage_stats under the
     # portable sha bucket): per-bucket input counters, xor-of-sha digest

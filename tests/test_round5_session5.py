@@ -1,0 +1,165 @@
+"""Round-5 session-5 batch: neighbor-set similarity link scores,
+event-time graph growth, and the corpus Zipf report."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import (
+    NBRSIM_SCALE,
+    neighbor_similarity,
+)
+from graphiti_spark.operators.temporal import graph_growth
+from graphiti_spark.operators.textstats import ZIPF_TOP_K, zipf_report
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(g, a, b) for (g, a, b) in pairs],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# neighbor_similarity
+
+
+def test_neighbor_sim_square_with_diagonal(spark):
+    # square a-b-c-d-a plus diagonal a-c: b and d share {a, c}, are not
+    # adjacent, and both have degree 2 -> jaccard = 2/(2+2-2) = 1.0
+    e = _edges(spark, [
+        ("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"),
+        ("g", "d", "a"), ("g", "a", "c"),
+    ])
+    rows = {(r.u, r.w): r for r in neighbor_similarity(e).collect()}
+    bd = rows[("b", "d")]
+    assert bd.common_neighbors == 2
+    assert bd.deg_u == 2 and bd.deg_w == 2
+    assert bd.jaccard_ppm == NBRSIM_SCALE
+    assert bd.cosine_sq_ppm == NBRSIM_SCALE
+    assert not bd.adjacent
+    # a and c share {b, d}, ARE adjacent, degrees 3 and 3:
+    # jaccard = 2/(3+3-2) = 0.5, cosine^2 = 4/9
+    ac = rows[("a", "c")]
+    assert ac.adjacent
+    assert ac.jaccard_ppm == NBRSIM_SCALE * 2 // 4
+    assert ac.cosine_sq_ppm == NBRSIM_SCALE * 4 // 9
+
+
+def test_neighbor_sim_invariants(spark):
+    e = _edges(spark, [
+        ("g", "a", "b"), ("g", "a", "c"), ("g", "a", "d"),
+        ("g", "b", "c"), ("g", "c", "d"), ("g", "d", "e"),
+        ("h", "x", "y"), ("h", "y", "z"),
+    ])
+    out = neighbor_similarity(e).collect()
+    assert out, "shared neighbors exist"
+    for r in out:
+        assert 0 < r.common_neighbors <= min(r.deg_u, r.deg_w)
+        assert 0 < r.jaccard_ppm <= NBRSIM_SCALE
+        assert 0 < r.cosine_sq_ppm <= NBRSIM_SCALE
+    # ranks are 1..n contiguous per group
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r.rank)
+    for ranks in by_group.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_neighbor_sim_center_cap_is_definitional(spark):
+    # hub h connects u and w; with cap below h's degree the pair
+    # disappears (the capped center contributes no wedge)
+    pairs = [("g", "h", f"n{i}") for i in range(6)]
+    e = _edges(spark, pairs)
+    assert neighbor_similarity(e, center_cap=6).count() > 0
+    assert neighbor_similarity(e, center_cap=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# graph_growth
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_graph_growth_months_and_cumulatives(spark):
+    rows = [
+        # (group, src, tgt, valid_at, invalid_at)
+        ("g", "a", "b", _ts("2024-01-05"), None),
+        ("g", "a", "c", _ts("2024-01-20"), _ts("2024-02-10")),
+        ("g", "b", "c", _ts("2024-02-01"), None),
+        ("g", "c", "d", _ts("2024-03-15"), _ts("2024-03-16")),
+        ("g", "a", "b", None, None),  # no event time: excluded everywhere
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "group_id string, source_node_uuid string, target_node_uuid string,"
+        " valid_at timestamp, invalid_at timestamp",
+    )
+    out = {r.month.month: r for r in graph_growth(e).collect()}
+    assert set(out) == {1, 2, 3}
+    jan, feb, mar = out[1], out[2], out[3]
+    assert (jan.edges_opened, jan.edges_closed) == (2, 0)
+    assert (feb.edges_opened, feb.edges_closed) == (1, 1)
+    assert (mar.edges_opened, mar.edges_closed) == (1, 1)
+    # node births: jan sees a,b,c; feb none new; mar sees d
+    assert jan.nodes_first_seen == 3
+    assert feb.nodes_first_seen == 0
+    assert mar.nodes_first_seen == 1
+    assert [jan.cum_edges_opened, feb.cum_edges_opened,
+            mar.cum_edges_opened] == [2, 3, 4]
+    assert [jan.cum_nodes_seen, feb.cum_nodes_seen,
+            mar.cum_nodes_seen] == [3, 3, 4]
+
+
+def test_graph_growth_totals_match_inputs(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    edges = entrymod._graph(spark, sf_dir).edges
+    out = graph_growth(edges).orderBy("group_id", "month").collect()
+    opened = sum(r.edges_opened for r in out)
+    assert opened == edges.where(F.col("valid_at").isNotNull()).count()
+    # cumulative columns are monotone per group
+    last = {}
+    for r in out:
+        prev = last.get(r.group_id)
+        if prev is not None:
+            assert r.cum_edges_opened >= prev[0]
+            assert r.cum_nodes_seen >= prev[1]
+        last[r.group_id] = (r.cum_edges_opened, r.cum_nodes_seen)
+
+
+# ---------------------------------------------------------------------------
+# zipf_report
+
+
+def test_zipf_tiny_corpus_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b; B!")],
+        "doc_id long, text string",
+    )
+    out = zipf_report(docs).orderBy("rank").collect()
+    # counts: a=4, b=4 (case/punct folded), c=1 -> ties break token ASC
+    assert [(r.token, r.n_occurrences) for r in out] == [
+        ("a", 4), ("b", 4), ("c", 1)
+    ]
+    assert [r.cum_occurrences for r in out] == [4, 8, 9]
+    assert all(r.total_tokens == 9 for r in out)
+    assert [r.coverage_ppm for r in out] == [
+        4_000_000 // 9, 8_000_000 // 9, 1_000_000
+    ]
+
+
+def test_zipf_head_bounded_and_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zipf_report(docs).orderBy("rank").collect()
+    assert len(out) <= ZIPF_TOP_K
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    for a, b in zip(out, out[1:]):
+        assert (a.n_occurrences, b.token) >= (b.n_occurrences, a.token)
+        assert b.cum_occurrences == a.cum_occurrences + b.n_occurrences
+        assert b.coverage_ppm >= a.coverage_ppm
+    assert out[-1].coverage_ppm <= 1_000_000
