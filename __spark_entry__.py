@@ -556,6 +556,21 @@ def _q_td_zipf(spark, sf_dir):
     return zipf_report(_docs(spark, sf_dir))
 
 
+def _q_td_urls(spark, sf_dir):
+    """Per-domain URL provenance profile (probe rows exercise the
+    extraction — the synthetic corpus carries no URLs)."""
+    from graphiti_spark.operators.textstats import (
+        URL_PROBE_ROWS,
+        url_profile,
+    )
+
+    probes = spark.createDataFrame(
+        list(URL_PROBE_ROWS), "doc_id long, text string"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(probes)
+    return url_profile(docs)
+
+
 def _q_sr_mmr(spark, sf_dir):
     from graphiti_spark.operators.search import mmr_rerank
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -1954,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_neighbor_sim": _q_sr_neighbor_sim,
         "kg_graph_growth": _q_kg_graph_growth,
         "td_zipf": _q_td_zipf,
+        "td_urls": _q_td_urls,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,
@@ -2011,7 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_containment": _q_td_containment,
         "td_dedup_semantic": _q_td_dedup_semantic,
         "td_keywords": _q_td_keywords,
-        "td_curation": _q_td_curation,
         "sr_triangles": _q_sr_triangles,
         "sr_kcore": _q_sr_kcore,
         "sr_link_prediction": _q_sr_link_prediction,
@@ -2024,6 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
         "td_pack_sequences": _q_td_pack_sequences,
+        # (td_curation demoted for the td_urls promotion: the composed
+        # gate's arms — repetition, quality, lang — each keep their own
+        # in-window or full-sweep rows)
+        "td_curation": _q_td_curation,
         # (ev_anomaly demoted for the value-histogram promotion; its
         # streaming twin's oracle row and the full sweep still cover it.
         # td_repetition / td_common_spans / td_scrub_spans /

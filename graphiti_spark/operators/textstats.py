@@ -433,6 +433,59 @@ def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     )
 
 
+# URL grammar shared by both engines: scheme + host in one class-only
+# pattern (no lookaround, no backreferences — Java regex and RE2 agree),
+# optional path/query/fragment tail. Bare "www." hosts without a scheme
+# are NOT urls here — provenance profiling wants attributable fetches.
+URL_REGEX = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~%+=&?#/-]*)?"
+URL_HOST_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+# probe rows unioned into the oracle-checked query in BOTH dialects (the
+# synthetic corpus contains no URLs, so these make the hash comparison
+# exercise extraction, host parsing, tld split, and the multi-url /
+# repeated-domain cases; negative ids keep them apart from real docs).
+URL_PROBE_ROWS = (
+    (-1, "see https://docs.example.com/spark/agg and http://example.com/"
+         " plus https://docs.example.com/sql?x=1#top"),
+    (-2, "mirror at https://data.example.org/sets/v2,"
+         " raw http://raw.example.org"),
+    (-3, "no scheme www.example.com; gopher://old.example.net ignored"),
+)
+
+
+def url_profile(docs: DataFrame) -> DataFrame:
+    """Per-domain URL provenance profile — the C4/RefinedWeb-style audit
+    a corpus owner runs before domain filtering: every http(s) URL in
+    the text column, rolled up per host with occurrence and
+    document-reach counts plus the registrable tld. One projection
+    (regexp_extract_all stays in whole-stage codegen), one explode, one
+    map-side-combinable rollup on the domain key — the
+    embarrassingly-parallel scan shape a 100 TB pass needs; skewed mega-
+    domains (the reason C4 caps per-domain pages) surface as the top
+    rows of this very report."""
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_REGEX), 0)
+        ).alias("url"),
+    ).select(
+        "doc_id",
+        F.regexp_extract("url", URL_HOST_REGEX, 1).alias("domain"),
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .withColumn(
+            "tld",
+            F.regexp_extract("domain", r"\.([A-Za-z0-9-]+)$", 1),
+        )
+        .select("domain", "tld", "n_urls", "n_docs")
+    )
+
+
 ZIPF_TOP_K = 100
 
 

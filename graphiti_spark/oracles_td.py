@@ -914,6 +914,40 @@ FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
     # transcendentals anywhere, so the doubles match bit-for-bit.
     from graphiti_spark.operators.textstats import LM_TOP_VOCAB as _LMV
 
+    # per-domain URL provenance profile (operators/textstats.url_profile)
+    # — regex strings SHARED with the Spark operator (class-only
+    # patterns, identical under Java regex and RE2); the corpus contains
+    # no URLs, so both dialects union the same probe rows
+    from graphiti_spark.operators.textstats import (
+        URL_REGEX as _UR,
+        URL_HOST_REGEX as _UHR,
+        URL_PROBE_ROWS as _UPROBES,
+    )
+
+    _uvals = ",\n    ".join(
+        f"({i}::BIGINT, '{t}')" for i, t in _UPROBES
+    )
+    o["td_urls"] = f"""
+WITH usrc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_uvals}
+  ) v(doc_id, text)
+),
+uu AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_UR}')) AS url
+  FROM usrc
+),
+ud AS (
+  SELECT doc_id, regexp_extract(url, '{_UHR}', 1) AS domain FROM uu
+)
+SELECT domain,
+       regexp_extract(domain, '\\.([A-Za-z0-9-]+)$', 1) AS tld,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM ud GROUP BY 1, 2"""
+
     # corpus rank-frequency table (operators/textstats.zipf_report):
     # same (count DESC, token ASC) head rule as the LM vocab; rank and
     # cumulative sum windows run over the LIMITed head in both engines;

@@ -163,3 +163,45 @@ def test_zipf_head_bounded_and_monotone(spark, sf_dir):
         assert b.cum_occurrences == a.cum_occurrences + b.n_occurrences
         assert b.coverage_ppm >= a.coverage_ppm
     assert out[-1].coverage_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# url_profile
+
+
+def test_url_profile_probe_expectations(spark):
+    from graphiti_spark.operators.textstats import (
+        URL_PROBE_ROWS,
+        url_profile,
+    )
+
+    docs = spark.createDataFrame(
+        list(URL_PROBE_ROWS), "doc_id long, text string"
+    )
+    rows = {r.domain: r for r in url_profile(docs).collect()}
+    # scheme-less www. and non-http schemes are excluded
+    assert set(rows) == {
+        "docs.example.com", "example.com",
+        "data.example.org", "raw.example.org",
+    }
+    assert rows["docs.example.com"].n_urls == 2
+    assert rows["docs.example.com"].n_docs == 1
+    assert rows["docs.example.com"].tld == "com"
+    assert rows["data.example.org"].tld == "org"
+
+
+def test_url_profile_doc_reach_vs_occurrences(spark):
+    from graphiti_spark.operators.textstats import url_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.io/x https://a.io/y"),
+            (2, "https://a.io/z"),
+            (3, "http://localhost/debug"),  # dotless host: empty tld
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.domain: r for r in url_profile(docs).collect()}
+    assert rows["a.io"].n_urls == 3
+    assert rows["a.io"].n_docs == 2
+    assert rows["localhost"].tld == ""
