@@ -556,6 +556,14 @@ def _q_td_zipf(spark, sf_dir):
     return zipf_report(_docs(spark, sf_dir))
 
 
+def _q_sr_mean_distance(spark, sf_dir):
+    """ANF mean-distance estimate in integer milli-hops, derived from
+    the same HyperBall register chain as the effective diameter."""
+    from graphiti_spark.operators.community import mean_distance
+
+    return mean_distance(_graph(spark, sf_dir).edges)
+
+
 def _q_td_urls(spark, sf_dir):
     """Per-domain URL provenance profile (probe rows exercise the
     extraction — the synthetic corpus carries no URLs)."""
@@ -1970,13 +1978,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_growth": _q_kg_graph_growth,
         "td_zipf": _q_td_zipf,
         "td_urls": _q_td_urls,
+        "sr_mean_distance": _q_sr_mean_distance,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
         "td_bigram_lm": _q_td_bigram_lm,
-        "ev_unpivot": _q_ev_unpivot,
         "ev_cube": _q_ev_cube,
         "sr_neighborhood": _q_sr_neighborhood,
         "sr_neighborhood_function": _q_sr_neighborhood_function,
@@ -2041,8 +2049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_pack_sequences": _q_td_pack_sequences,
         # (td_curation demoted for the td_urls promotion: the composed
         # gate's arms — repetition, quality, lang — each keep their own
-        # in-window or full-sweep rows)
+        # in-window or full-sweep rows; ev_unpivot demoted for the
+        # sr_mean_distance promotion — its ev_pivot base row stays
+        # in-window)
         "td_curation": _q_td_curation,
+        "ev_unpivot": _q_ev_unpivot,
         # (ev_anomaly demoted for the value-histogram promotion; its
         # streaming twin's oracle row and the full sweep still cover it.
         # td_repetition / td_common_spans / td_scrub_spans /

@@ -2127,6 +2127,49 @@ def effective_diameter(
     )
 
 
+MEANDIST_SCALE = 1_000
+
+
+def mean_distance(edges: DataFrame, rounds: int = HB_ROUNDS) -> DataFrame:
+    """Mean shortest-path distance estimate from the HyperBall curve
+    (Palmer, Gibbons & Faloutsos 2002 §4.2 — ANF's average-distance
+    readout; Boldi, Rosa & Vigna 2011 measure the web's ~19 degrees
+    this way): per group, ``Σ_k k·(N(k)−N(k−1)) div (N(K)−N(0))`` over
+    the same register-mass proxy :func:`neighborhood_function` hashes —
+    N(k)'s round-over-round delta is the mass first reached at distance
+    exactly k (the per-node register set only grows, so deltas are
+    ≥ 0 by construction). Reported in integer milli-hops so no float
+    ratio enters the oracle hash.
+
+    Scale: pure derivation over the already-checkpointed
+    :func:`_register_rounds` chain — one lag window and one rollup on
+    the (groups × K+1)-row digest frame. Output: (group_id,
+    weighted_mass, reached_mass, mean_distance_milli)."""
+    nf = neighborhood_function(edges, rounds).localCheckpoint()
+    win = Window.partitionBy("group_id").orderBy("round")
+    delta = (
+        nf.withColumn("_prev", F.lag("sum_n_regs").over(win))
+        .where(F.col("round") > 0)
+        .withColumn("_d", F.col("sum_n_regs") - F.col("_prev"))
+    )
+    return (
+        delta.groupBy("group_id")
+        .agg(
+            F.sum(F.col("round") * F.col("_d")).cast("long")
+            .alias("weighted_mass"),
+            F.sum("_d").cast("long").alias("reached_mass"),
+        )
+        .withColumn(
+            "mean_distance_milli",
+            F.expr(
+                f"CASE WHEN reached_mass > 0 THEN"
+                f" ({MEANDIST_SCALE} * weighted_mass) div reached_mass"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+
+
 RECIPROCITY_SCALE = 1_000_000
 
 

@@ -3436,6 +3436,28 @@ FROM ed_nf n JOIN ed_fin f USING (group_id)
 WHERE n.sum_n_regs >= ({_HBP} * f.final_regs + 99) // 100
 GROUP BY 1"""
 
+    # ANF mean-distance estimate (community.mean_distance): the same
+    # unrolled register chain, lag-differenced per round — mass first
+    # reached at distance exactly k — then one integer milli-hop ratio
+    o["sr_mean_distance"] = p + _hb + f"""
+, md_nf AS MATERIALIZED (
+{_hb_nf}
+),
+md_d AS (
+  SELECT group_id, round,
+         sum_n_regs - lag(sum_n_regs) OVER (
+           PARTITION BY group_id ORDER BY round
+         ) AS d
+  FROM md_nf
+)
+SELECT group_id,
+       sum(round * d)::BIGINT AS weighted_mass,
+       sum(d)::BIGINT AS reached_mass,
+       (CASE WHEN sum(d) > 0
+             THEN (1000 * sum(round * d)) // sum(d)
+             ELSE 0 END)::BIGINT AS mean_distance_milli
+FROM md_d WHERE round > 0 GROUP BY 1"""
+
     # directed reciprocity (community.reciprocity): the oracle joins the
     # distinct directed pair set against its own reversal — stated from
     # the definition, independent of the Spark-side rename/union shape

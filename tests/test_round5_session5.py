@@ -205,3 +205,44 @@ def test_url_profile_doc_reach_vs_occurrences(spark):
     assert rows["a.io"].n_urls == 3
     assert rows["a.io"].n_docs == 2
     assert rows["localhost"].tld == ""
+
+
+# ---------------------------------------------------------------------------
+# mean_distance
+
+
+def test_mean_distance_path_graph(spark):
+    from graphiti_spark.operators.community import (
+        HB_ROUNDS,
+        mean_distance,
+        neighborhood_function,
+    )
+
+    # path a-b-c: register masses are sketch-based, but the identity
+    # weighted_mass = sum_k k*(N(k)-N(k-1)) and the milli ratio must
+    # hold against the neighborhood function exactly
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "c")])
+    nf = {r.round: r.sum_n_regs
+          for r in neighborhood_function(e).collect()}
+    out = mean_distance(e).collect()[0]
+    want_w = sum(
+        k * (nf[k] - nf[k - 1]) for k in range(1, HB_ROUNDS + 1)
+    )
+    want_r = nf[HB_ROUNDS] - nf[0]
+    assert out.weighted_mass == want_w
+    assert out.reached_mass == want_r
+    assert out.mean_distance_milli == (
+        1000 * want_w // want_r if want_r > 0 else 0
+    )
+    # a 3-node path's mean distance lies in (1, 2) hops
+    if want_r > 0:
+        assert 1000 <= out.mean_distance_milli <= 2000
+
+
+def test_mean_distance_singleton_groups_zero(spark):
+    from graphiti_spark.operators.community import mean_distance
+
+    # self-loop only: no propagation mass, ratio guarded to 0
+    e = _edges(spark, [("g", "a", "a")])
+    rows = mean_distance(e).collect()
+    assert all(r.mean_distance_milli == 0 for r in rows)
