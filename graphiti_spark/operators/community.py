@@ -1037,7 +1037,14 @@ def neighbor_similarity(
         .select("group_id", "a", "b")
         .localCheckpoint()
     )
-    deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
+    # deg feeds THREE consumers (the center-cap filter and both
+    # denominator joins) — checkpoint the node-grain rollup so it runs
+    # once, not per consumer (the _triangle_frames convention)
+    deg = (
+        adj.groupBy("group_id", "a")
+        .agg(F.count("*").alias("_dz"))
+        .localCheckpoint()
+    )
     nbrs = adj.join(
         deg.where(F.col("_dz") <= center_cap), ["group_id", "a"]
     )
