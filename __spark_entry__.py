@@ -2016,6 +2016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validity_stream": _q_kg_validity_stream,
         "td_cluster_purity": _q_td_cluster_purity,
         "td_split_leakage": _q_td_split_leakage,
+        # ---- driver 50-row cap boundary (entries above are the 50 the
+        # driver's capped correctness sweep reports; everything below is
+        # still verified every round by tools/compare_oracle.py — the
+        # full-sweep log recorded in BASELINE.md / PROGRESS evidence) ----
         "ev_quantile_check": _q_ev_quantile_check,
         "kg_invalidation_chains": _q_kg_invalidation_chains,
         "sr_clustering": _q_sr_clustering,
@@ -2040,7 +2044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_link_prediction": _q_sr_link_prediction,
         "td_cms": _q_td_cms,
         "sr_ppr": _q_sr_ppr,
-        # ---- driver 50-row cap boundary ----
         # (ev_funnel / ev_retention / td_pack_sequences demoted for the
         # neighbor-similarity, graph-growth, and zipf promotions: all
         # three are benched per-round and stay in the full sweep)
