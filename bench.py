@@ -95,7 +95,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         effective_diameter,
         harmonic_centrality,
         local_bridges,
+        mean_distance,
         neighbor_agg,
+        neighbor_similarity,
         neighborhood_sketch,
         predict_links,
         reciprocity,
@@ -104,6 +106,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         truss_edges,
         walk_pairs,
     )
+    from graphiti_spark.operators.temporal import graph_growth
 
     for name, thunk in [
         ("current_triples", lambda: current_triples(g)),
@@ -115,6 +118,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         # ev_funnel's and predicate aggregation's benched shapes)
         ("sr_clustering", lambda: clustering_coeff(g.edges)),
         ("sr_link_prediction", lambda: predict_links(g.edges)),
+        # same wedge machinery as predict_links + two degree joins
+        ("sr_neighbor_sim", lambda: neighbor_similarity(g.edges)),
         # zero-support anti-join off the same shared triangle frames
         ("sr_local_bridges", lambda: local_bridges(g.edges)),
         ("sr_neighbor_agg", lambda: neighbor_agg(g.edges)),
@@ -127,6 +132,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("sr_effective_diameter", lambda: effective_diameter(g.edges)),
         # one equi-join of the distinct directed set vs its reversal
         ("sr_reciprocity", lambda: reciprocity(g.edges)),
+        # third curve readout over the shared register chain
+        ("sr_mean_distance", lambda: mean_distance(g.edges)),
+        # three month-grain rollups + one month-grain cumsum window
+        ("kg_graph_growth", lambda: graph_growth(g.edges)),
         # per-node curve readout: K+1 node-grain rollups + one lag
         # window whose exchange the final rollup reuses
         ("sr_harmonic_centrality", lambda: harmonic_centrality(g.edges)),
@@ -178,6 +187,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         collocations,
         doc_keywords,
         unigram_lm_score,
+        url_profile,
+        zipf_report,
     )
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -202,6 +213,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_embed_moments", lambda: embedding_moments(emb)),
         # two counting scans + vocab-keyed joins + TakeOrdered top-k
         ("td_collocations", lambda: collocations(docs)),
+        # one token rollup + a 100-row head window
+        ("td_zipf", lambda: zipf_report(docs)),
+        # one codegen projection + explode + domain rollup
+        ("td_urls", lambda: url_profile(docs)),
         # simhash over the decoded payload stream + pigeonhole banding
         ("mm_phash_dedup", lambda: _mm_phash(docs)),
     ]:
