@@ -564,6 +564,22 @@ def _q_sr_mean_distance(spark, sf_dir):
     return mean_distance(_graph(spark, sf_dir).edges)
 
 
+def _q_sr_centralization(spark, sf_dir):
+    """Freeman degree centralization per group in integer ppm — the
+    star-likeness / over-merge smell detector."""
+    from graphiti_spark.operators.community import degree_centralization
+
+    return degree_centralization(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_completeness(spark, sf_dir):
+    """Bitemporal completeness profile per (group, predicate): which
+    facts actually carry valid_at/invalid_at/expired_at/fact."""
+    from graphiti_spark.operators.temporal import completeness_report
+
+    return completeness_report(_graph(spark, sf_dir).edges)
+
+
 def _q_td_urls(spark, sf_dir):
     """Per-domain URL provenance profile (probe rows exercise the
     extraction — the synthetic corpus carries no URLs)."""
@@ -1979,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_zipf": _q_td_zipf,
         "td_urls": _q_td_urls,
         "sr_mean_distance": _q_sr_mean_distance,
+        "sr_centralization": _q_sr_centralization,
+        "kg_completeness": _q_kg_completeness,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "ev_markov_stationary": _q_ev_markov_stationary,
@@ -2014,23 +2032,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,
         "kg_validity_stream": _q_kg_validity_stream,
-        "td_cluster_purity": _q_td_cluster_purity,
-        "td_split_leakage": _q_td_split_leakage,
         # ---- driver 50-row cap boundary (entries above are the 50 the
         # driver's capped correctness sweep reports; everything below is
         # still verified every round by tools/compare_oracle.py — the
         # full-sweep log recorded in BASELINE.md / PROGRESS evidence) ----
+        # (td_cluster_purity / td_split_leakage demoted for the
+        # centralization and completeness promotions: mid-round-stable
+        # audit rows, still in the full sweep)
+        "td_cluster_purity": _q_td_cluster_purity,
+        "td_split_leakage": _q_td_split_leakage,
         "ev_quantile_check": _q_ev_quantile_check,
         "kg_invalidation_chains": _q_kg_invalidation_chains,
         "sr_clustering": _q_sr_clustering,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "ev_attribution": _q_ev_attribution,
         "sr_closeness": _q_sr_closeness,
-        "ev_transitions": _q_ev_transitions,
         "td_novelty": _q_td_novelty,
-        "td_knn_eval": _q_td_knn_eval,
-        "ev_funnel_latency": _q_ev_funnel_latency,
-        "ev_attribution_linear": _q_ev_attribution_linear,
         "kg_group_stats": _q_kg_group_stats,
         "td_ann_recall": _q_td_ann_recall,
         "sr_pagerank": _q_sr_pagerank,
@@ -2050,6 +2067,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
         "td_pack_sequences": _q_td_pack_sequences,
+        # (ev_funnel_latency / ev_attribution_linear / ev_transitions /
+        # td_knn_eval demoted for the centralization, completeness,
+        # mean-distance and URL-profile promotions: second rows of
+        # families whose base rows — ev_funnel, ev_attribution,
+        # ev_markov_stationary, td_ann_recall — keep oracle coverage;
+        # all stay in the full sweep)
+        "ev_funnel_latency": _q_ev_funnel_latency,
+        "ev_attribution_linear": _q_ev_attribution_linear,
+        "ev_transitions": _q_ev_transitions,
+        "td_knn_eval": _q_td_knn_eval,
         # (td_curation demoted for the td_urls promotion: the composed
         # gate's arms — repetition, quality, lang — each keep their own
         # in-window or full-sweep rows; ev_unpivot demoted for the

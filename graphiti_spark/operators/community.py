@@ -2134,6 +2134,48 @@ def effective_diameter(
     )
 
 
+CENTRALIZATION_SCALE = 1_000_000
+
+
+def degree_centralization(edges: DataFrame) -> DataFrame:
+    """Freeman degree centralization per group (Freeman 1979 —
+    "Centrality in social networks: conceptual clarification", §3):
+    how star-like is the graph — ``Σ_v (max_deg − deg_v)`` against the
+    star graph's maximum ``(n−1)(n−2)``, here as floor-division ppm so
+    the hash is exact. 1.0 = a perfect hub-and-spoke (one entity
+    touches everything — the over-merge smell in an extracted KG),
+    0 = degree-regular. The group-level companion to
+    :func:`degree_stats`' histogram and :func:`skew_keys`' top-k.
+
+    Scale: one node-grain degree rollup off the symmetrized adjacency,
+    then ONE group-grain aggregation (max + sum + count in the same
+    pass; the max-degree subtraction folds into the final projection as
+    ``n·max − Σdeg``). Output: (group_id, n_nodes, max_degree,
+    sum_degree, centralization_ppm)."""
+    adj = build_adjacency(edges).select("group_id", "a", "b")
+    deg = adj.groupBy("group_id", "a").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return (
+        deg.groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max("degree").cast("long").alias("max_degree"),
+            F.sum("degree").cast("long").alias("sum_degree"),
+        )
+        .withColumn(
+            "centralization_ppm",
+            F.expr(
+                "CASE WHEN n_nodes > 2 THEN"
+                f" ({CENTRALIZATION_SCALE} *"
+                " (n_nodes * max_degree - sum_degree))"
+                " div ((n_nodes - 1) * (n_nodes - 2))"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+
+
 MEANDIST_SCALE = 1_000
 
 

@@ -475,6 +475,48 @@ def graph_growth(edges: DataFrame) -> DataFrame:
     )
 
 
+COMPLETENESS_SCALE = 1_000_000
+
+
+def completeness_report(edges: DataFrame) -> DataFrame:
+    """Bitemporal completeness profile per (group, predicate): how many
+    stored facts actually carry each temporal/provenance field — the
+    data-quality view a graph owner reads before trusting an as-of
+    query (a predicate whose facts mostly lack ``valid_at`` silently
+    vanishes from every point-in-time slice; the reference stores the
+    columns, edges.py:263-285, but has no audit over them). Counts per
+    field plus ``valid_ppm`` (floor-division share of facts with an
+    event-time anchor).
+
+    Scale: ONE map-side-combinable aggregation over the edge scan —
+    the conditional counts are all partial-aggregable sums. Output:
+    (group_id, predicate, n_edges, n_valid_at, n_invalid_at,
+    n_expired, n_fact, valid_ppm)."""
+    return (
+        edges.groupBy("group_id", F.col("name").alias("predicate"))
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("valid_at").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_valid_at"),
+            F.sum(F.when(F.col("invalid_at").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_invalid_at"),
+            F.sum(F.when(F.col("expired_at").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_expired"),
+            F.sum(
+                F.when(
+                    F.col("fact").isNotNull() & (F.length("fact") > 0), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_fact"),
+        )
+        .withColumn(
+            "valid_ppm",
+            F.expr(
+                f"({COMPLETENESS_SCALE} * n_valid_at) div n_edges"
+            ).cast("long"),
+        )
+    )
+
+
 def integrity_report(
     episodes: DataFrame,
     nodes: DataFrame,

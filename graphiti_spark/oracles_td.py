@@ -3436,6 +3436,49 @@ FROM ed_nf n JOIN ed_fin f USING (group_id)
 WHERE n.sum_n_regs >= ({_HBP} * f.final_regs + 99) // 100
 GROUP BY 1"""
 
+    # Freeman degree centralization (community.degree_centralization):
+    # one degree rollup + one group rollup; the star-graph denominator
+    # and the ppm are integer floor division in both engines
+    o["sr_centralization"] = p + """
+, dc_adj AS MATERIALIZED (
+  SELECT DISTINCT group_id, a, b FROM (
+    SELECT group_id, source_node_uuid AS a, target_node_uuid AS b
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+    UNION ALL
+    SELECT group_id, target_node_uuid, source_node_uuid
+    FROM edges WHERE source_node_uuid <> target_node_uuid
+  )
+),
+dc_deg AS (
+  SELECT group_id, a, count(*)::BIGINT AS degree
+  FROM dc_adj GROUP BY 1, 2
+),
+dc_g AS (
+  SELECT group_id, count(*)::BIGINT AS n_nodes,
+         max(degree)::BIGINT AS max_degree,
+         sum(degree)::BIGINT AS sum_degree
+  FROM dc_deg GROUP BY 1
+)
+SELECT group_id, n_nodes, max_degree, sum_degree,
+       (CASE WHEN n_nodes > 2 THEN
+          (1000000 * (n_nodes * max_degree - sum_degree))
+          // ((n_nodes - 1) * (n_nodes - 2))
+        ELSE 0 END)::BIGINT AS centralization_ppm
+FROM dc_g"""
+
+    # bitemporal completeness profile (temporal.completeness_report):
+    # conditional counts over one edge scan, ppm floor division
+    o["kg_completeness"] = p + """
+SELECT group_id, name AS predicate,
+       count(*)::BIGINT AS n_edges,
+       count(valid_at)::BIGINT AS n_valid_at,
+       count(invalid_at)::BIGINT AS n_invalid_at,
+       count(expired_at)::BIGINT AS n_expired,
+       count(CASE WHEN fact IS NOT NULL AND length(fact) > 0
+                  THEN 1 END)::BIGINT AS n_fact,
+       ((1000000 * count(valid_at)) // count(*))::BIGINT AS valid_ppm
+FROM edges GROUP BY 1, 2"""
+
     # ANF mean-distance estimate (community.mean_distance): the same
     # unrolled register chain, lag-differenced per round — mass first
     # reached at distance exactly k — then one integer milli-hop ratio

@@ -246,3 +246,58 @@ def test_mean_distance_singleton_groups_zero(spark):
     e = _edges(spark, [("g", "a", "a")])
     rows = mean_distance(e).collect()
     assert all(r.mean_distance_milli == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# degree_centralization
+
+
+def test_centralization_star_is_one(spark):
+    from graphiti_spark.operators.community import degree_centralization
+
+    # star: hub h + 4 spokes -> centralization = 1.0 (the maximum)
+    e = _edges(spark, [("g", "h", f"s{i}") for i in range(4)])
+    r = degree_centralization(e).collect()[0]
+    assert r.n_nodes == 5 and r.max_degree == 4
+    assert r.centralization_ppm == 1_000_000
+
+
+def test_centralization_cycle_is_zero_and_small_groups_guarded(spark):
+    from graphiti_spark.operators.community import degree_centralization
+
+    # 4-cycle: degree-regular -> 0; a single-edge group (n=2) guards to 0
+    e = _edges(spark, [
+        ("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"), ("g", "d", "a"),
+        ("h", "x", "y"),
+    ])
+    rows = {r.group_id: r for r in degree_centralization(e).collect()}
+    assert rows["g"].centralization_ppm == 0
+    assert rows["h"].centralization_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# completeness_report
+
+
+def test_completeness_counts_and_ppm(spark):
+    from graphiti_spark.operators.temporal import completeness_report
+
+    rows = [
+        ("g", "USES", _ts("2024-01-01"), None, None, "a uses b"),
+        ("g", "USES", None, _ts("2024-02-01"), _ts("2024-02-01"), ""),
+        ("g", "USES", _ts("2024-03-01"), None, None, None),
+        ("g", "CALLS", None, None, None, "x calls y"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "group_id string, name string, valid_at timestamp,"
+        " invalid_at timestamp, expired_at timestamp, fact string",
+    )
+    out = {r.predicate: r for r in completeness_report(e).collect()}
+    uses = out["USES"]
+    assert (uses.n_edges, uses.n_valid_at, uses.n_invalid_at,
+            uses.n_expired, uses.n_fact) == (3, 2, 1, 1, 1)
+    assert uses.valid_ppm == 2_000_000 // 3
+    calls = out["CALLS"]
+    assert (calls.n_edges, calls.n_valid_at, calls.n_fact) == (1, 0, 1)
+    assert calls.valid_ppm == 0
