@@ -936,6 +936,38 @@ def kcore_peel(
     )
 
 
+def _capped_wedge_frames(
+    edges: DataFrame, center_cap: int, checkpoint_deg: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared capped-center wedge scaffolding for the link-score family
+    (:func:`predict_links`, :func:`neighbor_similarity`): returns
+    (adj, deg, nbrs, und) — the checkpointed symmetrized adjacency, the
+    node-grain degree rollup (``_dz``), the center-capped neighbor frame
+    whose self-join on the center enumerates wedges, and the a<b
+    undirected edge set (aliased (u, w)) used for adjacency checks.
+    One definition so the cap semantics cannot diverge between the two
+    operators (their oracles restate it independently on purpose)."""
+    # adj feeds deg, nbrs AND the existing-edge check — checkpoint so
+    # the symmetrized distinct aggregation runs once per call
+    adj = (
+        build_adjacency(edges)
+        .select("group_id", "a", "b")
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
+    if checkpoint_deg:
+        # callers with >1 degree consumer checkpoint the node-grain
+        # rollup too (the _triangle_frames convention)
+        deg = deg.localCheckpoint()
+    nbrs = adj.join(
+        deg.where(F.col("_dz") <= center_cap), ["group_id", "a"]
+    )
+    und = adj.where(F.col("a") < F.col("b")).select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("w")
+    )
+    return adj, deg, nbrs, und
+
+
 def predict_links(
     edges: DataFrame,
     center_cap: int = LINKPRED_CENTER_CAP,
@@ -962,15 +994,7 @@ def predict_links(
     two-phase partial top-k (per-partition head, then merge) drops in
     without changing the contract.
     """
-    # adj feeds deg, nbrs AND the existing-edge anti-join — checkpoint
-    # so the symmetrized distinct aggregation runs once per call
-    adj = (
-        build_adjacency(edges)
-        .select("group_id", "a", "b")
-        .localCheckpoint()
-    )
-    deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
-    nbrs = adj.join(deg.where(F.col("_dz") <= center_cap), ["group_id", "a"])
+    _adj, _deg, nbrs, und = _capped_wedge_frames(edges, center_cap)
     n1, n2 = nbrs.alias("n1"), nbrs.alias("n2")
     scores = (
         n1.join(n2, ["group_id", "a"])
@@ -987,11 +1011,7 @@ def predict_links(
             F.count("*").cast("long").alias("common_neighbors"),
         )
     )
-    und = adj.where(F.col("a") < F.col("b")).select(
-        "group_id", F.col("a").alias("u"), F.col("b").alias("w")
-    )
     cand = scores.join(und, ["group_id", "u", "w"], "left_anti")
-    from pyspark.sql import Window
 
     win = Window.partitionBy("group_id").orderBy(
         F.col("ra_units").desc(), F.col("common_neighbors").desc(), "u", "w"
@@ -1032,21 +1052,11 @@ def neighbor_similarity(
     Scale: the wedge self-join is bounded by cap² per center; degree
     joins are node-grain; the final top-k window runs over the
     AGGREGATED candidate frame per group, never the corpus."""
-    adj = (
-        build_adjacency(edges)
-        .select("group_id", "a", "b")
-        .localCheckpoint()
-    )
-    # deg feeds THREE consumers (the center-cap filter and both
-    # denominator joins) — checkpoint the node-grain rollup so it runs
-    # once, not per consumer (the _triangle_frames convention)
-    deg = (
-        adj.groupBy("group_id", "a")
-        .agg(F.count("*").alias("_dz"))
-        .localCheckpoint()
-    )
-    nbrs = adj.join(
-        deg.where(F.col("_dz") <= center_cap), ["group_id", "a"]
+    # deg feeds THREE consumers here (the center-cap filter and both
+    # denominator joins) — checkpoint_deg makes the helper checkpoint
+    # the node-grain rollup so it runs once, not per consumer
+    _adj, deg, nbrs, und0 = _capped_wedge_frames(
+        edges, center_cap, checkpoint_deg=True
     )
     n1, n2 = nbrs.alias("n1"), nbrs.alias("n2")
     cn = (
@@ -1066,9 +1076,7 @@ def neighbor_similarity(
     dw = deg.select(
         "group_id", F.col("a").alias("w"), F.col("_dz").alias("deg_w")
     )
-    und = adj.where(F.col("a") < F.col("b")).select(
-        "group_id", F.col("a").alias("u"), F.col("b").alias("w")
-    ).withColumn("_adj", F.lit(1))
+    und = und0.withColumn("_adj", F.lit(1))
     scored = (
         cn.join(du, ["group_id", "u"])
         .join(dw, ["group_id", "w"])
@@ -2194,7 +2202,9 @@ def mean_distance(edges: DataFrame, rounds: int = HB_ROUNDS) -> DataFrame:
     :func:`_register_rounds` chain — one lag window and one rollup on
     the (groups × K+1)-row digest frame. Output: (group_id,
     weighted_mass, reached_mass, mean_distance_milli)."""
-    nf = neighborhood_function(edges, rounds).localCheckpoint()
+    # single consumer — no checkpoint: the register chain underneath is
+    # already checkpointed per round by _register_rounds
+    nf = neighborhood_function(edges, rounds)
     win = Window.partitionBy("group_id").orderBy("round")
     delta = (
         nf.withColumn("_prev", F.lag("sum_n_regs").over(win))

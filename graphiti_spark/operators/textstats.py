@@ -435,10 +435,14 @@ def doc_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
 
 # URL grammar shared by both engines: scheme + host in one class-only
 # pattern (no lookaround, no backreferences — Java regex and RE2 agree),
-# optional path/query/fragment tail. Bare "www." hosts without a scheme
-# are NOT urls here — provenance profiling wants attributable fetches.
-URL_REGEX = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~%+=&?#/-]*)?"
-URL_HOST_REGEX = r"https?://([A-Za-z0-9.-]+)"
+# optional path/query/fragment tail. The host must START and END on an
+# alphanumeric so sentence-final punctuation is never absorbed
+# ("see https://example.com. Next" must count example.com, not the
+# corrupted dot-suffixed host). Bare "www." hosts without a scheme are
+# NOT urls here — provenance profiling wants attributable fetches.
+_URL_HOST = r"[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
+URL_REGEX = rf"https?://{_URL_HOST}(?:/[A-Za-z0-9._~%+=&?#/-]*)?"
+URL_HOST_REGEX = rf"https?://({_URL_HOST})"
 
 # probe rows unioned into the oracle-checked query in BOTH dialects (the
 # synthetic corpus contains no URLs, so these make the hash comparison
@@ -450,6 +454,8 @@ URL_PROBE_ROWS = (
     (-2, "mirror at https://data.example.org/sets/v2,"
          " raw http://raw.example.org"),
     (-3, "no scheme www.example.com; gopher://old.example.net ignored"),
+    # sentence-final punctuation must not corrupt the host
+    (-4, "read https://example.com. Then https://a.io, then stop."),
 )
 
 
@@ -514,10 +520,10 @@ def zipf_report(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
     head = counts.orderBy(
         F.desc("n_occurrences"), F.asc("token")
     ).limit(int(top_k))
+    # one ordering definition for both windows so rank and cumsum can
+    # never disagree on tie order
     win = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    cum = Window.orderBy(F.desc("n_occurrences"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         head.withColumn("rank", F.row_number().over(win).cast("long"))
         .withColumn(

@@ -925,7 +925,8 @@ FROM (SELECT doc_id, text, {_toks('text')} AS t FROM documents)"""
     )
 
     _uvals = ",\n    ".join(
-        f"({i}::BIGINT, '{t}')" for i, t in _UPROBES
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _UPROBES
     )
     o["td_urls"] = f"""
 WITH usrc AS (

@@ -182,12 +182,16 @@ def test_url_profile_probe_expectations(spark):
     # scheme-less www. and non-http schemes are excluded
     assert set(rows) == {
         "docs.example.com", "example.com",
-        "data.example.org", "raw.example.org",
+        "data.example.org", "raw.example.org", "a.io",
     }
     assert rows["docs.example.com"].n_urls == 2
     assert rows["docs.example.com"].n_docs == 1
     assert rows["docs.example.com"].tld == "com"
     assert rows["data.example.org"].tld == "org"
+    # sentence-final dot/comma never corrupts the host (probe -4)
+    assert rows["example.com"].n_urls == 2
+    assert rows["example.com"].n_docs == 2
+    assert rows["a.io"].tld == "io"
 
 
 def test_url_profile_doc_reach_vs_occurrences(spark):
