@@ -2505,3 +2505,262 @@ def truss_edges(
         out = sup.where(F.col("support") >= int(k) - 2)
         cur = out.select("group_id", "a", "b").localCheckpoint()
     return out
+
+
+HITS_SCALE = 1_000_000
+HITS_ROUNDS = 3
+
+
+def hits_rounds(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the DIRECTED weighted
+    entity projection — the directed-importance complement to
+    :func:`pagerank_rounds` (an entity that RECEIVES many facts from
+    good hubs is an authority; one that EMITS facts about many good
+    authorities is a hub). The reference has no centrality family at
+    all (its rerankers are distance/mentions based); directed
+    hub/authority structure is the standard audit for citation-shaped
+    predicates (imports, depends_on, calls).
+
+    INTEGER-ARITHMETIC trajectory: scores live in BIGINT ``HITS_SCALE``
+    units. Each half-round is ONE equi-join of the weighted directed
+    adjacency against the score frame (both hash-partitioned on the
+    node key) plus a map-side-combinable weighted sum; the float L2
+    normalization of textbook HITS is replaced by a per-group MAX
+    rescale — ``(raw * SCALE) div group_max`` with floor division —
+    which preserves the score ordering, keeps every value in
+    [0, SCALE], and is bit-identical across engines (no float
+    summation order anywhere). The DuckDB twin (oracles.hits_sql)
+    unrolls the same rounds, so the whole trajectory is hash-checked.
+
+    Overflow bound: after each rescale scores are <= SCALE, so a raw
+    update is <= SCALE * weighted_degree and the rescale multiply needs
+    ``weighted_degree < 2^63 / SCALE^2`` (~9.2e6 parallel-edge-weighted
+    in-degree). At corpus scales beyond that, raise to DECIMAL(38,0) —
+    the plan shape is unchanged.
+
+    Scale: the group max is a per-group one-row aggregate broadcast
+    back (never a window over the node frame); localCheckpoint cuts the
+    2K-round lineage like the PageRank/Lloyd loops.
+
+    Output: (group_id, uuid, hub_units, auth_units, hub, auth).
+    """
+    assert rounds >= 1
+    de = (
+        edges.select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("group_id", "src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint()  # reused 2*rounds times
+    )
+    nodes = (
+        de.select("group_id", F.col("src").alias("uuid"))
+        .unionByName(de.select("group_id", F.col("dst").alias("uuid")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _rescale(raw: DataFrame, out_col: str) -> DataFrame:
+        # group max from the aggregated raw frame (>= 1 positive row per
+        # group by construction; greatest(.,1) guards degenerate input)
+        mx = raw.groupBy("group_id").agg(
+            F.greatest(F.max("_raw"), F.lit(1)).cast("long").alias("_mx")
+        )
+        return (
+            nodes.join(raw, ["group_id", "uuid"], "left")
+            .join(F.broadcast(mx), ["group_id"])
+            .select(
+                "group_id",
+                "uuid",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {HITS_SCALE}) div _mx"
+                ).cast("long").alias(out_col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(int(rounds)):
+        araw = (
+            de.join(
+                hub.select("group_id", F.col("uuid").alias("src"), "h"),
+                ["group_id", "src"],
+            )
+            .groupBy("group_id", F.col("dst").alias("uuid"))
+            .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("_raw"))
+        )
+        auth = _rescale(araw, "a")
+        hraw = (
+            de.join(
+                auth.select("group_id", F.col("uuid").alias("dst"), "a"),
+                ["group_id", "dst"],
+            )
+            .groupBy("group_id", F.col("src").alias("uuid"))
+            .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("_raw"))
+        )
+        hub = _rescale(hraw, "h")
+    return hub.join(auth, ["group_id", "uuid"]).select(
+        "group_id",
+        "uuid",
+        F.col("h").alias("hub_units"),
+        F.col("a").alias("auth_units"),
+        (F.col("h") / HITS_SCALE).alias("hub"),
+        (F.col("a") / HITS_SCALE).alias("auth"),
+    )
+
+
+def condensation_dag(scc_labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Condensation of the directed entity graph: roll every directed
+    edge up to its (scc_id(src) → scc_id(dst)) component pair and keep
+    the CROSS-component pairs — the DAG a topological consumer actually
+    walks once cycles are contracted (the standard second half of any
+    SCC decomposition; :func:`scc_pivot_pass` provides the labels).
+
+    One join of the distinct directed edge list against the label frame
+    per endpoint (hash-partitioned on the node key) + one map-side-
+    combinable rollup; component sizes come from a node-grain count
+    joined AFTER aggregation, so the big frames never widen.
+
+    Output: (group_id, comp_src, comp_dst, n_edges, src_size, dst_size),
+    comp_src <> comp_dst.
+    """
+    lab = scc_labels.select("group_id", "uuid", "scc_id").localCheckpoint()
+    de = (
+        edges.select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rolled = (
+        de.join(
+            lab.select(
+                "group_id", F.col("uuid").alias("src"),
+                F.col("scc_id").alias("comp_src"),
+            ),
+            ["group_id", "src"],
+        )
+        .join(
+            lab.select(
+                "group_id", F.col("uuid").alias("dst"),
+                F.col("scc_id").alias("comp_dst"),
+            ),
+            ["group_id", "dst"],
+        )
+        .where(F.col("comp_src") != F.col("comp_dst"))
+        .groupBy("group_id", "comp_src", "comp_dst")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    sizes = lab.groupBy("group_id", "scc_id").agg(
+        F.count("*").cast("long").alias("_sz")
+    )
+    return (
+        rolled.join(
+            sizes.select(
+                "group_id", F.col("scc_id").alias("comp_src"),
+                F.col("_sz").alias("src_size"),
+            ),
+            ["group_id", "comp_src"],
+        )
+        .join(
+            sizes.select(
+                "group_id", F.col("scc_id").alias("comp_dst"),
+                F.col("_sz").alias("dst_size"),
+            ),
+            ["group_id", "comp_dst"],
+        )
+        .select(
+            "group_id", "comp_src", "comp_dst",
+            "n_edges", "src_size", "dst_size",
+        )
+    )
+
+
+BUTTERFLY_DEGREE_CAP = 256
+
+
+def butterfly_census(
+    mention_edges: DataFrame, degree_cap: int = BUTTERFLY_DEGREE_CAP
+) -> DataFrame:
+    """Bipartite butterfly (4-cycle) census over the episode↔entity
+    mention graph (Sanei-Mehri, Sariyüce & Tirthapura, KDD 2018) — the
+    bipartite analog of the triangle count. A butterfly is two episodes
+    sharing two entities: the motif that exposes boilerplate (the same
+    entity pair restated across many episodes) and templated extraction.
+
+    Counting identity: with ``co(e1, e2)`` = number of entities shared
+    by an episode pair, butterflies B = Σ_pairs C(co, 2); wedges
+    W = Σ_entities C(deg, 2) = Σ_pairs co. Both are exact BIGINT — the
+    DuckDB twin recomputes the same identity.
+
+    Scale: wedges are generated from the ENTITY side with a degree cap
+    (an entity mentioned in > ``degree_cap`` episodes contributes no
+    wedges — the cap is part of the operator DEFINITION, the
+    predict_links contract, because a 10^6-episode hub entity would
+    emit 10^12 wedge rows and carries no boilerplate signal); the pair
+    rollup is map-side combinable; every census column is a
+    partial-aggregable sum over the pair frame.
+
+    Output: one row per group —
+    (group_id, n_episodes, n_entities, wedges, butterflies,
+     pairs_total, pairs_multi, multi_ppm).
+    """
+    cme = (
+        mention_edges.select(
+            "group_id",
+            "episode_uuid",
+            F.col("node_uuid").alias("entity_uuid"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds degrees AND wedges
+    )
+    deg = cme.groupBy("group_id", "entity_uuid").agg(
+        F.count("*").cast("long").alias("_d")
+    )
+    keep = deg.where(F.col("_d") <= int(degree_cap)).select(
+        "group_id", "entity_uuid"
+    )
+    side = cme.join(keep, ["group_id", "entity_uuid"])
+    pairs = (
+        side.select(
+            "group_id", "entity_uuid", F.col("episode_uuid").alias("ep_a")
+        )
+        .join(
+            side.select(
+                "group_id", "entity_uuid", F.col("episode_uuid").alias("ep_b")
+            ),
+            ["group_id", "entity_uuid"],
+        )
+        .where(F.col("ep_a") < F.col("ep_b"))
+        .groupBy("group_id", "ep_a", "ep_b")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    counts = cme.groupBy("group_id").agg(
+        F.countDistinct("episode_uuid").cast("long").alias("n_episodes"),
+        F.countDistinct("entity_uuid").cast("long").alias("n_entities"),
+    )
+    census = pairs.groupBy("group_id").agg(
+        F.sum("co").cast("long").alias("wedges"),
+        F.sum(F.expr("co * (co - 1L) div 2")).cast("long").alias("butterflies"),
+        F.count("*").cast("long").alias("pairs_total"),
+        F.sum(F.expr("cast(co >= 2 as long)")).cast("long").alias("pairs_multi"),
+    )
+    return counts.join(census, ["group_id"], "left").select(
+        "group_id",
+        "n_episodes",
+        "n_entities",
+        F.coalesce("wedges", F.lit(0)).cast("long").alias("wedges"),
+        F.coalesce("butterflies", F.lit(0)).cast("long").alias("butterflies"),
+        F.coalesce("pairs_total", F.lit(0)).cast("long").alias("pairs_total"),
+        F.coalesce("pairs_multi", F.lit(0)).cast("long").alias("pairs_multi"),
+        F.expr(
+            "coalesce(pairs_multi, 0L) * 1000000L"
+            " div greatest(coalesce(pairs_total, 0L), 1L)"
+        ).cast("long").alias("multi_ppm"),
+    )

@@ -1172,3 +1172,128 @@ def dedup_agreement(docs: DataFrame, threshold_pct: int = 50) -> DataFrame:
         "jaccard_ppm",
         F.coalesce(F.col("_f"), F.lit(False)).alias("found_by_lsh"),
     )
+
+
+WINNOW_K_CHARS = 12
+WINNOW_WINDOW = 8
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K_CHARS,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the normalized text, slide a window of ``w`` consecutive hashes,
+    and keep the MINIMUM of each window. The selected set is ~2/(w+1)
+    of all hashes yet GUARANTEES that any shared substring of at least
+    ``w + k - 1`` normalized characters contributes at least one shared
+    fingerprint — the position-robust clone detector for code corpora
+    (td_fingerprint's strided block-min over token hashes has no such
+    guarantee: a one-token insertion shifts every downstream block).
+
+    Engine-exact: normalization is a class-only regex (lowercase,
+    collapse non-alphanumerics — Java regex and DuckDB RE2 agree on
+    character classes), hashes are md5 hex (lexicographic min is
+    deterministic in both engines), and selection is pure set algebra.
+
+    Scale: ONE projection — grams, window minima, and the distinct
+    fingerprint set are all array ops inside the same whole-stage
+    codegen span; the only output is the exploded (doc_id, fp) frame.
+    No shuffle at all until a consumer aggregates.
+
+    Output: (doc_id, fp) — the distinct fingerprint set per document.
+    """
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    n = F.length(t) - (k - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.md5(F.substr(t, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_g")) - (w - 1), F.lit(1))
+    )
+    fps = F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(F.col("_g"), s, w)))
+    )
+    return (
+        docs.select("doc_id", grams.alias("_g"))
+        .where(F.size(F.col("_g")) >= 1)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K_CHARS,
+    w: int = WINNOW_WINDOW,
+    doc_freq_cap: int = config.SPAN_DOC_FREQ_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: doc pairs
+    sharing >= ``min_shared`` selected hashes, scored by fingerprint-set
+    Jaccard in ppm (floor division — engine-exact).
+
+    Scale shape is the common_spans contract: count doc-frequency per
+    fingerprint with a window that REUSES the hash partitioning of the
+    per-hash groupBy, drop boilerplate hashes above ``doc_freq_cap``
+    (a fingerprint in half the corpus is a license header, not a clone
+    signal — the LSH_BUCKET_CAP contract), then explode bounded ordered
+    id-pair combinations. Pair count is ∝ true clones, never O(n²).
+
+    Output: (doc_a, doc_b, shared, fp_a, fp_b, overlap_ppm).
+    """
+    fp = winnow_fingerprints(docs, k=k, w=w).localCheckpoint()
+    counts = fp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_nfp")
+    )
+    win = Window.partitionBy("fp")
+    gf = (
+        fp.withColumn("_df", F.count("*").over(win))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= int(doc_freq_cap)))
+        .drop("_df")
+    )
+    ids = F.array_sort(F.collect_list("doc_id"))
+    sz = F.size(F.col("_ids"))
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, sz),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        gf.groupBy("fp").agg(ids.alias("_ids"))
+        .select(F.explode(combos).alias("_p"))
+        .groupBy(
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("doc_id").alias("doc_a"),
+                          F.col("_nfp").alias("fp_a")),
+            ["doc_a"],
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_nfp").alias("fp_b")),
+            ["doc_b"],
+        )
+        .select(
+            "doc_a", "doc_b", "shared", "fp_a", "fp_b",
+            F.expr(
+                "shared * 1000000L div (fp_a + fp_b - shared)"
+            ).cast("long").alias("overlap_ppm"),
+        )
+    )

@@ -286,7 +286,72 @@ FROM {prev}"""
     return sql
 
 
-def scc_sql(rounds: int = 6, group: str = "megacorp/monorepo") -> str:
+def hits_sql(rounds: int = 3, group: str = "megacorp/monorepo") -> str:
+    """DuckDB twin of operators.community.hits_rounds: the K
+    hub/authority half-round pairs unrolled as chained CTEs over the
+    weighted DIRECTED edge rollup. ALL arithmetic is BIGINT — each
+    half-round is a weighted sum followed by the per-group max rescale
+    ``(raw * SCALE) // group_max`` with floor division, so the
+    trajectory is bit-identical to the Spark side (no float summation
+    order anywhere). Appended after the kg CTE prefix."""
+    from graphiti_spark.operators.community import HITS_SCALE
+
+    sql = f"""
+, ht_de AS MATERIALIZED (
+  SELECT group_id, source_node_uuid AS src, target_node_uuid AS dst,
+         count(*)::BIGINT AS w
+  FROM edges
+  WHERE group_id = '{group}' AND source_node_uuid <> target_node_uuid
+  GROUP BY 1, 2, 3
+),
+ht_n AS MATERIALIZED (
+  SELECT DISTINCT group_id, uuid FROM (
+    SELECT group_id, src AS uuid FROM ht_de
+    UNION ALL SELECT group_id, dst AS uuid FROM ht_de)
+),
+ht_h0 AS (SELECT group_id, uuid, {HITS_SCALE}::BIGINT AS h FROM ht_n)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+ht_ar{i} AS (
+  SELECT de.group_id, de.dst AS uuid, sum(p.h * de.w)::BIGINT AS raw
+  FROM ht_de de
+  JOIN ht_h{i - 1} p ON p.group_id = de.group_id AND p.uuid = de.src
+  GROUP BY 1, 2
+),
+ht_a{i} AS MATERIALIZED (
+  SELECT n.group_id, n.uuid,
+         ((coalesce(r.raw, 0) * {HITS_SCALE}) // m.mx)::BIGINT AS a
+  FROM ht_n n
+  LEFT JOIN ht_ar{i} r ON r.group_id = n.group_id AND r.uuid = n.uuid
+  JOIN (SELECT group_id, greatest(max(raw), 1)::BIGINT AS mx
+        FROM ht_ar{i} GROUP BY 1) m ON m.group_id = n.group_id
+),
+ht_hr{i} AS (
+  SELECT de.group_id, de.src AS uuid, sum(p.a * de.w)::BIGINT AS raw
+  FROM ht_de de
+  JOIN ht_a{i} p ON p.group_id = de.group_id AND p.uuid = de.dst
+  GROUP BY 1, 2
+),
+ht_h{i} AS MATERIALIZED (
+  SELECT n.group_id, n.uuid,
+         ((coalesce(r.raw, 0) * {HITS_SCALE}) // m.mx)::BIGINT AS h
+  FROM ht_n n
+  LEFT JOIN ht_hr{i} r ON r.group_id = n.group_id AND r.uuid = n.uuid
+  JOIN (SELECT group_id, greatest(max(raw), 1)::BIGINT AS mx
+        FROM ht_hr{i} GROUP BY 1) m ON m.group_id = n.group_id
+)"""
+    sql += f"""
+SELECT h.group_id, h.uuid, h.h AS hub_units, a.a AS auth_units,
+       h.h / {HITS_SCALE}.0 AS hub, a.a / {HITS_SCALE}.0 AS auth
+FROM ht_h{rounds} h
+JOIN ht_a{rounds} a ON a.group_id = h.group_id AND a.uuid = h.uuid"""
+    return sql
+
+
+def scc_sql(
+    rounds: int = 6, group: str = "megacorp/monorepo",
+    as_cte: str | None = None,
+) -> str:
     """DuckDB twin of operators.community.scc_pivot_pass: the K
     synchronous min-label rounds of the FW-BW pivot pass unrolled per
     DIRECTION as chained CTEs over the directed (src → dst) edge list.
@@ -316,12 +381,44 @@ scc_{d}{i} AS MATERIALIZED (
     SELECT e.{t} AS uuid, min(p.lab) AS inlab
     FROM scc_e e JOIN scc_{d}{i - 1} p ON p.uuid = e.{s}
     GROUP BY 1) m ON m.uuid = f.uuid)"""
-    sql += f"""
+    final = f"""
 SELECT f.group_id, f.uuid, f.lab AS fwd_min, b.lab AS bwd_min,
        CASE WHEN f.lab = b.lab THEN f.lab ELSE f.uuid END AS scc_id,
        f.lab = b.lab AS in_pivot_scc
 FROM scc_f{rounds} f JOIN scc_b{rounds} b ON b.uuid = f.uuid"""
-    return sql
+    if as_cte:
+        # the condensation oracle reads the labels AND scc_e again
+        return sql + f""",
+{as_cte} AS MATERIALIZED ({final})"""
+    return sql + final
+
+
+def condensation_sql(rounds: int = 6, group: str = "megacorp/monorepo") -> str:
+    """DuckDB twin of operators.community.condensation_dag: reuse the
+    unrolled SCC label trajectory (scc_sql as a CTE), roll every distinct
+    directed edge up to its (scc_id, scc_id) component pair, keep the
+    cross-component pairs, and annotate component sizes from a node-grain
+    count. Appended after the kg CTE prefix."""
+    sql = scc_sql(rounds=rounds, group=group, as_cte="cd_lab")
+    return sql + """
+, cd_roll AS (
+  SELECT e.group_id, ls.scc_id AS comp_src, ld.scc_id AS comp_dst,
+         count(*)::BIGINT AS n_edges
+  FROM scc_e e
+  JOIN cd_lab ls ON ls.group_id = e.group_id AND ls.uuid = e.src
+  JOIN cd_lab ld ON ld.group_id = e.group_id AND ld.uuid = e.dst
+  WHERE ls.scc_id <> ld.scc_id
+  GROUP BY 1, 2, 3
+),
+cd_sz AS (
+  SELECT group_id, scc_id, count(*)::BIGINT AS sz
+  FROM cd_lab GROUP BY 1, 2
+)
+SELECT r.group_id, r.comp_src, r.comp_dst, r.n_edges,
+       ss.sz AS src_size, sd.sz AS dst_size
+FROM cd_roll r
+JOIN cd_sz ss ON ss.group_id = r.group_id AND ss.scc_id = r.comp_src
+JOIN cd_sz sd ON sd.group_id = r.group_id AND sd.scc_id = r.comp_dst"""
 
 
 def kg_cte_prefix(documents: str = "documents") -> str:
@@ -582,6 +679,8 @@ FROM (
 
 
 def kg_oracles(documents: str = "documents") -> dict[str, str]:
+    from graphiti_spark.operators.community import BUTTERFLY_DEGREE_CAP
+
     p = kg_cte_prefix(documents)
     return {
         "kg_source_files": p
@@ -844,6 +943,12 @@ GROUP BY group_id""",
         # the CC variant sr_communities checks the min-rule fixpoint;
         # this row hash-checks the PLURALITY trajectory itself)
         "sr_communities_plurality": p + plurality_lpa_sql(rounds=6),
+        # Kleinberg HITS hubs & authorities (operators/community.
+        # hits_rounds): unrolled BIGINT max-rescaled trajectory
+        "sr_hits": p + hits_sql(rounds=3),
+        # condensation DAG over the SCC labels (operators/community.
+        # condensation_dag): cross-component edge rollup + sizes
+        "sr_condensation": p + condensation_sql(rounds=6),
         # Newman modularity decomposition of the plurality-LPA partition
         # in exact BIGINT (operators/community.modularity_report):
         # contrib = m2*internal_w - degree_w², Q = Σ contrib / m2²
@@ -1031,6 +1136,55 @@ SELECT group_id, rnk::BIGINT AS rnk, uuid_a, uuid_b, n_episodes FROM (
     ORDER BY n_episodes DESC, uuid_a, uuid_b) AS rnk
   FROM cmp
 ) WHERE rnk <= 10""",
+        # bipartite butterfly census over the episode↔entity mention
+        # graph (operators/community.butterfly_census): wedges from the
+        # degree-capped entity side, B = Σ_pairs C(co, 2)
+        "kg_butterflies": p
+        + f"""
+, bf_cme AS MATERIALIZED (
+  SELECT DISTINCT m.group_id, m.episode_uuid,
+         c.canonical_uuid AS entity_uuid
+  FROM mentions m JOIN canonical_map c
+    ON c.group_id = m.group_id AND c.alias_uuid = m.mention_uuid
+),
+bf_deg AS (
+  SELECT group_id, entity_uuid, count(*)::BIGINT AS d
+  FROM bf_cme GROUP BY 1, 2
+),
+bf_side AS (
+  SELECT c.group_id, c.episode_uuid, c.entity_uuid
+  FROM bf_cme c JOIN bf_deg d
+    ON d.group_id = c.group_id AND d.entity_uuid = c.entity_uuid
+  WHERE d.d <= {BUTTERFLY_DEGREE_CAP}
+),
+bf_pairs AS (
+  SELECT a.group_id, a.episode_uuid AS ep_a, b.episode_uuid AS ep_b,
+         count(*)::BIGINT AS co
+  FROM bf_side a JOIN bf_side b
+    ON b.group_id = a.group_id AND b.entity_uuid = a.entity_uuid
+   AND a.episode_uuid < b.episode_uuid
+  GROUP BY 1, 2, 3
+),
+bf_counts AS (
+  SELECT group_id, count(DISTINCT episode_uuid)::BIGINT AS n_episodes,
+         count(DISTINCT entity_uuid)::BIGINT AS n_entities
+  FROM bf_cme GROUP BY 1
+),
+bf_census AS (
+  SELECT group_id, sum(co)::BIGINT AS wedges,
+         sum(co * (co - 1) // 2)::BIGINT AS butterflies,
+         count(*)::BIGINT AS pairs_total,
+         sum((co >= 2)::INT)::BIGINT AS pairs_multi
+  FROM bf_pairs GROUP BY 1
+)
+SELECT c.group_id, c.n_episodes, c.n_entities,
+       coalesce(s.wedges, 0)::BIGINT AS wedges,
+       coalesce(s.butterflies, 0)::BIGINT AS butterflies,
+       coalesce(s.pairs_total, 0)::BIGINT AS pairs_total,
+       coalesce(s.pairs_multi, 0)::BIGINT AS pairs_multi,
+       (coalesce(s.pairs_multi, 0) * 1000000
+        // greatest(coalesce(s.pairs_total, 0), 1))::BIGINT AS multi_ppm
+FROM bf_counts c LEFT JOIN bf_census s ON s.group_id = c.group_id""",
         # directed triad census (operators/community.triad_census):
         # 2-paths, transitive closures, and min-start-canonicalized
         # directed 3-cycles per group

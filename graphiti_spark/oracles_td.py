@@ -4340,4 +4340,54 @@ WHERE NOT EXISTS (
     AND n1.a = e.a AND n2.a = e.b AND n1.b = n2.b
 )"""
 
+    # winnowing (MOSS, SIGMOD 2003) twin of operators/dedup.winnow_pairs:
+    # class-only normalize regex ('g' flag — DuckDB replaces first match
+    # only by default), md5 char-k-gram hashes, list-comprehension window
+    # minima, distinct fingerprint set, doc-frequency window [2, cap],
+    # naive shared-fp self-join (the oracle states the definition; the
+    # Spark side's bounded combination explode must agree)
+    from graphiti_spark.operators.dedup import (
+        WINNOW_K_CHARS as _wk,
+        WINNOW_MIN_SHARED as _wms,
+        WINNOW_WINDOW as _ww,
+    )
+
+    o["td_winnow"] = f"""
+WITH wt AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+wg AS (
+  SELECT doc_id,
+         [md5(substr(t, i, {_wk}))
+          FOR i IN generate_series(1, length(t) - {_wk - 1})] AS g
+  FROM wt WHERE length(t) >= {_wk}
+),
+wfp AS (
+  SELECT doc_id,
+         list_distinct(
+           [list_min(g[s : s + {_ww - 1}])
+            FOR s IN generate_series(
+                 1, greatest(len(g) - {_ww - 1}, 1))]) AS fps
+  FROM wg
+),
+wfx AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+wc AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM wfx GROUP BY 1),
+wdf AS (SELECT fp FROM wfx GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {_cfg.SPAN_DOC_FREQ_CAP}),
+wgf AS (SELECT w.doc_id, w.fp FROM wfx w JOIN wdf USING (fp)),
+wp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM wgf a JOIN wgf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_wms}
+)
+SELECT wp.doc_a, wp.doc_b, wp.shared,
+       ca.nfp AS fp_a, cb.nfp AS fp_b,
+       (wp.shared * 1000000 // (ca.nfp + cb.nfp - wp.shared))::BIGINT
+         AS overlap_ppm
+FROM wp
+JOIN wc ca ON ca.doc_id = wp.doc_a
+JOIN wc cb ON cb.doc_id = wp.doc_b"""
+
     return o

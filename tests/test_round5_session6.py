@@ -1,0 +1,204 @@
+"""Round-5 session-6 batch: HITS hubs/authorities, the SCC condensation
+DAG, the bipartite butterfly census, and winnowing (MOSS) fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.community import (
+    HITS_SCALE,
+    butterfly_census,
+    condensation_dag,
+    hits_rounds,
+)
+from graphiti_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(g, a, b) for (g, a, b) in pairs],
+        "group_id string, source_node_uuid string, target_node_uuid string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# hits_rounds
+
+
+def test_hits_chain_exact_trajectory(spark):
+    # a -> c, b -> c, c -> d: a and b are the pure hubs, c the dominant
+    # authority; the integer trajectory is computable by hand for 3
+    # rounds (each rescale divides the minor score by 2)
+    e = _edges(spark, [("g", "a", "c"), ("g", "b", "c"), ("g", "c", "d")])
+    rows = {r.uuid: r for r in hits_rounds(e, rounds=3).collect()}
+    S = HITS_SCALE
+    assert rows["a"].hub_units == S and rows["b"].hub_units == S
+    assert rows["c"].hub_units == S // 8
+    assert rows["d"].hub_units == 0
+    assert rows["c"].auth_units == S
+    assert rows["d"].auth_units == S // 8
+    assert rows["a"].auth_units == 0 and rows["b"].auth_units == 0
+
+
+def test_hits_invariants_and_weights(spark):
+    # parallel edges weight the adjacency; scores stay in [0, SCALE]
+    # with the per-group max pinned at exactly SCALE on both sides
+    e = _edges(spark, [
+        ("g", "a", "c"), ("g", "a", "c"), ("g", "b", "c"), ("g", "c", "a"),
+        ("h", "x", "y"),
+    ])
+    out = hits_rounds(e, rounds=2).collect()
+    by_group = {}
+    for r in out:
+        assert 0 <= r.hub_units <= HITS_SCALE
+        assert 0 <= r.auth_units <= HITS_SCALE
+        by_group.setdefault(r.group_id, []).append(r)
+    for rs in by_group.values():
+        assert max(x.hub_units for x in rs) == HITS_SCALE
+        assert max(x.auth_units for x in rs) == HITS_SCALE
+    g = {r.uuid: r for r in by_group["g"]}
+    # a emits weight 2 into c, b emits 1: a is the stronger hub
+    assert g["a"].hub_units > g["b"].hub_units
+
+
+def test_hits_ignores_self_loops(spark):
+    e = _edges(spark, [("g", "a", "a"), ("g", "a", "b")])
+    rows = {r.uuid: r for r in hits_rounds(e, rounds=2).collect()}
+    # the self-loop contributes nothing: a is pure hub, b pure authority
+    assert rows["a"].auth_units == 0 and rows["b"].hub_units == 0
+    assert rows["a"].hub_units == HITS_SCALE
+    assert rows["b"].auth_units == HITS_SCALE
+
+
+# ---------------------------------------------------------------------------
+# condensation_dag
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(
+        rows, "group_id string, uuid string, scc_id string"
+    )
+
+
+def test_condensation_rolls_up_cross_component_edges(spark):
+    lab = _labels(spark, [
+        ("g", "a", "X"), ("g", "b", "X"), ("g", "c", "Y"), ("g", "d", "Y"),
+    ])
+    e = _edges(spark, [
+        ("g", "a", "b"),              # intra-X: dropped
+        ("g", "b", "c"), ("g", "b", "c"),  # duplicate edge: distinct first
+        ("g", "a", "c"),              # second X->Y edge
+        ("g", "c", "d"),              # intra-Y: dropped
+        ("g", "d", "a"),              # Y->X back edge
+    ])
+    rows = {(r.comp_src, r.comp_dst): r
+            for r in condensation_dag(lab, e).collect()}
+    assert set(rows) == {("X", "Y"), ("Y", "X")}
+    assert rows[("X", "Y")].n_edges == 2
+    assert rows[("Y", "X")].n_edges == 1
+    for r in rows.values():
+        assert r.src_size == 2 and r.dst_size == 2
+
+
+def test_condensation_trivial_components_keep_every_edge(spark):
+    # all-singleton labels: the condensation IS the distinct edge list
+    lab = _labels(spark, [("g", u, u) for u in "abc"])
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "c"), ("g", "a", "b")])
+    out = condensation_dag(lab, e).collect()
+    assert {(r.comp_src, r.comp_dst) for r in out} == {("a", "b"), ("b", "c")}
+    assert all(r.n_edges == 1 and r.src_size == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# butterfly_census
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows, "group_id string, episode_uuid string, node_uuid string"
+    )
+
+
+def test_butterfly_counting_identity(spark):
+    # e1,e2 share {x,y}; e3 mentions x only:
+    # wedges = C(3,2)+C(2,2) = 4, co(e1,e2)=2 -> 1 butterfly
+    m = _mentions(spark, [
+        ("g", "e1", "x"), ("g", "e1", "y"),
+        ("g", "e2", "x"), ("g", "e2", "y"),
+        ("g", "e3", "x"), ("g", "e3", "x"),  # duplicate mention: distinct
+    ])
+    r = butterfly_census(m).collect()[0]
+    assert (r.n_episodes, r.n_entities) == (3, 3 - 1)
+    assert r.wedges == 4
+    assert r.butterflies == 1
+    assert r.pairs_total == 3 and r.pairs_multi == 1
+    assert r.multi_ppm == 1_000_000 // 3
+
+
+def test_butterfly_degree_cap_is_definitional(spark):
+    m = _mentions(spark, [
+        ("g", "e1", "x"), ("g", "e1", "y"),
+        ("g", "e2", "x"), ("g", "e2", "y"),
+        ("g", "e3", "x"),
+    ])
+    # cap below x's episode-degree (3): only y's wedge survives
+    r = butterfly_census(m, degree_cap=2).collect()[0]
+    assert r.wedges == 1 and r.butterflies == 0
+    # counts stay corpus-grain (the cap trims wedges, not the census)
+    assert r.n_episodes == 3 and r.n_entities == 2
+
+
+def test_butterfly_no_pairs_group(spark):
+    m = _mentions(spark, [("g", "e1", "x"), ("g", "e2", "y")])
+    r = butterfly_census(m).collect()[0]
+    assert r.wedges == 0 and r.butterflies == 0
+    assert r.pairs_total == 0 and r.multi_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # any shared normalized substring of >= w + k - 1 = 19 chars MUST
+    # contribute a shared fingerprint; this pair shares a 40-char run at
+    # DIFFERENT positions (the position-robustness td_fingerprint lacks)
+    shared = "the quick brown fox jumps over the lazy dog"
+    d = _docs_df(spark, [
+        ("a", "PREFIX ALPHA one two three " + shared + " tail alpha"),
+        ("b", shared + " completely different ending material here"),
+        ("c", "unrelated document with no overlap at all zzz qqq"),
+    ])
+    pairs = winnow_pairs(d, min_shared=1).collect()
+    keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert ("a", "b") in keys
+    assert all("c" not in k for k in keys)
+    ab = next(r for r in pairs if (r.doc_a, r.doc_b) == ("a", "b"))
+    assert 0 < ab.overlap_ppm <= 1_000_000
+    assert ab.shared <= min(ab.fp_a, ab.fp_b)
+
+
+def test_winnow_fingerprint_compression_and_short_docs(spark):
+    long = " ".join(f"token{i} filler{i*7%13}" for i in range(200))
+    d = _docs_df(spark, [("a", long), ("b", "tiny"), ("c", "")])
+    fp = winnow_fingerprints(d).groupBy("doc_id").count().collect()
+    by = {r.doc_id: r["count"] for r in fp}
+    # docs shorter than k emit nothing
+    assert "b" not in by and "c" not in by
+    # selected density ~ 2/(w+1) of all grams; allow generous slack but
+    # require real compression (< 60% of the gram count)
+    n_grams = len(long) - 11
+    assert 0 < by["a"] < 0.6 * n_grams
+
+
+def test_winnow_identical_docs_full_overlap(spark):
+    text = "def build(graph): return graph.compact(level=3) # stable"
+    d = _docs_df(spark, [("a", text), ("b", text)])
+    r = winnow_pairs(d, min_shared=1).collect()
+    assert len(r) == 1
+    assert r[0].fp_a == r[0].fp_b == r[0].shared
+    assert r[0].overlap_ppm == 1_000_000
