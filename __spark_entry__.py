@@ -2002,6 +2002,44 @@ def _q_kg_butterflies(spark, sf_dir):
     return butterfly_census(_graph(spark, sf_dir).mentions)
 
 
+def _q_sr_wl(spark, sf_dir):
+    """1-WL color refinement (3 commutative md5-prefix-sum rounds) over
+    the undirected entity projection: structural-equivalence classes
+    with class sizes, trajectory hash-checked vs the DuckDB unroll."""
+    from graphiti_spark.operators.community import wl_colors
+
+    g = _graph(spark, sf_dir)
+    return wl_colors(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo"), rounds=3
+    )
+
+
+def _q_sr_mixing(spark, sf_dir):
+    """Joint degree-bucket mixing census: every undirected edge rolled
+    to its (floor-log2 bucket, bucket) pair with integer-ppm shares."""
+    from graphiti_spark.operators.community import degree_mixing
+
+    return degree_mixing(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_signatures(spark, sf_dir):
+    """Ontology-signature profile per (group, predicate): dominant
+    (subject, object) label-set signature, ppm share, violation count."""
+    from graphiti_spark.operators.temporal import signature_profile
+
+    g = _graph(spark, sf_dir)
+    return signature_profile(g.edges, g.nodes)
+
+
+def _q_td_edit_pairs(spark, sf_dir):
+    """Levenshtein re-verify of the shared MinHash/LSH candidate stage:
+    exact char edit distance on normalized text, cap-gated with an
+    explicit edit_checked flag."""
+    from graphiti_spark.operators.dedup import edit_verified_pairs
+
+    return edit_verified_pairs(_docs(spark, sf_dir))
+
+
 def _q_td_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprint near-dup pairs: window minima of
     char k-gram md5s, doc-frequency-capped shared-fingerprint pairs
@@ -2031,6 +2069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_condensation": _q_sr_condensation,
         "kg_butterflies": _q_kg_butterflies,
         "td_winnow": _q_td_winnow,
+        "sr_wl": _q_sr_wl,
+        "sr_mixing": _q_sr_mixing,
+        "kg_signatures": _q_kg_signatures,
+        "td_edit_pairs": _q_td_edit_pairs,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2051,16 +2093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
         "td_bigram_lm": _q_td_bigram_lm,
-        "ev_cube": _q_ev_cube,
         "sr_neighborhood": _q_sr_neighborhood,
-        "sr_neighborhood_function": _q_sr_neighborhood_function,
         "kg_motifs": _q_kg_motifs,
         "kg_entity_link": _q_kg_entity_link,
-        "td_dedup_agreement": _q_td_dedup_agreement,
         "ev_pivot": _q_ev_pivot,
         "td_embed_outliers": _q_td_embed_outliers,
         "td_line_dedup": _q_td_line_dedup,
-        "ev_stream_join": _q_ev_stream_join,
         "td_prefix_pairs": _q_td_prefix_pairs,
         "sr_modularity": _q_sr_modularity,
         "td_contamination_bloom": _q_td_contamination_bloom,
@@ -2085,6 +2123,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # butterfly, and winnow promotions: mid-round-stable rows — the
         # validity stream's BATCH twin kg_validity_timeline stays
         # in-window — all four stay in the full sweep)
+        # (sr_neighborhood_function / td_dedup_agreement / ev_cube /
+        # ev_stream_join demoted for the WL, mixing, signature, and
+        # edit-pair promotions: the HyperBall chain keeps three
+        # in-window readouts, the agreement audit's arms each have
+        # their own in-window rows, ev_pivot keeps the grouping-sets
+        # family in-window, and the stream-stream join is
+        # pytest-covered; all four stay in the full sweep)
+        "sr_neighborhood_function": _q_sr_neighborhood_function,
+        "td_dedup_agreement": _q_td_dedup_agreement,
+        "ev_cube": _q_ev_cube,
+        "ev_stream_join": _q_ev_stream_join,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

@@ -91,9 +91,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # (localCheckpoint-release contract in the dedup family), and timing
     # only the final materialize would silently exclude that work
     from graphiti_spark.operators.community import (
+        butterfly_census,
         clustering_coeff,
+        condensation_dag,
         effective_diameter,
         harmonic_centrality,
+        hits_rounds,
         local_bridges,
         mean_distance,
         neighbor_agg,
@@ -102,6 +105,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         predict_links,
         reciprocity,
         rich_club,
+        scc_pivot_pass,
         triangle_count,
         truss_edges,
         walk_pairs,
@@ -150,6 +154,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         # capped (group, subject) self-join + census rollup; td_bigram_lm
         # shares td_lm_score's exact two-scan broadcast shape
         ("kg_interval_census", lambda: _interval_census(g)),
+        # 2K adjacency-vs-score joins + per-group max rescales over the
+        # checkpointed weighted directed rollup
+        ("sr_hits", lambda: hits_rounds(g.edges)),
+        # SCC label pass (6 rounds/direction) + 2 label joins + rollup
+        ("sr_condensation", lambda: condensation_dag(
+            scc_pivot_pass(g.edges, rounds=6), g.edges)),
+        # degree-capped entity-side wedge explode + pair rollup
+        ("kg_butterflies", lambda: butterfly_census(g.mentions)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -163,6 +175,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.operators.dedup import (
         dedup_minhash_lsh,
         line_dedup_report,
+        winnow_pairs,
     )
     from graphiti_spark.operators.search import bm25_scores
     from graphiti_spark.operators.similarity import knn_bruteforce
@@ -219,6 +232,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_urls", lambda: url_profile(docs)),
         # simhash over the decoded payload stream + pigeonhole banding
         ("mm_phash_dedup", lambda: _mm_phash(docs)),
+        # one codegen gram/window-min projection + df-capped pair rollup
+        ("td_winnow", lambda: winnow_pairs(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

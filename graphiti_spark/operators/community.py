@@ -2764,3 +2764,167 @@ def butterfly_census(
             " div greatest(coalesce(pairs_total, 0L), 1L)"
         ).cast("long").alias("multi_ppm"),
     )
+
+
+WL_ROUNDS = 3
+WL_HEX_CHARS = 15
+
+
+def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """1-WL (Weisfeiler-Leman) color refinement over the UNDIRECTED
+    entity projection — the structural-role classifier (two nodes share
+    a color after K rounds iff 1-WL cannot distinguish their K-hop
+    neighborhoods): the standard audit for templated graph structure
+    and the feature GNN expressivity is measured against. The reference
+    has no structural-equivalence operator; its communities are
+    label-propagation only.
+
+    COMMUTATIVE-SUM refinement: the textbook round hashes the sorted
+    neighbor-color multiset — a per-hub ``collect_list`` that is
+    unbounded and not partial-aggregable. Instead each round folds the
+    neighbor colors through an ORDER-INDEPENDENT exact sum of their
+    60-bit hex prefixes (``conv(substr(color,1,15),16,10)`` as
+    DECIMAL(38,0) — overflow-free to degree ~10^13) plus the neighbor
+    count, then rehashes ``md5(old ':' sum ':' count)``. The sum is a
+    plain map-side-combinable aggregate, so a 10^6-degree hub costs one
+    partial-agg tree instead of one giant array, and the refinement is
+    still sound (equal multisets ⇒ equal sums; unequal multisets
+    collide only with md5-prefix-sum probability). DuckDB unrolls the
+    same rounds with HUGEINT sums (oracles.wl_sql), so the whole
+    trajectory is hash-checked.
+
+    Scale: the symmetric adjacency is localCheckpoint'd (reused K
+    times); each round is ONE equi-join + ONE map-side-combinable
+    aggregation on the node key.
+
+    Output: (group_id, uuid, color, class_size).
+    """
+    assert rounds >= 1
+    und = (
+        edges.select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select("group_id", F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            und.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint()  # reused every round
+    )
+    cur = (
+        adj.groupBy("group_id", F.col("u").alias("uuid"))
+        .agg(F.count("*").cast("long").alias("_d"))
+        .select(
+            "group_id", "uuid", F.md5(F.col("_d").cast("string")).alias("color")
+        )
+        .localCheckpoint()
+    )
+    hex_prefix = F.conv(
+        F.substring(F.col("color"), 1, WL_HEX_CHARS), 16, 10
+    ).cast("decimal(38,0)")
+    for _ in range(int(rounds)):
+        nb = (
+            adj.join(
+                cur.select("group_id", F.col("uuid").alias("v"), "color"),
+                ["group_id", "v"],
+            )
+            .groupBy("group_id", F.col("u").alias("uuid"))
+            .agg(
+                F.sum(hex_prefix).cast("decimal(38,0)").alias("_s"),
+                F.count("*").cast("long").alias("_c"),
+            )
+        )
+        cur = (
+            cur.join(nb, ["group_id", "uuid"])
+            .select(
+                "group_id",
+                "uuid",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("color"),
+                        F.col("_s").cast("string"),
+                        F.col("_c").cast("string"),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+    sizes = cur.groupBy("group_id", "color").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    return cur.join(sizes, ["group_id", "color"]).select(
+        "group_id", "uuid", "color", "class_size"
+    )
+
+
+def degree_mixing(edges: DataFrame) -> DataFrame:
+    """Joint degree-bucket mixing census over the undirected entity
+    projection: every edge rolled up to its (log2-bucket(deg_u),
+    log2-bucket(deg_v)) unordered bucket pair — the full mixing-matrix
+    complement to the single-number assortativity moments
+    (`sr_assortativity`): WHERE the hub↔leaf mass actually sits.
+
+    Buckets are ``length(bin(degree)) - 1`` = floor(log2) in exact
+    integer string algebra (both engines' ``bin`` agree — no float log
+    anywhere); shares are floor-division ppm of the group's edge count.
+
+    Scale: one node-grain degree rollup, two broadcast-sized joins of
+    the edge list against it, one map-side-combinable census rollup —
+    the group total is a one-row-per-group aggregate joined back, never
+    a window over the edge frame.
+
+    Output: (group_id, bucket_lo, bucket_hi, n_edges, share_ppm).
+    """
+    und = (
+        edges.select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # feeds degrees AND the census
+    )
+    adj = und.select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        und.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("group_id", "u").agg(
+        (F.length(F.bin(F.count("*"))) - 1).cast("long").alias("_bkt")
+    )
+    joint = (
+        und.join(
+            deg.select("group_id", F.col("u").alias("a"),
+                       F.col("_bkt").alias("_ba")),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select("group_id", F.col("u").alias("b"),
+                       F.col("_bkt").alias("_bb")),
+            ["group_id", "b"],
+        )
+        .groupBy(
+            "group_id",
+            F.least("_ba", "_bb").alias("bucket_lo"),
+            F.greatest("_ba", "_bb").alias("bucket_hi"),
+        )
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    tot = joint.groupBy("group_id").agg(
+        F.sum("n_edges").cast("long").alias("_tot")
+    )
+    return joint.join(F.broadcast(tot), ["group_id"]).select(
+        "group_id",
+        "bucket_lo",
+        "bucket_hi",
+        "n_edges",
+        F.expr("n_edges * 1000000L div greatest(_tot, 1L)")
+        .cast("long").alias("share_ppm"),
+    )

@@ -863,3 +863,89 @@ def interval_relation_census(
         .groupBy("group_id", "pred_a", "pred_b", "relation")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def signature_profile(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Ontology-signature profile per (group, predicate): roll every
+    stored fact up to its (subject label-set, object label-set)
+    signature, then report the dominant signature with integer-ppm
+    share and the violation count (facts whose signature differs from
+    the dominant one) — the schema-drift / extraction-QA audit a typed
+    KG needs (the reference constrains types at prompt time via
+    edge_type_map but never audits the stored graph; this closes that
+    loop on the materialized tables).
+
+    The signature label is the node's FULL sorted label set joined
+    ','-style (labels are array_sort'ed at resolution, so the string is
+    deterministic). Dominant = most facts, ties broken by (subject
+    signature, object signature) ascending — expressed as a MIN over the
+    (-n, subj, obj) struct on the census frame, so no second shuffle.
+
+    Scale: two hash joins of the edge list against the node-grain label
+    projection, one census rollup on (group, predicate, sig) — all
+    map-side combinable — and the dominant pick runs on the census
+    grain (predicates × signatures), orders smaller than the edges.
+
+    Output: (group_id, predicate, n_facts, n_signatures, dom_subj,
+    dom_obj, dominant_n, dominant_ppm, violations).
+    """
+    lab = nodes.select(
+        "group_id",
+        F.col("uuid").alias("_nid"),
+        F.array_join("labels", ",").alias("_l"),
+    )
+    census = (
+        edges.select(
+            "group_id",
+            F.col("name").alias("predicate"),
+            "source_node_uuid",
+            "target_node_uuid",
+        )
+        .join(
+            lab.select(
+                "group_id",
+                F.col("_nid").alias("source_node_uuid"),
+                F.col("_l").alias("subj_sig"),
+            ),
+            ["group_id", "source_node_uuid"],
+        )
+        .join(
+            lab.select(
+                "group_id",
+                F.col("_nid").alias("target_node_uuid"),
+                F.col("_l").alias("obj_sig"),
+            ),
+            ["group_id", "target_node_uuid"],
+        )
+        .groupBy("group_id", "predicate", "subj_sig", "obj_sig")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    dom = F.min(
+        F.struct(
+            (-F.col("_n")).alias("_neg"),
+            F.col("subj_sig").alias("_s"),
+            F.col("obj_sig").alias("_o"),
+        )
+    ).alias("_dom")
+    return (
+        census.groupBy("group_id", "predicate")
+        .agg(
+            F.sum("_n").cast("long").alias("n_facts"),
+            F.count("*").cast("long").alias("n_signatures"),
+            dom,
+        )
+        .select(
+            "group_id",
+            "predicate",
+            "n_facts",
+            "n_signatures",
+            F.col("_dom._s").alias("dom_subj"),
+            F.col("_dom._o").alias("dom_obj"),
+            (-F.col("_dom._neg")).cast("long").alias("dominant_n"),
+            F.expr(
+                "(-_dom._neg) * 1000000L div greatest(n_facts, 1L)"
+            ).cast("long").alias("dominant_ppm"),
+            (F.col("n_facts") + F.col("_dom._neg")).cast("long")
+            .alias("violations"),
+        )
+    )

@@ -348,6 +348,60 @@ JOIN ht_a{rounds} a ON a.group_id = h.group_id AND a.uuid = h.uuid"""
     return sql
 
 
+def wl_sql(rounds: int = 3, group: str = "megacorp/monorepo") -> str:
+    """DuckDB twin of operators.community.wl_colors: the K 1-WL
+    refinement rounds unrolled as chained CTEs over the symmetric
+    undirected adjacency. The commutative neighbor fold is the SAME
+    order-independent arithmetic — sum of 60-bit md5-hex prefixes
+    (HUGEINT here, DECIMAL(38,0) on the Spark side — both exact) plus
+    the neighbor count, rehashed through md5 with ':' separators — so
+    the color trajectory is bit-identical. Appended after the kg CTE
+    prefix."""
+    from graphiti_spark.operators.community import WL_HEX_CHARS
+
+    sql = f"""
+, wl_u AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges
+  WHERE group_id = '{group}' AND source_node_uuid <> target_node_uuid
+),
+wl_adj AS MATERIALIZED (
+  SELECT group_id, a AS u, b AS v FROM wl_u
+  UNION ALL SELECT group_id, b, a FROM wl_u
+),
+wl_c0 AS MATERIALIZED (
+  SELECT group_id, u AS uuid, md5(count(*)::BIGINT::VARCHAR) AS color
+  FROM wl_adj GROUP BY 1, 2
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+wl_n{i} AS (
+  SELECT a.group_id, a.u AS uuid,
+         sum(('0x' || substr(p.color, 1, {WL_HEX_CHARS}))::BIGINT::HUGEINT)
+           ::HUGEINT AS s,
+         count(*)::BIGINT AS c
+  FROM wl_adj a
+  JOIN wl_c{i - 1} p ON p.group_id = a.group_id AND p.uuid = a.v
+  GROUP BY 1, 2
+),
+wl_c{i} AS MATERIALIZED (
+  SELECT c.group_id, c.uuid,
+         md5(c.color || ':' || n.s::VARCHAR || ':' || n.c::VARCHAR) AS color
+  FROM wl_c{i - 1} c
+  JOIN wl_n{i} n ON n.group_id = c.group_id AND n.uuid = c.uuid
+)"""
+    return sql + f"""
+, wl_sz AS (
+  SELECT group_id, color, count(*)::BIGINT AS class_size
+  FROM wl_c{rounds} GROUP BY 1, 2
+)
+SELECT c.group_id, c.uuid, c.color, s.class_size
+FROM wl_c{rounds} c
+JOIN wl_sz s ON s.group_id = c.group_id AND s.color = c.color"""
+
+
 def scc_sql(
     rounds: int = 6, group: str = "megacorp/monorepo",
     as_cte: str | None = None,
@@ -949,6 +1003,74 @@ GROUP BY group_id""",
         # condensation DAG over the SCC labels (operators/community.
         # condensation_dag): cross-component edge rollup + sizes
         "sr_condensation": p + condensation_sql(rounds=6),
+        # 1-WL color refinement (operators/community.wl_colors):
+        # commutative md5-prefix-sum rounds, unrolled
+        "sr_wl": p + wl_sql(rounds=3),
+        # joint degree-bucket mixing census (operators/community.
+        # degree_mixing): floor(log2) via bin-string length, ppm shares
+        "sr_mixing": p
+        + """
+, mx_u AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+mx_deg AS (
+  SELECT group_id, u, (length(bin(count(*)::BIGINT)) - 1)::BIGINT AS bkt
+  FROM (SELECT group_id, a AS u FROM mx_u
+        UNION ALL SELECT group_id, b FROM mx_u)
+  GROUP BY 1, 2
+),
+mx_j AS (
+  SELECT e.group_id,
+         least(da.bkt, db.bkt) AS bucket_lo,
+         greatest(da.bkt, db.bkt) AS bucket_hi,
+         count(*)::BIGINT AS n_edges
+  FROM mx_u e
+  JOIN mx_deg da ON da.group_id = e.group_id AND da.u = e.a
+  JOIN mx_deg db ON db.group_id = e.group_id AND db.u = e.b
+  GROUP BY 1, 2, 3
+),
+mx_t AS (SELECT group_id, sum(n_edges)::BIGINT AS tot FROM mx_j GROUP BY 1)
+SELECT j.group_id, j.bucket_lo, j.bucket_hi, j.n_edges,
+       (j.n_edges * 1000000 // greatest(t.tot, 1))::BIGINT AS share_ppm
+FROM mx_j j JOIN mx_t t ON t.group_id = j.group_id""",
+        # ontology-signature profile (operators/temporal.
+        # signature_profile): dominant (subj,obj) label-set signature
+        # per predicate via arg-min over (-n, subj, obj)
+        "kg_signatures": p
+        + """
+, sg_c AS MATERIALIZED (
+  SELECT e.group_id, e.name AS predicate,
+         ns.labels_csv AS subj_sig, nt.labels_csv AS obj_sig,
+         count(*)::BIGINT AS n
+  FROM edges e
+  JOIN nodes ns ON ns.group_id = e.group_id
+               AND ns.uuid = e.source_node_uuid
+  JOIN nodes nt ON nt.group_id = e.group_id
+               AND nt.uuid = e.target_node_uuid
+  GROUP BY 1, 2, 3, 4
+),
+sg_r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY group_id, predicate
+           ORDER BY n DESC, subj_sig ASC, obj_sig ASC) AS rn
+  FROM sg_c
+),
+sg_t AS (
+  SELECT group_id, predicate, sum(n)::BIGINT AS n_facts,
+         count(*)::BIGINT AS n_signatures
+  FROM sg_c GROUP BY 1, 2
+)
+SELECT t.group_id, t.predicate, t.n_facts, t.n_signatures,
+       r.subj_sig AS dom_subj, r.obj_sig AS dom_obj,
+       r.n AS dominant_n,
+       (r.n * 1000000 // greatest(t.n_facts, 1))::BIGINT AS dominant_ppm,
+       (t.n_facts - r.n)::BIGINT AS violations
+FROM sg_t t
+JOIN sg_r r ON r.group_id = t.group_id AND r.predicate = t.predicate
+           AND r.rn = 1""",
         # Newman modularity decomposition of the plurality-LPA partition
         # in exact BIGINT (operators/community.modularity_report):
         # contrib = m2*internal_w - degree_w², Q = Σ contrib / m2²

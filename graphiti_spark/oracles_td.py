@@ -4390,4 +4390,37 @@ FROM wp
 JOIN wc ca ON ca.doc_id = wp.doc_a
 JOIN wc cb ON cb.doc_id = wp.doc_b"""
 
+    # Levenshtein re-verify of the SAME banded candidate stage
+    # (operators/dedup.edit_verified_pairs): exact char edit distance on
+    # the class-normalized text, DP gated by EDIT_MAX_CHARS with an
+    # explicit edit_checked flag (never a silently-dropped row)
+    from graphiti_spark.operators.dedup import EDIT_MAX_CHARS as _emc
+
+    o["td_edit_pairs"] = (
+        "WITH " + _minhash_pair_ctes()
+        + f""",
+ed_p AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+ed_t AS MATERIALIZED (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+ed_j AS (
+  SELECT p.doc_a, p.doc_b,
+         length(ta.t)::BIGINT AS len_a, length(tb.t)::BIGINT AS len_b,
+         greatest(length(ta.t), length(tb.t))::BIGINT AS mx,
+         greatest(length(ta.t), length(tb.t)) <= {_emc} AS edit_checked,
+         CASE WHEN greatest(length(ta.t), length(tb.t)) <= {_emc}
+              THEN levenshtein(ta.t, tb.t)::BIGINT END AS edit_distance
+  FROM ed_p p
+  JOIN ed_t ta ON ta.doc_id = p.doc_a
+  JOIN ed_t tb ON tb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, len_a, len_b, edit_checked, edit_distance,
+       CASE WHEN edit_checked
+            THEN ((mx - edit_distance) * 1000000 // greatest(mx, 1))::BIGINT
+       END AS similarity_ppm
+FROM ed_j"""
+    )
+
     return o

@@ -202,3 +202,157 @@ def test_winnow_identical_docs_full_overlap(spark):
     assert len(r) == 1
     assert r[0].fp_a == r[0].fp_b == r[0].shared
     assert r[0].overlap_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wl_colors
+
+from graphiti_spark.operators.community import degree_mixing, wl_colors
+from graphiti_spark.operators.dedup import edit_verified_pairs
+from graphiti_spark.operators.temporal import signature_profile
+
+
+def test_wl_path_symmetry_and_refinement(spark):
+    # path a-b-c-d: endpoints {a,d} are 1-WL-equivalent, inner {b,c}
+    # are equivalent, and the two classes are distinct
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d")])
+    rows = {r.uuid: r for r in wl_colors(e, rounds=3).collect()}
+    assert rows["a"].color == rows["d"].color
+    assert rows["b"].color == rows["c"].color
+    assert rows["a"].color != rows["b"].color
+    assert rows["a"].class_size == 2 and rows["b"].class_size == 2
+
+
+def test_wl_star_and_known_1wl_limit(spark):
+    e = _edges(spark, [("g", "h", f"n{i}") for i in range(4)])
+    rows = {r.uuid: r for r in wl_colors(e).collect()}
+    leaf_colors = {rows[f"n{i}"].color for i in range(4)}
+    assert len(leaf_colors) == 1
+    assert rows["h"].color not in leaf_colors
+    assert rows["h"].class_size == 1
+    # documented 1-WL limit: a 6-cycle and two 3-cycles are
+    # indistinguishable (every node is degree-2 with degree-2 neighbors)
+    hexagon = [("x", f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    triangles = [("x", "t0", "t1"), ("x", "t1", "t2"), ("x", "t2", "t0"),
+                 ("x", "s0", "s1"), ("x", "s1", "s2"), ("x", "s2", "s0")]
+    out = wl_colors(_edges(spark, hexagon + triangles)).collect()
+    assert len({r.color for r in out}) == 1
+
+
+def test_wl_groups_do_not_mix(spark):
+    # same structure in two groups: same colors, but class sizes are
+    # per-group (the refinement never crosses the partition key)
+    e = _edges(spark, [("g", "a", "b"), ("h", "x", "y")])
+    out = wl_colors(e, rounds=2).collect()
+    assert all(r.class_size == 2 for r in out)
+    assert len({r.color for r in out}) == 1
+
+
+# ---------------------------------------------------------------------------
+# degree_mixing
+
+
+def test_degree_mixing_star_plus_pair(spark):
+    e = _edges(spark, [
+        ("g", "h", "n1"), ("g", "h", "n2"), ("g", "h", "n3"),
+        ("g", "p", "q"),
+    ])
+    rows = {(r.bucket_lo, r.bucket_hi): r for r in degree_mixing(e).collect()}
+    # hub degree 3 -> bucket 1; leaves and the pair -> bucket 0
+    assert rows[(0, 1)].n_edges == 3
+    assert rows[(0, 0)].n_edges == 1
+    assert rows[(0, 1)].share_ppm == 750_000
+    assert rows[(0, 0)].share_ppm == 250_000
+
+
+def test_degree_mixing_buckets_are_exact_log2(spark):
+    # degree 4 node -> bucket length(bin(4))-1 == 2
+    e = _edges(spark, [("g", "h", f"n{i}") for i in range(4)])
+    rows = degree_mixing(e).collect()
+    assert {(r.bucket_lo, r.bucket_hi) for r in rows} == {(0, 2)}
+    assert sum(r.share_ppm for r in rows) == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# signature_profile
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        rows, "group_id string, uuid string, labels array<string>"
+    )
+
+
+def _sig_edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "group_id string, name string, source_node_uuid string,"
+        " target_node_uuid string",
+    )
+
+
+def test_signature_profile_dominant_and_violations(spark):
+    n = _nodes(spark, [
+        ("g", "m1", ["Entity", "Module"]), ("g", "m2", ["Entity", "Module"]),
+        ("g", "f1", ["Entity", "Function"]), ("g", "c1", ["Concept"]),
+    ])
+    e = _sig_edges(spark, [
+        ("g", "imports", "m1", "m2"),
+        ("g", "imports", "m2", "m1"),
+        ("g", "imports", "m1", "c1"),   # the violating fact
+        ("g", "defines", "m1", "f1"),
+    ])
+    rows = {r.predicate: r for r in signature_profile(e, n).collect()}
+    imp = rows["imports"]
+    assert imp.n_facts == 3 and imp.n_signatures == 2
+    assert imp.dom_subj == "Entity,Module" and imp.dom_obj == "Entity,Module"
+    assert imp.dominant_n == 2 and imp.violations == 1
+    assert imp.dominant_ppm == 666_666
+    d = rows["defines"]
+    assert d.violations == 0 and d.dominant_ppm == 1_000_000
+
+
+def test_signature_profile_tiebreak_is_lexicographic(spark):
+    n = _nodes(spark, [
+        ("g", "a", ["A"]), ("g", "b", ["B"]), ("g", "c", ["C"]),
+    ])
+    # two signatures with equal counts: (A,B) and (A,C) -> dominant is
+    # the lexicographically smaller object signature
+    e = _sig_edges(spark, [
+        ("g", "rel", "a", "b"), ("g", "rel", "a", "c"),
+    ])
+    r = signature_profile(e, n).collect()[0]
+    assert (r.dom_subj, r.dom_obj) == ("A", "B")
+    assert r.dominant_n == 1 and r.violations == 1
+
+
+# ---------------------------------------------------------------------------
+# edit_verified_pairs
+
+
+def test_edit_pairs_exact_distance_and_cap(spark):
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    big = " ".join(f"tok{i}" for i in range(600))   # > 2000 normalized chars
+    d = _docs_df(spark, [
+        ("0001", base),
+        ("0002", base + " extra"),       # 6 appended chars after normalize
+        ("0003", big),
+        ("0004", big + " tail"),
+        ("0005", "completely unrelated text with nothing shared qq"),
+    ])
+    rows = {(r.doc_a, r.doc_b): r for r in edit_verified_pairs(d).collect()}
+    ab = rows[("0001", "0002")]
+    assert ab.edit_checked and ab.edit_distance == 6
+    assert ab.similarity_ppm == (ab.len_b - 6) * 1_000_000 // ab.len_b
+    over = rows[("0003", "0004")]
+    assert not over.edit_checked
+    assert over.edit_distance is None and over.similarity_ppm is None
+    assert all("0005" not in k for k in rows)
+
+
+def test_edit_pairs_identical_docs(spark):
+    text = " ".join(f"w{i} common phrase here" for i in range(40))
+    d = _docs_df(spark, [("0001", text), ("0002", text)])
+    r = edit_verified_pairs(d).collect()
+    assert len(r) == 1
+    assert r[0].edit_distance == 0 and r[0].similarity_ppm == 1_000_000
