@@ -2040,6 +2040,24 @@ def _q_td_edit_pairs(spark, sf_dir):
     return edit_verified_pairs(_docs(spark, sf_dir))
 
 
+def _q_sr_scan(spark, sf_dir):
+    """SCAN structural clustering: core/border/hub/outlier roles from
+    the integer ε²-test over closed neighborhoods + exactly-6 min-label
+    rounds over the core–core ε-graph."""
+    from graphiti_spark.operators.community import scan_clusters
+
+    return scan_clusters(_graph(spark, sf_dir).edges)
+
+
+def _q_td_cdc_blocks(spark, sf_dir):
+    """Content-defined chunking block-dedup profile: md5-prefix boundary
+    rule (expected block ≈ 64 chars), cross-doc duplicated-block
+    coverage per document in exact ppm."""
+    from graphiti_spark.operators.dedup import cdc_block_report
+
+    return cdc_block_report(_docs(spark, sf_dir))
+
+
 def _q_td_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprint near-dup pairs: window minima of
     char k-gram md5s, doc-frequency-capped shared-fingerprint pairs
@@ -2073,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_mixing": _q_sr_mixing,
         "kg_signatures": _q_kg_signatures,
         "td_edit_pairs": _q_td_edit_pairs,
+        "td_cdc_blocks": _q_td_cdc_blocks,
+        "sr_scan": _q_sr_scan,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2098,7 +2118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_link": _q_kg_entity_link,
         "ev_pivot": _q_ev_pivot,
         "td_embed_outliers": _q_td_embed_outliers,
-        "td_line_dedup": _q_td_line_dedup,
         "td_prefix_pairs": _q_td_prefix_pairs,
         "sr_modularity": _q_sr_modularity,
         "td_contamination_bloom": _q_td_contamination_bloom,
@@ -2111,7 +2130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_integrity": _q_kg_integrity,
         "ev_value_profile": _q_ev_value_profile,
         "kg_comention": _q_kg_comention,
-        "ev_value_hist": _q_ev_value_hist,
         "kg_validity_timeline": _q_kg_validity_timeline,
         "sr_shortest_path": _q_sr_shortest_path,
         # ---- driver 50-row cap boundary (entries above are the 50 the
@@ -2134,6 +2152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_agreement": _q_td_dedup_agreement,
         "ev_cube": _q_ev_cube,
         "ev_stream_join": _q_ev_stream_join,
+        # (ev_value_hist / td_line_dedup demoted for the CDC and SCAN
+        # promotions: ev_value_profile keeps the value family in-window,
+        # and the exact/near-dup family is covered in-window by minhash,
+        # winnow, cdc and edit-pair rows; both stay in the full sweep)
+        "ev_value_hist": _q_ev_value_hist,
+        "td_line_dedup": _q_td_line_dedup,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

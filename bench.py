@@ -94,6 +94,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         butterfly_census,
         clustering_coeff,
         condensation_dag,
+        degree_mixing,
         effective_diameter,
         harmonic_centrality,
         hits_rounds,
@@ -105,12 +106,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         predict_links,
         reciprocity,
         rich_club,
+        scan_clusters,
         scc_pivot_pass,
         triangle_count,
         truss_edges,
         walk_pairs,
+        wl_colors,
     )
-    from graphiti_spark.operators.temporal import graph_growth
+    from graphiti_spark.operators.temporal import graph_growth, signature_profile
 
     for name, thunk in [
         ("current_triples", lambda: current_triples(g)),
@@ -162,6 +165,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
             scc_pivot_pass(g.edges, rounds=6), g.edges)),
         # degree-capped entity-side wedge explode + pair rollup
         ("kg_butterflies", lambda: butterfly_census(g.mentions)),
+        # K joins + map-side-combinable prefix-sum aggs over the
+        # checkpointed symmetric adjacency
+        ("sr_wl", lambda: wl_colors(g.edges)),
+        # degree rollup + 2 joins + census rollup, all integer
+        ("sr_mixing", lambda: degree_mixing(g.edges)),
+        # 2 label joins + census rollup + struct-min dominant pick
+        ("kg_signatures", lambda: signature_profile(g.edges, g.nodes)),
+        # shared wedge pass + ε²-test + K core-graph label joins
+        ("sr_scan", lambda: scan_clusters(g.edges)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -173,7 +185,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from pyspark.sql import functions as F
 
     from graphiti_spark.operators.dedup import (
+        cdc_block_report,
         dedup_minhash_lsh,
+        edit_verified_pairs,
         line_dedup_report,
         winnow_pairs,
     )
@@ -234,6 +248,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("mm_phash_dedup", lambda: _mm_phash(docs)),
         # one codegen gram/window-min projection + df-capped pair rollup
         ("td_winnow", lambda: winnow_pairs(docs)),
+        # shared banded candidate stage + codegen levenshtein verify
+        ("td_edit_pairs", lambda: edit_verified_pairs(docs)),
+        # flat codegen md5 grams + doc-keyed sliding-min window
+        ("td_cdc_blocks", lambda: cdc_block_report(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

@@ -2928,3 +2928,173 @@ def degree_mixing(edges: DataFrame) -> DataFrame:
         F.expr("n_edges * 1000000L div greatest(_tot, 1L)")
         .cast("long").alias("share_ppm"),
     )
+
+
+SCAN_EPS_NUM = 7
+SCAN_EPS_DEN = 10
+SCAN_MU = 2
+SCAN_CC_ROUNDS = 6
+
+
+def scan_clusters(
+    edges: DataFrame,
+    eps_num: int = SCAN_EPS_NUM,
+    eps_den: int = SCAN_EPS_DEN,
+    mu: int = SCAN_MU,
+    rounds: int = SCAN_CC_ROUNDS,
+) -> DataFrame:
+    """SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD
+    2007): classify every node of the undirected entity projection as
+    **core** (≥ ``mu`` ε-similar neighbors), **border** (ε-similar to a
+    core), **hub** (unassigned but adjacent to ≥ 2 distinct clusters)
+    or **outlier** — the clustering that, unlike LPA, separates the
+    bridge entities (hubs — the over-merge suspects in an entity graph)
+    from genuine cluster members.
+
+    INTEGER ε-test: structural similarity uses CLOSED neighborhoods,
+    σ(u,v) = |N[u] ∩ N[v]| / √(|N[u]|·|N[v]|); for an adjacent pair
+    |N[u] ∩ N[v]| = support + 2, so σ ≥ ε ⇔
+    ``(support+2)² · eps_den² ≥ eps_num² · (deg_u+1) · (deg_v+1)`` —
+    no sqrt, no float, bit-identical across engines. Support comes from
+    the SHARED degree-ordered wedge scaffolding (:func:`_und_support`,
+    the edge_support/truss machinery — stated once). Core clusters are
+    exactly-``rounds`` synchronous min-label steps over the core–core
+    ε-graph (the repo's CC convention, unrolled in the DuckDB twin);
+    cluster id = min core uuid reached.
+
+    Scale: one wedge pass + degree rollup for the ε-test; K bounded
+    label joins over the (small) core subgraph; border/hub
+    classification is two more joins + map-side-combinable rollups.
+    Every frame is keyed on (group, node) — mega-hub skew lands in the
+    wedge pass, which is already degree-ordered + AQE-split.
+
+    Output: (group_id, uuid, role, cluster_id) — cluster_id NULL for
+    hub/outlier.
+    """
+    und = (
+        edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+        .select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    und_sym = und.select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        und.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und_sym.groupBy("group_id", F.col("u").alias("uuid")).agg(
+        F.count("*").cast("long").alias("_d")
+    )
+    sup = _und_support(und)
+    eps = (
+        sup.join(
+            deg.select("group_id", F.col("uuid").alias("a"),
+                       F.col("_d").alias("_da")),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select("group_id", F.col("uuid").alias("b"),
+                       F.col("_d").alias("_db")),
+            ["group_id", "b"],
+        )
+        .where(
+            (F.col("support") + 2) * (F.col("support") + 2)
+            * F.lit(int(eps_den) ** 2)
+            >= F.lit(int(eps_num) ** 2) * (F.col("_da") + 1)
+            * (F.col("_db") + 1)
+        )
+        .select("group_id", "a", "b")
+        .localCheckpoint()  # feeds core counts, CC, and border joins
+    )
+    eps_sym = eps.select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        eps.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    cores = (
+        eps_sym.groupBy("group_id", F.col("u").alias("uuid"))
+        .agg(F.count("*").cast("long").alias("_ne"))
+        .where(F.col("_ne") >= int(mu))
+        .select("group_id", "uuid")
+        .localCheckpoint()
+    )
+    # core–core ε-edges, symmetric, for the bounded min-label pass
+    cc_edges = (
+        eps.join(cores.select("group_id", F.col("uuid").alias("a")),
+                 ["group_id", "a"])
+        .join(cores.select("group_id", F.col("uuid").alias("b")),
+              ["group_id", "b"])
+        .select("group_id", "a", "b")
+    )
+    cc_sym = cc_edges.select(
+        "group_id", F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        cc_edges.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    lab = cores.select("group_id", "uuid", F.col("uuid").alias("lbl"))
+    for _ in range(int(rounds)):
+        nbr = (
+            cc_sym.join(
+                lab.select("group_id", F.col("uuid").alias("v"), "lbl"),
+                ["group_id", "v"],
+            )
+            .groupBy("group_id", F.col("u").alias("uuid"))
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        lab = (
+            lab.join(nbr, ["group_id", "uuid"], "left")
+            .select(
+                "group_id", "uuid",
+                F.least(F.col("lbl"), F.coalesce("_nl", F.col("lbl")))
+                .alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    core_rows = lab.select(
+        "group_id", "uuid", F.lit("core").alias("role"),
+        F.col("lbl").alias("cluster_id"),
+    ).localCheckpoint()
+    # border: non-core nodes ε-similar to ≥1 core; deterministic pick =
+    # min cluster id among ε-similar cores
+    border = (
+        eps_sym.join(
+            core_rows.select("group_id", F.col("uuid").alias("v"),
+                             "cluster_id"),
+            ["group_id", "v"],
+        )
+        .join(cores.select("group_id", F.col("uuid").alias("u")),
+              ["group_id", "u"], "left_anti")
+        .groupBy("group_id", F.col("u").alias("uuid"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select("group_id", "uuid", F.lit("border").alias("role"),
+                "cluster_id")
+        .localCheckpoint()
+    )
+    assigned = core_rows.unionByName(border)
+    nodes = und_sym.select("group_id", F.col("u").alias("uuid")).distinct()
+    rest = nodes.join(
+        assigned.select("group_id", "uuid"), ["group_id", "uuid"],
+        "left_anti",
+    )
+    # hub: unassigned node whose PLAIN neighbors span ≥ 2 clusters
+    nbr_clusters = (
+        und_sym.join(
+            assigned.select("group_id", F.col("uuid").alias("v"),
+                            "cluster_id"),
+            ["group_id", "v"],
+        )
+        .groupBy("group_id", F.col("u").alias("uuid"))
+        .agg(F.countDistinct("cluster_id").cast("long").alias("_nc"))
+    )
+    rest_rows = rest.join(nbr_clusters, ["group_id", "uuid"], "left").select(
+        "group_id",
+        "uuid",
+        F.when(F.coalesce("_nc", F.lit(0)) >= 2, F.lit("hub"))
+        .otherwise(F.lit("outlier")).alias("role"),
+        F.lit(None).cast("string").alias("cluster_id"),
+    )
+    return assigned.unionByName(rest_rows)

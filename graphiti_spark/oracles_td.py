@@ -3644,6 +3644,113 @@ ts_adj{_r} AS MATERIALIZED (
     o["sr_edge_support"] = p + _ts + """
 SELECT group_id, a, b, support, (support + 2)::BIGINT AS k_bound
 FROM ts_sup1"""
+
+    # SCAN structural clustering (operators/community.scan_clusters):
+    # integer ε²-test over closed neighborhoods, exactly-K min-label
+    # rounds over the core–core ε-graph, border/hub/outlier from the
+    # definition
+    from graphiti_spark.operators.community import (
+        SCAN_CC_ROUNDS as _scr,
+        SCAN_EPS_DEN as _sed,
+        SCAN_EPS_NUM as _sen,
+        SCAN_MU as _smu,
+    )
+
+    _sc = """
+, sc_und AS MATERIALIZED (
+  SELECT DISTINCT group_id,
+         least(source_node_uuid, target_node_uuid) AS a,
+         greatest(source_node_uuid, target_node_uuid) AS b
+  FROM edges WHERE source_node_uuid <> target_node_uuid
+),
+sc_adj AS MATERIALIZED (
+  SELECT group_id, a AS v, b AS n FROM sc_und
+  UNION ALL SELECT group_id, b, a FROM sc_und
+),
+sc_deg AS (SELECT group_id, v AS uuid, count(*)::BIGINT AS d
+           FROM sc_adj GROUP BY 1, 2),
+sc_cn AS (
+  SELECT n1.group_id, n1.v AS a, n2.v AS b, count(*)::BIGINT AS c
+  FROM sc_adj n1 JOIN sc_adj n2
+    ON n2.group_id = n1.group_id AND n2.n = n1.n AND n1.v < n2.v
+  GROUP BY 1, 2, 3
+),
+sc_eps AS MATERIALIZED (
+  SELECT e.group_id, e.a, e.b
+  FROM sc_und e
+  LEFT JOIN sc_cn c
+    ON c.group_id = e.group_id AND c.a = e.a AND c.b = e.b
+  JOIN sc_deg da ON da.group_id = e.group_id AND da.uuid = e.a
+  JOIN sc_deg db ON db.group_id = e.group_id AND db.uuid = e.b
+  WHERE (coalesce(c.c, 0) + 2) * (coalesce(c.c, 0) + 2) * {den2}
+        >= {num2} * (da.d + 1) * (db.d + 1)
+),
+sc_esym AS MATERIALIZED (
+  SELECT group_id, a AS u, b AS v FROM sc_eps
+  UNION ALL SELECT group_id, b, a FROM sc_eps
+),
+sc_core AS MATERIALIZED (
+  SELECT group_id, u AS uuid FROM sc_esym
+  GROUP BY 1, 2 HAVING count(*) >= {mu}
+),
+sc_ce AS (
+  SELECT e.group_id, e.a, e.b FROM sc_eps e
+  JOIN sc_core ca ON ca.group_id = e.group_id AND ca.uuid = e.a
+  JOIN sc_core cb ON cb.group_id = e.group_id AND cb.uuid = e.b
+),
+sc_cs AS MATERIALIZED (
+  SELECT group_id, a AS u, b AS v FROM sc_ce
+  UNION ALL SELECT group_id, b, a FROM sc_ce
+),
+sc_l0 AS (SELECT group_id, uuid, uuid AS lbl FROM sc_core)""".format(
+        den2=_sed * _sed, num2=_sen * _sen, mu=_smu
+    )
+    for _r in range(1, _scr + 1):
+        _sc += f""",
+sc_l{_r} AS MATERIALIZED (
+  SELECT l.group_id, l.uuid, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+  FROM sc_l{_r - 1} l LEFT JOIN (
+    SELECT c.group_id, c.u AS uuid, min(p.lbl) AS nl
+    FROM sc_cs c JOIN sc_l{_r - 1} p
+      ON p.group_id = c.group_id AND p.uuid = c.v
+    GROUP BY 1, 2) m
+    ON m.group_id = l.group_id AND m.uuid = l.uuid
+)"""
+    o["sr_scan"] = p + _sc + f""",
+sc_corer AS MATERIALIZED (
+  SELECT group_id, uuid, 'core' AS role, lbl AS cluster_id FROM sc_l{_scr}
+),
+sc_border AS (
+  SELECT e.group_id, e.u AS uuid, 'border' AS role,
+         min(cr.cluster_id) AS cluster_id
+  FROM sc_esym e
+  JOIN sc_corer cr ON cr.group_id = e.group_id AND cr.uuid = e.v
+  WHERE NOT EXISTS (SELECT 1 FROM sc_core k
+                    WHERE k.group_id = e.group_id AND k.uuid = e.u)
+  GROUP BY 1, 2
+),
+sc_asgn AS MATERIALIZED (
+  SELECT group_id, uuid, role, cluster_id FROM sc_corer
+  UNION ALL
+  SELECT group_id, uuid, role, cluster_id FROM sc_border
+),
+sc_nc AS (
+  SELECT j.group_id, j.v AS uuid,
+         count(DISTINCT a.cluster_id)::BIGINT AS nc
+  FROM sc_adj j
+  JOIN sc_asgn a ON a.group_id = j.group_id AND a.uuid = j.n
+  GROUP BY 1, 2
+)
+SELECT group_id, uuid, role, cluster_id FROM sc_asgn
+UNION ALL
+SELECT r.group_id, r.uuid,
+       CASE WHEN coalesce(c.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role,
+       NULL::VARCHAR AS cluster_id
+FROM (
+  SELECT DISTINCT n.group_id, n.v AS uuid FROM sc_adj n
+  WHERE NOT EXISTS (SELECT 1 FROM sc_asgn a
+                    WHERE a.group_id = n.group_id AND a.uuid = n.v)
+) r LEFT JOIN sc_nc c ON c.group_id = r.group_id AND c.uuid = r.uuid"""
     o["sr_truss"] = p + _ts + f"""
 SELECT group_id, a, b, support
 FROM ts_sup{_TRR} WHERE support >= {_KTR - 2}"""
@@ -4422,5 +4529,64 @@ SELECT doc_a, doc_b, len_a, len_b, edit_checked, edit_distance,
        END AS similarity_ppm
 FROM ed_j"""
     )
+
+    # content-defined chunking block dedup (operators/dedup.
+    # cdc_block_report): identical md5-prefix boundary rule, block md5s,
+    # distinct-doc frequency >= 2, per-doc BIGINT rollup
+    from graphiti_spark.operators.dedup import (
+        CDC_GRAM_CHARS as _ck2,
+        CDC_MODULUS as _cmod,
+    )
+
+    o["td_cdc_blocks"] = f"""
+WITH cd_t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+cd_s AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) >= 1 THEN list_concat(
+           [1],
+           CASE WHEN length(t) - {_ck2 - 1} >= 2 THEN
+             [i FOR i IN generate_series(2, length(t) - {_ck2 - 1})
+              IF ('0x' || substr(md5(substr(t, i, {_ck2})), 1, 8))::BIGINT
+                 % {_cmod} = 0]
+           ELSE [] END)
+         ELSE [] END AS starts
+  FROM cd_t
+),
+cd_n AS (
+  SELECT doc_id, t, starts,
+         list_concat(starts[2:], [length(t) + 1]) AS nexts
+  FROM cd_s WHERE len(starts) >= 1
+),
+cd_b AS MATERIALIZED (
+  SELECT doc_id, length(t)::BIGINT AS total_chars,
+         md5(substr(t, starts[i], nexts[i] - starts[i])) AS bh,
+         (nexts[i] - starts[i])::BIGINT AS blen
+  FROM cd_n, unnest(generate_series(1, len(starts))) u(i)
+),
+cd_f AS (
+  SELECT bh FROM (SELECT DISTINCT doc_id, bh FROM cd_b)
+  GROUP BY bh HAVING count(*) >= 2
+),
+cd_d AS (
+  SELECT b.doc_id, b.total_chars,
+         count(*)::BIGINT AS n_blocks,
+         sum((f.bh IS NOT NULL)::INT)::BIGINT AS n_dup_blocks,
+         sum(CASE WHEN f.bh IS NOT NULL THEN b.blen ELSE 0 END)::BIGINT
+           AS dup_chars
+  FROM cd_b b LEFT JOIN cd_f f ON f.bh = b.bh
+  GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       coalesce(c.n_blocks, 0)::BIGINT AS n_blocks,
+       coalesce(c.n_dup_blocks, 0)::BIGINT AS n_dup_blocks,
+       coalesce(c.total_chars, 0)::BIGINT AS total_chars,
+       coalesce(c.dup_chars, 0)::BIGINT AS dup_chars,
+       (coalesce(c.dup_chars, 0) * 1000000
+        // greatest(coalesce(c.total_chars, 0), 1))::BIGINT AS dup_ppm
+FROM documents d LEFT JOIN cd_d c ON c.doc_id = d.doc_id"""
 
     return o

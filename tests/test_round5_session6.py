@@ -356,3 +356,116 @@ def test_edit_pairs_identical_docs(spark):
     r = edit_verified_pairs(d).collect()
     assert len(r) == 1
     assert r[0].edit_distance == 0 and r[0].similarity_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# cdc_block_report
+
+from graphiti_spark.operators.community import scan_clusters
+from graphiti_spark.operators.dedup import cdc_block_report
+
+
+def test_cdc_shift_robustness(spark):
+    # a prefix insertion must disturb only the leading block(s): the
+    # bulk of the shared content re-chunks to identical blocks
+    base = " ".join(f"word{i} stuff{i * 3 % 7} filler{i}" for i in range(80))
+    d = _docs_df(spark, [
+        ("a", base),
+        ("b", "PREFIX INSERTED here " + base),
+        ("c", "totally unrelated content xyz"),
+        ("d", ""),
+    ])
+    rows = {r.doc_id: r for r in cdc_block_report(d).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a.n_dup_blocks >= a.n_blocks - 2   # only the head differs
+    assert a.dup_ppm > 900_000 and b.dup_ppm > 900_000
+    assert rows["c"].n_blocks == 1 and rows["c"].dup_ppm == 0
+    assert rows["d"].n_blocks == 0 and rows["d"].total_chars == 0
+
+
+def test_cdc_identical_docs_and_char_accounting(spark):
+    text = " ".join(f"alpha{i} beta gamma delta" for i in range(60))
+    d = _docs_df(spark, [("a", text), ("b", text)])
+    rows = cdc_block_report(d).collect()
+    for r in rows:
+        # every block of an identical pair is duplicated, chars add up
+        assert r.n_dup_blocks == r.n_blocks > 1
+        assert r.dup_chars == r.total_chars
+        assert r.dup_ppm == 1_000_000
+
+
+def test_cdc_blocks_partition_the_text(spark):
+    # block lengths must sum exactly to the normalized length
+    from graphiti_spark.operators.dedup import CDC_GRAM_CHARS, CDC_MODULUS
+
+    text = " ".join(f"tok{i} phrase{i % 11}" for i in range(120))
+    d = _docs_df(spark, [("a", text)])
+    r = cdc_block_report(d).collect()[0]
+    import re as _re
+
+    norm = _re.sub("[^a-z0-9]+", " ", text.lower()).strip()
+    assert r.total_chars == len(norm)
+    # python replica of the boundary rule counts the same blocks
+    import hashlib
+
+    k, m = CDC_GRAM_CHARS, CDC_MODULUS
+    cuts = [1] + [
+        i for i in range(2, len(norm) - k + 2)
+        if int(hashlib.md5(norm[i - 1:i - 1 + k].encode())
+               .hexdigest()[:8], 16) % m == 0
+    ]
+    assert r.n_blocks == len(cuts)
+
+
+# ---------------------------------------------------------------------------
+# scan_clusters
+
+
+def _clique(g, names):
+    return [(g, a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+
+def test_scan_two_cliques_hub_and_outlier(spark):
+    e = _edges(spark, _clique("g", ["k1", "k2", "k3", "k4"])
+               + _clique("g", ["m1", "m2", "m3", "m4"])
+               + [("g", "k1", "H"), ("g", "m1", "H"), ("g", "lone", "k1")])
+    rows = {r.uuid: r for r in scan_clusters(e).collect()}
+    ks = {rows[f"k{i}"] for i in range(1, 5)}
+    assert all(r.role == "core" for r in ks)
+    assert len({r.cluster_id for r in ks}) == 1
+    assert {rows[f"m{i}"].cluster_id for i in range(1, 5)} == {"m1"}
+    # H touches both clusters but is ε-similar to neither -> hub
+    assert rows["H"].role == "hub" and rows["H"].cluster_id is None
+    # lone touches only one cluster -> outlier
+    assert rows["lone"].role == "outlier" and rows["lone"].cluster_id is None
+
+
+def test_scan_border_attachment(spark):
+    # triangle core t1-t2-t3 plus node b attached to t1 and t2: b is
+    # ε-similar to both (σ² = 9/16 at ε=0.7? -> compute: common=1+2=3,
+    # closed degs 4·3: 9·100 >= 49·12 -> 900 >= 588 true), but b has
+    # only 2 ε-neighbors... with mu=2, b IS core. Use a single
+    # pendant: p-t1 only: common(p,t1)=0+2=2, degs (2)(4):
+    # 4·100 >= 49·8 -> 400 >= 392 true -> ε-similar with 1 ε-neighbor:
+    # border
+    e = _edges(spark, _clique("g", ["t1", "t2", "t3"])
+               + [("g", "t1", "p")])
+    rows = {r.uuid: r for r in scan_clusters(e).collect()}
+    assert rows["p"].role == "border"
+    assert rows["p"].cluster_id == rows["t1"].cluster_id
+    assert rows["t1"].role == "core"
+
+
+def test_scan_roles_partition_nodes(spark):
+    e = _edges(spark, _clique("g", ["a1", "a2", "a3"])
+               + _clique("h", ["x1", "x2", "x3"])
+               + [("g", "a1", "z"), ("g", "a2", "z")])
+    out = scan_clusters(e).collect()
+    # every node classified exactly once, cluster ids only on
+    # core/border
+    assert len(out) == len({(r.group_id, r.uuid) for r in out}) == 7
+    for r in out:
+        if r.role in ("core", "border"):
+            assert r.cluster_id is not None
+        else:
+            assert r.cluster_id is None
