@@ -2040,6 +2040,22 @@ def _q_td_edit_pairs(spark, sf_dir):
     return edit_verified_pairs(_docs(spark, sf_dir))
 
 
+def _q_kg_temporal_motifs(spark, sf_dir):
+    """δ-temporal motif census: time-respecting 2-paths within 30 days
+    and their triangle closures, center-capped on both event degrees."""
+    from graphiti_spark.operators.temporal import temporal_motifs
+
+    return temporal_motifs(_graph(spark, sf_dir).edges)
+
+
+def _q_td_linear_score(spark, sf_dir):
+    """Hashing-trick linear-model inference: md5-bucket features with
+    hash-derived integer weights — one scan, zero broadcast state."""
+    from graphiti_spark.operators.textstats import linear_score
+
+    return linear_score(_docs(spark, sf_dir))
+
+
 def _q_sr_scan(spark, sf_dir):
     """SCAN structural clustering: core/border/hub/outlier roles from
     the integer ε²-test over closed neighborhoods + exactly-6 min-label
@@ -2093,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_edit_pairs": _q_td_edit_pairs,
         "td_cdc_blocks": _q_td_cdc_blocks,
         "sr_scan": _q_sr_scan,
+        "kg_temporal_motifs": _q_kg_temporal_motifs,
+        "td_linear_score": _q_td_linear_score,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2112,7 +2130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_markov_stationary": _q_ev_markov_stationary,
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
-        "td_bigram_lm": _q_td_bigram_lm,
         "sr_neighborhood": _q_sr_neighborhood,
         "kg_motifs": _q_kg_motifs,
         "kg_entity_link": _q_kg_entity_link,
@@ -2126,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_triad_census": _q_sr_triad_census,
         "ev_sequences": _q_ev_sequences,
         "td_shards": _q_td_shards,
-        "kg_fact_lifetime": _q_kg_fact_lifetime,
         "kg_integrity": _q_kg_integrity,
         "ev_value_profile": _q_ev_value_profile,
         "kg_comention": _q_kg_comention,
@@ -2158,6 +2174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow, cdc and edit-pair rows; both stay in the full sweep)
         "ev_value_hist": _q_ev_value_hist,
         "td_line_dedup": _q_td_line_dedup,
+        # (td_bigram_lm / kg_fact_lifetime demoted for the temporal-motif
+        # and linear-score promotions: the interval census + validity
+        # timeline keep the bitemporal audit family in-window and the
+        # collocation row keeps bigram statistics in-window; both stay
+        # in the full sweep)
+        "td_bigram_lm": _q_td_bigram_lm,
+        "kg_fact_lifetime": _q_kg_fact_lifetime,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

@@ -113,7 +113,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         walk_pairs,
         wl_colors,
     )
-    from graphiti_spark.operators.temporal import graph_growth, signature_profile
+    from graphiti_spark.operators.temporal import (
+        graph_growth,
+        signature_profile,
+        temporal_motifs,
+    )
 
     for name, thunk in [
         ("current_triples", lambda: current_triples(g)),
@@ -174,6 +178,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("kg_signatures", lambda: signature_profile(g.edges, g.nodes)),
         # shared wedge pass + ε²-test + K core-graph label joins
         ("sr_scan", lambda: scan_clusters(g.edges)),
+        # event-grain projection + 2 center-keyed joins + semi-join
+        ("kg_temporal_motifs", lambda: temporal_motifs(g.edges)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
@@ -213,6 +219,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         cms_token_counts,
         collocations,
         doc_keywords,
+        linear_score,
         unigram_lm_score,
         url_profile,
         zipf_report,
@@ -252,6 +259,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_edit_pairs", lambda: edit_verified_pairs(docs)),
         # flat codegen md5 grams + doc-keyed sliding-min window
         ("td_cdc_blocks", lambda: cdc_block_report(docs)),
+        # one scan + map-side rollup, hash-derived weights (no join)
+        ("td_linear_score", lambda: linear_score(docs)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())

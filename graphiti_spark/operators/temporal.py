@@ -949,3 +949,113 @@ def signature_profile(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .alias("violations"),
         )
     )
+
+
+TM_DELTA_DAYS = 30
+TM_CENTER_CAP = 256
+
+
+def temporal_motifs(
+    edges: DataFrame,
+    delta_days: int = TM_DELTA_DAYS,
+    center_cap: int = TM_CENTER_CAP,
+) -> DataFrame:
+    """δ-temporal motif census (Paranjape, Benson & Leskovec, WSDM
+    2017, restricted to the 2-path/triangle family): count directed
+    2-paths a→b→c whose two facts appear in temporal order within
+    ``delta_days`` (t₁ < t₂ ≤ t₁+δ), and how many of them close into a
+    temporal triangle (an a→c fact with t₂ ≤ t₃ ≤ t₁+δ) — the
+    "information-flow then shortcut" motif that distinguishes causal
+    chains from static clustering in an event-sourced KG (static
+    triangles: sr_triangles / kg_motifs; this is their TIME-RESPECTING
+    refinement over the valid_at stream).
+
+    Center cap: a 2-path is generated only through centers whose
+    distinct in-event and out-event counts are both ≤ ``center_cap`` —
+    the shared wedge-cap contract (a mega-hub center emits |in|·|out|
+    pairs and carries no chain signal); the cap is part of the
+    DEFINITION, mirrored by the oracle.
+
+    Scale: one distinct event-grain projection, two hash joins keyed on
+    the center / endpoints with the time window as a post-join range
+    predicate, one map-side-combinable census rollup; closure is a
+    LEFT SEMI join (never a fan-out).
+
+    Output: (group_id, n_2paths, n_closed, closure_ppm).
+    """
+    de = (
+        edges.where(
+            F.col("valid_at").isNotNull()
+            & (F.col("source_node_uuid") != F.col("target_node_uuid"))
+        )
+        .select(
+            "group_id",
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+            "valid_at",
+        )
+        .distinct()
+        .localCheckpoint()  # feeds center caps, both join sides, closure
+    )
+    ind = de.groupBy("group_id", F.col("dst").alias("b")).agg(
+        F.count("*").alias("_ic")
+    )
+    outd = de.groupBy("group_id", F.col("src").alias("b")).agg(
+        F.count("*").alias("_oc")
+    )
+    centers = (
+        ind.join(outd, ["group_id", "b"])
+        .where((F.col("_ic") <= int(center_cap))
+               & (F.col("_oc") <= int(center_cap)))
+        .select("group_id", "b")
+    )
+    left = de.select(
+        "group_id", F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("valid_at").alias("t1"),
+    ).join(centers, ["group_id", "b"])
+    right = de.select(
+        "group_id", F.col("src").alias("b"), F.col("dst").alias("c"),
+        F.col("valid_at").alias("t2"),
+    )
+    dlt = F.expr(f"INTERVAL {int(delta_days)} DAYS")
+    p2 = (
+        left.join(right, ["group_id", "b"])
+        .where(
+            (F.col("a") != F.col("c"))
+            & (F.col("t1") < F.col("t2"))
+            & (F.col("t2") <= F.col("t1") + dlt)
+        )
+        .localCheckpoint()  # census + closure both read it
+    )
+    closing = de.select(
+        "group_id", F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("valid_at").alias("t3"),
+    )
+    closed = p2.join(
+        closing,
+        (p2["group_id"] == closing["group_id"])
+        & (p2["a"] == closing["a"]) & (p2["c"] == closing["c"])
+        & (closing["t3"] >= p2["t2"])
+        & (closing["t3"] <= p2["t1"] + dlt),
+        "left_semi",
+    )
+    tot = p2.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_2paths")
+    )
+    clo = closed.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_closed")
+    )
+    groups = de.select("group_id").distinct()
+    return (
+        groups.join(tot, ["group_id"], "left")
+        .join(clo, ["group_id"], "left")
+        .select(
+            "group_id",
+            F.coalesce("n_2paths", F.lit(0)).cast("long").alias("n_2paths"),
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+            F.expr(
+                "coalesce(n_closed, 0L) * 1000000L"
+                " div greatest(coalesce(n_2paths, 0L), 1L)"
+            ).cast("long").alias("closure_ppm"),
+        )
+    )

@@ -1306,3 +1306,55 @@ def collocations(
         F.col("bg").alias("bigram"),
         "c_pair", "c_left", "c_right", "lift_units",
     ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+LINEAR_HASH_DIM = 4096
+LINEAR_WEIGHT_RANGE = 1000
+
+
+def linear_score(docs: DataFrame) -> DataFrame:
+    """Hashing-trick linear-model inference (the Vowpal-Wabbit /
+    sklearn-HashingVectorizer pattern): every token maps to a feature
+    bucket via an md5 prefix mod ``LINEAR_HASH_DIM``, and the bucket's
+    weight is DERIVED from a second domain-separated hash
+    (``md5('w:'||bucket)`` mod 2R+1, shifted to [-R, R]) — i.e. the
+    weight table is a pure hash function. That is the 100 TB point of
+    this operator: scoring the corpus with a D-dimensional linear model
+    is ONE scan + one map-side-combinable rollup with ZERO broadcast
+    state, no weight-table join, no Python. A real trained model swaps
+    the weight expression for a broadcast lookup of the same shape —
+    the plan is otherwise unchanged (this deterministic analog stands
+    in for the model boundary exactly like the rule extractor stands in
+    for the LLM).
+
+    All arithmetic is BIGINT (md5-prefix parse, mod, shift, sum) so the
+    DuckDB twin is bit-identical.
+
+    Output: (doc_id, n_tokens, score_units, positive).
+    """
+    from graphiti_spark.functions.text import tokenize
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+        .cast("long") % LINEAR_HASH_DIM
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % (2 * LINEAR_WEIGHT_RANGE + 1)
+        - LINEAR_WEIGHT_RANGE
+    )
+    flat = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("_tok"))
+    scored = flat.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(weight).cast("long").alias("score_units"),
+    )
+    return docs.select("doc_id").join(scored, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("score_units", F.lit(0)).cast("long").alias("score_units"),
+        (F.coalesce("score_units", F.lit(0)) > 0).alias("positive"),
+    )

@@ -734,6 +734,10 @@ FROM (
 
 def kg_oracles(documents: str = "documents") -> dict[str, str]:
     from graphiti_spark.operators.community import BUTTERFLY_DEGREE_CAP
+    from graphiti_spark.operators.temporal import (
+        TM_CENTER_CAP,
+        TM_DELTA_DAYS,
+    )
 
     p = kg_cte_prefix(documents)
     return {
@@ -1307,6 +1311,54 @@ SELECT c.group_id, c.n_episodes, c.n_entities,
        (coalesce(s.pairs_multi, 0) * 1000000
         // greatest(coalesce(s.pairs_total, 0), 1))::BIGINT AS multi_ppm
 FROM bf_counts c LEFT JOIN bf_census s ON s.group_id = c.group_id""",
+        # δ-temporal motif census (operators/temporal.temporal_motifs):
+        # time-respecting 2-paths within δ and their triangle closures,
+        # center-capped on both event degrees
+        "kg_temporal_motifs": p
+        + """
+, tm_de AS MATERIALIZED (
+  SELECT DISTINCT group_id, source_node_uuid AS src,
+         target_node_uuid AS dst, valid_at
+  FROM edges
+  WHERE valid_at IS NOT NULL AND source_node_uuid <> target_node_uuid
+),
+tm_ctr AS (
+  SELECT i.group_id, i.b
+  FROM (SELECT group_id, dst AS b, count(*) AS c FROM tm_de GROUP BY 1, 2) i
+  JOIN (SELECT group_id, src AS b, count(*) AS c FROM tm_de GROUP BY 1, 2) o
+    ON o.group_id = i.group_id AND o.b = i.b
+  WHERE i.c <= {cap} AND o.c <= {cap}
+),
+tm_p2 AS MATERIALIZED (
+  SELECT l.group_id, l.src AS a, l.dst AS b, r.dst AS c,
+         l.valid_at AS t1, r.valid_at AS t2
+  FROM tm_de l
+  JOIN tm_ctr k ON k.group_id = l.group_id AND k.b = l.dst
+  JOIN tm_de r ON r.group_id = l.group_id AND r.src = l.dst
+  WHERE l.src <> r.dst AND l.valid_at < r.valid_at
+    AND r.valid_at <= l.valid_at + INTERVAL {dlt} DAY
+),
+tm_cl AS (
+  SELECT group_id, count(*)::BIGINT AS n_closed FROM tm_p2 p
+  WHERE EXISTS (
+    SELECT 1 FROM tm_de e
+    WHERE e.group_id = p.group_id AND e.src = p.a AND e.dst = p.c
+      AND e.valid_at >= p.t2
+      AND e.valid_at <= p.t1 + INTERVAL {dlt} DAY)
+  GROUP BY 1
+),
+tm_t AS (SELECT group_id, count(*)::BIGINT AS n_2paths
+         FROM tm_p2 GROUP BY 1)
+SELECT g.group_id,
+       coalesce(t.n_2paths, 0)::BIGINT AS n_2paths,
+       coalesce(c.n_closed, 0)::BIGINT AS n_closed,
+       (coalesce(c.n_closed, 0) * 1000000
+        // greatest(coalesce(t.n_2paths, 0), 1))::BIGINT AS closure_ppm
+FROM (SELECT DISTINCT group_id FROM tm_de) g
+LEFT JOIN tm_t t ON t.group_id = g.group_id
+LEFT JOIN tm_cl c ON c.group_id = g.group_id""".format(
+            cap=TM_CENTER_CAP, dlt=TM_DELTA_DAYS
+        ),
         # directed triad census (operators/community.triad_census):
         # 2-paths, transitive closures, and min-start-canonicalized
         # directed 3-cycles per group

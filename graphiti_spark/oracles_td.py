@@ -4589,4 +4589,31 @@ SELECT d.doc_id,
         // greatest(coalesce(c.total_chars, 0), 1))::BIGINT AS dup_ppm
 FROM documents d LEFT JOIN cd_d c ON c.doc_id = d.doc_id"""
 
+    # hashing-trick linear inference (operators/textstats.linear_score):
+    # bucket and weight are BOTH pure md5-prefix arithmetic — zero
+    # broadcast state on either engine
+    from graphiti_spark.operators.textstats import (
+        LINEAR_HASH_DIM as _lhd,
+        LINEAR_WEIGHT_RANGE as _lwr,
+    )
+
+    o["td_linear_score"] = f"""
+WITH lt AS (SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents),
+lw AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('w:' ||
+              (('0x' || substr(md5(tok), 1, 8))::BIGINT % {_lhd})::VARCHAR
+            ), 1, 8))::BIGINT % {2 * _lwr + 1}) - {_lwr})::BIGINT AS w
+  FROM lt
+),
+ls AS (
+  SELECT doc_id, count(*)::BIGINT AS n, sum(w)::BIGINT AS s
+  FROM lw GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n, 0)::BIGINT AS n_tokens,
+       coalesce(ls.s, 0)::BIGINT AS score_units,
+       coalesce(ls.s, 0) > 0 AS positive
+FROM documents d LEFT JOIN ls ON ls.doc_id = d.doc_id"""
+
     return o

@@ -469,3 +469,98 @@ def test_scan_roles_partition_nodes(spark):
             assert r.cluster_id is not None
         else:
             assert r.cluster_id is None
+
+
+# ---------------------------------------------------------------------------
+# temporal_motifs
+
+import datetime as _dt
+
+from graphiti_spark.operators.temporal import temporal_motifs
+from graphiti_spark.operators.textstats import (
+    LINEAR_HASH_DIM,
+    LINEAR_WEIGHT_RANGE,
+    linear_score,
+)
+
+
+def _tedges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "group_id string, source_node_uuid string, target_node_uuid string,"
+        " valid_at timestamp",
+    )
+
+
+def test_temporal_motifs_chain_and_closure(spark):
+    t0 = _dt.datetime(2026, 1, 1)
+    d = _dt.timedelta
+    e = _tedges(spark, [
+        ("g", "a", "b", t0),
+        ("g", "b", "c", t0 + d(days=10)),    # in-window 2-path
+        ("g", "a", "c", t0 + d(days=20)),    # closes it (t2<=t3<=t1+30)
+        ("g", "b", "d", t0 + d(days=40)),    # outside delta: no 2-path
+        ("g", "x", "y", t0),                 # no continuation
+    ])
+    r = temporal_motifs(e).collect()[0]
+    assert r.n_2paths == 1 and r.n_closed == 1
+    assert r.closure_ppm == 1_000_000
+
+
+def test_temporal_motifs_order_and_window_are_strict(spark):
+    t0 = _dt.datetime(2026, 1, 1)
+    d = _dt.timedelta
+    e = _tedges(spark, [
+        # same timestamp: t1 < t2 fails -> not a temporal 2-path
+        ("g", "a", "b", t0), ("g", "b", "c", t0),
+        # reversed order
+        ("g", "p", "q", t0 + d(days=5)), ("g", "q", "r", t0),
+        # closure must come at/after t2: an early a->c doesn't close
+        ("h", "a", "b", t0), ("h", "b", "c", t0 + d(days=10)),
+        ("h", "a", "c", t0 + d(days=5)),
+    ])
+    rows = {r.group_id: r for r in temporal_motifs(e).collect()}
+    assert rows["g"].n_2paths == 0
+    assert rows["h"].n_2paths == 1 and rows["h"].n_closed == 0
+
+
+def test_temporal_motifs_center_cap(spark):
+    t0 = _dt.datetime(2026, 1, 1)
+    d = _dt.timedelta
+    rows = [("g", f"s{i}", "hub", t0) for i in range(5)] + [
+        ("g", "hub", f"t{i}", t0 + d(days=1)) for i in range(5)
+    ]
+    e = _tedges(spark, rows)
+    assert temporal_motifs(e, center_cap=5).collect()[0].n_2paths == 25
+    assert temporal_motifs(e, center_cap=4).collect()[0].n_2paths == 0
+
+
+# ---------------------------------------------------------------------------
+# linear_score
+
+
+def test_linear_score_matches_python_replica(spark):
+    import hashlib
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) \
+            % LINEAR_HASH_DIM
+        return (int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+                % (2 * LINEAR_WEIGHT_RANGE + 1)) - LINEAR_WEIGHT_RANGE
+
+    toks = ["spark", "merge", "query", "spark"]
+    d = _docs_df(spark, [("a", "Spark merge, QUERY spark!"), ("b", "")])
+    rows = {r.doc_id: r for r in linear_score(d).collect()}
+    exp = sum(w(t) for t in toks)
+    assert rows["a"].n_tokens == 4
+    assert rows["a"].score_units == exp
+    assert rows["a"].positive == (exp > 0)
+    assert rows["b"].n_tokens == 0 and rows["b"].score_units == 0
+    assert rows["b"].positive is False
+
+
+def test_linear_score_token_multiplicity(spark):
+    # the same token twice contributes exactly twice the weight
+    d = _docs_df(spark, [("a", "alpha"), ("b", "alpha alpha")])
+    rows = {r.doc_id: r for r in linear_score(d).collect()}
+    assert rows["b"].score_units == 2 * rows["a"].score_units
