@@ -1416,37 +1416,47 @@ def cdc_block_report(
     gram's md5 parsed as an integer (both engines agree); blocks are
     md5'd whole; every count/ppm is BIGINT floor arithmetic.
 
-    Scale: cut positions, block substrings, hashes and lengths are all
-    array ops inside ONE whole-stage-codegen projection (the winnowing
-    shape); the only shuffles are the block-hash doc-frequency rollup
-    (map-side combinable after an exploded projection) and the per-doc
-    rollup.
+    Scale/plan shape: the per-CHARACTER boundary hash runs as a FLAT
+    explode → whole-stage-codegen md5 → filter (Catalyst higher-order
+    lambdas are interpreted per element — the winnowing lesson; measured
+    6× here too), and only the qualifying cut positions (≈ L/modulus
+    ints per doc, never the text) shuffle into the per-doc
+    ``collect_list``; block substrings and their md5s are then array
+    ops over the ~L/modulus BLOCKS. Remaining shuffles: the block-hash
+    doc-frequency rollup and the per-doc rollup, both map-side
+    combinable.
 
     Output: (doc_id, n_blocks, n_dup_blocks, total_chars, dup_chars,
     dup_ppm).
     """
     t = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    L = F.length(t)
+    txt = docs.select("doc_id", t.alias("_t")).localCheckpoint()
+    L = F.length("_t")
     n = L - (k - 1)
-    cuts = F.when(
-        n >= 2,
-        F.filter(
-            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
-            lambda i: (
-                F.conv(
-                    F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 8),
-                    16, 10,
-                ).cast("long") % modulus
-                == 0
-            ),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    base = docs.select(
+    cut_rows = (
+        txt.where(L >= k + 1)
+        .select("doc_id", "_t", F.explode(F.sequence(F.lit(2), n)).alias("_i"))
+        .where(
+            F.conv(
+                F.substring(
+                    F.md5(F.substr(F.col("_t"), F.col("_i"), F.lit(k))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % modulus
+            == 0
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_cuts"))
+    )
+    base = txt.join(cut_rows, ["doc_id"], "left").select(
         "doc_id",
-        t.alias("_t"),
+        "_t",
         F.when(
             L >= 1,
-            F.concat(F.array(F.lit(1)), cuts),
+            F.concat(
+                F.array(F.lit(1)),
+                F.coalesce(F.col("_cuts"), F.array().cast("array<int>")),
+            ),
         ).otherwise(F.array().cast("array<int>")).alias("_starts"),
     )
     starts = F.col("_starts")
