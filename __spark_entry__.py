@@ -2056,6 +2056,15 @@ def _q_td_linear_score(spark, sf_dir):
     return linear_score(_docs(spark, sf_dir))
 
 
+def _q_ev_cusum(spark, sf_dir):
+    """Offline CUSUM change-point per event type: integer-scaled
+    cumulative deviation over the dense daily series, argmax |S| with
+    earliest-day tiebreak, magnitude in ppm of D·T."""
+    from graphiti_spark.operators.events import cusum_change_points
+
+    return cusum_change_points(_events(spark, sf_dir))
+
+
 def _q_sr_scan(spark, sf_dir):
     """SCAN structural clustering: core/border/hub/outlier roles from
     the integer ε²-test over closed neighborhoods + exactly-6 min-label
@@ -2111,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_scan": _q_sr_scan,
         "kg_temporal_motifs": _q_kg_temporal_motifs,
         "td_linear_score": _q_td_linear_score,
+        "ev_cusum": _q_ev_cusum,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2127,7 +2137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_completeness": _q_kg_completeness,
         "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
-        "ev_markov_stationary": _q_ev_markov_stationary,
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
         "sr_neighborhood": _q_sr_neighborhood,
@@ -2181,6 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the full sweep)
         "td_bigram_lm": _q_td_bigram_lm,
         "kg_fact_lifetime": _q_kg_fact_lifetime,
+        # (ev_markov_stationary demoted for the CUSUM promotion: the
+        # events family keeps ev_pivot / ev_sequences / ev_value_profile
+        # in-window; it stays in the full sweep)
+        "ev_markov_stationary": _q_ev_markov_stationary,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

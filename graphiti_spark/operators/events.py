@@ -1499,3 +1499,79 @@ def markov_stationary(
         # event log
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def cusum_change_points(events: DataFrame) -> DataFrame:
+    """Offline CUSUM change-point localization per event type (Page
+    1954, the batch form): over the DENSE daily count series (gap days
+    are real zero observations — the anomaly_flags spine convention),
+    the cumulative deviation from the global mean at day i is, scaled
+    by D to stay integer, ``S_i = D·Σ_{j≤i} c_j − i·T`` (D days, total
+    T — equal to D times the classic CUSUM statistic). The change point
+    is the day maximizing |S_i| (earliest day on ties — a MIN over the
+    (-|S|, day) struct, no second pass), with magnitude normalized to
+    ppm of D·T so types of different volume compare.
+
+    All arithmetic BIGINT: |S_i| ≤ D·T, so ppm scaling overflows only
+    past D·T > 9.2e12 — raise to DECIMAL there, plan unchanged.
+
+    Scale: one map-side-combinable daily rollup; the spine, cumsum
+    window and argmax all run on the (types × days) grain — orders
+    smaller than the event stream.
+
+    Output: (event_type, n_days, total, cp_day, s_abs, cusum_ppm).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("_c")).localCheckpoint()
+    bounds = daily.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+        ).alias("day")
+    ).crossJoin(daily.select("event_type").distinct())
+    dense = spine.join(daily, ["day", "event_type"], "left").select(
+        "event_type", "day",
+        F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    scored = (
+        dense.withColumn("_ci", F.sum("_c").over(w))
+        .withColumn("_i", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("_t", F.sum("_c").over(wt))
+        .withColumn("_d", F.count("*").over(wt))
+        .withColumn(
+            "_s", F.abs(F.col("_d") * F.col("_ci") - F.col("_i") * F.col("_t"))
+            .cast("long"),
+        )
+    )
+    pick = F.min(
+        F.struct((-F.col("_s")).alias("_neg"), F.col("day").alias("_day"))
+    ).alias("_p")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("_d").cast("long").alias("n_days"),
+            F.max("_t").cast("long").alias("total"),
+            pick,
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("_p._day").alias("cp_day"),
+            (-F.col("_p._neg")).cast("long").alias("s_abs"),
+            F.expr(
+                "(-_p._neg) * 1000000L"
+                " div greatest(n_days * total, 1L)"
+            ).cast("long").alias("cusum_ppm"),
+        )
+    )

@@ -4616,4 +4616,46 @@ SELECT d.doc_id,
        coalesce(ls.s, 0) > 0 AS positive
 FROM documents d LEFT JOIN ls ON ls.doc_id = d.doc_id"""
 
+    # offline CUSUM change-point per event type (operators/events.
+    # cusum_change_points): dense day spine, S_i = D·cumsum − i·T in
+    # BIGINT, argmax |S| with earliest-day tiebreak
+    o["ev_cusum"] = """
+WITH cu_d AS MATERIALIZED (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+cu_b AS (SELECT min(day) AS lo, max(day) AS hi FROM cu_d),
+cu_sp AS (
+  SELECT s.day, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::TIMESTAMP
+          AS day FROM cu_b) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM cu_d) t
+),
+cu_dense AS (
+  SELECT sp.event_type, sp.day, coalesce(d.c, 0)::BIGINT AS c
+  FROM cu_sp sp
+  LEFT JOIN cu_d d ON d.day = sp.day AND d.event_type = sp.event_type
+),
+cu_s AS (
+  SELECT event_type, day,
+         (count(*) OVER (PARTITION BY event_type))::BIGINT AS d,
+         (sum(c) OVER (PARTITION BY event_type))::BIGINT AS t,
+         abs((count(*) OVER (PARTITION BY event_type))::BIGINT
+             * (sum(c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING))::BIGINT
+             - (row_number() OVER (PARTITION BY event_type ORDER BY day))
+               ::BIGINT
+             * (sum(c) OVER (PARTITION BY event_type))::BIGINT)::BIGINT AS s
+  FROM cu_dense
+),
+cu_r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY s DESC, day ASC) AS rn
+  FROM cu_s
+)
+SELECT event_type, d AS n_days, t AS total, day AS cp_day, s AS s_abs,
+       (s * 1000000 // greatest(d * t, 1))::BIGINT AS cusum_ppm
+FROM cu_r WHERE rn = 1"""
+
     return o

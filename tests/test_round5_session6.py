@@ -633,3 +633,48 @@ def test_session6_plan_shapes(spark):
     assert len(re.findall(r"\(\d+\) Exchange", fp)) == 1
     assert fp.count("hashpartitioning(doc_id") == 1
     assert "transform(" not in fp  # no array-lambda gram build
+
+
+# ---------------------------------------------------------------------------
+# cusum_change_points
+
+from graphiti_spark.operators.events import cusum_change_points
+
+
+def _cusum_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_cusum_locates_a_level_shift(spark):
+    # 6 quiet days (1/day) then 6 loud days (5/day): the max |S| sits
+    # exactly at the boundary (end of day 6)
+    t0 = _dt.datetime(2026, 3, 1)
+    rows, eid = [], 0
+    for d in range(12):
+        for _ in range(1 if d < 6 else 5):
+            eid += 1
+            rows.append((eid, t0 + _dt.timedelta(days=d, hours=3), 1,
+                         "click", 1.0, "{}"))
+    r = cusum_change_points(_cusum_events(spark, rows)).collect()[0]
+    assert r.n_days == 12 and r.total == 36
+    assert r.cp_day == t0 + _dt.timedelta(days=5)
+    # S at day 6 (i=6, C=6): |12*6 - 6*36| = 144
+    assert r.s_abs == 144
+    assert r.cusum_ppm == 144 * 1_000_000 // (12 * 36)
+
+
+def test_cusum_flat_series_and_gap_days(spark):
+    t0 = _dt.datetime(2026, 3, 1)
+    rows = [(i + 1, t0 + _dt.timedelta(days=i * 2), 1, "flat", 1.0, "{}")
+            for i in range(3)]  # days 0,2,4 — gaps at 1,3 are zeros
+    r = {x.event_type: x
+         for x in cusum_change_points(_cusum_events(spark, rows)).collect()}
+    f = r["flat"]
+    assert f.n_days == 5 and f.total == 3
+    # alternating 1/0: |S| maxima are ties; earliest day wins
+    assert f.cp_day == t0
+    assert f.s_abs == abs(5 * 1 - 1 * 3) == 2
