@@ -1429,8 +1429,13 @@ def cdc_block_report(
     Output: (doc_id, n_blocks, n_dup_blocks, total_chars, dup_chars,
     dup_ppm).
     """
+    # NOT localCheckpoint'd: this frame is the full corpus TEXT — the
+    # one payload never worth materializing at 100 TB. Both consumers
+    # (the cut scan and the block projection) re-derive it from the
+    # source scan; the projection is regex-only and the expensive md5
+    # pass happens once, in the cut scan.
     t = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    txt = docs.select("doc_id", t.alias("_t")).localCheckpoint()
+    txt = docs.select("doc_id", t.alias("_t"))
     L = F.length("_t")
     n = L - (k - 1)
     cut_rows = (
