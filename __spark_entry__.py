@@ -2056,6 +2056,14 @@ def _q_td_linear_score(spark, sf_dir):
     return linear_score(_docs(spark, sf_dir))
 
 
+def _q_td_textrank(spark, sf_dir):
+    """TextRank keywords: integer damped PageRank over the per-doc word
+    co-occurrence graph, top-5 per document."""
+    from graphiti_spark.operators.textstats import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir))
+
+
 def _q_ev_cusum(spark, sf_dir):
     """Offline CUSUM change-point per event type: integer-scaled
     cumulative deviation over the dense daily series, argmax |S| with
@@ -2121,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_motifs": _q_kg_temporal_motifs,
         "td_linear_score": _q_td_linear_score,
         "ev_cusum": _q_ev_cusum,
+        "td_textrank": _q_td_textrank,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2135,7 +2144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_mean_distance": _q_sr_mean_distance,
         "sr_centralization": _q_sr_centralization,
         "kg_completeness": _q_kg_completeness,
-        "td_collocations": _q_td_collocations,
         "sr_local_bridges": _q_sr_local_bridges,
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_interval_census": _q_kg_interval_census,
@@ -2194,6 +2202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events family keeps ev_pivot / ev_sequences / ev_value_profile
         # in-window; it stays in the full sweep)
         "ev_markov_stationary": _q_ev_markov_stationary,
+        # (td_collocations demoted for the TextRank promotion: both are
+        # token-association rankings and TextRank is the newer evidence;
+        # it stays in the full sweep)
+        "td_collocations": _q_td_collocations,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

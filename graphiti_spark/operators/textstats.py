@@ -1358,3 +1358,108 @@ def linear_score(docs: DataFrame) -> DataFrame:
         F.coalesce("score_units", F.lit(0)).cast("long").alias("score_units"),
         (F.coalesce("score_units", F.lit(0)) > 0).alias("positive"),
     )
+
+
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_DAMP = 85
+TEXTRANK_ROUNDS = 3
+TEXTRANK_TOP_K = 5
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    rounds: int = TEXTRANK_ROUNDS,
+    k: int = TEXTRANK_TOP_K,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): the
+    graph-based complement to :func:`doc_keywords`' TF-IDF — build the
+    per-document word co-occurrence graph (consecutive-token pairs,
+    weight = co-occurrence count), run exactly-``rounds`` damped
+    weighted-PageRank rounds over it, and keep the top-``k`` tokens per
+    document. A term that BRIDGES many contexts outranks a merely
+    frequent one — the ranking TF cannot produce.
+
+    INTEGER trajectory (the pagerank_rounds convention at (doc, token)
+    grain): scores in ``TEXTRANK_SCALE`` units; one round is
+    ``s'(v) = ((100−D)·SCALE + D·Σ_u (s(u)·w_uv div W_u)) div 100``
+    with D = ``TEXTRANK_DAMP`` and W_u = u's weighted degree — every
+    term floor-divided before the sum, so the DuckDB unroll is
+    bit-identical. Ties in the final top-k break on token ascending.
+
+    Scale: the graph lives at the (doc, token) grain — every join and
+    aggregation is keyed by doc_id (+token), so a 10^12-doc corpus
+    spreads perfectly and no structure ever crosses documents; the
+    co-occurrence build is one lead-window pass over the flattened
+    token stream (the winnowing plan shape), and each round is ONE
+    equi-join + ONE map-side-combinable rollup.
+
+    Output: (doc_id, token, rank, score_units, score).
+    """
+    from graphiti_spark.functions.text import tokenize
+
+    flat = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("_p", "_tok"),
+    )
+    nxt = F.lead("_tok").over(
+        Window.partitionBy("doc_id").orderBy("_p")
+    )
+    und = (
+        flat.withColumn("_nx", nxt)
+        .where(F.col("_nx").isNotNull() & (F.col("_nx") != F.col("_tok")))
+        .select(
+            "doc_id",
+            F.least("_tok", "_nx").alias("a"),
+            F.greatest("_tok", "_nx").alias("b"),
+        )
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint()  # adjacency reused every round
+    )
+    adj = und.select(
+        "doc_id", F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(
+        und.select("doc_id", F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    wdeg = adj.groupBy("doc_id", "u").agg(
+        F.sum("w").cast("long").alias("_wd")
+    )
+    adj = adj.join(wdeg, ["doc_id", "u"]).localCheckpoint()
+    cur = adj.select(
+        "doc_id", F.col("u").alias("token")
+    ).distinct().withColumn(
+        "s", F.lit(TEXTRANK_SCALE).cast("long")
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        contrib = (
+            adj.join(
+                cur.select("doc_id", F.col("token").alias("u"), "s"),
+                ["doc_id", "u"],
+            )
+            .groupBy("doc_id", F.col("v").alias("token"))
+            .agg(
+                F.sum(F.expr("s * w div _wd")).cast("long").alias("_c")
+            )
+        )
+        cur = contrib.select(
+            "doc_id",
+            "token",
+            F.expr(
+                f"(({100 - TEXTRANK_DAMP}L * {TEXTRANK_SCALE}L)"
+                f" + {TEXTRANK_DAMP}L * _c) div 100"
+            ).cast("long").alias("s"),
+        ).localCheckpoint()
+    top = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("token").asc()
+    )
+    return (
+        cur.withColumn("rank", F.row_number().over(top))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "doc_id",
+            "token",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("s").alias("score_units"),
+            (F.col("s") / TEXTRANK_SCALE).alias("score"),
+        )
+    )

@@ -4658,4 +4658,58 @@ SELECT event_type, d AS n_days, t AS total, day AS cp_day, s AS s_abs,
        (s * 1000000 // greatest(d * t, 1))::BIGINT AS cusum_ppm
 FROM cu_r WHERE rn = 1"""
 
+    # TextRank keywords (operators/textstats.textrank_keywords): per-doc
+    # co-occurrence graph from consecutive-token pairs, exactly-K damped
+    # integer PageRank rounds, top-k per doc
+    from graphiti_spark.operators.textstats import (
+        TEXTRANK_DAMP as _trd,
+        TEXTRANK_ROUNDS as _trr,
+        TEXTRANK_SCALE as _trs,
+        TEXTRANK_TOP_K as _trk,
+    )
+
+    _tr = f"""
+WITH tr_p AS (
+  SELECT doc_id,
+         unnest([{{'a': least(l[i], l[i + 1]),
+                   'b': greatest(l[i], l[i + 1])}}
+                 FOR i IN generate_series(1, len(l) - 1)
+                 IF l[i] <> l[i + 1]]) AS pr
+  FROM (SELECT doc_id, {_toks('text')} AS l FROM documents)
+  WHERE len(l) >= 2
+),
+tr_u AS (
+  SELECT doc_id, pr.a AS a, pr.b AS b, count(*)::BIGINT AS w
+  FROM tr_p GROUP BY 1, 2, 3
+),
+tr_adj AS MATERIALIZED (
+  SELECT doc_id, a AS u, b AS v, w FROM tr_u
+  UNION ALL SELECT doc_id, b, a, w FROM tr_u
+),
+tr_wd AS (SELECT doc_id, u, sum(w)::BIGINT AS wd FROM tr_adj GROUP BY 1, 2),
+tr_a AS MATERIALIZED (
+  SELECT j.doc_id, j.u, j.v, j.w, d.wd
+  FROM tr_adj j JOIN tr_wd d ON d.doc_id = j.doc_id AND d.u = j.u
+),
+tr_s0 AS (SELECT DISTINCT doc_id, u AS token, {_trs}::BIGINT AS s
+          FROM tr_adj)"""
+    for _r in range(1, _trr + 1):
+        _tr += f""",
+tr_s{_r} AS MATERIALIZED (
+  SELECT a.doc_id, a.v AS token,
+         ((({100 - _trd} * {_trs})
+           + {_trd} * sum((p.s * a.w) // a.wd)) // 100)::BIGINT AS s
+  FROM tr_a a
+  JOIN tr_s{_r - 1} p ON p.doc_id = a.doc_id AND p.token = a.u
+  GROUP BY 1, 2
+)"""
+    o["td_textrank"] = _tr + f"""
+SELECT doc_id, token, rn::INT AS rank, s AS score_units,
+       s / {_trs}.0 AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY s DESC, token ASC) AS rn
+  FROM tr_s{_trr}
+) WHERE rn <= {_trk}"""
+
     return o

@@ -678,3 +678,55 @@ def test_cusum_flat_series_and_gap_days(spark):
     # alternating 1/0: |S| maxima are ties; earliest day wins
     assert f.cp_day == t0
     assert f.s_abs == abs(5 * 1 - 1 * 3) == 2
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords
+
+from graphiti_spark.operators.textstats import (
+    TEXTRANK_SCALE,
+    textrank_keywords,
+)
+
+
+def test_textrank_bridge_beats_frequency(spark):
+    # 'hub' bridges every context; 'noise' is frequent but only ever
+    # adjacent to 'filler' — the graph ranking puts hub first
+    text = ("hub alpha hub beta hub gamma hub delta "
+            + "noise filler " * 6)
+    d = _docs_df(spark, [("a", text)])
+    rows = sorted(textrank_keywords(d).collect(), key=lambda r: r.rank)
+    assert rows[0].token == "hub"
+    assert rows[0].score_units == max(r.score_units for r in rows)
+    # ranks contiguous from 1, scores non-increasing
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i].score_units >= rows[i + 1].score_units
+               for i in range(len(rows) - 1))
+
+
+def test_textrank_degenerate_docs_emit_nothing(spark):
+    d = _docs_df(spark, [
+        ("a", "solo"), ("b", "same same same"), ("c", ""),
+        ("d", "left right"),
+    ])
+    out = textrank_keywords(d).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    # no co-occurrence graph -> no rows; 'd' has the 2-node graph
+    assert set(by) == {"d"}
+    assert {r.token for r in by["d"]} == {"left", "right"}
+    # symmetric 2-node graph: equal scores, tie broken by token asc
+    a, b = sorted(by["d"], key=lambda r: r.rank)
+    assert a.score_units == b.score_units
+    assert (a.token, b.token) == ("left", "right")
+
+
+def test_textrank_scores_bounded_and_deterministic(spark):
+    text = " ".join(f"w{i % 7} w{(i + 3) % 7}" for i in range(40))
+    d = _docs_df(spark, [("a", text)])
+    r1 = textrank_keywords(d).collect()
+    r2 = textrank_keywords(d).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    for r in r1:
+        assert 0 < r.score_units  # damped floor keeps scores positive
