@@ -210,6 +210,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from graphiti_spark.operators.dedup import dedup_semantic
     from graphiti_spark.operators.events import (
         anomaly_flags,
+        cusum_change_points,
         funnel_events,
         retention_cohorts,
     )
@@ -220,6 +221,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         collocations,
         doc_keywords,
         linear_score,
+        textrank_keywords,
         unigram_lm_score,
         url_profile,
         zipf_report,
@@ -261,6 +263,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("td_cdc_blocks", lambda: cdc_block_report(docs)),
         # one scan + map-side rollup, hash-derived weights (no join)
         ("td_linear_score", lambda: linear_score(docs)),
+        # doc-grain co-occurrence build + K per-doc PR round joins
+        ("td_textrank", lambda: textrank_keywords(docs)),
+        # daily rollup + (types × days)-grain spine/cumsum/argmax
+        ("ev_cusum", lambda: cusum_change_points(events)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
