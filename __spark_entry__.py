@@ -2056,6 +2056,25 @@ def _q_td_linear_score(spark, sf_dir):
     return linear_score(_docs(spark, sf_dir))
 
 
+def _q_ev_cusum_stream(spark, sf_dir):
+    # hourly-count deltas landed per micro-batch, merged on read,
+    # rolled to days and scored by the SAME integer CUSUM path —
+    # oracle = ev_cusum's SQL (one streamed tier serves both detectors)
+    import tempfile
+
+    from graphiti_spark.streaming.events import (
+        cusum_from_store,
+        streaming_hourly_counts,
+    )
+
+    store = tempfile.mkdtemp(prefix="cusum_store_")
+    ckpt = tempfile.mkdtemp(prefix="cusum_ckpt_")
+    _await_drained(
+        streaming_hourly_counts(_events_stream(spark, sf_dir), store, ckpt)
+    )
+    return cusum_from_store(spark, store)
+
+
 def _q_td_textrank(spark, sf_dir):
     """TextRank keywords: integer damped PageRank over the per-doc word
     co-occurrence graph, top-5 per document."""
@@ -2312,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_approx_users": _q_ev_approx_users,
         "ev_anomaly_stream": _q_ev_anomaly_stream,
         "td_hll_stream": _q_td_hll_stream,
+        "ev_cusum_stream": _q_ev_cusum_stream,
         "ev_funnel_stream": _q_ev_funnel_stream,
         "ev_sessions_stream": _q_ev_sessions_stream,
         "ev_asof_stream": _q_ev_asof_stream,

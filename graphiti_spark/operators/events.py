@@ -1523,7 +1523,16 @@ def cusum_change_points(events: DataFrame) -> DataFrame:
     """
     daily = events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(F.count("*").cast("long").alias("_c")).localCheckpoint()
+    ).agg(F.count("*").cast("long").alias("_c"))
+    return cusum_over_days(daily)
+
+
+def cusum_over_days(daily: DataFrame) -> DataFrame:
+    """The scoring half of :func:`cusum_change_points`, over an
+    already-built (day, event_type, _c) daily-count frame — from the
+    batch rollup or a merged streaming delta store (the
+    anomaly_over_hours split convention)."""
+    daily = daily.localCheckpoint()
     bounds = daily.agg(
         F.min("day").alias("_lo"), F.max("day").alias("_hi")
     )

@@ -4657,6 +4657,9 @@ cu_r AS (
 SELECT event_type, d AS n_days, t AS total, day AS cp_day, s AS s_abs,
        (s * 1000000 // greatest(d * t, 1))::BIGINT AS cusum_ppm
 FROM cu_r WHERE rn = 1"""
+    # streamed twin reads the same landed hourly tier rolled to days;
+    # the batch CUSUM SQL checks the store byte-for-byte
+    o["ev_cusum_stream"] = o["ev_cusum"]
 
     # TextRank keywords (operators/textstats.textrank_keywords): per-doc
     # co-occurrence graph from consecutive-token pairs, exactly-K damped

@@ -493,3 +493,24 @@ def streaming_range_pairs(
         ),
         "inner",
     ).select("anchor_id", F.col("_cents").alias("follow_cents"))
+
+
+def cusum_from_store(spark, store_dir: str) -> DataFrame:
+    """Live CUSUM change points from the SAME landed hourly delta store
+    the anomaly scorer reads (:func:`streaming_hourly_counts` /
+    :func:`anomaly_from_store`): merge the batch deltas, roll the hours
+    to days, and run the identical integer scoring half
+    (operators/events.cusum_over_days) — so ev_cusum's batch oracle
+    checks the streamed store byte-for-byte, and the stream maintains
+    ONE tier serving both detectors."""
+    from graphiti_spark.operators.events import cusum_over_days
+
+    daily = (
+        spark.read.parquet(store_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("window_start")).alias("day"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").cast("long").alias("_c"))
+    )
+    return cusum_over_days(daily)

@@ -730,3 +730,23 @@ def test_textrank_scores_bounded_and_deterministic(spark):
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
     for r in r1:
         assert 0 < r.score_units  # damped floor keeps scores positive
+
+
+def test_cusum_split_halves_agree(spark):
+    # the scoring half over a prebuilt daily frame must equal the
+    # composed operator (the streamed store path rides this contract)
+    from graphiti_spark.operators.events import cusum_over_days
+
+    t0 = _dt.datetime(2026, 3, 1)
+    rows = []
+    for d in range(8):
+        for _ in range(1 if d < 4 else 4):
+            rows.append((len(rows) + 1, t0 + _dt.timedelta(days=d), 1,
+                         "click", 1.0, "{}"))
+    ev = _cusum_events(spark, rows)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("_c"))
+    a = sorted(map(tuple, cusum_change_points(ev).collect()))
+    b = sorted(map(tuple, cusum_over_days(daily).collect()))
+    assert a == b
