@@ -750,3 +750,101 @@ def test_cusum_split_halves_agree(spark):
     a = sorted(map(tuple, cusum_change_points(ev).collect()))
     b = sorted(map(tuple, cusum_over_days(daily).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# fixed-seed randomized invariants
+
+
+def test_wl_rounds_only_refine(spark):
+    # 1-WL is a refinement: nodes sharing a round-2 color MUST share
+    # their round-1 color (the partition gets finer, never coarser)
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    pairs = set()
+    while len(pairs) < 40:
+        a, b = rng.randrange(18), rng.randrange(18)
+        if a != b:
+            pairs.add((f"n{min(a,b)}", f"n{max(a,b)}"))
+    e = _edges(spark, [("g", a, b) for a, b in sorted(pairs)])
+    c1 = {r.uuid: r.color for r in wl_colors(e, rounds=1).collect()}
+    c2 = {r.uuid: r.color for r in wl_colors(e, rounds=2).collect()}
+    assert set(c1) == set(c2)
+    by2 = {}
+    for u, c in c2.items():
+        by2.setdefault(c, set()).add(c1[u])
+    assert all(len(v) == 1 for v in by2.values())
+
+
+def test_butterfly_identity_random(spark):
+    # wedges == sum_entities C(deg, 2) over the kept (capped) side,
+    # recomputed from the raw input in python
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    rows = {(f"e{rng.randrange(12)}", f"x{rng.randrange(8)}")
+            for _ in range(70)}
+    m = _mentions(spark, [("g", ep, en) for ep, en in sorted(rows)])
+    r = butterfly_census(m, degree_cap=5).collect()[0]
+    deg = Counter(en for _, en in rows)
+    expect_wedges = sum(d * (d - 1) // 2 for d in deg.values() if d <= 5)
+    assert r.wedges == expect_wedges
+    co = Counter()
+    ents = {}
+    for ep, en in rows:
+        if deg[en] <= 5:
+            ents.setdefault(en, []).append(ep)
+    for en, eps in ents.items():
+        eps = sorted(eps)
+        for i in range(len(eps)):
+            for j in range(i + 1, len(eps)):
+                co[(eps[i], eps[j])] += 1
+    assert r.butterflies == sum(c * (c - 1) // 2 for c in co.values())
+    assert r.pairs_total == len(co)
+
+
+def test_cusum_python_replica_random(spark):
+    import random
+
+    rng = random.Random(7)
+    t0 = _dt.datetime(2026, 4, 1)
+    rows = []
+    counts = [rng.randrange(0, 6) for _ in range(10)]
+    counts[0] = max(counts[0], 1)       # pin the spine ends
+    counts[-1] = max(counts[-1], 1)
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((len(rows) + 1, t0 + _dt.timedelta(days=d), 1,
+                         "t", 1.0, "{}"))
+    r = cusum_change_points(_cusum_events(spark, rows)).collect()[0]
+    D, T = len(counts), sum(counts)
+    best = None
+    cum = 0
+    for i, c in enumerate(counts, start=1):
+        cum += c
+        s = abs(D * cum - i * T)
+        if best is None or s > best[0]:
+            best = (s, i - 1)
+    assert r.n_days == D and r.total == T
+    assert r.s_abs == best[0]
+    assert r.cp_day == t0 + _dt.timedelta(days=best[1])
+
+
+def test_winnow_guarantee_random_offsets(spark):
+    # the MOSS guarantee at three random insertion offsets
+    import random
+
+    rng = random.Random(3)
+    shared = "zqv kwx mnb tyu ghj alpha beta gamma"
+    for seed in range(3):
+        fill = " ".join(f"f{seed}{i}" for i in range(rng.randrange(3, 9)))
+        tail = " ".join(f"t{seed}{i}" for i in range(rng.randrange(3, 9)))
+        d = _docs_df(spark, [
+            ("a", fill + " " + shared + " " + tail),
+            ("b", shared + " wholly different material " + str(seed)),
+        ])
+        keys = {(r.doc_a, r.doc_b)
+                for r in winnow_pairs(d, min_shared=1).collect()}
+        assert ("a", "b") in keys, f"seed {seed}"
