@@ -2056,6 +2056,18 @@ def _q_td_linear_score(spark, sf_dir):
     return linear_score(_docs(spark, sf_dir))
 
 
+def _q_kg_path_match(spark, sf_dir):
+    """Path-pattern matcher: the Cypher-replacement DSL compiled to
+    chained predicate-filtered equi-joins — distinct bindings of
+    (a)-[PRECEDES]->(b)-[OPERATES_ON]->(c) over live facts."""
+    from graphiti_spark.operators.search import match_path
+
+    return match_path(
+        _graph(spark, sf_dir).edges,
+        "(a)-[PRECEDES]->(b)-[OPERATES_ON]->(c)",
+    )
+
+
 def _q_ev_cusum_stream(spark, sf_dir):
     # hourly-count deltas landed per micro-batch, merged on read,
     # rolled to days and scored by the SAME integer CUSUM path —
@@ -2149,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_linear_score": _q_td_linear_score,
         "ev_cusum": _q_ev_cusum,
         "td_textrank": _q_td_textrank,
+        "kg_path_match": _q_kg_path_match,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
@@ -2170,7 +2183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_motifs": _q_kg_motifs,
         "kg_entity_link": _q_kg_entity_link,
         "ev_pivot": _q_ev_pivot,
-        "td_embed_outliers": _q_td_embed_outliers,
         "td_prefix_pairs": _q_td_prefix_pairs,
         "sr_modularity": _q_sr_modularity,
         "td_contamination_bloom": _q_td_contamination_bloom,
@@ -2225,6 +2237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-association rankings and TextRank is the newer evidence;
         # it stays in the full sweep)
         "td_collocations": _q_td_collocations,
+        # (td_embed_outliers demoted for the path-match promotion: the
+        # shared k-means assignment keeps td_ann_ivf_kmeans in-window;
+        # it stays in the full sweep)
+        "td_embed_outliers": _q_td_embed_outliers,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

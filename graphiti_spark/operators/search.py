@@ -623,3 +623,88 @@ def entity_salience(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
             F.row_number().over(w_rank).cast("int").alias("rank"),
         )
     )
+
+
+def _parse_path_pattern(pattern: str):
+    """Parse ``(a)-[PRED]->(b)<-[PRED2]-(c)`` into (variables, steps);
+    each step is (src_var, predicate, dst_var) in EDGE direction."""
+    import re
+
+    s = pattern.replace(" ", "")
+    step_re = re.compile(r"\((\w+)\)(<-|-)\[(\w+)\](->|-)(?=\()")
+    vars_, steps, pos = [], [], 0
+    m = re.match(r"\((\w+)\)", s)
+    if not m:
+        raise ValueError(f"bad path pattern: {pattern!r}")
+    prev = m.group(1)
+    vars_.append(prev)
+    while True:
+        m = step_re.match(s, pos)
+        if not m:
+            break
+        _, larr, pred, rarr = m.groups()
+        nv = re.match(r"\((\w+)\)", s[m.end():]).group(1)
+        if larr == "<-" and rarr == "-":
+            steps.append((nv, pred, prev))
+        elif larr == "-" and rarr == "->":
+            steps.append((prev, pred, nv))
+        else:
+            raise ValueError(f"ambiguous direction in: {pattern!r}")
+        if nv not in vars_:
+            vars_.append(nv)
+        prev = nv
+        pos = m.end()
+    if not steps:
+        raise ValueError(f"no steps in path pattern: {pattern!r}")
+    if s[pos:] != f"({prev})":
+        raise ValueError(f"unparsed tail in path pattern: {pattern!r}")
+    return vars_, steps
+
+
+def match_path(
+    edges: DataFrame,
+    pattern: str,
+    group_id: str | None = None,
+    current_only: bool = True,
+) -> DataFrame:
+    """Tiny path-pattern matcher — the declarative replacement for the
+    reference's per-vendor Cypher strings (driver/*.py; e.g. the typed
+    traversals behind get_between_nodes / entity_edges): compile
+    ``(a)-[PRED]->(b)<-[PRED2]-(c)`` into chained equi-joins over the
+    stored edges frame and return the DISTINCT variable bindings (one
+    column of node uuids per variable, in first-appearance order).
+    Repeated variables close cycles — ``(a)-[X]->(b)-[X]->(a)`` matches
+    directed 2-cycles — because every occurrence binds the same join
+    column, exactly Cypher's semantics.
+
+    Scale: each step is one hash equi-join of the (optionally
+    group-pruned) predicate-filtered edge scan against the running
+    bindings frame, keyed on the shared variable; Catalyst pushes the
+    predicate + group filters into every scan (one PushedFilters line
+    per step), join order follows the pattern, and AQE handles skewed
+    intermediate bindings. ``current_only`` restricts to live facts
+    (invalid_at IS NULL) — compose with the as-of slice for
+    point-in-time matching.
+
+    Output: one row per distinct binding; columns = the pattern's
+    variables (node uuids) plus group_id.
+    """
+    vars_, steps = _parse_path_pattern(pattern)
+    base = edges
+    if group_id is not None:
+        base = base.where(F.col("group_id") == group_id)
+    if current_only:
+        base = base.where(F.col("invalid_at").isNull())
+    out = None
+    for sv, pred, dv in steps:
+        step = base.where(F.col("name") == pred).select(
+            "group_id",
+            F.col("source_node_uuid").alias(sv),
+            F.col("target_node_uuid").alias(dv),
+        )
+        if out is None:
+            out = step
+        else:
+            shared = [c for c in step.columns if c in out.columns]
+            out = out.join(step, shared)
+    return out.select("group_id", *vars_).distinct()

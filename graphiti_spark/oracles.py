@@ -1359,6 +1359,20 @@ LEFT JOIN tm_t t ON t.group_id = g.group_id
 LEFT JOIN tm_cl c ON c.group_id = g.group_id""".format(
             cap=TM_CENTER_CAP, dlt=TM_DELTA_DAYS
         ),
+        # path-pattern matcher instance (operators/search.match_path,
+        # pattern "(a)-[PRECEDES]->(b)-[OPERATES_ON]->(c)" over live
+        # facts): each step is one predicate-filtered equi-join; the
+        # oracle states the joins directly
+        "kg_path_match": p
+        + """
+SELECT DISTINCT e1.group_id,
+       e1.source_node_uuid AS a, e1.target_node_uuid AS b,
+       e2.target_node_uuid AS c
+FROM edges e1
+JOIN edges e2 ON e2.group_id = e1.group_id
+             AND e2.source_node_uuid = e1.target_node_uuid
+WHERE e1.name = 'PRECEDES' AND e2.name = 'OPERATES_ON'
+  AND e1.invalid_at IS NULL AND e2.invalid_at IS NULL""",
         # directed triad census (operators/community.triad_census):
         # 2-paths, transitive closures, and min-start-canonicalized
         # directed 3-cycles per group

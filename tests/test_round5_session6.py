@@ -848,3 +848,58 @@ def test_winnow_guarantee_random_offsets(spark):
         keys = {(r.doc_a, r.doc_b)
                 for r in winnow_pairs(d, min_shared=1).collect()}
         assert ("a", "b") in keys, f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# match_path
+
+import pytest
+
+from graphiti_spark.operators.search import _parse_path_pattern, match_path
+
+
+def _kg_edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "group_id string, source_node_uuid string, target_node_uuid string,"
+        " name string, invalid_at timestamp",
+    )
+
+
+def test_match_path_chain_direction_and_liveness(spark):
+    e = _kg_edges(spark, [
+        ("g", "x", "y", "P", None),
+        ("g", "y", "z", "Q", None),
+        ("g", "y", "w", "Q", _dt.datetime(2026, 1, 1)),  # invalidated
+        ("g", "q", "y", "Q", None),                      # wrong direction
+    ])
+    rows = match_path(e, "(a)-[P]->(b)-[Q]->(c)").collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [("x", "y", "z")]
+    # reversed-arrow step binds the same chain from the other side
+    rev = match_path(e, "(c)<-[Q]-(b)<-[P]-(a)").collect()
+    assert [(r.c, r.b, r.a) for r in rev] == [("z", "y", "x")]
+    # current_only=False admits the invalidated fact
+    all_ = match_path(e, "(a)-[P]->(b)-[Q]->(c)", current_only=False)
+    assert {(r.a, r.b, r.c) for r in all_.collect()} == {
+        ("x", "y", "z"), ("x", "y", "w")}
+
+
+def test_match_path_cycles_and_group_pruning(spark):
+    e = _kg_edges(spark, [
+        ("g", "a", "b", "X", None), ("g", "b", "a", "X", None),
+        ("g", "b", "c", "X", None),
+        ("h", "p", "q", "X", None), ("h", "q", "p", "X", None),
+    ])
+    cyc = match_path(e, "(u)-[X]->(v)-[X]->(u)")
+    assert {(r.group_id, r.u, r.v) for r in cyc.collect()} == {
+        ("g", "a", "b"), ("g", "b", "a"),
+        ("h", "p", "q"), ("h", "q", "p")}
+    only_g = match_path(e, "(u)-[X]->(v)-[X]->(u)", group_id="g")
+    assert {r.group_id for r in only_g.collect()} == {"g"}
+
+
+def test_match_path_rejects_malformed(spark):
+    for bad in ["(a)", "(a)-[X]->(b)(c)-[Y]->(d)", "a-[X]->b",
+                "(a)<-[X]<-(b)"]:
+        with pytest.raises(ValueError):
+            _parse_path_pattern(bad)
