@@ -53,6 +53,12 @@ def _shortest_from_hub(g):
     )
 
 
+def _path_match(g):
+    from graphiti_spark.operators.search import match_path
+
+    return match_path(g.edges, "(a)-[PRECEDES]->(b)-[OPERATES_ON]->(c)")
+
+
 def _interval_census(g):
     from graphiti_spark.operators.temporal import interval_relation_census
 
@@ -180,6 +186,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("sr_scan", lambda: scan_clusters(g.edges)),
         # event-grain projection + 2 center-keyed joins + semi-join
         ("kg_temporal_motifs", lambda: temporal_motifs(g.edges)),
+        # 2 predicate-filtered equi-joins + binding-grain distinct
+        ("kg_path_match", lambda: _path_match(g)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
