@@ -2056,6 +2056,23 @@ def _q_td_linear_score(spark, sf_dir):
     return linear_score(_docs(spark, sf_dir))
 
 
+def _q_sr_conductance(spark, sf_dir):
+    """Per-community conductance over the plurality-LPA partition:
+    cut / min(vol, vol-complement) in exact-BIGINT ppm — the
+    boundary-leakage complement to sr_modularity."""
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        conductance_report,
+        label_propagation_rounds,
+    )
+
+    g = _graph(spark, sf_dir)
+    adj = build_adjacency(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+    return conductance_report(adj, label_propagation_rounds(adj, rounds=6))
+
+
 def _q_kg_path_match(spark, sf_dir):
     """Path-pattern matcher: the Cypher-replacement DSL compiled to
     chained predicate-filtered equi-joins — distinct bindings of
@@ -2162,11 +2179,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cusum": _q_ev_cusum,
         "td_textrank": _q_td_textrank,
         "kg_path_match": _q_kg_path_match,
+        "sr_conductance": _q_sr_conductance,
         "sr_effective_diameter": _q_sr_effective_diameter,
         "sr_reciprocity": _q_sr_reciprocity,
         "sr_harmonic_centrality": _q_sr_harmonic_centrality,
         "sr_rich_club": _q_sr_rich_club,
-        "sr_edge_support": _q_sr_edge_support,
         "sr_truss": _q_sr_truss,
         "mm_phash_dedup": _q_mm_phash_dedup,
         "sr_neighbor_sim": _q_sr_neighbor_sim,
@@ -2241,6 +2258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared k-means assignment keeps td_ann_ivf_kmeans in-window;
         # it stays in the full sweep)
         "td_embed_outliers": _q_td_embed_outliers,
+        # (sr_edge_support demoted for the conductance promotion:
+        # sr_truss exercises the same support machinery in-window;
+        # it stays in the full sweep)
+        "sr_edge_support": _q_sr_edge_support,
         "sr_assortativity": _q_sr_assortativity,
         "td_embed_moments": _q_td_embed_moments,
         "sr_negative_samples": _q_sr_negative_samples,

@@ -3098,3 +3098,75 @@ def scan_clusters(
         F.lit(None).cast("string").alias("cluster_id"),
     )
     return assigned.unionByName(rest_rows)
+
+
+def conductance_report(
+    adjacency: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """Per-community conductance over a partition (Kannan, Vempala &
+    Vetta's cluster-quality measure): φ(S) = cut(S) / min(vol(S),
+    vol(V∖S)) — the boundary-leakage audit that complements
+    :func:`modularity_report`'s global score (modularity rewards the
+    PARTITION; conductance exposes WHICH community leaks). Edge-count
+    weighted, exact BIGINT, reported in floor-division ppm.
+
+    Inputs are the shared shapes: ``adjacency`` from
+    :func:`build_adjacency` (symmetric, weighted) and ``communities``
+    from :func:`label_propagation_rounds` — so the DuckDB twin reuses
+    the SAME unrolled LPA trajectory and states cut/volume from the
+    definition.
+
+    Scale: two label joins over the symmetric adjacency + two
+    map-side-combinable rollups (community grain, then group grain
+    broadcast back); cut counts each boundary edge once (only the
+    orientation leaving the community qualifies), volume is the
+    standard Σ-degree form.
+
+    Output: (group_id, community, n_members, volume, cut,
+    conductance_ppm).
+    """
+    lab = communities.select("group_id", "uuid", "community")
+    j = (
+        adjacency.join(
+            lab.select(
+                "group_id", F.col("uuid").alias("a"),
+                F.col("community").alias("_ca"),
+            ),
+            ["group_id", "a"],
+        )
+        .join(
+            lab.select(
+                "group_id", F.col("uuid").alias("b"),
+                F.col("community").alias("_cb"),
+            ),
+            ["group_id", "b"],
+        )
+        .groupBy("group_id", F.col("_ca").alias("community"))
+        .agg(
+            F.sum("edge_count").cast("long").alias("volume"),
+            F.sum(
+                F.when(F.col("_ca") != F.col("_cb"), F.col("edge_count"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("cut"),
+        )
+    )
+    members = lab.groupBy("group_id", "community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    tot = j.groupBy("group_id").agg(
+        F.sum("volume").cast("long").alias("_tv")
+    )
+    return (
+        members.join(j, ["group_id", "community"])
+        .join(F.broadcast(tot), ["group_id"])
+        .select(
+            "group_id",
+            "community",
+            "n_members",
+            "volume",
+            "cut",
+            F.expr(
+                "cut * 1000000L div greatest(least(volume, _tv - volume), 1L)"
+            ).cast("long").alias("conductance_ppm"),
+        )
+    )

@@ -1075,6 +1075,34 @@ SELECT t.group_id, t.predicate, t.n_facts, t.n_signatures,
 FROM sg_t t
 JOIN sg_r r ON r.group_id = t.group_id AND r.predicate = t.predicate
            AND r.rn = 1""",
+        # per-community conductance over the SAME unrolled plurality-LPA
+        # trajectory (operators/community.conductance_report): cut and
+        # Σ-degree volume from the definition, φ in floor-division ppm
+        "sr_conductance": p
+        + plurality_lpa_sql(rounds=6, as_cte="cn_lab")
+        + """
+, cn_j AS (
+  SELECT a.group_id, la.community,
+         sum(a.edge_count)::BIGINT AS volume,
+         sum(CASE WHEN la.community <> lb.community
+                  THEN a.edge_count ELSE 0 END)::BIGINT AS cut
+  FROM lpa_adj a
+  JOIN cn_lab la ON la.group_id = a.group_id AND la.uuid = a.a
+  JOIN cn_lab lb ON lb.group_id = a.group_id AND lb.uuid = a.b
+  GROUP BY 1, 2
+),
+cn_m AS (
+  SELECT group_id, community, count(*)::BIGINT AS n_members
+  FROM cn_lab GROUP BY 1, 2
+),
+cn_t AS (SELECT group_id, sum(volume)::BIGINT AS tv FROM cn_j GROUP BY 1)
+SELECT m.group_id, m.community, m.n_members, j.volume, j.cut,
+       (j.cut * 1000000
+        // greatest(least(j.volume, t.tv - j.volume), 1))::BIGINT
+         AS conductance_ppm
+FROM cn_m m
+JOIN cn_j j ON j.group_id = m.group_id AND j.community = m.community
+JOIN cn_t t ON t.group_id = m.group_id""",
         # Newman modularity decomposition of the plurality-LPA partition
         # in exact BIGINT (operators/community.modularity_report):
         # contrib = m2*internal_w - degree_w², Q = Σ contrib / m2²

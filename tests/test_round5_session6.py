@@ -903,3 +903,44 @@ def test_match_path_rejects_malformed(spark):
                 "(a)<-[X]<-(b)"]:
         with pytest.raises(ValueError):
             _parse_path_pattern(bad)
+
+
+# ---------------------------------------------------------------------------
+# conductance_report
+
+from graphiti_spark.operators.community import (
+    build_adjacency,
+    conductance_report,
+    label_propagation_rounds,
+)
+
+
+def test_conductance_two_cliques_one_bridge(spark):
+    # two 4-cliques joined by a single bridge edge, partition given
+    # explicitly (the operator scores ANY partition): each community
+    # has volume 2*6+1 = 13, cut 1 -> phi = 1/13
+    e = _edges(spark, _clique("g", ["a1", "a2", "a3", "a4"])
+               + _clique("g", ["b1", "b2", "b3", "b4"])
+               + [("g", "a1", "b1")])
+    labels = spark.createDataFrame(
+        [("g", f"{s}{i}", s) for s in ("a", "b") for i in range(1, 5)],
+        "group_id string, uuid string, community string",
+    )
+    out = conductance_report(build_adjacency(e), labels).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_members == 4
+        assert r.volume == 13 and r.cut == 1
+        assert r.conductance_ppm == 1_000_000 // 13
+
+
+def test_conductance_isolated_community_is_zero(spark):
+    e = _edges(spark, _clique("g", ["x", "y", "z"])
+               + _clique("g", ["p", "q", "r"]))
+    adj = build_adjacency(e)
+    out = conductance_report(
+        adj, label_propagation_rounds(adj, rounds=6)
+    ).collect()
+    assert len(out) == 2
+    assert all(r.cut == 0 and r.conductance_ppm == 0 for r in out)
+    assert all(r.volume == 6 for r in out)   # 3 edges, both endpoints in
