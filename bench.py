@@ -53,6 +53,21 @@ def _shortest_from_hub(g):
     )
 
 
+def _conductance(g):
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.community import (
+        build_adjacency,
+        conductance_report,
+        label_propagation_rounds,
+    )
+
+    adj = build_adjacency(
+        g.edges.where(F.col("group_id") == "megacorp/monorepo")
+    )
+    return conductance_report(adj, label_propagation_rounds(adj, rounds=6))
+
+
 def _path_match(g):
     from graphiti_spark.operators.search import match_path
 
@@ -188,6 +203,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ("kg_temporal_motifs", lambda: temporal_motifs(g.edges)),
         # 2 predicate-filtered equi-joins + binding-grain distinct
         ("kg_path_match", lambda: _path_match(g)),
+        # 2 label joins + community/group-grain rollups over the LPA run
+        ("sr_conductance", lambda: _conductance(g)),
     ]:
         t = time.perf_counter()
         _materialize(thunk())
