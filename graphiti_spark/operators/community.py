@@ -3157,16 +3157,18 @@ def conductance_report(
         F.sum("volume").cast("long").alias("_tv")
     )
     return (
-        members.join(j, ["group_id", "community"])
-        .join(F.broadcast(tot), ["group_id"])
+        members.join(j, ["group_id", "community"], "left")
+        .join(F.broadcast(tot), ["group_id"], "left")
         .select(
             "group_id",
             "community",
             "n_members",
-            "volume",
-            "cut",
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
             F.expr(
-                "cut * 1000000L div greatest(least(volume, _tv - volume), 1L)"
+                "coalesce(cut, 0L) * 1000000L div greatest("
+                "least(coalesce(volume, 0L),"
+                " coalesce(_tv, 0L) - coalesce(volume, 0L)), 1L)"
             ).cast("long").alias("conductance_ppm"),
         )
     )

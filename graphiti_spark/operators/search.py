@@ -697,11 +697,18 @@ def match_path(
         base = base.where(F.col("invalid_at").isNull())
     out = None
     for sv, pred, dv in steps:
-        step = base.where(F.col("name") == pred).select(
-            "group_id",
-            F.col("source_node_uuid").alias(sv),
-            F.col("target_node_uuid").alias(dv),
-        )
+        scan = base.where(F.col("name") == pred)
+        if sv == dv:
+            # self-loop step (a)-[X]->(a): one binding column
+            step = scan.where(
+                F.col("source_node_uuid") == F.col("target_node_uuid")
+            ).select("group_id", F.col("source_node_uuid").alias(sv))
+        else:
+            step = scan.select(
+                "group_id",
+                F.col("source_node_uuid").alias(sv),
+                F.col("target_node_uuid").alias(dv),
+            )
         if out is None:
             out = step
         else:

@@ -1096,13 +1096,16 @@ cn_m AS (
   FROM cn_lab GROUP BY 1, 2
 ),
 cn_t AS (SELECT group_id, sum(volume)::BIGINT AS tv FROM cn_j GROUP BY 1)
-SELECT m.group_id, m.community, m.n_members, j.volume, j.cut,
-       (j.cut * 1000000
-        // greatest(least(j.volume, t.tv - j.volume), 1))::BIGINT
-         AS conductance_ppm
+SELECT m.group_id, m.community, m.n_members,
+       coalesce(j.volume, 0)::BIGINT AS volume,
+       coalesce(j.cut, 0)::BIGINT AS cut,
+       (coalesce(j.cut, 0) * 1000000
+        // greatest(least(coalesce(j.volume, 0),
+                          coalesce(t.tv, 0) - coalesce(j.volume, 0)),
+                    1))::BIGINT AS conductance_ppm
 FROM cn_m m
-JOIN cn_j j ON j.group_id = m.group_id AND j.community = m.community
-JOIN cn_t t ON t.group_id = m.group_id""",
+LEFT JOIN cn_j j ON j.group_id = m.group_id AND j.community = m.community
+LEFT JOIN cn_t t ON t.group_id = m.group_id""",
         # Newman modularity decomposition of the plurality-LPA partition
         # in exact BIGINT (operators/community.modularity_report):
         # contrib = m2*internal_w - degree_w², Q = Σ contrib / m2²

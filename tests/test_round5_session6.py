@@ -944,3 +944,28 @@ def test_conductance_isolated_community_is_zero(spark):
     assert len(out) == 2
     assert all(r.cut == 0 and r.conductance_ppm == 0 for r in out)
     assert all(r.volume == 6 for r in out)   # 3 edges, both endpoints in
+
+
+def test_match_path_self_loop_step(spark):
+    e = _kg_edges(spark, [
+        ("g", "s", "s", "X", None),      # self-loop
+        ("g", "s", "t", "X", None),
+        ("g", "t", "u", "Y", None),
+        ("g", "s", "v", "Y", None),
+    ])
+    out = match_path(e, "(a)-[X]->(a)-[Y]->(b)").collect()
+    assert {(r.a, r.b) for r in out} == {("s", "v")}
+
+
+def test_conductance_totalizes_isolated_community(spark):
+    # a labeled node with no adjacency rows still reports, with zeros
+    e = _edges(spark, [("g", "a", "b")])
+    labels = spark.createDataFrame(
+        [("g", "a", "c1"), ("g", "b", "c1"), ("g", "ghost", "c2")],
+        "group_id string, uuid string, community string",
+    )
+    rows = {r.community: r
+            for r in conductance_report(build_adjacency(e), labels).collect()}
+    assert rows["c2"].volume == 0 and rows["c2"].cut == 0
+    assert rows["c2"].conductance_ppm == 0
+    assert rows["c1"].volume == 2 and rows["c1"].cut == 0
