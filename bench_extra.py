@@ -1,0 +1,219 @@
+"""Extra benchmarks for optimization work (guide §1.4): noop-sink
+isolation of individual suite queries, Spark job counts per query, and
+``explain("formatted")`` dumps. bench.py stays FROZEN; this file is the
+measurement scratchpad whose numbers OPTIMIZATION_r06.md cites.
+
+Usage:
+  python bench_extra.py time  [query ...]   # per-query wall (min of N) + job count
+  python bench_extra.py plan  [query ...]   # dump plans to plans/r06/<q>_{before|after}.txt
+  python bench_extra.py all                 # every suite query once, sorted by wall
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
+SPARK_GRAFT_EXTRA_RUNS (default 2), SPARK_GRAFT_PLAN_TAG (before/after).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_thunks(spark, sf_dir):
+    """The same thunks bench.py::run_suite times, by name."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.plans.pipeline import build_graph, current_triples
+    from graphiti_spark.sources import synth_source_files
+
+    g = build_graph(synth_source_files(spark, sf_dir))
+    g.nodes = g.nodes.persist()
+    g.edges = g.edges.persist()
+    g.edges.count()
+    g.nodes.count()
+
+    from graphiti_spark.operators.bpe import bpe_merges
+    from graphiti_spark.operators.community import (
+        butterfly_census,
+        clustering_coeff,
+        condensation_dag,
+        degree_mixing,
+        effective_diameter,
+        harmonic_centrality,
+        hits_rounds,
+        local_bridges,
+        mean_distance,
+        neighbor_agg,
+        neighbor_similarity,
+        neighborhood_sketch,
+        predict_links,
+        reciprocity,
+        rich_club,
+        scan_clusters,
+        scc_pivot_pass,
+        triangle_count,
+        truss_edges,
+        walk_pairs,
+        wl_colors,
+    )
+    from graphiti_spark.operators.dedup import (
+        cdc_block_report,
+        dedup_minhash_lsh,
+        dedup_semantic,
+        dedup_simhash,
+        edit_verified_pairs,
+        line_dedup_report,
+        winnow_pairs,
+    )
+    from graphiti_spark.operators.edges import dedupe_edges_fuzzy
+    from graphiti_spark.operators.events import (
+        anomaly_flags,
+        cusum_change_points,
+        funnel_events,
+        retention_cohorts,
+    )
+    from graphiti_spark.operators.search import bm25_scores
+    from graphiti_spark.operators.similarity import (
+        ann_pq,
+        embedding_moments,
+        knn_bruteforce,
+    )
+    from graphiti_spark.operators.temporal import (
+        graph_growth,
+        signature_profile,
+        temporal_motifs,
+    )
+    from graphiti_spark.operators.textstats import (
+        cms_token_counts,
+        collocations,
+        doc_keywords,
+        linear_score,
+        textrank_keywords,
+        unigram_lm_score,
+        url_profile,
+        zipf_report,
+    )
+
+    import bench as _bench
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    return g, {
+        "current_triples": lambda: current_triples(g),
+        "mentions": lambda: g.mentions,
+        "kg_edges_fuzzy_dedup": lambda: dedupe_edges_fuzzy(g.edges),
+        "sr_triangles": lambda: triangle_count(g.edges),
+        "sr_clustering": lambda: clustering_coeff(g.edges),
+        "sr_link_prediction": lambda: predict_links(g.edges),
+        "sr_neighbor_sim": lambda: neighbor_similarity(g.edges),
+        "sr_local_bridges": lambda: local_bridges(g.edges),
+        "sr_neighbor_agg": lambda: neighbor_agg(g.edges),
+        "sr_walk_pairs": lambda: walk_pairs(g.edges),
+        "sr_neighborhood": lambda: neighborhood_sketch(g.edges),
+        "sr_effective_diameter": lambda: effective_diameter(g.edges),
+        "sr_reciprocity": lambda: reciprocity(g.edges),
+        "sr_mean_distance": lambda: mean_distance(g.edges),
+        "kg_graph_growth": lambda: graph_growth(g.edges),
+        "sr_harmonic_centrality": lambda: harmonic_centrality(g.edges),
+        "sr_rich_club": lambda: rich_club(g.edges),
+        "sr_truss": lambda: truss_edges(g.edges),
+        "sr_shortest_path": lambda: _bench._shortest_from_hub(g),
+        "kg_interval_census": lambda: _bench._interval_census(g),
+        "sr_hits": lambda: hits_rounds(g.edges),
+        "sr_condensation": lambda: condensation_dag(
+            scc_pivot_pass(g.edges, rounds=6), g.edges),
+        "kg_butterflies": lambda: butterfly_census(g.mentions),
+        "sr_wl": lambda: wl_colors(g.edges),
+        "sr_mixing": lambda: degree_mixing(g.edges),
+        "kg_signatures": lambda: signature_profile(g.edges, g.nodes),
+        "sr_scan": lambda: scan_clusters(g.edges),
+        "kg_temporal_motifs": lambda: temporal_motifs(g.edges),
+        "kg_path_match": lambda: _bench._path_match(g),
+        "sr_conductance": lambda: _bench._conductance(g),
+        "td_dedup_minhash": lambda: dedup_minhash_lsh(docs, threshold=0.5),
+        "td_dedup_simhash": lambda: dedup_simhash(docs),
+        "td_ann_bruteforce": lambda: knn_bruteforce(emb, probes, k=10),
+        "sr_bm25": lambda: bm25_scores(docs, ["spark", "merge", "query"]),
+        "td_dedup_semantic": lambda: dedup_semantic(emb),
+        "td_ann_pq": lambda: ann_pq(emb, probes, k=10),
+        "td_lm_score": lambda: unigram_lm_score(docs),
+        "td_keywords": lambda: doc_keywords(docs),
+        "ev_funnel": lambda: funnel_events(events),
+        "ev_retention": lambda: retention_cohorts(events),
+        "td_bpe_merges": lambda: bpe_merges(docs),
+        "td_cms": lambda: cms_token_counts(docs),
+        "td_line_dedup": lambda: line_dedup_report(docs),
+        "ev_anomaly": lambda: anomaly_flags(events),
+        "td_embed_moments": lambda: embedding_moments(emb),
+        "td_collocations": lambda: collocations(docs),
+        "td_zipf": lambda: zipf_report(docs),
+        "td_urls": lambda: url_profile(docs),
+        "mm_phash_dedup": lambda: _bench._mm_phash(docs),
+        "td_winnow": lambda: winnow_pairs(docs),
+        "td_edit_pairs": lambda: edit_verified_pairs(docs),
+        "td_cdc_blocks": lambda: cdc_block_report(docs),
+        "td_linear_score": lambda: linear_score(docs),
+        "td_textrank": lambda: textrank_keywords(docs),
+        "ev_cusum": lambda: cusum_change_points(events),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = sys.argv[2:]
+
+    from graphiti_spark.session import get_spark
+
+    spark = get_spark("bench-extra")
+    sc = spark.sparkContext
+    g, thunks = build_thunks(spark, sf_dir)
+    if not names:
+        names = list(thunks)
+
+    if mode == "plan":
+        tag = os.environ.get("SPARK_GRAFT_PLAN_TAG", "before")
+        os.makedirs("plans/r06", exist_ok=True)
+        for n in names:
+            df = thunks[n]()
+            path = f"plans/r06/{n}_{tag}.txt"
+            with open(path, "w") as f:
+                f.write(df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"))
+            print(f"wrote {path}")
+        return
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "2"))
+    out = {}
+    for n in names:
+        walls = []
+        jobs = 0
+        for i in range(n_runs):
+            sc.setJobGroup(f"q:{n}:{i}", n)
+            t0 = time.perf_counter()
+            _materialize(thunks[n]())
+            walls.append(time.perf_counter() - t0)
+            jobs = len(sc.statusTracker().getJobIdsForGroup(f"q:{n}:{i}"))
+            sc.setJobGroup(f"idle", "idle")
+        out[n] = {"min_s": round(min(walls), 3),
+                  "runs": [round(w, 3) for w in walls], "jobs": jobs}
+        print(json.dumps({n: out[n]}))
+    ordered = dict(sorted(out.items(), key=lambda kv: -kv[1]["min_s"]))
+    print(json.dumps({"total_min_s": round(sum(v["min_s"] for v in out.values()), 2),
+                      "queries": ordered}))
+
+
+if __name__ == "__main__":
+    main()

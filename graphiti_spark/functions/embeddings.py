@@ -143,27 +143,65 @@ def fill_edge_embeddings(edges: DataFrame) -> "DataFrame":
     )
 
 
-def dot(a: Column, b: Column) -> Column:
+# ---------------------------------------------------------------------
+# Vector kernels. Catalyst higher-order folds (ArrayAggregate) are
+# CodegenFallback — every element of every pair is evaluated through the
+# interpreter (guide §4: prefer built-ins that codegen). Each kernel
+# accepts an OPT-IN ``dim``: the fold unrolled to a static ``dim``-term
+# sum, guarded by ``size() == dim`` so any other input falls back to the
+# fold. The unrolled chain replays the fold's exact operation order
+# (acc = 0.0; acc = acc + term_i), so the float result is bit-identical
+# and nothing in any oracle hash moves. MEASURED: worth it only for
+# SMALL dims (the 8-wide PQ subvectors: td_ann_pq 2.99 → 2.64 s) — at
+# dim=64 the tree blows up optimizer/codegen time (td_dedup_semantic
+# 5.4 → 33.7 s), so the default stays the fold.
+
+
+def _unrolled(terms: list[Column]) -> Column:
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot product of two array<float/double> columns (JVM, codegen)."""
-    return F.aggregate(
+    slow = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if not dim:
+        return slow
+    fast = _unrolled([
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, dim + 1)
+    ])
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), fast
+    ).otherwise(slow)
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    slow = F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
+    if not dim:
+        return slow
+    fast = F.sqrt(_unrolled([
+        F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
+        for i in range(1, dim + 1)
+    ]))
+    return F.when(F.size(a) == dim, fast).otherwise(slow)
 
 
-def l2_dist(a: Column, b: Column) -> Column:
+def l2_dist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Euclidean distance of two array<float/double> columns (JVM,
     codegen) — the DuckDB twin is the ``list_distance`` builtin; both
     sides round to 4 decimals before any argmin, the same determinism
-    contract as rounded cosine."""
-    return F.sqrt(
+    contract as rounded cosine. Pass ``dim`` (e.g. the PQ subvector
+    width) to unroll; the default keeps the general fold."""
+    slow = F.sqrt(
         F.aggregate(
             F.zip_with(
                 a,
@@ -175,10 +213,35 @@ def l2_dist(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+    if not dim:
+        return slow
+
+    def term(i: int) -> Column:
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        return d * d
+
+    fast = F.sqrt(_unrolled([term(i) for i in range(1, dim + 1)]))
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), fast
+    ).otherwise(slow)
 
 
 def cosine(a: Column, b: Column) -> Column:
     """cosine similarity (reference search_utils.py:71-82 normalizes then
     dots; helpers.py:116-119 L2-normalizes)."""
     denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two L2 norms HOISTED to caller-provided
+    columns. The interpreted ArrayAggregate fold is the per-element cost
+    center of every candidate-pair scan; computing ``l2_norm`` once per
+    ROW (n + k folds) instead of once per PAIR (3·n·k folds) is a pure
+    common-subexpression hoist — same product, same comparison, same
+    division, so every rounded cosine (and every oracle hash) is
+    bit-identical. Callers must pass ``na = l2_norm(a)``/``nb =
+    l2_norm(b)`` verbatim (the dedup_semantic norm-per-row lesson,
+    applied to the whole similarity family)."""
+    denom = na * nb
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

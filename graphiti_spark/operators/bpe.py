@@ -93,7 +93,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
         .select("cnt", _encode_word(F.col("word")).alias("enc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges = []
     for i in range(1, rounds + 1):
@@ -110,7 +110,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         vocab = vocab.select(
             "cnt",
             _apply_merges(F.col("enc"), [(x, y)]).alias("enc"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "round long, x string, y string, merged string, pair_count long"
     )

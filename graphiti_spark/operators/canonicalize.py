@@ -109,7 +109,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # cut lineage per iteration
+        new_labels = new_labels.localCheckpoint(eager=False)  # cut lineage per iteration
         # full count on the checkpointed diff — limit(1).count() plans
         # CollectLimit whose serial partition ramp-up single-threads the
         # convergence check on wide inputs
@@ -166,6 +166,8 @@ def canonical_map_from_pairs(pairs: DataFrame, n: int | None = None) -> DataFram
     if owned:
         # the CC loop has consumed (and checkpointed past) the pair frame;
         # materialize the (node-sized) map, then release the pair cache
+        # (eager ON PURPOSE: the unpersist below must not race the
+        # checkpoint's materialization)
         out = out.localCheckpoint()
         pairs.unpersist()
     return out

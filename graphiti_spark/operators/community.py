@@ -74,7 +74,11 @@ def _apply_vote_round(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
             "uuid",
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
         )
-        .localCheckpoint()
+        # eager=False: the round result still materializes exactly once
+        # (first consumer computes + persists it) but WITHOUT one eager
+        # Spark job per round — the whole K-round chain collapses into
+        # the consumer's single job (guide §1.2/§5: fewer passes first)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -89,6 +93,10 @@ def label_propagation(
 ) -> DataFrame:
     """(group_id, uuid, community) — community = final propagated label,
     canonicalized to the min member uuid for stable output."""
+    # loop-invariant: the vote join consumes the adjacency every round —
+    # checkpoint it ONCE (lazily) instead of re-deriving the projection +
+    # distinct from the KG scan per round (guide §5 cache-when-reused)
+    adjacency = adjacency.localCheckpoint(eager=False)
     labels = _seed_labels(adjacency)
     changed = 0  # max_iter=0 → seed labels are trivially converged
     for _ in range(max_iter):
@@ -122,7 +130,7 @@ def label_propagation(
                     F.col("label"), F.coalesce("new_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return _canonicalize_labels(labels)
 
@@ -142,6 +150,9 @@ def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame
     label_propagation: (group_id, uuid, community = min member uuid).
     Shares _seed_labels/_apply_vote_round/_canonicalize_labels with the
     fixpoint variant — one vote implementation, two stopping rules."""
+    # loop-invariant adjacency: checkpointed once, reused by all K vote
+    # rounds (it was previously recomputed from the KG scan per round)
+    adjacency = adjacency.localCheckpoint(eager=False)
     labels = _seed_labels(adjacency)
     for _ in range(rounds):
         labels = _apply_vote_round(adjacency, labels)
@@ -175,9 +186,12 @@ def pagerank_rounds(
     sum; localCheckpoint cuts the K-round lineage like the Lloyd loop.
     Output: (group_id, uuid, rank_units, rank = units/SCALE).
     """
+    # loop invariants: adjacency and the weighted-degree rollup are read
+    # by every round — checkpoint once instead of re-deriving per round
+    adjacency = adjacency.localCheckpoint(eager=False)
     deg = adjacency.groupBy("group_id", "a").agg(
         F.sum("edge_count").cast("long").alias("_w")
-    )
+    ).localCheckpoint(eager=False)
     ranks = deg.select(
         "group_id",
         F.col("a").alias("uuid"),
@@ -213,7 +227,7 @@ def pagerank_rounds(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "group_id",
@@ -244,9 +258,11 @@ def personalized_pagerank(
     adds the (100-d)% restart only at seeds. Non-seed groups stay
     all-zero (still emitted — the report's contract is one row per node).
     """
+    # loop invariants, checkpointed once (the pagerank_rounds rule)
+    adjacency = adjacency.localCheckpoint(eager=False)
     deg = adjacency.groupBy("group_id", "a").agg(
         F.sum("edge_count").cast("long").alias("_w")
-    )
+    ).localCheckpoint(eager=False)
     seed_flag = seeds.select(
         "group_id", F.col("uuid"), F.lit(1).alias("_is_seed")
     ).distinct()
@@ -257,7 +273,7 @@ def personalized_pagerank(
             "group_id", "uuid",
             F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_seed"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     base = (100 - damping_pct) * PAGERANK_SCALE // 100
     ranks = base_nodes.select(
@@ -291,7 +307,7 @@ def personalized_pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "group_id",
@@ -339,7 +355,7 @@ def summarize_communities(
             .groupBy("group_id", "community", "pair")
             .agg(F.concat_ws(" | ", F.array_sort(F.collect_list("summary"))).alias("summary"))
             .withColumnRenamed("pair", "idx")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return current.select(
         "group_id",
         "community",
@@ -739,7 +755,7 @@ def _triangle_frames(
             F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select("group_id", F.col("a").alias("v"))
@@ -769,7 +785,7 @@ def _triangle_frames(
             F.when(lower_a, F.col("_degb")).otherwise(F.col("_dega"))
             .alias("vdeg"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
@@ -889,7 +905,9 @@ def kcore_peel(
     map-side-combinable degree count; localCheckpoint cuts the K-round
     lineage exactly like the Lloyd / PageRank loops.
     """
-    adj = build_adjacency(edges).select("group_id", "a", "b")
+    adj = build_adjacency(edges).select(
+        "group_id", "a", "b"
+    ).localCheckpoint(eager=False)  # feeds the seed node set AND round 1
     alive = adj.select("group_id", F.col("a").alias("uuid")).distinct()
     live_adj = adj
     removed = None
@@ -909,7 +927,7 @@ def kcore_peel(
         removed = (
             dropped if removed is None else removed.unionByName(dropped)
         )
-        alive = survivors.localCheckpoint()
+        alive = survivors.localCheckpoint(eager=False)
         live_adj = (
             live_adj.join(
                 alive.select("group_id", F.col("uuid").alias("a")),
@@ -921,7 +939,7 @@ def kcore_peel(
                 ["group_id", "b"],
                 "left_semi",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     survivors_out = alive.select(
         "group_id", "uuid", F.lit(0).cast("long").alias("removed_round")
@@ -952,13 +970,13 @@ def _capped_wedge_frames(
     adj = (
         build_adjacency(edges)
         .select("group_id", "a", "b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("group_id", "a").agg(F.count("*").alias("_dz"))
     if checkpoint_deg:
         # callers with >1 degree consumer checkpoint the node-grain
         # rollup too (the _triangle_frames convention)
-        deg = deg.localCheckpoint()
+        deg = deg.localCheckpoint(eager=False)
     nbrs = adj.join(
         deg.where(F.col("_dz") <= center_cap), ["group_id", "a"]
     )
@@ -1149,10 +1167,16 @@ def neighbor_agg(edges: DataFrame) -> DataFrame:
     combinable — a fixed number of adjacency-sized shuffles per round,
     the textbook distributed message-passing plan (deeper GNN feature
     stacks iterate this operator)."""
-    adj = build_adjacency(edges).select("group_id", "a", "b")
+    # adj feeds deg AND the message join; deg feeds the message payload
+    # AND the final feature join — checkpoint both (lazily) so the
+    # symmetrized distinct and the degree rollup run once, not per
+    # consumer (the _triangle_frames convention)
+    adj = build_adjacency(edges).select(
+        "group_id", "a", "b"
+    ).localCheckpoint(eager=False)
     deg = adj.groupBy("group_id", "a").agg(
         F.count("*").cast("long").alias("degree")
-    )
+    ).localCheckpoint(eager=False)
     msgs = adj.join(
         deg.select(
             "group_id", F.col("a").alias("b"), F.col("degree").alias("_nd")
@@ -1203,7 +1227,7 @@ def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
     adj = (
         build_adjacency(edges)
         .select("group_id", "a", "b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = adj.select(
         "group_id", F.col("a").alias("walk_id"), F.col("a").alias("node")
@@ -1230,7 +1254,7 @@ def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
                 ).alias("node")
             )
         )
-        frontier = hop.localCheckpoint()
+        frontier = hop.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select(
                 "group_id", "walk_id",
@@ -1262,7 +1286,7 @@ def walk_pairs(
     fan-out bounded by (steps+1)·2·window — constant per walk — and the
     pair aggregation is map-side combinable. The walk corpus is
     checkpointed once for both join sides."""
-    walks = random_walks(edges, steps).localCheckpoint()
+    walks = random_walks(edges, steps).localCheckpoint(eager=False)
     w1, w2 = walks.alias("w1"), walks.alias("w2")
     d = F.abs(F.col("w1.step") - F.col("w2.step"))
     return (
@@ -1314,7 +1338,7 @@ def closeness_centrality(
     adj = (
         build_adjacency(edges)
         .select("group_id", "a", "b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("group_id", "a").agg(
         F.count("*").cast("long").alias("degree")
@@ -1326,7 +1350,7 @@ def closeness_centrality(
         deg.withColumn("_r", F.row_number().over(rank_w))
         .where(F.col("_r") <= int(top_sources))
         .select("group_id", F.col("a").alias("s"), "degree")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # hop 1: the source's direct neighbors (adjacency rows are distinct);
     # keyed on (group, node) — the frontier never cross-joins its group
@@ -1338,12 +1362,12 @@ def closeness_centrality(
             ),
             ["group_id", "s"],
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     reached = (
         src.select("group_id", "s", F.col("s").alias("v"))
         .unionByName(d1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontiers = [d1]
     frontier = d1
@@ -1357,9 +1381,9 @@ def closeness_centrality(
             .select("group_id", "s", F.col("_n").alias("v"))
             .distinct()
             .join(reached, ["group_id", "s", "v"], "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        reached = reached.unionByName(nxt).localCheckpoint()
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
         frontiers.append(nxt)
         frontier = nxt
     counts = None
@@ -1497,16 +1521,20 @@ def scc_pivot_pass(edges: DataFrame, rounds: int = 6) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()  # reused 2*rounds times; kill the KG lineage
+        .localCheckpoint(eager=False)  # reused 2*rounds times; kill the KG lineage
     )
     nodes = (
         de.select("group_id", F.col("src").alias("uuid"))
         .unionByName(de.select("group_id", F.col("dst").alias("uuid")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _min_rounds(from_col: str, to_col: str) -> DataFrame:
+        # NOTE: pre-partitioning de on (group_id, from_col) per direction
+        # was tried and REVERTED — the extra materialized copy cost more
+        # than the per-round exchange it saved (AQE broadcast-joins the
+        # small label side at this scale; measured 4.4 s → 5.6 s)
         lab = nodes.withColumn("lab", F.col("uuid"))
         for _ in range(rounds):
             incoming = (
@@ -1528,7 +1556,7 @@ def scc_pivot_pass(edges: DataFrame, rounds: int = 6) -> DataFrame:
                         F.col("lab"), F.coalesce(F.col("_in"), F.col("lab"))
                     ).alias("lab"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         return lab
 
@@ -1629,7 +1657,7 @@ def triad_census(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()  # reused by the 2-path and both closures
+        .localCheckpoint(eager=False)  # reused by the 2-path and both closures
     )
     tp = (
         de.select("group_id", F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -1760,10 +1788,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     #groups output rows.
 
     Output: (group_id, n_pairs, sum_deg, sum_deg_sq, sum_deg_prod)."""
-    adj = build_adjacency(edges).select("group_id", "a", "b")
+    adj = build_adjacency(edges).select(
+        "group_id", "a", "b"
+    ).localCheckpoint(eager=False)  # feeds deg AND the edge-grain join
     deg = adj.groupBy("group_id", "a").agg(
         F.count("*").cast("long").alias("_deg")
-    )
+    ).localCheckpoint(eager=False)  # read by both endpoint joins
     dx = deg.select("group_id", "a", F.col("_deg").alias("_dx"))
     dy = deg.select(
         "group_id", F.col("a").alias("b"), F.col("_deg").alias("_dy")
@@ -1812,8 +1842,12 @@ def negative_samples(
     Output: (group_id, center, negative, rank), rank 1..k by the pair
     hash. A hub adjacent to the whole pool yields fewer than k rows —
     real sparsity, not an error."""
-    adj = build_adjacency(edges).select("group_id", "a", "b")
-    nodes = adj.select("group_id", "a").distinct()
+    adj = build_adjacency(edges).select(
+        "group_id", "a", "b"
+    ).localCheckpoint(eager=False)
+    nodes = adj.select(
+        "group_id", "a"
+    ).distinct().localCheckpoint(eager=False)  # pool AND center sides
     wp = Window.partitionBy("group_id").orderBy("_h", "a")
     pool_df = (
         nodes.withColumn(
@@ -1906,7 +1940,7 @@ def _register_rounds(edges: DataFrame, rounds: int):
     )
     adj = und.unionByName(
         und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     register, rank = _hll_cols(col="uuid", prefix="hb:")
     regs = (
         adj.select("group_id", F.col("a").alias("uuid"))
@@ -1917,7 +1951,7 @@ def _register_rounds(edges: DataFrame, rounds: int):
             register.alias("register"),
             rank.cast("long").alias("max_rank"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     yield 0, regs
     for k in range(1, rounds + 1):
@@ -1937,7 +1971,7 @@ def _register_rounds(edges: DataFrame, rounds: int):
             regs.unionByName(inflow)
             .groupBy("group_id", "uuid", "register")
             .agg(F.max("max_rank").cast("long").alias("max_rank"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         yield k, regs
 
@@ -1990,7 +2024,7 @@ def predicate_motifs(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tp = (
         de.select(
@@ -2123,7 +2157,7 @@ def effective_diameter(
     already-checkpointed :func:`_register_rounds` chain; everything
     here joins and filters the (groups × K+1)-row digest frame. Output:
     (group_id, effective_diameter, final_regs, threshold_regs)."""
-    nf = neighborhood_function(edges, rounds).localCheckpoint()
+    nf = neighborhood_function(edges, rounds).localCheckpoint(eager=False)
     fin = nf.where(F.col("round") == int(rounds)).select(
         "group_id", F.col("sum_n_regs").alias("_final")
     )
@@ -2254,7 +2288,7 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.col("target_node_uuid").alias("t"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rev = d.select("group_id", F.col("t").alias("s"), F.col("s").alias("t"))
     mutual = d.join(rev, ["group_id", "s", "t"]).select(
@@ -2355,14 +2389,14 @@ def rich_club(edges: DataFrame) -> DataFrame:
             F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sym = und.unionByName(
         und.select("group_id", F.col("b").alias("a"), F.col("a").alias("b"))
     )
     deg = sym.groupBy("group_id", F.col("a").alias("v")).agg(
         F.count("*").cast("long").alias("degree")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # per-edge min endpoint degree → histogram over m
     em = (
         und.join(
@@ -2381,7 +2415,7 @@ def rich_club(edges: DataFrame) -> DataFrame:
     )
     nd = deg.groupBy("group_id", "degree").agg(
         F.count("*").cast("long").alias("v_cnt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ks = nd.select("group_id", F.col("degree").alias("k"))
     n_k = (
         ks.join(nd, "group_id")
@@ -2457,7 +2491,7 @@ def edge_support(edges: DataFrame) -> DataFrame:
             F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return _und_support(und).withColumn(
         "k_bound", (F.col("support") + F.lit(2)).cast("long")
@@ -2497,13 +2531,13 @@ def truss_edges(
             F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for _r in range(int(rounds)):
         sup = _und_support(cur)
         out = sup.where(F.col("support") >= int(k) - 2)
-        cur = out.select("group_id", "a", "b").localCheckpoint()
+        cur = out.select("group_id", "a", "b").localCheckpoint(eager=False)
     return out
 
 
@@ -2554,13 +2588,13 @@ def hits_rounds(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .groupBy("group_id", "src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint()  # reused 2*rounds times
+        .localCheckpoint(eager=False)  # reused 2*rounds times
     )
     nodes = (
         de.select("group_id", F.col("src").alias("uuid"))
         .unionByName(de.select("group_id", F.col("dst").alias("uuid")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _rescale(raw: DataFrame, out_col: str) -> DataFrame:
@@ -2579,7 +2613,7 @@ def hits_rounds(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
                     f"(coalesce(_raw, 0L) * {HITS_SCALE}) div _mx"
                 ).cast("long").alias(out_col),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     hub = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
@@ -2628,7 +2662,7 @@ def condensation_dag(scc_labels: DataFrame, edges: DataFrame) -> DataFrame:
     Output: (group_id, comp_src, comp_dst, n_edges, src_size, dst_size),
     comp_src <> comp_dst.
     """
-    lab = scc_labels.select("group_id", "uuid", "scc_id").localCheckpoint()
+    lab = scc_labels.select("group_id", "uuid", "scc_id").localCheckpoint(eager=False)
     de = (
         edges.select(
             "group_id",
@@ -2718,7 +2752,7 @@ def butterfly_census(
             F.col("node_uuid").alias("entity_uuid"),
         )
         .distinct()
-        .localCheckpoint()  # feeds degrees AND wedges
+        .localCheckpoint(eager=False)  # feeds degrees AND wedges
     )
     deg = cme.groupBy("group_id", "entity_uuid").agg(
         F.count("*").cast("long").alias("_d")
@@ -2814,7 +2848,7 @@ def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         .unionByName(
             und.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        .localCheckpoint()  # reused every round
+        .localCheckpoint(eager=False)  # reused every round
     )
     cur = (
         adj.groupBy("group_id", F.col("u").alias("uuid"))
@@ -2822,7 +2856,7 @@ def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         .select(
             "group_id", "uuid", F.md5(F.col("_d").cast("string")).alias("color")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hex_prefix = F.conv(
         F.substring(F.col("color"), 1, WL_HEX_CHARS), 16, 10
@@ -2853,7 +2887,7 @@ def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
                     )
                 ).alias("color"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sizes = cur.groupBy("group_id", "color").agg(
         F.count("*").cast("long").alias("class_size")
@@ -2889,7 +2923,7 @@ def degree_mixing(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()  # feeds degrees AND the census
+        .localCheckpoint(eager=False)  # feeds degrees AND the census
     )
     adj = und.select(
         "group_id", F.col("a").alias("u"), F.col("b").alias("v")
@@ -2979,7 +3013,7 @@ def scan_clusters(
             F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und_sym = und.select(
         "group_id", F.col("a").alias("u"), F.col("b").alias("v")
@@ -3008,7 +3042,7 @@ def scan_clusters(
             * (F.col("_db") + 1)
         )
         .select("group_id", "a", "b")
-        .localCheckpoint()  # feeds core counts, CC, and border joins
+        .localCheckpoint(eager=False)  # feeds core counts, CC, and border joins
     )
     eps_sym = eps.select(
         "group_id", F.col("a").alias("u"), F.col("b").alias("v")
@@ -3020,7 +3054,7 @@ def scan_clusters(
         .agg(F.count("*").cast("long").alias("_ne"))
         .where(F.col("_ne") >= int(mu))
         .select("group_id", "uuid")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # core–core ε-edges, symmetric, for the bounded min-label pass
     cc_edges = (
@@ -3034,7 +3068,7 @@ def scan_clusters(
         "group_id", F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(
         cc_edges.select("group_id", F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lab = cores.select("group_id", "uuid", F.col("uuid").alias("lbl"))
     for _ in range(int(rounds)):
         nbr = (
@@ -3052,12 +3086,12 @@ def scan_clusters(
                 F.least(F.col("lbl"), F.coalesce("_nl", F.col("lbl")))
                 .alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     core_rows = lab.select(
         "group_id", "uuid", F.lit("core").alias("role"),
         F.col("lbl").alias("cluster_id"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # border: non-core nodes ε-similar to ≥1 core; deterministic pick =
     # min cluster id among ε-similar cores
     border = (
@@ -3072,7 +3106,7 @@ def scan_clusters(
         .agg(F.min("cluster_id").alias("cluster_id"))
         .select("group_id", "uuid", F.lit("border").alias("role"),
                 "cluster_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assigned = core_rows.unionByName(border)
     nodes = und_sym.select("group_id", F.col("u").alias("uuid")).distinct()
@@ -3125,7 +3159,12 @@ def conductance_report(
     Output: (group_id, community, n_members, volume, cut,
     conductance_ppm).
     """
-    lab = communities.select("group_id", "uuid", "community")
+    # lab is consumed three times (two label joins + the member count)
+    # and j twice (report join + group total): lazy-checkpoint both so
+    # the LPA tail and the adjacency joins run once, not per consumer
+    lab = communities.select(
+        "group_id", "uuid", "community"
+    ).localCheckpoint(eager=False)
     j = (
         adjacency.join(
             lab.select(
@@ -3149,6 +3188,7 @@ def conductance_report(
                 .otherwise(F.lit(0))
             ).cast("long").alias("cut"),
         )
+        .localCheckpoint(eager=False)
     )
     members = lab.groupBy("group_id", "community").agg(
         F.count("*").cast("long").alias("n_members")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graphiti_spark import config
+from graphiti_spark.plans.spread import spread_by
 from graphiti_spark.functions.hashing import (
     hamming64,
     make_sha_minhash_band_keys_udf,
@@ -393,7 +394,7 @@ def dedup_semantic(
     assigned = (
         assign_to_lists(embeddings, cent)
         .withColumn("_n", l2_norm(F.col("embedding")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assert_block_cap(
         assigned.select(F.col("cent_id").alias("_blk")), ["_blk"],
@@ -1212,8 +1213,16 @@ def winnow_fingerprints(
     Output: (doc_id, fp) — the distinct fingerprint set per document.
     """
     t = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    base = docs.select("doc_id", t.alias("_t")).where(
-        F.length("_t") >= k
+    # rebalance the RAW TEXT (doc-keyed) before the per-character gram
+    # explode: the explode amplifies each input split's compute ~k×, so
+    # scan-split granularity (one task per row group on small inputs)
+    # serializes the md5 scan; this shuffle moves only the text bytes and
+    # the doc-keyed window below reuses the exchange (guide §2.4/§2.5).
+    # Explicit N (the conf value, scale-parameterised) so AQE's
+    # bytes-based coalescing cannot re-serialize the compute-heavy fan-out.
+    base = spread_by(
+        docs.select("doc_id", t.alias("_t")).where(F.length("_t") >= k),
+        "doc_id",
     )
     n = F.length("_t") - (k - 1)
     flat = base.select(
@@ -1256,7 +1265,7 @@ def winnow_pairs(
 
     Output: (doc_a, doc_b, shared, fp_a, fp_b, overlap_ppm).
     """
-    fp = winnow_fingerprints(docs, k=k, w=w).localCheckpoint()
+    fp = winnow_fingerprints(docs, k=k, w=w).localCheckpoint(eager=False)
     counts = fp.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("_nfp")
     )
@@ -1433,9 +1442,11 @@ def cdc_block_report(
     # one payload never worth materializing at 100 TB. Both consumers
     # (the cut scan and the block projection) re-derive it from the
     # source scan; the projection is regex-only and the expensive md5
-    # pass happens once, in the cut scan.
+    # pass happens once, in the cut scan. Rebalanced by doc BEFORE the
+    # per-character boundary explode (the winnow_fingerprints rationale);
+    # the groupBy(doc_id) and the doc-keyed join both reuse the exchange.
     t = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    txt = docs.select("doc_id", t.alias("_t"))
+    txt = spread_by(docs.select("doc_id", t.alias("_t")), "doc_id")
     L = F.length("_t")
     n = L - (k - 1)
     cut_rows = (
@@ -1485,7 +1496,7 @@ def cdc_block_report(
     ).select(
         "doc_id", "total_chars",
         F.col("_b.bh").alias("bh"), F.col("_b.blen").alias("blen"),
-    ).localCheckpoint()  # feeds the df census AND the per-doc rollup
+    ).localCheckpoint(eager=False)  # feeds the df census AND the per-doc rollup
     dfreq = (
         blocks.select("doc_id", "bh").distinct()
         .groupBy("bh").agg(F.count("*").cast("long").alias("_df"))

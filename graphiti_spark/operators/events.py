@@ -756,7 +756,7 @@ def anomaly_over_hours(
     """The scoring half of :func:`anomaly_flags`, over an already-built
     hourly-count frame (from the batch groupBy or a merged streaming
     store)."""
-    hours = hours.localCheckpoint()
+    hours = hours.localCheckpoint(eager=False)
     bounds = hours.agg(
         F.min("window_start").alias("_lo"), F.max("window_start").alias("_hi")
     )
@@ -1438,16 +1438,16 @@ def markov_stationary(
         in_session_pairs(events, gap_seconds)
         .groupBy("from_type", "to_type")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out_tot = (
         cnt.groupBy("from_type")
         .agg(F.sum("c").cast("long").alias("_r"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     states = events.select(
         F.col("event_type").alias("state")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     ns = states.agg(F.count("*").cast("long").alias("n_states"))
     v = states.crossJoin(F.broadcast(ns)).select(
         "state",
@@ -1479,7 +1479,7 @@ def markov_stationary(
                     F.coalesce("_in", F.lit(0)) + F.coalesce("_keep", F.lit(0))
                 ).cast("long").alias("m"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     w = Window.orderBy(F.desc("mass_units"), F.asc("event_type"))
     return (
@@ -1532,7 +1532,7 @@ def cusum_over_days(daily: DataFrame) -> DataFrame:
     already-built (day, event_type, _c) daily-count frame — from the
     batch rollup or a merged streaming delta store (the
     anomaly_over_hours split convention)."""
-    daily = daily.localCheckpoint()
+    daily = daily.localCheckpoint(eager=False)
     bounds = daily.agg(
         F.min("day").alias("_lo"), F.max("day").alias("_hi")
     )

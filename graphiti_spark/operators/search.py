@@ -34,7 +34,14 @@ def bm25_scores(
     NOT collected to the driver (an eager collect here forced a full extra
     corpus scan per call and serialized the plan).
     """
-    toks = docs.select(
+    from graphiti_spark.plans.spread import spread_by
+
+    # rebalance the raw text before tokenizing: both consumers (corpus
+    # stats + term frequencies) tokenize from this spread projection
+    # instead of the row-group-granular scan split (plans.spread)
+    toks = spread_by(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).withColumn("dl", F.size("_toks").cast("double"))
     stats = toks.agg(
@@ -442,11 +449,11 @@ def bfs_edges(
             hop.select(F.col("target_node_uuid").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     if out is None:
         return e.withColumn("depth", F.lit(0)).limit(0)
@@ -532,7 +539,7 @@ def shortest_paths(
                 F.min(F.concat_ws(">", "path", "_dst")).alias("path"),
                 F.min("_gid").alias("group_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if reached.isEmpty():
             break
@@ -543,7 +550,7 @@ def shortest_paths(
             "path",
         )
         out = lvl if out is None else out.unionByName(lvl)
-        visited = visited.unionByName(reached.select("node")).localCheckpoint()
+        visited = visited.unionByName(reached.select("node")).localCheckpoint(eager=False)
         frontier = reached.select("node", "path")
     if out is None:
         return spark.createDataFrame(

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from graphiti_spark.functions.embeddings import cosine, dot
+from graphiti_spark.functions.embeddings import cosine, cosine_prenorm, dot, l2_norm
 
 
 def knn_bruteforce(
@@ -33,14 +33,24 @@ def knn_bruteforce(
     no shuffle of the corpus; the window tops-k per probe.
     """
     p = probes.select(
-        F.col("probe_id"), F.col("embedding").alias("_pvec")
+        F.col("probe_id"), F.col("embedding").alias("_pvec"),
+        l2_norm(F.col("embedding")).alias("_pn"),
     )
+    # norms hoisted to row grain (cosine_prenorm): n + |probes| folds
+    # instead of 3 folds per (row, probe) pair — identical floats
     scored = (
-        embeddings.join(F.broadcast(p))
+        embeddings.withColumn("_n", l2_norm(F.col("embedding")))
+        .join(F.broadcast(p))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
+            F.round(
+                cosine_prenorm(
+                    F.col("embedding"), F.col("_pvec"),
+                    F.col("_n"), F.col("_pn"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -87,20 +97,38 @@ def ann_hyperplane_lsh(
     keys = make_hyperplane_keys_udf(tables, bits, dim)
 
     def with_keys(df: DataFrame, idcol: str) -> DataFrame:
+        # norm per ROW, before the bucket explode (cosine_prenorm hoist)
         return df.select(
-            idcol, "embedding", F.explode(keys(F.col("embedding"))).alias("bk")
+            idcol, "embedding", l2_norm(F.col("embedding")).alias("_nrm"),
+            F.explode(keys(F.col("embedding"))).alias("bk"),
         )
 
-    c = with_keys(embeddings, "vec_id").withColumnRenamed("embedding", "_cvec")
-    p = with_keys(probes, "probe_id").withColumnRenamed("embedding", "_pvec")
+    c = (
+        with_keys(embeddings, "vec_id")
+        .withColumnRenamed("embedding", "_cvec")
+        .withColumnRenamed("_nrm", "_cn")
+    )
+    p = (
+        with_keys(probes, "probe_id")
+        .withColumnRenamed("embedding", "_pvec")
+        .withColumnRenamed("_nrm", "_pn")
+    )
     cand = (
         c.join(F.broadcast(p), c.bk == p.bk)
-        .select("probe_id", "vec_id", "_cvec", "_pvec")
+        .select("probe_id", "vec_id", "_cvec", "_pvec", "_cn", "_pn")
         .dropDuplicates(["probe_id", "vec_id"])
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("_cvec"), F.col("_pvec")), 4))
+        cand.withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenorm(
+                    F.col("_cvec"), F.col("_pvec"), F.col("_cn"), F.col("_pn")
+                ),
+                4,
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
@@ -135,6 +163,11 @@ def kmeans_centroids(
                 "train on) — pass a non-empty corpus or skip training"
             )
         dim = probe["_d"]
+    # loop-invariant: corpus L2 norms once (n folds total), not per
+    # (row × centroid × round) — cosine_prenorm keeps floats identical
+    embn = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_en")
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         # nearest-centroid argmax as a map-side-combinable aggregate (not a
         # row_number window over the corpus×centroids product, which would
@@ -142,8 +175,21 @@ def kmeans_centroids(
         # -cent_id) keeps the identical determinism contract — rounded _cs
         # decides, ties go to the smaller cent_id
         assigned = (
-            embeddings.join(F.broadcast(cent))
-            .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("cvec")), 4))
+            embn.join(
+                F.broadcast(
+                    cent.withColumn("_cn", l2_norm(F.col("cvec")))
+                )
+            )
+            .withColumn(
+                "_cs",
+                F.round(
+                    cosine_prenorm(
+                        F.col("embedding"), F.col("cvec"),
+                        F.col("_en"), F.col("_cn"),
+                    ),
+                    4,
+                ),
+            )
             .groupBy("vec_id")
             .agg(
                 F.max_by(
@@ -170,7 +216,7 @@ def kmeans_centroids(
                 F.coalesce(F.col("_mean"), F.col("cvec").cast("array<double>"))
                 .alias("cvec"),
             )
-            .localCheckpoint()  # cut lineage: each round builds on the last
+            .localCheckpoint(eager=False)  # cut lineage: each round builds on the last
         )
     return cent
 
@@ -306,8 +352,18 @@ def assign_to_lists(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
     vector — ~k× less shuffle I/O, identical determinism (rounded cosine
     decides, ties → smaller cent_id)."""
     return (
-        embeddings.join(F.broadcast(cent))
-        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
+        embeddings.withColumn("_en", l2_norm(F.col("embedding")))
+        .join(F.broadcast(cent.withColumn("_cn", l2_norm(F.col("_cent")))))
+        .withColumn(
+            "_cs",
+            F.round(
+                cosine_prenorm(
+                    F.col("embedding"), F.col("_cent"),
+                    F.col("_en"), F.col("_cn"),
+                ),
+                4,
+            ),
+        )
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -339,8 +395,18 @@ def _probe_lists(probes: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
     the materialized-index probe so the tiebreaks cannot diverge."""
     probe_w = Window.partitionBy("probe_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     return (
-        probes.join(F.broadcast(cent))
-        .withColumn("_cs", F.round(cosine(F.col("embedding"), F.col("_cent")), 4))
+        probes.withColumn("_pn", l2_norm(F.col("embedding")))
+        .join(F.broadcast(cent.withColumn("_cn", l2_norm(F.col("_cent")))))
+        .withColumn(
+            "_cs",
+            F.round(
+                cosine_prenorm(
+                    F.col("embedding"), F.col("_cent"),
+                    F.col("_pn"), F.col("_cn"),
+                ),
+                4,
+            ),
+        )
         .withColumn("_r", F.row_number().over(probe_w))
         .where(F.col("_r") <= n_probe)
         .select("probe_id", F.col("embedding").alias("_pvec"), "cent_id")
@@ -355,10 +421,22 @@ def _topk_over_lists(
     the in-memory and index-served paths."""
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        lists.join(F.broadcast(probe_lists), "cent_id")
+        lists.withColumn("_ln", l2_norm(F.col("embedding")))
+        .join(
+            F.broadcast(
+                probe_lists.withColumn("_qn", l2_norm(F.col("_pvec")))
+            ),
+            "cent_id",
+        )
         .select(
             "probe_id", "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("_pvec")), 4).alias("cos_sim"),
+            F.round(
+                cosine_prenorm(
+                    F.col("embedding"), F.col("_pvec"),
+                    F.col("_ln"), F.col("_qn"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -410,7 +488,7 @@ def ann_ivf_probe_index(
         "cent_id", F.col("cvec").alias("_cent")
     )
     # tiny; evaluated once for the id list AND the join
-    probe_lists = _probe_lists(probes, cent, n_probe).localCheckpoint()
+    probe_lists = _probe_lists(probes, cent, n_probe).localCheckpoint(eager=False)
     probed_ids = [r["cent_id"] for r in probe_lists.select("cent_id").distinct().collect()]
     lists = (
         spark.read.parquet(f"{index_dir}/lists")
@@ -474,7 +552,9 @@ def pq_codebooks(
     for _ in range(iterations):
         assigned = (
             sub.join(F.broadcast(cent), "j")
-            .withColumn("_d", F.round(l2_dist(F.col("sv"), F.col("cvec")), 4))
+            .withColumn(
+                "_d", F.round(l2_dist(F.col("sv"), F.col("cvec"), dim=d), 4)
+            )
             .groupBy("vec_id", "j")
             .agg(
                 F.min_by(
@@ -497,7 +577,7 @@ def pq_codebooks(
             .select(
                 "j", "code", F.coalesce("_m", F.col("cvec")).alias("cvec")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -514,7 +594,10 @@ def pq_encode(
     sub = _subvectors(embeddings, m, dim // m).select("vec_id", "j", "sv")
     return (
         sub.join(F.broadcast(cent), "j")
-        .withColumn("_d", F.round(l2_dist(F.col("sv"), F.col("cvec")), 4))
+        .withColumn(
+            "_d",
+            F.round(l2_dist(F.col("sv"), F.col("cvec"), dim=dim // m), 4),
+        )
         .groupBy("vec_id", "j")
         .agg(
             F.min_by(
@@ -553,7 +636,7 @@ def ann_pq(
         "probe_id",
         "j",
         "code",
-        F.floor(dot(F.col("sv"), F.col("cvec")) * PQ_SCALE + F.lit(0.5))
+        F.floor(dot(F.col("sv"), F.col("cvec"), dim=dim // m) * PQ_SCALE + F.lit(0.5))
         .cast("long")
         .alias("_di"),
     )
@@ -634,7 +717,7 @@ def knn_label_eval(
     nb = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(max(ks)))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for k in ks:

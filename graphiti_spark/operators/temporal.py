@@ -995,7 +995,7 @@ def temporal_motifs(
             "valid_at",
         )
         .distinct()
-        .localCheckpoint()  # feeds center caps, both join sides, closure
+        .localCheckpoint(eager=False)  # feeds center caps, both join sides, closure
     )
     ind = de.groupBy("group_id", F.col("dst").alias("b")).agg(
         F.count("*").alias("_ic")
@@ -1025,7 +1025,7 @@ def temporal_motifs(
             & (F.col("t1") < F.col("t2"))
             & (F.col("t2") <= F.col("t1") + dlt)
         )
-        .localCheckpoint()  # census + closure both read it
+        .localCheckpoint(eager=False)  # census + closure both read it
     )
     closing = de.select(
         "group_id", F.col("src").alias("a"), F.col("dst").alias("c"),

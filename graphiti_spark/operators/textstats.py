@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graphiti_spark.functions.text import tokenize
+from graphiti_spark.plans.spread import spread_by
 
 # Gopher-style repetition gates (Rae et al. 2021, table A1 family):
 # a doc is `repetitive` when ANY of these is exceeded. Tuned to the
@@ -318,11 +319,20 @@ def unigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
     chains over identical BIGINT operands in both engines, so the hashes
     match bit-for-bit. Vocabulary ties break on (count DESC, token ASC).
     """
-    toks = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    # rebalance the raw text before the token explode (plans.spread):
+    # both consumers of ``toks`` tokenize from this spread scan instead
+    # of the row-group-granular (locally single-task) parquet split.
+    # explode_OUTER keeps zero-token docs as one NULL-token row, so the
+    # per-doc aggregate covers EVERY document and the former doc-grain
+    # left join back onto the docs table (a full extra scan + shuffle
+    # join) disappears; NULL tokens are excluded from the vocabulary and
+    # from the OOV count, so every output value is unchanged.
+    toks = spread_by(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok")
     )
     vocab = (
-        toks.groupBy("tok")
+        toks.where(F.col("tok").isNotNull())
+        .groupBy("tok")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(int(top_v))
@@ -332,16 +342,16 @@ def unigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.count(F.when(F.col("cnt").isNull(), True))
-            .cast("long").alias("n_oov"),
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.count(
+                F.when(F.col("cnt").isNull() & F.col("tok").isNotNull(), True)
+            ).cast("long").alias("n_oov"),
             F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
             .cast("long").alias("sum_vocab_cnt"),
         )
     )
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        per_doc
         .crossJoin(F.broadcast(vtotal))
         .select(
             "doc_id",
@@ -380,12 +390,15 @@ def doc_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     the top-V LM vocab), so this stays an honest shuffled join; the
     top-k window partitions by doc_id, whose partition size is bounded
     by a document's distinct-token count."""
-    toks = docs.select(
+    toks = spread_by(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
     )
+    # tf feeds BOTH the df rollup and the scoring join — lazy-checkpoint
+    # so the corpus tokenize+aggregate runs once, not per consumer (the
+    # (doc, tok) grain is bounded by per-doc distinct tokens)
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     w = (
@@ -510,10 +523,11 @@ def zipf_report(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
     sum over the rollup (no second scan) broadcast into the head.
     coverage_ppm is floor division, identical in both engines."""
     counts = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        spread_by(docs.select("doc_id", "text"), "doc_id")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n_occurrences"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     total = counts.agg(
         F.sum("n_occurrences").cast("long").alias("total_tokens")
     )
@@ -863,10 +877,11 @@ def cms_token_counts(
     # the vocab is checkpointed so the CORPUS is scanned once — both the
     # sketch build and the probe top-k then read the vocab-sized frame
     counts = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        spread_by(docs.select("doc_id", "text"), "doc_id")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("true_count"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cells = cms_cells(counts, depth)
     probes = (
@@ -1164,7 +1179,11 @@ def bigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
     operands in both engines. Vocabulary ties break on
     (count DESC, bigram ASC).
     """
-    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # three consumers (unigrams, total, bigrams) each tokenize — spread
+    # the raw text once so all three passes run parallel (plans.spread)
+    toked = spread_by(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
     # slice(t,1,n-1) zip slice(t,2,n-1): adjacent pairs; guard n<2 (a
     # negative slice length throws, and sequence() would run DESCENDING)
     bigram_arr = F.when(
@@ -1259,7 +1278,11 @@ def collocations(
     AQE broadcasts it at any realistic vocab); top-k is a distributed
     TakeOrdered, and the rank window runs over the ≤ top_k survivors,
     never the corpus."""
-    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # three consumers (unigrams, total, bigrams) each tokenize — spread
+    # the raw text once so all three passes run parallel (plans.spread)
+    toked = spread_by(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
     bigram_arr = F.when(
         F.size("t") >= 2,
         F.zip_with(
@@ -1347,12 +1370,18 @@ def linear_score(docs: DataFrame) -> DataFrame:
         ).cast("long") % (2 * LINEAR_WEIGHT_RANGE + 1)
         - LINEAR_WEIGHT_RANGE
     )
-    flat = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("_tok"))
+    # explode_OUTER + count(_tok): zero-token docs keep one NULL-token
+    # row (counted 0, weight NULL → excluded from the sum), so every doc
+    # reaches the aggregate and the former doc-grain left join back onto
+    # the docs table disappears — identical outputs, one less scan+join
+    flat = spread_by(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("_tok")
+    )
     scored = flat.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
+        F.count("_tok").cast("long").alias("n_tokens"),
         F.sum(weight).cast("long").alias("score_units"),
     )
-    return docs.select("doc_id").join(scored, ["doc_id"], "left").select(
+    return scored.select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("score_units", F.lit(0)).cast("long").alias("score_units"),
@@ -1396,8 +1425,12 @@ def textrank_keywords(
     Output: (doc_id, token, rank, score_units, score).
     """
     from graphiti_spark.functions.text import tokenize
+    from graphiti_spark.plans.spread import spread_by
 
-    flat = docs.select(
+    # rebalance the raw doc text before the token explode: the explode
+    # amplifies split compute ~tokens× while the doc-keyed lead window
+    # below reuses this exchange (plans.spread rationale)
+    flat = spread_by(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.posexplode(tokenize(F.col("text"))).alias("_p", "_tok"),
     )
@@ -1414,7 +1447,7 @@ def textrank_keywords(
         )
         .groupBy("doc_id", "a", "b")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint()  # adjacency reused every round
+        .localCheckpoint(eager=False)  # adjacency reused every round
     )
     adj = und.select(
         "doc_id", F.col("a").alias("u"), F.col("b").alias("v"), "w"
@@ -1424,12 +1457,12 @@ def textrank_keywords(
     wdeg = adj.groupBy("doc_id", "u").agg(
         F.sum("w").cast("long").alias("_wd")
     )
-    adj = adj.join(wdeg, ["doc_id", "u"]).localCheckpoint()
+    adj = adj.join(wdeg, ["doc_id", "u"]).localCheckpoint(eager=False)
     cur = adj.select(
         "doc_id", F.col("u").alias("token")
     ).distinct().withColumn(
         "s", F.lit(TEXTRANK_SCALE).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(int(rounds)):
         contrib = (
             adj.join(
@@ -1448,7 +1481,7 @@ def textrank_keywords(
                 f"(({100 - TEXTRANK_DAMP}L * {TEXTRANK_SCALE}L)"
                 f" + {TEXTRANK_DAMP}L * _c) div 100"
             ).cast("long").alias("s"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     top = Window.partitionBy("doc_id").orderBy(
         F.col("s").desc(), F.col("token").asc()
     )

@@ -1,0 +1,27 @@
+"""Compute-rebalance helper for explode-amplified scans.
+
+Per-character / per-token explodes amplify each input split's compute by
+10-100x while adding almost no bytes to the scan itself, so split
+granularity (>= one parquet row group per task) leaves the amplified work
+serialized on a handful of tasks — locally a 1.5 MB documents table is
+ONE row group, i.e. one task, and at cluster scale a 128 MB split still
+becomes multi-GB of downstream work. Shuffling the RAW doc-keyed text
+first moves only the small rows (guide §8's "decide with small rows"
+shape applied to compute placement), and every doc-keyed window /
+groupBy / join downstream reuses the exchange, so no second shuffle
+appears (guide §2.4).
+
+The partition count is the session's ``spark.sql.shuffle.partitions``
+(scale-parameterised via conf/env, never a constant) and is passed
+EXPLICITLY so AQE's bytes-based coalescing cannot re-serialize a
+compute-heavy fan-out that looks tiny in bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_by(df: DataFrame, *keys: str) -> DataFrame:
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # deep-but-linear expression trees (the unrolled vector kernels in
+        # functions/embeddings.py replay a 64-term fold as a left-nested
+        # Add chain so codegen replaces the interpreted ArrayAggregate;
+        # Catalyst's recursive converters need stack for that depth)
+        .config("spark.driver.extraJavaOptions", "-Xss64m")
+        .config("spark.executor.extraJavaOptions", "-Xss64m")
         .config("spark.ui.enabled", "false")
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # AQE coalesces the tiny local test inputs back down.
