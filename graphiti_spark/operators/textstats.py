@@ -522,9 +522,11 @@ def zipf_report(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
     ≤ top_k rows only, never the vocabulary. The corpus total is the
     sum over the rollup (no second scan) broadcast into the head.
     coverage_ppm is floor division, identical in both engines."""
+    # NOTE: no spread_by here — the rollup keys on TOKEN, so the
+    # doc-keyed spread exchange is never reused and measurably costs
+    # more than the parallel tokenize saves (0.41 -> 0.53 s, reverted)
     counts = (
-        spread_by(docs.select("doc_id", "text"), "doc_id")
-        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n_occurrences"))
     ).localCheckpoint(eager=False)
@@ -876,9 +878,9 @@ def cms_token_counts(
     """
     # the vocab is checkpointed so the CORPUS is scanned once — both the
     # sketch build and the probe top-k then read the vocab-sized frame
+    # token-keyed rollup: spread_by reverted (the zipf_report rationale)
     counts = (
-        spread_by(docs.select("doc_id", "text"), "doc_id")
-        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("true_count"))
         .localCheckpoint(eager=False)
@@ -1179,11 +1181,9 @@ def bigram_lm_score(docs: DataFrame, top_v: int = LM_TOP_VOCAB) -> DataFrame:
     operands in both engines. Vocabulary ties break on
     (count DESC, bigram ASC).
     """
-    # three consumers (unigrams, total, bigrams) each tokenize — spread
-    # the raw text once so all three passes run parallel (plans.spread)
-    toked = spread_by(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", tokenize(F.col("text")).alias("t")
-    )
+    # token/bigram-keyed rollups: spread_by tried and reverted (the
+    # zipf_report rationale — no downstream reuse of a doc-keyed exchange)
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     # slice(t,1,n-1) zip slice(t,2,n-1): adjacent pairs; guard n<2 (a
     # negative slice length throws, and sequence() would run DESCENDING)
     bigram_arr = F.when(
@@ -1278,11 +1278,9 @@ def collocations(
     AQE broadcasts it at any realistic vocab); top-k is a distributed
     TakeOrdered, and the rank window runs over the ≤ top_k survivors,
     never the corpus."""
-    # three consumers (unigrams, total, bigrams) each tokenize — spread
-    # the raw text once so all three passes run parallel (plans.spread)
-    toked = spread_by(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", tokenize(F.col("text")).alias("t")
-    )
+    # token/bigram-keyed rollups: spread_by tried and reverted (the
+    # zipf_report rationale — no downstream reuse of a doc-keyed exchange)
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     bigram_arr = F.when(
         F.size("t") >= 2,
         F.zip_with(

@@ -46,12 +46,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # deep-but-linear expression trees (the unrolled vector kernels in
-        # functions/embeddings.py replay a 64-term fold as a left-nested
-        # Add chain so codegen replaces the interpreted ArrayAggregate;
-        # Catalyst's recursive converters need stack for that depth)
-        .config("spark.driver.extraJavaOptions", "-Xss64m")
-        .config("spark.executor.extraJavaOptions", "-Xss64m")
+        # long query suites leak localCheckpoint/shuffle blocks until the
+        # ContextCleaner's periodic System.gc() fires — the default is 30
+        # MINUTES, longer than an entire suite pass, so storage pressure
+        # builds across queries; 60 s keeps cleanup ahead of accumulation
+        # at any scale (the cleaner is async and per-executor cheap)
+        .config("spark.cleaner.periodicGC.interval", "60s")
+        # the generated-class cache holds only 100 entries by default —
+        # a multi-query suite compiles far more distinct WholeStageCodegen
+        # classes than that per pass, so repeated passes re-Janino-compile
+        # constantly; the cache is driver/executor-local metadata, cheap
+        # to enlarge at any scale (static conf, must be set here)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # AQE coalesces the tiny local test inputs back down.
