@@ -86,6 +86,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.selectExpr("a", "b")
         .union(pairs.selectExpr("b as a", "a as b"))
         .distinct()
+        .localCheckpoint(eager=False)  # loop-invariant: reused every round
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -93,21 +94,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
     )
     for _ in range(max_iter):
-        # candidate label for each node = min over neighbors' labels
+        # "message ∪ self" min round (the scc_pivot_pass shape): min over
+        # {own label} ∪ {neighbor labels} via one union + groupBy-min —
+        # identical to the former least(own, coalesce(min(nbr), own))
+        # left-join formulation, one exchange fewer per round
         nbr = (
             edges.join(labels.withColumnRenamed("id", "b_id"),
                        edges.b == F.col("b_id"))
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("a").alias("id"), "label")
         )
         new_labels = (
-            labels.join(nbr, labels.id == nbr.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=False)  # cut lineage per iteration
         # full count on the checkpointed diff — limit(1).count() plans

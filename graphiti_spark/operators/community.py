@@ -1537,25 +1537,19 @@ def scc_pivot_pass(edges: DataFrame, rounds: int = 6) -> DataFrame:
         # small label side at this scale; measured 4.4 s → 5.6 s)
         lab = nodes.withColumn("lab", F.col("uuid"))
         for _ in range(rounds):
-            incoming = (
-                de.join(
-                    lab.select(
-                        "group_id", F.col("uuid").alias(from_col), "lab"
-                    ),
-                    ["group_id", from_col],
-                )
-                .groupBy("group_id", F.col(to_col).alias("uuid"))
-                .agg(F.min("lab").alias("_in"))
-            )
+            # "message ∪ self" round: min over {own label} ∪ {incoming
+            # labels} in ONE union + groupBy-min — identical to the
+            # former least(lab, coalesce(min(incoming), lab)) left-join
+            # formulation (binary-collation string min both ways) but
+            # one exchange fewer per round
+            incoming = de.join(
+                lab.select("group_id", F.col("uuid").alias(from_col), "lab"),
+                ["group_id", from_col],
+            ).select("group_id", F.col(to_col).alias("uuid"), "lab")
             lab = (
-                lab.join(incoming, ["group_id", "uuid"], "left")
-                .select(
-                    "group_id",
-                    "uuid",
-                    F.least(
-                        F.col("lab"), F.coalesce(F.col("_in"), F.col("lab"))
-                    ).alias("lab"),
-                )
+                lab.unionByName(incoming)
+                .groupBy("group_id", "uuid")
+                .agg(F.min("lab").alias("lab"))
                 .localCheckpoint(eager=False)
             )
         return lab
@@ -3071,21 +3065,19 @@ def scan_clusters(
     ).localCheckpoint(eager=False)
     lab = cores.select("group_id", "uuid", F.col("uuid").alias("lbl"))
     for _ in range(int(rounds)):
-        nbr = (
-            cc_sym.join(
-                lab.select("group_id", F.col("uuid").alias("v"), "lbl"),
-                ["group_id", "v"],
-            )
-            .groupBy("group_id", F.col("u").alias("uuid"))
-            .agg(F.min("lbl").alias("_nl"))
-        )
+        # "message ∪ self" min round (the scc_pivot_pass shape): one
+        # union + groupBy-min replaces the former join+groupBy+left-join
+        # — identical min semantics, one exchange fewer per round.
+        # cc_sym joins only core nodes, so the union keeps non-adjacent
+        # cores via their own lab row exactly like the old left join.
+        nbr = cc_sym.join(
+            lab.select("group_id", F.col("uuid").alias("v"), "lbl"),
+            ["group_id", "v"],
+        ).select("group_id", F.col("u").alias("uuid"), "lbl")
         lab = (
-            lab.join(nbr, ["group_id", "uuid"], "left")
-            .select(
-                "group_id", "uuid",
-                F.least(F.col("lbl"), F.coalesce("_nl", F.col("lbl")))
-                .alias("lbl"),
-            )
+            lab.unionByName(nbr)
+            .groupBy("group_id", "uuid")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
     core_rows = lab.select(
