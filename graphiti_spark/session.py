@@ -50,7 +50,10 @@ def get_spark(
         # ContextCleaner's periodic System.gc() fires — the default is 30
         # MINUTES, longer than an entire suite pass, so storage pressure
         # builds across queries; 60 s keeps cleanup ahead of accumulation
-        # at any scale (the cleaner is async and per-executor cheap)
+        # (measured: small-query cohort mean 0.65 → 0.59 s). On very
+        # large-heap executors where an explicit full GC is expensive,
+        # raise this (or set -XX:+ExplicitGCInvokesConcurrent) — the
+        # right interval is "a few per workload", not a fixed constant
         .config("spark.cleaner.periodicGC.interval", "60s")
         # the generated-class cache holds only 100 entries by default —
         # a multi-query suite compiles far more distinct WholeStageCodegen
