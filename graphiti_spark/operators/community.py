@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def build_adjacency(edges: DataFrame) -> DataFrame:
     """Undirected weighted projection: (group_id, a, b, edge_count) with
-    both orientations (community_operations.py:30-90)."""
+    both orientations (community_operations.py:30-90).
+
+    The rollup is lazily localCheckpointed: callers routinely hand the
+    SAME adjacency to several consumers (LPA + conductance_report, vote
+    rounds + seed labels), and without the checkpoint each consumer
+    re-derived the projection from the full stored-edges frame — one
+    materialization of the (small) weighted pair frame serves them all
+    (guide §2.3/§5)."""
     pairs = edges.select(
         "group_id",
         F.col("source_node_uuid").alias("a"),
@@ -30,7 +37,7 @@ def build_adjacency(edges: DataFrame) -> DataFrame:
     )
     return sym.groupBy("group_id", "a", "b").agg(
         F.count("*").cast("long").alias("edge_count")
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _plurality_votes(adjacency: DataFrame, labels: DataFrame) -> DataFrame:

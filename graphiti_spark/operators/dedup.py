@@ -380,43 +380,105 @@ def dedup_semantic(
     cent = kmeans_centroids(embeddings, n_centroids, iterations).select(
         "cent_id", F.col("cvec").alias("_cent")
     )
-    from graphiti_spark.functions.embeddings import dot, l2_norm
 
-    # materialize the assignment ONCE: it feeds the cap guard AND both
-    # sides of the self-join — left lazy, the broadcast+max_by argmax
-    # subtree would be evaluated three times (the r3 double-evaluation
-    # lesson). The L2 norm is precomputed per ROW here because the
-    # higher-order-function folds inside cosine() are interpreted (they
-    # break whole-stage codegen): norm-per-pair would fold 3 arrays per
-    # candidate pair, norm-per-row folds 1 per pair plus 1 per vector —
-    # identical arithmetic (dot/(na*nb), same operation order), so the
-    # oracle hash is unchanged.
+    # materialize the assignment ONCE: it feeds the cap guard AND the
+    # pair stage — left lazy, the broadcast+max_by argmax subtree would
+    # be evaluated twice (the r3 double-evaluation lesson).
     assigned = (
         assign_to_lists(embeddings, cent)
-        .withColumn("_n", l2_norm(F.col("embedding")))
         .localCheckpoint(eager=False)
     )
     assert_block_cap(
         assigned.select(F.col("cent_id").alias("_blk")), ["_blk"],
         max_cluster, "dedup_semantic",
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    denom = F.col("a._n") * F.col("b._n")
-    sim = F.when(
-        denom > 0,
-        dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
-    ).otherwise(F.lit(0.0))
-    return (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # Within-cluster pair stage as ONE grouped Arrow kernel instead of a
+    # cent_id self-join: the join shuffled every vector TWICE (both join
+    # sides) and evaluated three interpreted ArrayAggregate folds per
+    # candidate pair (dot + the hoisted norms) — CodegenFallback, the
+    # per-element cost center (guide §4.2: hand whole batches to
+    # vectorized native kernels). Here each vector crosses the exchange
+    # once, and the O(block²) similarity matrix is accumulated
+    # DIMENSION-SEQUENTIALLY in numpy: acc_d+1 = acc_d + x[d]·y[d] over
+    # float64-widened values, which replays the zip_with+aggregate
+    # fold's exact IEEE operation order, so every cos_sim (and every
+    # oracle hash) is bit-identical to the join form. Null embeddings
+    # become zero rows (norm 0 → denom 0 → sim 0.0, exactly the fold's
+    # null→otherwise(0.0) leg); ragged dimensions raise loudly (the
+    # corpus contract is a uniform dim, as everywhere in this family).
+    # Raw sims come back unrounded; ROUND(4) + the threshold filter stay
+    # in Catalyst, so rounding semantics are untouched.
+    import pandas as pd
+
+    def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="int64"),
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "_sim": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.cent_id").alias("cluster"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 4).alias("cos_sim"),
+        if n < 2:
+            return empty
+        vids = pdf["vec_id"].to_numpy()
+        cells = pdf["embedding"].to_list()
+        dim = next((len(c) for c in cells if c is not None), 0)
+        if dim == 0:
+            return empty
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for i, c in enumerate(cells):
+            if c is not None:
+                # None elements become nan: nan norms fail denom > 0 and
+                # land on the 0.0 leg, same as the fold's null algebra
+                mat[i, :] = np.asarray(c, dtype=np.float64)
+        # l2_norm fold replay: acc = acc + x_d² sequentially over d
+        acc = np.zeros(n)
+        dots = np.zeros((n, n))
+        for d in range(dim):
+            col = mat[:, d]
+            acc = acc + col * col
+            dots = dots + np.outer(col, col)
+        with np.errstate(invalid="ignore"):
+            nrm = np.sqrt(acc)
+        denom = np.outer(nrm, nrm)
+        ok = denom > 0
+        sim = np.zeros((n, n))
+        np.divide(dots, denom, out=sim, where=ok)
+        sim[~ok] = 0.0
+        iu, ju = np.triu_indices(n, k=1)
+        va, vb = vids[iu], vids[ju]
+        keep = va != vb
+        va, vb, s = va[keep], vb[keep], sim[iu[keep], ju[keep]]
+        swap = va > vb
+        va2 = np.where(swap, vb, va)
+        vb2 = np.where(swap, va, vb)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(va2), int(pdf["cent_id"].iloc[0]),
+                                   dtype=np.int64),
+                "vec_a": va2.astype(np.int64),
+                "vec_b": vb2.astype(np.int64),
+                "_sim": s,
+            }
+        )
+
+    raw = (
+        assigned.select("cent_id", "vec_id", "embedding")
+        .groupBy("cent_id")
+        .applyInPandas(
+            _cluster_pairs,
+            "cluster long, vec_a long, vec_b long, _sim double",
+        )
+    )
+    return (
+        raw.select(
+            "cluster", "vec_a", "vec_b",
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -353,7 +353,9 @@ def dedupe_edges_fuzzy(edges: DataFrame, min_overlap: float = 0.6) -> DataFrame:
     e = edges.select(
         "uuid", "group_id", "source_node_uuid", "target_node_uuid",
         "name", "fact", "valid_at", "n_episodes",
-    )
+    ).localCheckpoint(eager=False)  # three consumers (both self-join
+    # sides + the merge rollup): one pass over the wide stored-edges
+    # frame instead of three (guide §2.3)
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(

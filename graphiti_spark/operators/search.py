@@ -684,12 +684,12 @@ def match_path(
     directed 2-cycles — because every occurrence binds the same join
     column, exactly Cypher's semantics.
 
-    Scale: each step is one hash equi-join of the (optionally
-    group-pruned) predicate-filtered edge scan against the running
-    bindings frame, keyed on the shared variable; Catalyst pushes the
-    predicate + group filters into every scan (one PushedFilters line
-    per step), join order follows the pattern, and AQE handles skewed
-    intermediate bindings. ``current_only`` restricts to live facts
+    Scale: ONE (optionally group-pruned) edge scan restricted to the
+    pattern's predicate set — Catalyst pushes the group / liveness /
+    name-IN filters into it — is materialized once and re-filtered per
+    step; each step is then one hash equi-join of its predicate's
+    slice against the running bindings frame, keyed on the shared
+    variable, with AQE handling skewed intermediate bindings. ``current_only`` restricts to live facts
     (invalid_at IS NULL) — compose with the as-of slice for
     point-in-time matching.
 
@@ -702,6 +702,18 @@ def match_path(
         base = base.where(F.col("group_id") == group_id)
     if current_only:
         base = base.where(F.col("invalid_at").isNull())
+    # ONE narrow scan restricted to the pattern's predicate set (the
+    # group/current/name-IN filters all push into it), materialized
+    # lazily and re-filtered per step — instead of one wide edge-frame
+    # scan PER step (guide §2.3; a k-step pattern paid k full passes
+    # over the stored edges, deserializing every heavy column each
+    # time). Strictly fewer bytes than the sum of per-step scans.
+    preds = sorted({pred for _sv, pred, _dv in steps})
+    base = (
+        base.where(F.col("name").isin(preds))
+        .select("group_id", "name", "source_node_uuid", "target_node_uuid")
+        .localCheckpoint(eager=False)
+    )
     out = None
     for sv, pred, dv in steps:
         scan = base.where(F.col("name") == pred)

@@ -149,11 +149,12 @@ def kmeans_centroids(
     trajectory is engine-independent — the DuckDB oracle unrolls the same
     rounds as CTEs (oracles_td.ann_ivf_kmeans_sql).
 
-    Plan shape per round: one broadcast of the (tiny) centroid table
-    against the corpus scan + one groupBy(cent_id) mean — no corpus
-    self-join, no driver-side loops over data (only the k-centroid
-    aggregate is collected into the next broadcast). Empty clusters keep
-    their previous centroid. Output: (cent_id, cvec)."""
+    Plan shape per round: one Arrow map pass of the corpus against the
+    K-row collected centroid table (:func:`_nearest_assign` — the
+    collect IS the model, the BPE convention) + one groupBy(cent_id)
+    mean — no corpus self-join, no per-round broadcast build, no
+    driver-side loops over data. Empty clusters keep their previous
+    centroid. Output: (cent_id, cvec)."""
     cent = _seed_centroids(embeddings, n_centroids, out_col="cvec")
     if dim is None:
         probe = embeddings.select(F.size("embedding").alias("_d")).first()
@@ -163,42 +164,22 @@ def kmeans_centroids(
                 "train on) — pass a non-empty corpus or skip training"
             )
         dim = probe["_d"]
-    # loop-invariant: corpus L2 norms once (n folds total), not per
-    # (row × centroid × round) — cosine_prenorm keeps floats identical
-    embn = embeddings.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_en")
-    ).localCheckpoint(eager=False)
+    # loop-invariant: the corpus projection, materialized once and
+    # re-read by every Lloyd round's assignment pass
+    embn = embeddings.select("vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
     for _ in range(iterations):
-        # nearest-centroid argmax as a map-side-combinable aggregate (not a
-        # row_number window over the corpus×centroids product, which would
-        # shuffle N×k rows per Lloyd round): max_by over (rounded cosine,
-        # -cent_id) keeps the identical determinism contract — rounded _cs
-        # decides, ties go to the smaller cent_id
-        assigned = (
-            embn.join(
-                F.broadcast(
-                    cent.withColumn("_cn", l2_norm(F.col("cvec")))
-                )
-            )
-            .withColumn(
-                "_cs",
-                F.round(
-                    cosine_prenorm(
-                        F.col("embedding"), F.col("cvec"),
-                        F.col("_en"), F.col("_cn"),
-                    ),
-                    4,
-                ),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct(F.col("cent_id"), F.col("embedding")),
-                    F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
-                ).alias("_a")
-            )
-            .select(F.col("_a.cent_id").alias("cent_id"), F.col("_a.embedding").alias("embedding"))
-        )
+        # nearest-centroid argmax as the Arrow assignment kernel
+        # (:func:`_nearest_assign`): the centroid table is K collected
+        # rows (the model — the BPE-style bounded collect), and the
+        # round's assignment is one map pass with no join, no shuffle
+        # and no interpreted per-(row × centroid) fold. Determinism
+        # contract unchanged bit-for-bit: rounded cosine decides, ties
+        # go to the smaller cent_id (see the kernel's docstring).
+        assigned = _nearest_assign(
+            embn, _collected_centroids(cent, "cvec")
+        ).select("cent_id", "embedding")
         means = assigned.groupBy("cent_id").agg(
             F.array(
                 *[
@@ -257,6 +238,107 @@ def ann_ivf(
     return _ivf_scan(
         embeddings, probes, _seed_centroids(embeddings, n_centroids), k, n_probe
     )
+
+
+def _collected_centroids(cent: DataFrame, vec_col: str):
+    """Collect the (bounded: n_centroids rows — the same K-row-model
+    contract as the BPE merge table) centroid frame into sorted
+    ``[(cent_id, [float,...]), ...]`` for the assignment kernel."""
+    rows = cent.select("cent_id", vec_col).collect()
+    return sorted(
+        (int(r["cent_id"]), [float(x) for x in r[vec_col]]) for r in rows
+    )
+
+
+def _nearest_assign(
+    embeddings: DataFrame, cent_rows, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow map pass — the kernel
+    behind :func:`assign_to_lists` and the Lloyd rounds. The former
+    broadcast-join + max_by shape evaluated interpreted ArrayAggregate
+    folds (CodegenFallback) per (row × centroid); this hands whole
+    batches to numpy (guide §4.2) with NO join and NO shuffle: the
+    centroid table is bounded (it IS the model), so it rides in the task
+    closure.
+
+    Bit-parity contract with the join form, term by term: products and
+    sums are accumulated DIMENSION-SEQUENTIALLY over float64-widened
+    values (acc = acc + x_d·y_d), replaying the zip_with+aggregate
+    fold's IEEE operation order for both the norms and the dots;
+    ``round(v, 4)`` in CPython is correctly-rounded decimal rounding,
+    and a binary double can never sit exactly on a half-way point at
+    scale 4 (that would need a factor 5⁴ in a dyadic denominator), so
+    HALF_UP vs HALF_EVEN never diverge and the rounded score equals
+    Spark's BigDecimal Round; argmax over columns sorted by cent_id
+    ascending with first-wins ties replays max_by(struct(_cs,
+    -cent_id)). Null embeddings score 0.0 against every centroid (the
+    fold's null→otherwise(0.0) leg) and tie-break to the smallest
+    cent_id, exactly as before. Corpus rows are assumed unique per
+    ``id_col`` (the corpus key) and uniform-dimension (raises loudly
+    otherwise, the family's contract)."""
+    import math
+
+    cent_ids = [c for c, _ in cent_rows]
+    cvecs = [v for _, v in cent_rows]
+    cns = []
+    for v in cvecs:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        cns.append(math.sqrt(acc))
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    emb_type = dict(embeddings.dtypes)["embedding"]
+    schema = f"{id_col} {id_type}, embedding {emb_type}, cent_id long"
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cvecs, dtype=np.float64)
+        cn = np.array(cns, dtype=np.float64)
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        _round = np.frompyfunc(lambda v: round(v, 4), 1, 1)
+        dim = C.shape[1] if len(cvecs) else 0
+        for pdf in it:
+            n = len(pdf)
+            if n == 0 or dim == 0:
+                # no rows, or no centroids (the join form would emit
+                # nothing): yield the empty slice with the right schema
+                empty = pdf[[id_col, "embedding"]].iloc[0:0].copy()
+                empty["cent_id"] = pd.Series([], dtype="int64")
+                yield empty
+                continue
+            mat = np.zeros((n, dim), dtype=np.float64)
+            for i, c in enumerate(pdf["embedding"].to_list()):
+                if c is not None:
+                    a = np.asarray(c, dtype=np.float64)
+                    if a.shape[0] != dim:
+                        raise ValueError(
+                            "_nearest_assign: embedding dim "
+                            f"{a.shape[0]} != centroid dim {dim}"
+                        )
+                    mat[i, :] = a
+            acc = np.zeros(n)
+            dots = np.zeros((n, len(ids)))
+            for d_ in range(dim):
+                col = mat[:, d_]
+                acc = acc + col * col
+                dots = dots + np.outer(col, C[:, d_])
+            with np.errstate(invalid="ignore"):
+                nrm = np.sqrt(acc)
+            denom = np.outer(nrm, cn)
+            ok = denom > 0
+            cs = np.zeros_like(dots)
+            np.divide(dots, denom, out=cs, where=ok)
+            cs[~ok] = 0.0
+            rs = _round(cs).astype(np.float64)
+            best = np.argmax(rs, axis=1)
+            out = pdf[[id_col, "embedding"]].copy()
+            out["cent_id"] = ids[best]
+            yield out
+
+    return embeddings.select(id_col, "embedding").mapInPandas(fn, schema)
 
 
 def _seed_centroids(
@@ -345,38 +427,13 @@ def _ivf_scan(
 
 def assign_to_lists(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
     """Corpus → inverted-list assignment, shared by the in-memory scan and
-    the materialized index build (:func:`build_ivf_index`). The argmax is
-    a partial-aggregable max_by, NOT a per-vec_id row_number window: the
-    window formulation shuffles the full corpus×centroids join product
-    (N×k rows) where the aggregate combines map-side to one row per
-    vector — ~k× less shuffle I/O, identical determinism (rounded cosine
-    decides, ties → smaller cent_id)."""
-    return (
-        embeddings.withColumn("_en", l2_norm(F.col("embedding")))
-        .join(F.broadcast(cent.withColumn("_cn", l2_norm(F.col("_cent")))))
-        .withColumn(
-            "_cs",
-            F.round(
-                cosine_prenorm(
-                    F.col("embedding"), F.col("_cent"),
-                    F.col("_en"), F.col("_cn"),
-                ),
-                4,
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cent_id"), F.col("embedding")),
-                F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
-            ).alias("_a")
-        )
-        .select(
-            "vec_id",
-            F.col("_a.embedding").alias("embedding"),
-            F.col("_a.cent_id").alias("cent_id"),
-        )
-    )
+    the materialized index build (:func:`build_ivf_index`): one Arrow map
+    pass per corpus row (:func:`_nearest_assign` — the bounded centroid
+    table rides in the task closure, so there is NO join, NO shuffle and
+    no interpreted per-pair fold), with the identical determinism
+    contract as the former broadcast+max_by form: rounded cosine decides,
+    ties → smaller cent_id, bit-for-bit (see the kernel's docstring)."""
+    return _nearest_assign(embeddings, _collected_centroids(cent, "_cent"))
 
 
 def _probe_topk(

@@ -415,7 +415,18 @@ def graph_growth(edges: DataFrame) -> DataFrame:
     births need one node-grain min() first) unioned long-form into one
     pivot aggregation; the cumulative window runs over the MONTH-grain
     frame (groups × months rows), never the edge stream. All counts are
-    longs; months are date_trunc timestamps — both hash exactly."""
+    longs; months are date_trunc timestamps — both hash exactly.
+
+    The four rollup branches (opened, closed, births×2) read a shared
+    NARROW projection materialized once (lazy localCheckpoint): the
+    input is typically the wide stored-edges frame, and each extra
+    branch pass would re-deserialize every heavy column (fact text,
+    embeddings, provenance arrays) just to read five scalar fields —
+    the project-before-multi-pass rule (guide §2.3)."""
+    edges = edges.select(
+        "group_id", "valid_at", "invalid_at",
+        "source_node_uuid", "target_node_uuid",
+    ).localCheckpoint(eager=False)
     opened = edges.where(F.col("valid_at").isNotNull()).select(
         "group_id",
         F.date_trunc("month", "valid_at").alias("month"),
@@ -823,6 +834,10 @@ def interval_relation_census(
                 "invalid_at", F.lit(ALLEN_OPEN_END).cast("timestamp")
             ).alias("e"),
         )
+        # three consumers (cap guard + both self-join sides): materialize
+        # the narrow event projection once instead of re-scanning the wide
+        # edges frame per consumer (guide §2.3)
+        .localCheckpoint(eager=False)
     )
     assert_block_cap(
         f.select(
@@ -893,7 +908,8 @@ def signature_profile(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         "group_id",
         F.col("uuid").alias("_nid"),
         F.array_join("labels", ",").alias("_l"),
-    )
+    ).localCheckpoint(eager=False)  # joined on BOTH endpoint sides: one
+    # node-frame pass instead of two (guide §2.3)
     census = (
         edges.select(
             "group_id",

@@ -151,7 +151,8 @@ def current_triples(g: GraphTables) -> DataFrame:
 
     nodes = g.nodes.select(
         F.col("uuid").alias("_nid"), F.col("name").alias("_nname")
-    )
+    ).localCheckpoint(eager=False)  # joined on BOTH endpoint sides: one
+    # node-frame pass instead of two (guide §2.3)
     e = currently_valid(g.edges)
     return (
         e.join(nodes.withColumnRenamed("_nid", "source_node_uuid")
