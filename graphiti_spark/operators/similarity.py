@@ -581,6 +581,114 @@ def _subvectors(
     )
 
 
+def _collected_codebooks(cent: DataFrame):
+    """Collect the (bounded: m × n_codes rows — the model) codebook
+    frame into per-subspace code lists sorted ascending:
+    ``(js, codes[m][K], vecs[m][K][d])``."""
+    by_j: dict = {}
+    for r in cent.select("j", "code", "cvec").collect():
+        by_j.setdefault(int(r["j"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    js = sorted(by_j)
+    codes = [[c for c, _ in sorted(by_j[j])] for j in js]
+    vecs = [[v for _, v in sorted(by_j[j])] for j in js]
+    return js, codes, vecs
+
+
+def _nearest_code(
+    embeddings: DataFrame, cb, m: int, d: int, with_sv: bool
+) -> DataFrame:
+    """Per-subspace nearest-code assignment as ONE Arrow map pass — the
+    kernel behind :func:`pq_codebooks`' Lloyd rounds and
+    :func:`pq_encode`. Replaces the subvector-explode + broadcast-join +
+    min_by shape (interpreted per-(row × subspace × code) distance
+    folds) with numpy batches against the collected m×K codebook tensor
+    (bounded — it IS the model), no join and no pre-aggregation shuffle.
+
+    Bit-parity with the join form: the squared-difference accumulation
+    runs DIMENSION-SEQUENTIALLY over float64 values (the l2_dist
+    fold/unroll order), sqrt is the same IEEE op, CPython ``round(v,4)``
+    equals Spark's Round (no scale-4 ties exist for binary doubles), and
+    argmin over codes sorted ascending with first-wins ties replays
+    min_by(struct(_d, code)). A subspace containing a null/nan element
+    gets the smallest code (null distance sorts first in the min_by
+    struct — same result), with its sv elements back as nulls."""
+    import math  # noqa: F401  (symmetry with _nearest_assign)
+
+    js, codes, vecs = cb
+    id_type = dict(embeddings.dtypes)["vec_id"]
+    schema = f"vec_id {id_type}, j int, code long"
+    if with_sv:
+        schema += ", sv array<double>"
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(vecs, dtype=np.float64)        # (m, K, d)
+        codearr = np.array(codes, dtype=np.int64)   # (m, K)
+        _round = np.frompyfunc(lambda v: round(v, 4), 1, 1)
+        m_, K, d_ = C.shape
+        jarr = np.asarray(js, dtype=np.int32)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                out = {
+                    "vec_id": pdf["vec_id"].iloc[0:0],
+                    "j": pd.Series([], dtype="int32"),
+                    "code": pd.Series([], dtype="int64"),
+                }
+                if with_sv:
+                    out["sv"] = pd.Series([], dtype="object")
+                yield pd.DataFrame(out)
+                continue
+            mat = np.full((n, m_ * d_), np.nan, dtype=np.float64)
+            for i, c in enumerate(pdf["embedding"].to_list()):
+                if c is not None:
+                    a = np.asarray(c, dtype=np.float64)
+                    if a.shape[0] != m_ * d_:
+                        raise ValueError(
+                            "_nearest_code: embedding dim "
+                            f"{a.shape[0]} != {m_ * d_}"
+                        )
+                    mat[i, :] = a
+            sub = mat.reshape(n, m_, d_)
+            acc = np.zeros((n, m_, K))
+            for t in range(d_):
+                diff = sub[:, :, None, t] - C[None, :, :, t]
+                acc = acc + diff * diff
+            with np.errstate(invalid="ignore"):
+                dist = np.sqrt(acc)
+            rs = _round(dist).astype(np.float64)
+            bad = np.isnan(sub).any(axis=2)          # (n, m)
+            rs[bad] = np.inf
+            best = np.argmin(rs, axis=2)             # first-wins ties
+            best[bad] = 0                            # null dist → min code
+            vid = np.repeat(pdf["vec_id"].to_numpy(), m_)
+            jcol = np.tile(jarr, n)
+            code = codearr[np.tile(np.arange(m_), n), best.ravel()]
+            out = pd.DataFrame(
+                {"vec_id": vid, "j": jcol, "code": code}
+            )
+            if with_sv:
+                svs = []
+                for i in range(n):
+                    for j in range(m_):
+                        s = sub[i, j, :]
+                        if np.isnan(s).any():
+                            svs.append(
+                                [None if math.isnan(x) else float(x)
+                                 for x in s]
+                            )
+                        else:
+                            svs.append([float(x) for x in s])
+                out["sv"] = svs
+            yield out
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema)
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -589,38 +697,28 @@ def pq_codebooks(
     dim: int = 64,
 ) -> DataFrame:
     """Per-subspace k-means codebooks for product quantization: ALL
-    ``m`` subspaces train simultaneously — the Lloyd round is ONE
-    broadcast join + ONE (vec_id, j) argmin aggregate + ONE (j, code)
+    ``m`` subspaces train simultaneously — the Lloyd round is ONE Arrow
+    map pass against the collected m×K codebook tensor
+    (:func:`_nearest_code` — the collect IS the model) + ONE (j, code)
     mean, with j in the grouping keys instead of m driver-side loops.
     Seeds are the first ``n_codes`` vectors' subvectors (code id =
     seed vec_id, the `_seed_centroids` convention). Determinism
-    contract: argmin on round(l2_dist, 4), ties -> smaller code; means
-    rounded to 6; empty codes keep their previous centroid. Output:
-    (j, code, cvec array<double>)."""
-    from graphiti_spark.functions.embeddings import l2_dist
-
+    contract unchanged bit-for-bit: argmin on round(l2_dist, 4), ties ->
+    smaller code; means rounded to 6; empty codes keep their previous
+    centroid. Output: (j, code, cvec array<double>)."""
     d = dim // m
     seeds = (
         embeddings.orderBy("vec_id").limit(n_codes)
         .select(F.col("vec_id").alias("code"), "embedding")
     )
     cent = _subvectors(seeds, m, d).select("j", "code", F.col("sv").alias("cvec"))
-    sub = _subvectors(embeddings, m, d).select("vec_id", "j", "sv")
+    emb = embeddings.select("vec_id", "embedding").localCheckpoint(
+        eager=False
+    )  # loop-invariant corpus projection, one materialization
     for _ in range(iterations):
-        assigned = (
-            sub.join(F.broadcast(cent), "j")
-            .withColumn(
-                "_d", F.round(l2_dist(F.col("sv"), F.col("cvec"), dim=d), 4)
-            )
-            .groupBy("vec_id", "j")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("code"), F.col("sv")),
-                    F.struct(F.col("_d"), F.col("code")),
-                ).alias("_a")
-            )
-            .select("j", F.col("_a.code").alias("code"), F.col("_a.sv").alias("sv"))
-        )
+        assigned = _nearest_code(
+            emb, _collected_codebooks(cent), m, d, with_sv=True
+        ).select("j", "code", "sv")
         means = assigned.groupBy("j", "code").agg(
             F.array(
                 *[
@@ -645,23 +743,11 @@ def pq_encode(
     """Encode every vector as ``m`` codebook ids — the 16× compression
     (64 float32 -> 8 bytes at n_codes<=256) that decides whether a
     100 TB corpus's vectors fit an ANN serving tier. Same argmin
-    contract as training. Output: (vec_id, j, code)."""
-    from graphiti_spark.functions.embeddings import l2_dist
-
-    sub = _subvectors(embeddings, m, dim // m).select("vec_id", "j", "sv")
-    return (
-        sub.join(F.broadcast(cent), "j")
-        .withColumn(
-            "_d",
-            F.round(l2_dist(F.col("sv"), F.col("cvec"), dim=dim // m), 4),
-        )
-        .groupBy("vec_id", "j")
-        .agg(
-            F.min_by(
-                F.col("code"), F.struct(F.col("_d"), F.col("code"))
-            ).alias("code")
-        )
-    )
+    contract as training (:func:`_nearest_code`, bit-identical to the
+    former explode+broadcast+min_by form). Output: (vec_id, j, code)."""
+    return _nearest_code(
+        embeddings, _collected_codebooks(cent), m, dim // m, with_sv=False
+    ).select("vec_id", "j", "code")
 
 
 def ann_pq(

@@ -1445,52 +1445,64 @@ def textrank_keywords(
         )
         .groupBy("doc_id", "a", "b")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint(eager=False)  # adjacency reused every round
     )
-    adj = und.select(
-        "doc_id", F.col("a").alias("u"), F.col("b").alias("v"), "w"
-    ).unionByName(
-        und.select("doc_id", F.col("b").alias("u"), F.col("a").alias("v"), "w")
-    )
-    wdeg = adj.groupBy("doc_id", "u").agg(
-        F.sum("w").cast("long").alias("_wd")
-    )
-    adj = adj.join(wdeg, ["doc_id", "u"]).localCheckpoint(eager=False)
-    cur = adj.select(
-        "doc_id", F.col("u").alias("token")
-    ).distinct().withColumn(
-        "s", F.lit(TEXTRANK_SCALE).cast("long")
-    ).localCheckpoint(eager=False)
-    for _ in range(int(rounds)):
-        contrib = (
-            adj.join(
-                cur.select("doc_id", F.col("token").alias("u"), "s"),
-                ["doc_id", "u"],
-            )
-            .groupBy("doc_id", F.col("v").alias("token"))
-            .agg(
-                F.sum(F.expr("s * w div _wd")).cast("long").alias("_c")
-            )
+    # The K damped rounds + the top-k pick run as ONE grouped Arrow
+    # kernel per document instead of K (join + rollup) Spark rounds:
+    # the graph never crosses documents (the operator's stated grain),
+    # so each doc's whole trajectory is a bounded local computation —
+    # collapsing ~2K exchanges and K checkpoints into a single
+    # doc-keyed pass (guide §1.2/§4.2). The trajectory is PURE int64
+    # arithmetic (every term floor-divided before its sum; all values
+    # positive, so numpy's floor // equals Spark's truncating div, and
+    # both sides wrap identically in 64 bits), and the top-k tiebreak
+    # sorts tokens as Python str — code-point order, identical to
+    # Spark's UTF8 binary ordering — so every row and every oracle
+    # hash is bit-identical to the unrolled-rounds form. score stays a
+    # Catalyst division so float semantics are untouched.
+    import pandas as pd
+
+    damp, scale = int(TEXTRANK_DAMP), int(TEXTRANK_SCALE)
+    n_rounds, top_k = int(rounds), int(k)
+    doc_t = dict(docs.dtypes)["doc_id"]
+
+    def _doc_rank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        toks = np.unique(
+            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
         )
-        cur = contrib.select(
-            "doc_id",
-            "token",
-            F.expr(
-                f"(({100 - TEXTRANK_DAMP}L * {TEXTRANK_SCALE}L)"
-                f" + {TEXTRANK_DAMP}L * _c) div 100"
-            ).cast("long").alias("s"),
-        ).localCheckpoint(eager=False)
-    top = Window.partitionBy("doc_id").orderBy(
-        F.col("s").desc(), F.col("token").asc()
+        idx = {t: i for i, t in enumerate(toks)}
+        ai = pdf["a"].map(idx).to_numpy(dtype=np.int64)
+        bi = pdf["b"].map(idx).to_numpy(dtype=np.int64)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        u = np.concatenate([ai, bi])
+        v = np.concatenate([bi, ai])
+        ww = np.concatenate([w, w])
+        wd = np.zeros(len(toks), dtype=np.int64)
+        np.add.at(wd, u, ww)
+        s = np.full(len(toks), scale, dtype=np.int64)
+        for _ in range(n_rounds):
+            terms = (s[u] * ww) // wd[u]
+            c = np.zeros(len(toks), dtype=np.int64)
+            np.add.at(c, v, terms)
+            s = ((100 - damp) * scale + damp * c) // 100
+        res = pd.DataFrame({"token": toks, "score_units": s})
+        res = res.sort_values(
+            ["score_units", "token"], ascending=[False, True],
+            kind="mergesort",
+        ).head(top_k)
+        res.insert(0, "doc_id", pdf["doc_id"].iloc[0])
+        res["rank"] = np.arange(1, len(res) + 1, dtype=np.int32)
+        return res[["doc_id", "token", "rank", "score_units"]]
+
+    ranked = und.groupBy("doc_id").applyInPandas(
+        _doc_rank,
+        f"doc_id {doc_t}, token string, rank int, score_units long",
     )
-    return (
-        cur.withColumn("rank", F.row_number().over(top))
-        .where(F.col("rank") <= int(k))
-        .select(
-            "doc_id",
-            "token",
-            F.col("rank").cast("int").alias("rank"),
-            F.col("s").alias("score_units"),
-            (F.col("s") / TEXTRANK_SCALE).alias("score"),
-        )
+    return ranked.select(
+        "doc_id",
+        "token",
+        "rank",
+        "score_units",
+        (F.col("score_units") / TEXTRANK_SCALE).alias("score"),
     )
