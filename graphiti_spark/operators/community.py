@@ -66,13 +66,21 @@ def _seed_labels(adjacency: DataFrame) -> DataFrame:
     )
 
 
-def _apply_vote_round(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
-    """One synchronous update: plurality vote + join/coalesce, lineage cut
-    per round. Shared by the fixpoint loop (label_propagation) and the
-    exactly-K oracle form (label_propagation_rounds) so the two variants
-    cannot silently diverge."""
+def _apply_vote_round(
+    adjacency: DataFrame, labels: DataFrame, checkpoint: bool = True
+) -> DataFrame:
+    """One synchronous update: plurality vote + join/coalesce. Shared by
+    the fixpoint loop (label_propagation) and the exactly-K oracle form
+    (label_propagation_rounds) so the two variants cannot silently
+    diverge.
+
+    ``checkpoint``: the fixpoint loop keeps the per-round lazy
+    checkpoint (each round is consumed by its convergence-check action);
+    the exactly-K form passes False — its chain is linear, the duplicate
+    labels subtrees dedup via ReusedExchange, and all K rounds run as
+    ONE adaptive execution (the sr_scan CC-loop measurement)."""
     best = _plurality_votes(adjacency, labels)
-    return (
+    out = (
         labels.join(
             best.select(F.col("a").alias("uuid"), "new_label"), "uuid", "left"
         )
@@ -81,12 +89,8 @@ def _apply_vote_round(adjacency: DataFrame, labels: DataFrame) -> DataFrame:
             "uuid",
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
         )
-        # eager=False: the round result still materializes exactly once
-        # (first consumer computes + persists it) but WITHOUT one eager
-        # Spark job per round — the whole K-round chain collapses into
-        # the consumer's single job (guide §1.2/§5: fewer passes first)
-        .localCheckpoint(eager=False)
     )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def _canonicalize_labels(labels: DataFrame) -> DataFrame:
@@ -162,6 +166,11 @@ def label_propagation_rounds(adjacency: DataFrame, rounds: int = 6) -> DataFrame
     adjacency = adjacency.localCheckpoint(eager=False)
     labels = _seed_labels(adjacency)
     for _ in range(rounds):
+        # checkpoint=True: dropping the per-round checkpoint was
+        # MEASURED SLOWER here (3.6 s vs 2.7 s on sr_conductance) — the
+        # vote round's three-operator body duplicates the labels subtree
+        # in ways exchange reuse does not fully recover, unlike the
+        # single-aggregate min-label loops
         labels = _apply_vote_round(adjacency, labels)
     return _canonicalize_labels(labels)
 
@@ -1553,13 +1562,15 @@ def scc_pivot_pass(edges: DataFrame, rounds: int = 6) -> DataFrame:
                 lab.select("group_id", F.col("uuid").alias(from_col), "lab"),
                 ["group_id", from_col],
             ).select("group_id", F.col(to_col).alias("uuid"), "lab")
+            # no per-round checkpoint: linear chain, duplicate lab
+            # subtrees dedup via ReusedExchange — one adaptive execution
+            # for all K rounds (the sr_scan CC-loop measurement)
             lab = (
                 lab.unionByName(incoming)
                 .groupBy("group_id", "uuid")
                 .agg(F.min("lab").alias("lab"))
-                .localCheckpoint(eager=False)
             )
-        return lab
+        return lab.localCheckpoint(eager=False)
 
     fwd = _min_rounds("src", "dst")
     bwd = _min_rounds("dst", "src")
@@ -2614,6 +2625,10 @@ def hits_rounds(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
                     f"(coalesce(_raw, 0L) * {HITS_SCALE}) div _mx"
                 ).cast("long").alias(out_col),
             )
+            # per-half-round checkpoint KEPT: dropping it was measured
+            # 2× slower (5.7 s vs 2.7 s on sr_hits) — the rescale's
+            # nested max + left-join + broadcast per half-round
+            # duplicates subtrees beyond what exchange reuse recovers
             .localCheckpoint(eager=False)
         )
 
@@ -2888,8 +2903,12 @@ def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
                     )
                 ).alias("color"),
             )
-            .localCheckpoint(eager=False)
         )
+    # one checkpoint AFTER the linear refinement chain (duplicate cur
+    # subtrees within a round dedup via ReusedExchange): K rounds run as
+    # one adaptive execution, and the two final consumers (sizes + join)
+    # share the materialized result
+    cur = cur.localCheckpoint(eager=False)
     sizes = cur.groupBy("group_id", "color").agg(
         F.count("*").cast("long").alias("class_size")
     )
@@ -3077,6 +3096,12 @@ def scan_clusters(
         # — identical min semantics, one exchange fewer per round.
         # cc_sym joins only core nodes, so the union keeps non-adjacent
         # cores via their own lab row exactly like the old left join.
+        # NO per-round checkpoint: the chain is linear (each round feeds
+        # only the next; lab's two references per round are identical
+        # subtrees that ReusedExchange dedups), so the K rounds run as
+        # ONE adaptive execution instead of K separate ones — same
+        # shuffles, K fewer job/planning boundaries (measured −1.0 s on
+        # sr_scan, rows identical).
         nbr = cc_sym.join(
             lab.select("group_id", F.col("uuid").alias("v"), "lbl"),
             ["group_id", "v"],
@@ -3085,7 +3110,6 @@ def scan_clusters(
             lab.unionByName(nbr)
             .groupBy("group_id", "uuid")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
         )
     core_rows = lab.select(
         "group_id", "uuid", F.lit("core").alias("role"),
