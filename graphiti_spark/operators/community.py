@@ -1924,12 +1924,16 @@ def neighborhood_registers(
     the edge-incident vertices; self-loops are dropped with the same
     rule as the triangle family."""
     regs = None
-    for _k, regs in _register_rounds(edges, rounds):
+    # checkpoint=False: only the FINAL round is consumed, the chain is
+    # linear, and the round body is the single-aggregate union+groupBy
+    # shape whose duplicate subtrees exchange reuse dedups — all K
+    # rounds run as one adaptive execution (the min-label-loop rule)
+    for _k, regs in _register_rounds(edges, rounds, checkpoint=False):
         pass
     return regs
 
 
-def _register_rounds(edges: DataFrame, rounds: int):
+def _register_rounds(edges: DataFrame, rounds: int, checkpoint: bool = True):
     """THE HyperBall register propagation, yielded round by round —
     the single implementation both :func:`neighborhood_registers`
     (final-round sketch) and :func:`neighborhood_function` (per-round
@@ -1983,8 +1987,9 @@ def _register_rounds(edges: DataFrame, rounds: int):
             regs.unionByName(inflow)
             .groupBy("group_id", "uuid", "register")
             .agg(F.max("max_rank").cast("long").alias("max_rank"))
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            regs = regs.localCheckpoint(eager=False)
         yield k, regs
 
 
@@ -2087,7 +2092,11 @@ def neighborhood_function(
         )
 
     out = None
-    for k, regs in _register_rounds(edges, rounds):
+    # checkpoint=False measured faster here too: all K digests and the
+    # round chain land in ONE action, so the duplicated round subtrees
+    # (digest_k + round k+1) dedup via exchange reuse — same rule as
+    # neighborhood_registers
+    for k, regs in _register_rounds(edges, rounds, checkpoint=False):
         d = _digest(regs, k)
         out = d if out is None else out.unionByName(d)
     return out
