@@ -1270,7 +1270,7 @@ def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
                 ).alias("node")
             )
         )
-        frontier = hop.localCheckpoint(eager=False)
+        frontier = hop
         out = out.unionByName(
             frontier.select(
                 "group_id", "walk_id",
