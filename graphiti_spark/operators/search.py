@@ -650,7 +650,13 @@ def _parse_path_pattern(pattern: str):
         if not m:
             break
         _, larr, pred, rarr = m.groups()
-        nv = re.match(r"\((\w+)\)", s[m.end():]).group(1)
+        m2 = re.match(r"\((\w+)\)", s[m.end():])
+        if not m2:
+            # the step lookahead only guarantees a '(' follows, not a
+            # whole (var) group — fail uniformly as ValueError instead
+            # of AttributeError on e.g. '(a)-[X]->()'
+            raise ValueError(f"bad node after step in: {pattern!r}")
+        nv = m2.group(1)
         if larr == "<-" and rarr == "-":
             steps.append((nv, pred, prev))
         elif larr == "-" and rarr == "->":
