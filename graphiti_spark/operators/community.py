@@ -2363,7 +2363,9 @@ def harmonic_centrality(
     the lag window and the final rollup (same keys — the exchange is
     reused)."""
     per_round = None
-    for k, regs in _register_rounds(edges, rounds):
+    # checkpoint=False: same rule as neighborhood_function's digest fold
+    # — all K per-round rollups and the chain land in ONE action
+    for k, regs in _register_rounds(edges, rounds, checkpoint=False):
         d = regs.groupBy("group_id", "uuid").agg(
             F.lit(k).cast("long").alias("round"),
             F.count("*").cast("long").alias("n_regs"),
